@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Tables, Timeframe}
+import graft.ohlcv.Candles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory; every [SQL] operator has a `queries` entry and a matching
+  * DuckDB oracle in `oracleSql` with identical column names.
+  *
+  * Determinism rules shared by both sides:
+  *  - money/qty sums go through exact DECIMAL(18,2) partial sums, then
+  *    surface as DOUBLE (associative ⇒ shuffle-order-insensitive, and
+  *    bit-identical across engines);
+  *  - time bucketing is integer epoch-microsecond arithmetic
+  *    (ts - ts % width), never float division;
+  *  - first/last picks (open/close) key on the unique trade timestamp.
+  */
 object SparkEntry {
+
+  private val Tf1m = Timeframe.parse("1m")
+  private val Tf5m = Timeframe.parse("5m")
+  private val Tf1h = Timeframe.parse("1h")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Candles.fromTrades(Tables.trades(spark, "/root/testdata/sf0.001"), Tf1h)
+
+  // ---- shared SQL fragments for the DuckDB oracles -------------------------
+
+  /** events → trade stream (SURVEY §1 domain mapping). */
+  private val TradesSql =
+    "SELECT event_type AS symbol, ts, value AS price, " +
+      "CAST(regexp_extract(props, '([0-9]+)', 1) AS DOUBLE) AS qty FROM events"
+
+  /** OHLCV resample at a fixed width, mirroring Candles.fromTrades. */
+  private def candlesSql(widthUs: Long, src: String = "t"): String =
+    s"SELECT symbol, make_timestamp(epoch_us(ts) - epoch_us(ts) % $widthUs) AS bucket_ts, " +
+      "min_by(price, ts) AS open, max(price) AS high, min(price) AS low, " +
+      "max_by(price, ts) AS close, " +
+      "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+      s"count(*) AS trades FROM $src GROUP BY 1, 2"
+
+  private def withTrades(body: String): String = s"WITH t AS ($TradesSql) $body"
+
+  // ---- queries -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference surface ---------------------------------------------------
+    "ohlcv_1m" -> ((s, dir) => Candles.fromTrades(Tables.trades(s, dir), Tf1m)),
+    "ohlcv_5m" -> ((s, dir) => Candles.fromTrades(Tables.trades(s, dir), Tf5m)),
+    "ohlcv_1d" -> ((s, dir) =>
+      Candles.fromTrades(Tables.trades(s, dir), Timeframe.parse("1d"))),
+    "resume_since" -> ((s, dir) =>
+      Candles.resumeSince(Candles.fromTrades(Tables.trades(s, dir), Tf1m))),
+    "incremental_fetch" -> ((s, dir) => {
+      // fetch-loop predicate: recompute candles only from trades after each
+      // symbol's resume point (here: 3 days before its last trade). The
+      // per-symbol resume table is tiny ⇒ broadcast, no extra shuffle.
+      val t = Tables.trades(s, dir)
+      val resume = t.groupBy("symbol")
+        .agg((max(unix_micros(col("ts"))) - lit(3L * 86400000000L)).as("since_us"))
+      val fresh = t.join(broadcast(resume), Seq("symbol"))
+        .where(unix_micros(col("ts")) > col("since_us"))
+        .select("symbol", "ts", "price", "qty")
+      Candles.fromTrades(fresh, Tf1h)
+    }),
+    "candle_upsert" -> ((s, dir) => {
+      // two overlapping ingest batches; later batch wins per (symbol,bucket)
+      val t = Tables.trades(s, dir)
+      val cut1 = to_timestamp(lit("2024-01-20 00:00:00"))
+      val cut2 = to_timestamp(lit("2024-01-12 00:00:00"))
+      val c1 = Candles.fromTrades(t.where(col("ts") < cut1), Tf1h)
+      val c2 = Candles.fromTrades(t.where(col("ts") >= cut2), Tf1h)
+      Candles.upsert(c1, c2)
+    }),
+    "incomplete_drop" -> ((s, dir) => {
+      val now = to_timestamp(lit("2024-01-30 23:00:00"))
+      Candles.dropIncomplete(
+        Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h, now)
+    }),
+    "gap_detect" -> ((s, dir) =>
+      Candles.gaps(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h)),
+
+    // C. general OLAP --------------------------------------------------------
+    "q1_pricing" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d)).cast("double").as("sum_base"),
+          sum(col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d))).cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  // ---- oracles -------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "ohlcv_1m" -> withTrades(candlesSql(60000000L)),
+    "ohlcv_5m" -> withTrades(candlesSql(300000000L)),
+    "ohlcv_1d" -> withTrades(
+      "SELECT symbol, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts, " +
+        "min_by(price, ts) AS open, max(price) AS high, min(price) AS low, " +
+        "max_by(price, ts) AS close, " +
+        "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+        "count(*) AS trades FROM t GROUP BY 1, 2"),
+    "resume_since" -> withTrades(
+      s"SELECT symbol, max(bucket_ts) AS last_ts FROM (${candlesSql(60000000L)}) GROUP BY 1"),
+    "incremental_fetch" -> withTrades(
+      ", resume AS (SELECT symbol, max(epoch_us(ts)) - 259200000000 AS since_us FROM t GROUP BY 1), " +
+        "f AS (SELECT t.symbol, t.ts, t.price, t.qty FROM t JOIN resume r ON t.symbol = r.symbol " +
+        "WHERE epoch_us(t.ts) > r.since_us) " +
+        candlesSql(3600000000L, "f")),
+    "candle_upsert" -> withTrades(
+      ", t1 AS (SELECT * FROM t WHERE ts < TIMESTAMP '2024-01-20 00:00:00'), " +
+        "t2 AS (SELECT * FROM t WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'), " +
+        s"c1 AS (${candlesSql(3600000000L, "t1")}), " +
+        s"c2 AS (${candlesSql(3600000000L, "t2")}) " +
+        "SELECT * FROM c2 UNION ALL " +
+        "SELECT c1.* FROM c1 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM c2 WHERE c2.symbol = c1.symbol AND c2.bucket_ts = c1.bucket_ts)"),
+    "incomplete_drop" -> withTrades(
+      s"SELECT * FROM (${candlesSql(3600000000L)}) " +
+        "WHERE make_timestamp(epoch_us(bucket_ts) + 3600000000) <= TIMESTAMP '2024-01-30 23:00:00'"),
+    "gap_detect" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts AS gap_start, next_ts AS gap_end, " +
+        "CAST((epoch_us(next_ts) - epoch_us(bucket_ts)) / 3600000000 - 1 AS BIGINT) AS missing " +
+        "FROM (SELECT symbol, bucket_ts, lead(bucket_ts) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS next_ts FROM c) " +
+        "WHERE next_ts IS NOT NULL AND epoch_us(next_ts) - epoch_us(bucket_ts) > 3600000000"),
+    "q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2")
+  )
 }

@@ -11,13 +11,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Session tz is UTC, so cast to NTZ is wall-clock identity; it makes
+      // the parquet timestamps naive, matching the DuckDB oracle's output.
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      try {
+        val df = fn(spark, sfDir)
+        val ntz = df.schema.fields.collect {
+          case f if f.dataType == TimestampType => f.name
+        }.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast(TimestampNTZType)))
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

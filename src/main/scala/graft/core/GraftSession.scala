@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with scale-oriented defaults. On a real cluster the
+  * same knobs apply; local[N] is only the test harness.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as Long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = builder().getOrCreate()
+}
+
+/** Canonical readers for the test star schema + the trade-stream mapping
+  * described in SURVEY.md §1 (events ⇒ trades).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to TimestampType. The file stores
+    * TIMESTAMP(NANOS); with `spark.sql.legacy.parquet.nanosAsLong` it
+    * arrives as Long nanos — integer `div 1000` truncates to micros exactly
+    * like DuckDB's read of the same file (no float division).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** The reference's domain object is a trade/candle stream; `events` plays
+    * that role: ts = trade time, event_type = symbol, value = price,
+    * props.k = size (extracted by regex so the DuckDB oracle can mirror it
+    * without a JSON extension).
+    */
+  def trades(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(spark, dir).select(
+      col("event_type").as("symbol"),
+      col("ts"),
+      col("value").as("price"),
+      regexp_extract(col("props"), "([0-9]+)", 1).cast("double").as("qty"))
+  }
+}
