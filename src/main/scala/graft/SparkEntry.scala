@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.{Tables, Timeframe}
-import graft.ohlcv.Candles
+import graft.ohlcv.{Analytics, Candles}
+import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,6 +86,29 @@ object SparkEntry {
     "gap_detect" -> ((s, dir) =>
       Candles.gaps(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h)),
 
+    // B. market analytics ----------------------------------------------------
+    "vwap" -> ((s, dir) => Analytics.vwap(Tables.trades(s, dir))),
+    "sma" -> ((s, dir) =>
+      Analytics.sma(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
+    "returns" -> ((s, dir) =>
+      Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "ema" -> ((s, dir) =>
+      Analytics.ema(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
+    "asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.join(p, c, "user_id", "ts", "ts", "click_")
+    }),
+    "gap_fill" -> ((s, dir) =>
+      Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
+    "top_volume" -> ((s, dir) =>
+      Analytics.topVolume(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 3)),
+    "candle_stats" -> ((s, dir) =>
+      Analytics.stats(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+
     // C. general OLAP --------------------------------------------------------
     "q1_pricing" -> ((s, dir) => {
       val d = DecimalType(18, 2)
@@ -135,6 +159,49 @@ object SparkEntry {
         "CAST((epoch_us(next_ts) - epoch_us(bucket_ts)) / 3600000000 - 1 AS BIGINT) AS missing " +
         "FROM (SELECT symbol, bucket_ts, lead(bucket_ts) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS next_ts FROM c) " +
         "WHERE next_ts IS NOT NULL AND epoch_us(next_ts) - epoch_us(bucket_ts) > 3600000000"),
+    "vwap" -> withTrades(
+      "SELECT symbol, day, sum_pv / sum_qty AS vwap, sum_qty FROM (" +
+        "SELECT symbol, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "CAST(sum(CAST(price AS DECIMAL(18,2)) * CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_pv, " +
+        "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM t GROUP BY 1, 2) WHERE sum_qty > 0"),
+    "sma" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts, close, " +
+        "CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS sma " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"),
+    "returns" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts, close, prev_close, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL"),
+    "asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "gap_fill" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket_ts " +
+        "FROM (SELECT symbol, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM c GROUP BY 1)) " +
+        "SELECT sp.symbol, sp.bucket_ts, " +
+        "CAST(CASE WHEN c.close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap, " +
+        "last_value(c.close IGNORE NULLS) OVER (PARTITION BY sp.symbol ORDER BY sp.bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled " +
+        "FROM sp LEFT JOIN c ON sp.symbol = c.symbol AND sp.bucket_ts = c.bucket_ts"),
+    "top_volume" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts, volume, rn FROM (" +
+        "SELECT symbol, bucket_ts, volume, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY volume DESC, bucket_ts) AS rn FROM c) " +
+        "WHERE rn <= 3"),
+    "candle_stats" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, count(*) AS n_buckets, max(high) AS max_high, min(low) AS min_low, " +
+        "CAST(sum(CAST(high - low AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_range, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS total_volume " +
+        "FROM c GROUP BY 1"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -1,0 +1,118 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Market analytics over candle/trade streams — the queries users of a
+  * candle store (the reference's SQLite output) actually run.
+  *
+  * Scale notes: everything here is either a single hash aggregation or a
+  * single window over (symbol) — one shuffle on the symbol key; frames are
+  * bounded; no self-joins. Float determinism follows the SparkEntry rules:
+  * sums go through DECIMAL(18,2); picks/differences/divisions stay IEEE
+  * double (bit-identical across engines given identical inputs).
+  */
+object Analytics {
+
+  private val D = DecimalType(18, 2)
+
+  /** Per symbol/day volume-weighted average price. */
+  def vwap(trades: DataFrame): DataFrame =
+    trades
+      .groupBy(col("symbol"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(col("price").cast(D) * col("qty").cast(D)).cast("double").as("sum_pv"),
+        sum(col("qty").cast(D)).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 0)
+      .select(col("symbol"), col("day"),
+        (col("sum_pv") / col("sum_qty")).as("vwap"), col("sum_qty"))
+
+  /** n-bucket simple moving average of close per symbol. Decimal sum over
+    * the sliding frame (order-insensitive), double division by the frame
+    * row count.
+    */
+  def sma(candles: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("sma",
+        sum(col("close").cast(D)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+  }
+
+  /** Close-to-close percentage returns per symbol. */
+  def returns(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .where(col("prev_close").isNotNull)
+      .withColumn("ret", (col("close") - col("prev_close")) / col("prev_close"))
+  }
+
+  /** Exponential moving average — inherently sequential per symbol, so:
+    * one shuffle (repartition by symbol), in-partition sort, then a single
+    * O(n) sweep per partition. No window-function state blowup; at 100 TB
+    * each symbol's history streams through exactly one task.
+    */
+  def ema(candles: DataFrame, n: Int): DataFrame = {
+    val alpha = 2.0 / (n + 1)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e = 0.0
+        it.map { case (s, t, c) =>
+          if (s != cur) { cur = s; e = c }
+          else e = alpha * c + (1 - alpha) * e
+          (s, t, c, e)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "close", "ema")
+  }
+
+  /** Densify a candle series to one row per bucket between each symbol's
+    * first and last bucket, forward-filling close. sequence+explode is
+    * map-side; the fill is one window per symbol.
+    */
+  def gapFill(candles: DataFrame, widthMicros: Long): DataFrame = {
+    val spine = candles.groupBy(col("symbol"))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .select(col("symbol"), explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL ${widthMicros / 1000000} SECOND"))).as("bucket_ts"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(candles.select(col("symbol"), col("bucket_ts"), col("close")),
+        Seq("symbol", "bucket_ts"), "left")
+      .select(col("symbol"), col("bucket_ts"),
+        when(col("close").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_filled"))
+  }
+
+  /** Top-n buckets by volume per symbol (deterministic tiebreak on
+    * bucket_ts).
+    */
+  def topVolume(candles: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("volume").desc, col("bucket_ts"))
+    candles.select(col("symbol"), col("bucket_ts"), col("volume"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= n)
+  }
+
+  /** Per-symbol candle summary statistics. */
+  def stats(candles: DataFrame): DataFrame =
+    candles.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("high")).as("max_high"),
+      min(col("low")).as("min_low"),
+      (sum((col("high") - col("low")).cast(D)).cast("double") /
+        count(lit(1)).cast("double")).as("avg_range"),
+      sum(col("volume").cast(D)).cast("double").as("total_volume"))
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed as-of (backward) join: for each left row, the latest right
+  * row with the same key and right.ts <= left.ts.
+  *
+  * Spark-first scale design: instead of an inequality join (O(n·m) per key)
+  * or broadcasting a side, both inputs are unioned into one stream tagged
+  * by side, hash-partitioned on the key, sorted in-partition by
+  * (key, ts, side), and swept once per partition carrying the last-seen
+  * right row per key. One shuffle, O(n+m) work, no state beyond a single
+  * row — the same shape survives 1000 executors and 100 TB. (Composing
+  * built-ins — join + max_by — is quadratic per key and rejected; see
+  * SURVEY.md §4.)
+  */
+object AsofJoin {
+
+  /** Inner backward as-of join. Right columns are emitted with `prefix`.
+    * At equal timestamps the right row is visible to the left row
+    * ("at-or-before").
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lType = left.schema
+    val rType = right.schema
+
+    val lTagged = left.select(
+      left(key).as("_k"), left(leftTs).as("_t"), lit(1).as("_side"),
+      lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      right(key).as("_k"), right(rightTs).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    val unioned = lTagged.unionByName(rTagged)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_side"))
+
+    val outSchema = StructType(
+      left.schema.fields ++
+        right.schema.fields.map(f => f.copy(name = prefix + f.name)))
+    val outEnc = Encoders.row(outSchema)
+    val nLeft = left.schema.size
+    val nRight = right.schema.size
+
+    unioned.mapPartitions { it =>
+      var curKey: Any = null
+      var lastRight: Row = null
+      it.flatMap { row =>
+        val k = row.get(0)
+        if (k != curKey) { curKey = k; lastRight = null }
+        if (row.getInt(2) == 0) { // right side: remember, emit nothing
+          lastRight = row.getStruct(4)
+          Iterator.empty
+        } else if (lastRight != null) {
+          val l = row.getStruct(3)
+          val vals = new Array[Any](nLeft + nRight)
+          var i = 0
+          while (i < nLeft) { vals(i) = l.get(i); i += 1 }
+          i = 0
+          while (i < nRight) { vals(nLeft + i) = lastRight.get(i); i += 1 }
+          Iterator.single(
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              vals, outSchema): Row)
+        } else Iterator.empty
+      }
+    }(outEnc)
+  }
+}
