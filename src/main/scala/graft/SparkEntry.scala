@@ -121,8 +121,66 @@ object SparkEntry {
           sum(col("l_extendedprice").cast(d) *
             (lit(1).cast(d) - col("l_discount").cast(d))).cast("double").as("sum_disc"),
           count(lit(1)).as("n"))
-    })
+    }),
+    "q3_revenue" -> ((s, dir) => {
+      // fact-fact join shuffles on the key (AQE decides broadcast at small
+      // SF); the customer dim is explicitly broadcast — no shuffle for it
+      // even at 100 TB fact scale.
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val c = Tables.table(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+    }),
+    "q5_region" -> ((s, dir) => {
+      // broadcast the whole dim chain region->nation->customer, shuffle only
+      // the two facts.
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val dims = Tables.table(s, dir, "customer")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+    }),
+    "rollup_sales" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      Tables.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(d)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    "pivot_events" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val e = Tables.events(s, dir)
+      def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+      e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0)).cast(d)).cast("double").as("purchase_value"))
+    }),
+    "distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))),
+    "approx_distinct" -> ((s, dir) =>
+      // HLL sketch path — no exact oracle by construction (rows-only check);
+      // spec asserts ±5% of exact.
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")))
   )
+
+  /** TPC-H style revenue aggregate: exact decimal partial sums. */
+  private def revenue = {
+    val d = DecimalType(18, 2)
+    sum(col("l_extendedprice").cast(d) *
+      (lit(1).cast(d) - col("l_discount").cast(d))).cast("double")
+  }
 
   // ---- oracles -------------------------------------------------------------
 
@@ -208,6 +266,36 @@ object SparkEntry {
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc, " +
         "count(*) AS n FROM lineitem " +
-        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2")
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "q3_revenue" ->
+      (s"SELECT c_mktsegment, $RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+    "q5_region" ->
+      (s"SELECT r_name, n_name, $RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"),
+    "rollup_sales" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "pivot_events" ->
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS n_click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS n_view, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS n_error, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value " +
+        "FROM events GROUP BY 1"),
+    "distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1"
   )
+
+  private val RevenueSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 }
