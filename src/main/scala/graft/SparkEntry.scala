@@ -172,7 +172,39 @@ object SparkEntry {
       // HLL sketch path — no exact oracle by construction (rows-only check);
       // spec asserts ±5% of exact.
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users")))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    // D. LLM-training-data pipeline ------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exact(Tables.table(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashLsh(Tables.table(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashNearDup(Tables.table(s, dir, "documents"))),
+    "ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccard(Tables.table(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
+    "quality_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualityScore(Tables.table(s, dir, "documents"))),
+    "token_count" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenCount(Tables.table(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
+    "embed_neardup" -> ((s, dir) =>
+      graft.ops.Similarity.nearDupPairs(s, Tables.table(s, dir, "embeddings"), 0.4)),
+    "ann_topk" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(s, e, e.where(col("vec_id") < 10), 5)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopK(s, e, e.where(col("vec_id") < 10), 5)
+    }),
+    "multimodal_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
+    "multimodal_decode" -> ((s, dir) =>
+      graft.ops.Multimodal.decodeStub(Tables.table(s, dir, "documents")))
   )
 
   /** TPC-H style revenue aggregate: exact decimal partial sums. */
@@ -292,8 +324,66 @@ object SparkEntry {
         "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value " +
         "FROM events GROUP BY 1"),
     "distinct_users" ->
-      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1"
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "lang_id" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+        s"${markerSql("the','and','of','to")} AS s_en, " +
+        s"${markerSql("der','die','und','ist")} AS s_de, " +
+        s"${markerSql("le','la','et','les")} AS s_fr, " +
+        s"${markerSql("el','los','que','una")} AS s_es, " +
+        "CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en' " +
+        "WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de' " +
+        "WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr' " +
+        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang FROM s"),
+    "quality_score" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, np / nc AS punct_ratio, " +
+        "ns / nw AS stop_ratio, " +
+        "0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + 0.2 * least(nw / 100.0, 1.0) AS score FROM f"),
+    "token_count" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    "doc_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_actual, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words FROM documents"),
+    "embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
+    "ann_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT * FROM e WHERE vec_id < 10) " +
+        "SELECT qid, id2, cos, rn FROM (" +
+        "SELECT q.vec_id AS qid, e.vec_id AS id2, " +
+        "round(list_cosine_similarity(q.v, e.v), 6) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) AS BIGINT) AS rn " +
+        "FROM q JOIN e ON e.vec_id <> q.vec_id) WHERE rn <= 5"),
+    "multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        "substr(hex(encode(text)), 1, 16) AS payload_hex_prefix, " +
+        "'text' AS modality FROM documents")
   )
+
+  private def markerSql(quotedList: String): String =
+    s"CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('$quotedList'))) AS BIGINT)"
 
   private val RevenueSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

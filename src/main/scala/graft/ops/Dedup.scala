@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for an LLM training-data pipeline.
+  *
+  * Scale design: signatures (minhash / simhash) are computed map-side with
+  * higher-order functions — one pass over each document, no shuffle. The
+  * O(n²) pair space is never materialized: LSH banding (minhash) and
+  * pigeonhole chunking (simhash) turn candidate generation into an
+  * equi-join on (band, signature) — a single hash shuffle whose fan-out is
+  * bounded by bucket size, with an explicit bucket cap as the skew guard.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private def wordsOf(c: Column): Column = split(c, "\\s+")
+
+  /** k-word shingles of `text` (empty array when the doc is shorter). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = wordsOf(text)
+    val n = size(ws) - (k - 1)
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+  }
+
+  // deterministic permutation constants for minhash (fixed seed)
+  private val MinhashP = 2147483647L
+  private def perms(numPerm: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(numPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(numPerm)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** (doc_id, sig): minhash signature of the 3-shingle set, `numPerm`
+    * permutations. Map-only.
+    */
+  def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame = {
+    val (a, b) = perms(numPerm)
+    val hashes = transform(shingles(col("text")), s => hash(s).cast("long"))
+    val sig = array((0 until numPerm).map { i =>
+      array_min(transform(hashes, h => pmod(lit(a(i)) * h + lit(b(i)), lit(MinhashP))))
+    }: _*)
+    docs.where(size(wordsOf(col("text"))) >= 3)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Near-dup candidate pairs via LSH banding over minhash signatures.
+    * Output: (id1, id2, est_jaccard). `maxBucket` caps pathological
+    * buckets (skew guard at scale).
+    */
+  def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
+                 maxBucket: Int = 100): DataFrame = {
+    val rows = numPerm / bands
+    val sigs = minhashSignatures(docs, numPerm)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(slice(col("sig"), bnd * rows + 1, rows))): _*)))
+      .toDF("doc_id", "sig", "band", "bsig")
+    val small = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
+      .where(col("bucket_n") <= maxBucket)
+    val x = small.select(col("band"), col("bsig"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val y = small.select(col("band"), col("bsig"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    x.join(y, Seq("band", "bsig")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (p, q) => p === q),
+          m => m)).cast("double") / lit(numPerm.toDouble)).as("est_jaccard"))
+      .groupBy(col("id1"), col("id2")).agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact shingle-Jaccard verification over LSH candidates:
+    * (id1, id2, est_jaccard, jaccard).
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    minhashLsh(docs)
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), col("est_jaccard"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** (doc_id, simhash): 64-bit SimHash over word hashes. Map-only. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val wh = transform(wordsOf(col("text")), w => xxhash64(w))
+    val sim = (0 until 64).map { j =>
+      val vote = aggregate(col("wh"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    docs.where(size(wordsOf(col("text"))) >= 1)
+      .withColumn("wh", wh)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming distance <= maxHamming via pigeonhole
+    * chunking (4×16-bit chunks: any pair within hamming 3 shares a chunk).
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "chunk", "cval")
+    val x = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("id1"), col("simhash").as("h1"))
+    val y = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("id2"), col("simhash").as("h2"))
+    x.join(y, Seq("chunk", "cval")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. Everything is composed
+  * from codegen'd built-ins (split / higher-order filter / regexp) — no
+  * UDFs — so the whole stage stays inside WholeStageCodegen and is map-only
+  * (zero shuffle) at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace word list. */
+  private def words(text: Column): Column = split(text, "\\s+")
+
+  /** Count of words from `text` that appear in `set`. */
+  private def hitCount(text: Column, set: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(set.map(lit(_)): _*)))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Language markers: tiny stopword profiles per language + CJK chars for
+    * zh. Deterministic argmax with fixed preference order on ties.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "una"))
+
+  /** (doc_id, lang, pred_lang): n-gram/stopword-profile language ID. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Markers.foldLeft(docs) { case (d, (lang, ms)) =>
+      d.withColumn(s"s_$lang", hitCount(col("text"), ms).cast("long"))
+    }.withColumn("s_zh",
+      length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long"))
+    val pred =
+      when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
+        .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
+        .when(col("s_es") >= col("s_zh"), "es")
+        .otherwise("zh")
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  /** Quality features + composite score. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
+    val nStop = hitCount(col("text"), Stopwords).cast("double")
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nStop / nWords).as("stop_ratio"),
+      (lit(0.5) * (nStop / nWords) + lit(0.3) * (lit(1.0) - nPunct / nChars) +
+        lit(0.2) * least(nWords / lit(100.0), lit(1.0))).as("score"))
+  }
+
+  /** Whitespace + BPE-ish subword token counts. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_subword_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** Content fingerprint: md5 + structural signature. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"),
+      substring(md5(col("text").cast("binary")), 1, 8).as("fp_prefix"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      size(words(col("text"))).cast("long").as("n_words"))
+}

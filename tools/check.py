@@ -26,6 +26,16 @@ for name, sql in sorted(oracle.items()):
         spark = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
     except Exception as e:
         print(f"FAIL {name}: spark read error {e}"); fails += 1; continue
+    def norm(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        if isinstance(v, (list, tuple)) or (hasattr(v, 'ndim') and getattr(v, 'ndim') >= 1):
+            return str([norm(x) for x in v])
+        return v
+    for df in (duck, spark):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(norm)
     dc, sc = sorted(duck.columns), sorted(spark.columns)
     if dc != sc:
         print(f"FAIL {name}: columns duck={dc} spark={sc}"); fails += 1; continue
