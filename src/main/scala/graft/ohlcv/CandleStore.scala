@@ -1,0 +1,67 @@
+package graft.ohlcv
+
+import graft.core.Timeframe
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned candle store — the Spark-native equivalent of the
+  * reference's per-(exchange, symbol, timeframe) SQLite files
+  * (ccxt-ohlcv-fetch.py:134-138). Layout:
+  *
+  *   root/exchange=X/symbol=S/timeframe=T/part-....parquet
+  *
+  * Partition pruning turns "resume one symbol" (the reference's
+  * `get_last_candle_timestamp`, :86-91) into a handful-of-files scan no
+  * matter how big the store is; dynamic partition overwrite gives the
+  * idempotent re-ingest the reference gets from its PK (:71-75).
+  */
+final class CandleStore(val root: String) {
+
+  /** Append a batch of candles for one (exchange, timeframe). Dynamic
+    * partition overwrite: re-writing an already-ingested window replaces
+    * exactly the touched partitions — idempotent, no global rewrite.
+    */
+  def write(candles: DataFrame, exchange: String, tf: Timeframe): Unit =
+    candles
+      .withColumn("exchange", lit(exchange))
+      .withColumn("timeframe", lit(tf.toString))
+      .repartition(col("symbol"))
+      .write
+      .partitionBy("exchange", "symbol", "timeframe")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(root)
+
+  /** Partition-pruned read. Filters on partition columns never touch
+    * non-matching files.
+    */
+  def read(spark: SparkSession, exchange: Option[String] = None,
+           symbol: Option[String] = None, timeframe: Option[String] = None): DataFrame = {
+    val base = spark.read.parquet(root)
+    Seq("exchange" -> exchange, "symbol" -> symbol, "timeframe" -> timeframe)
+      .foldLeft(base) {
+        case (df, (c, Some(v))) => df.where(col(c) === v)
+        case (df, _) => df
+      }
+  }
+
+  /** Resume point for one series (reference :275: resume from last candle). */
+  def resumeSince(spark: SparkSession, exchange: String, symbol: String,
+                  tf: Timeframe): Option[java.sql.Timestamp] = {
+    val rows = read(spark, Some(exchange), Some(symbol), Some(tf.toString))
+      .agg(max(col("bucket_ts"))).collect()
+    rows.headOption.flatMap(r => Option(r.getTimestamp(0)))
+  }
+
+  /** CSV export of one series — the sqlite2csv.sh / README §"convert to
+    * CSV" equivalent.
+    */
+  def exportCsv(spark: SparkSession, out: String, exchange: String,
+                symbol: String, tf: Timeframe): Unit =
+    read(spark, Some(exchange), Some(symbol), Some(tf.toString))
+      .select(col("bucket_ts"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("trades"))
+      .sort(col("bucket_ts"))
+      .coalesce(1)
+      .write.option("header", "true").mode(SaveMode.Overwrite).csv(out)
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.core.Timeframe
+import graft.ohlcv.{Analytics, Candles}
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+class TimeframeSpec extends SparkSpec {
+  test("parses the reference grammar \\d+[smhdwMy]") {
+    assert(Timeframe.parse("1m") == Timeframe(1, 'm'))
+    assert(Timeframe.parse("15m").micros == 15L * 60 * 1000000)
+    assert(Timeframe.parse("4h").micros == 4L * 3600 * 1000000)
+    assert(Timeframe.parse("1w").micros == 7L * 86400 * 1000000)
+    assert(Timeframe.parse("1M").isCalendar && Timeframe.parse("1y").isCalendar)
+    intercept[IllegalArgumentException](Timeframe.parse("m1"))
+    intercept[IllegalArgumentException](Timeframe.parse("1x"))
+    intercept[IllegalArgumentException](Timeframe.parse(""))
+    intercept[IllegalArgumentException](Timeframe.parse("0m"))
+    intercept[IllegalArgumentException](Timeframe.parse("3M"))
+  }
+
+  test("bucketStart is a width-multiple lower bound (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val samples = Seq.fill(200)(
+      (math.abs(rnd.nextLong()) % 4102444800L, Seq("1m", "5m", "1h", "1d")(rnd.nextInt(4))))
+    val df = samples.map { case (sec, s) => (ts(sec), s) }.toDF("t", "tf")
+    Seq("1m", "5m", "1h", "1d").foreach { s =>
+      val tf = Timeframe.parse(s)
+      val bad = df.where(col("tf") === s)
+        .select(unix_micros(tf.bucketStart(col("t"))).as("b"), unix_micros(col("t")).as("u"))
+        .where(col("b") % tf.micros =!= 0 || col("b") > col("u") ||
+          col("u") >= col("b") + tf.micros)
+        .count()
+      assert(bad == 0, s"bucketStart violated invariants for $s")
+    }
+  }
+}
+
+class CandlesSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def mkTrades(rows: (String, Long, Double, Double)*) = {
+    import spark.implicits._
+    rows.map { case (s, t, p, q) => (s, ts(t), p, q) }
+      .toDF("symbol", "ts", "price", "qty")
+  }
+
+  test("fromTrades computes first/max/min/last/sum per bucket") {
+    val trades = mkTrades(
+      ("BTC", T0 + 10, 100.0, 1.0), ("BTC", T0 + 20, 105.0, 2.0),
+      ("BTC", T0 + 50, 95.0, 1.0), ("BTC", T0 + 70, 99.0, 3.0),
+      ("ETH", T0 + 5, 10.0, 5.0))
+    val out = Candles.fromTrades(trades, Timeframe.parse("1m"))
+      .sort("symbol", "bucket_ts").collect()
+    assert(out.length == 3)
+    val btc0 = out(0)
+    assert(btc0.getAs[String]("symbol") == "BTC")
+    assert(btc0.getAs[Double]("open") == 100.0)
+    assert(btc0.getAs[Double]("high") == 105.0)
+    assert(btc0.getAs[Double]("low") == 95.0)
+    assert(btc0.getAs[Double]("close") == 95.0)
+    assert(btc0.getAs[Double]("volume") == 4.0)
+    assert(btc0.getAs[Long]("trades") == 3L)
+    assert(out(1).getAs[Double]("open") == 99.0) // second BTC bucket
+  }
+
+  test("upsert: later batch wins per (symbol, bucket)") {
+    val c1 = Candles.fromTrades(mkTrades(
+      ("BTC", T0 + 10, 100.0, 1.0), ("BTC", T0 + 70, 101.0, 1.0)), Timeframe.parse("1m"))
+    val c2 = Candles.fromTrades(mkTrades(
+      ("BTC", T0 + 70, 200.0, 2.0)), Timeframe.parse("1m"))
+    val out = Candles.upsert(c1, c2).sort("bucket_ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("open") == 100.0) // untouched bucket kept
+    assert(out(1).getAs[Double]("open") == 200.0) // overlapping bucket replaced
+  }
+
+  test("dropIncomplete keeps only buckets whose end <= now") {
+    val c = Candles.fromTrades(mkTrades(
+      ("BTC", T0 + 10, 1.0, 1.0), ("BTC", T0 + 70, 2.0, 1.0)), Timeframe.parse("1m"))
+    import spark.implicits._
+    val kept = Candles.dropIncomplete(c, Timeframe.parse("1m"),
+      lit(ts(T0 + 90)).cast("timestamp")).collect()
+    assert(kept.length == 1) // second bucket [T0+60, T0+120) incomplete at T0+90
+  }
+
+  test("gaps finds missing buckets") {
+    val c = Candles.fromTrades(mkTrades(
+      ("BTC", T0 + 10, 1.0, 1.0), ("BTC", T0 + 200, 2.0, 1.0)), Timeframe.parse("1m"))
+    val g = Candles.gaps(c, Timeframe.parse("1m")).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("missing") == 2L) // buckets at +60 and +120 missing
+  }
+}
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val candles = Candles.fromTrades(
+    Seq(("BTC", ts(T0 + 10), 100.0, 2.0), ("BTC", ts(T0 + 3610), 110.0, 1.0),
+      ("BTC", ts(T0 + 7210), 99.0, 1.0))
+      .toDF("symbol", "ts", "price", "qty"), Timeframe.parse("1h"))
+
+  test("sma averages over the trailing frame") {
+    val out = Analytics.sma(candles, 2).sort("bucket_ts").collect()
+    assert(out(0).getAs[Double]("sma") == 100.0)
+    assert(out(1).getAs[Double]("sma") == 105.0)
+    assert(out(2).getAs[Double]("sma") == 104.5)
+  }
+
+  test("ema follows the recurrence") {
+    val out = Analytics.ema(candles, 2).sort("bucket_ts").collect()
+    val a = 2.0 / 3.0
+    assert(out(0).getAs[Double]("ema") == 100.0)
+    assert(math.abs(out(1).getAs[Double]("ema") - (a * 110 + (1 - a) * 100.0)) < 1e-12)
+  }
+
+  test("returns are close-over-close") {
+    val out = Analytics.returns(candles).sort("bucket_ts").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("ret") - 0.1) < 1e-12)
+  }
+}
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joins each left row to latest right at-or-before, per key") {
+    val left = Seq((1L, ts(T0 + 100), "p1"), (1L, ts(T0 + 200), "p2"),
+      (2L, ts(T0 + 100), "p3"), (3L, ts(T0 + 100), "p4"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(T0 + 50), 10.0), (1L, ts(T0 + 150), 20.0),
+      (1L, ts(T0 + 200), 30.0), (2L, ts(T0 + 101), 40.0))
+      .toDF("user_id", "ts", "v")
+    val out = AsofJoin.join(left, right, "user_id", "ts", "ts")
+      .sort("user_id", "ts").collect()
+    // user 1 @100 -> 10.0; user 1 @200 -> 30.0 (equal ts visible);
+    // user 2 @100 -> right @101 is later: dropped; user 3: no right: dropped
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("tag") == "p1" && out(0).getAs[Double]("r_v") == 10.0)
+    assert(out(1).getAs[String]("tag") == "p2" && out(1).getAs[Double]("r_v") == 30.0)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different text about spark query engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH surfaces near-duplicate pairs with high est jaccard") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("est_jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 3L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
+    assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L })
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val out = Dedup.ngramJaccard(docs, 0.5).collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")), r.getAs[Double]("jaccard"))).toMap
+    assert(out((0L, 3L)) == 1.0)
+    assert(out((0L, 1L)) > 0.7 && out((0L, 1L)) < 1.0)
+  }
+
+  test("simhash near-dup finds low-hamming pairs") {
+    val out = Dedup.simhashNearDup(docs).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("hamming")))
+    assert(out.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
+  }
+
+  test("sf0.001 corpus: minhash candidates are confirmed by true jaccard") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val verified = Dedup.ngramJaccard(d, 0.8).collect()
+    assert(verified.nonEmpty)
+    assert(verified.forall(_.getAs[Double]("jaccard") >= 0.8))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native codegen cosine == composed-builtins cosine") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      Similarity.cosine(spark, col("v"), col("qv")).as("native"),
+      Similarity.cosineComposed(col("v"), col("qv")).as("composed"))
+    val bad = both.where(abs(col("native") - col("composed")) > lit(1e-12)).count()
+    assert(bad == 0)
+  }
+
+  test("lsh ANN returns results with reasonable recall vs brute force") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(spark, e, queries, 5)
+      .select("qid", "id2").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(spark, e, queries, 5)
+      .select("qid", "id2").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty, "multiprobe LSH must return candidates (zero-result regression)")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall too low")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val e = Tables.events(spark, Sf0001)
+    val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = e.select(approx_count_distinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/quality/fingerprint on a known doc") {
+    val d = Seq((1L, "the cat, sat on x2 mats!")).toDF("doc_id", "text")
+    val t = TextAnalysis.tokenCount(d).head()
+    assert(t.getAs[Long]("n_ws_tokens") == 6L)
+    // [the][cat][,][sat][on][x][2][mats][!]
+    assert(t.getAs[Long]("n_subword_tokens") == 9L)
+    val q = TextAnalysis.qualityScore(d).head()
+    assert(q.getAs[Long]("n_words") == 6L)
+    assert(q.getAs[Double]("stop_ratio") == 2.0 / 6.0) // the, on
+    val f = TextAnalysis.fingerprint(d).head()
+    assert(f.getAs[String]("fp").matches("[0-9a-f]{32}"))
+  }
+
+  test("lang id prefers marker-bearing languages deterministically") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "der hund und die katze ist hier", "de"),
+      (3L, "zzz qqq www", "en")) // no markers anywhere -> 'en' tie-break
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "en")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("binary payload plumbing: schema, determinism, batch shape") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val meta = Multimodal.meta(d)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "content_md5", "payload_hex_prefix", "modality"))
+    val dec = Multimodal.decodeStub(d)
+    assert(dec.columns.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
+    val rows = dec.collect()
+    assert(rows.length == d.count().toInt)
+    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    // deterministic across runs/partitioning
+    val again = Multimodal.decodeStub(d.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
+    assert(rows.forall(r => again(r.getAs[Long]("doc_id")) == r.getAs[Int]("width")))
+  }
+}

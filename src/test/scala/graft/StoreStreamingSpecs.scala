@@ -1,0 +1,111 @@
+package graft
+
+import graft.core.{Tables, Timeframe}
+import graft.ohlcv.{Candles, CandleStore}
+import graft.streaming.StreamingCandles
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CandleStoreSpec extends SparkSpec {
+
+  private lazy val tf = Timeframe.parse("1h")
+  private lazy val candles =
+    Candles.fromTrades(Tables.trades(spark, Sf0001), tf)
+
+  test("write/read roundtrip with partition pruning") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new CandleStore(root)
+    store.write(candles, "testex", tf)
+
+    val one = store.read(spark, Some("testex"), Some("click"), Some("1h"))
+    val expected = candles.where(col("symbol") === "click").count()
+    assert(one.count() == expected && expected > 0)
+
+    // partition pruning visible in the plan (no full-store scan)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("symbol") || plan.contains("exchange")))
+
+    // resume point matches max bucket for the series
+    val resume = store.resumeSince(spark, "testex", "click", tf)
+    val expectedMax = candles.where(col("symbol") === "click")
+      .agg(max("bucket_ts")).head().getTimestamp(0)
+    assert(resume.contains(expectedMax))
+  }
+
+  test("dynamic partition overwrite keeps untouched partitions (idempotent re-ingest)") {
+    val root = Files.createTempDirectory("graft_store2").toString
+    val store = new CandleStore(root)
+    store.write(candles, "testex", tf)
+    val before = store.read(spark).count()
+    // re-write only one symbol's partition
+    store.write(candles.where(col("symbol") === "click"), "testex", tf)
+    assert(store.read(spark).count() == before)
+  }
+
+  test("csv export mirrors sqlite2csv") {
+    val root = Files.createTempDirectory("graft_store3").toString
+    val out = Files.createTempDirectory("graft_csv").toString + "/out"
+    val store = new CandleStore(root)
+    store.write(candles, "testex", tf)
+    store.exportCsv(spark, out, "testex", "click", tf)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq ==
+      Seq("bucket_ts", "open", "high", "low", "close", "volume", "trades"))
+    assert(back.count() == candles.where(col("symbol") === "click").count())
+  }
+}
+
+class StreamingCandlesSpec extends SparkSpec {
+
+  test("streaming candles match the batch aggregation (append mode + watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tf = Timeframe.parse("1m")
+    val batch1 = Seq(
+      ("BTC", ts(T0 + 10), 100.0, 1.0), ("BTC", ts(T0 + 20), 105.0, 2.0),
+      ("ETH", ts(T0 + 30), 10.0, 1.0))
+    val batch2 = Seq( // advances watermark past the first window
+      ("BTC", ts(T0 + 2000), 99.0, 1.0))
+
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val trades = ms.toDF.toDF("symbol", "ts", "price", "qty")
+    val q = StreamingCandles.fromTrades(trades, tf, "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_candles").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_candles")
+      .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+    val expected = Candles.fromTrades(
+        (batch1 ++ batch2).toDF("symbol", "ts", "price", "qty"), tf)
+      .where(col("bucket_ts") < lit(ts(T0 + 1980))) // only watermark-closed windows emit
+      .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 2)
+  }
+}
+
+class EntrySmokeSpec extends SparkSpec {
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { if (fn(spark, Sf0001).count() > 0) None else Some(s"$name: 0 rows") }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
