@@ -21,14 +21,23 @@ object Dedup {
 
   private def wordsOf(c: Column): Column = split(c, "\\s+")
 
-  /** k-word shingles of `text` (empty array when the doc is shorter). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = wordsOf(text)
+  /** k-word shingles from a materialized word-array column (empty array
+    * when the doc is shorter than k words — also guards Spark's
+    * descending-sequence surprise when size-k+1 < 1).
+    */
+  def shinglesFromWords(ws: Column, k: Int = 3): Column = {
     val n = size(ws) - (k - 1)
     when(n <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), n),
         i => concat_ws(" ", slice(ws, i, lit(k)))))
   }
+
+  /** k-word shingles of `text` (empty array when the doc is shorter).
+    * Prefer materializing the word array first (see minhashSignatures
+    * scaladoc) when this feeds further per-element work.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromWords(wordsOf(text), k)
 
   // deterministic permutation constants for minhash (fixed seed)
   private val MinhashP = 2147483647L
@@ -41,16 +50,30 @@ object Dedup {
 
   /** (doc_id, sig): minhash signature of the 3-shingle set, `numPerm`
     * permutations. Map-only.
+    *
+    * Intermediates (word array, shingle hashes) are materialized as
+    * columns first: a lambda body re-evaluates its full expression tree
+    * per element, so `slice(split(text), i, k)` inlined would re-split the
+    * document O(words²) times — materializing makes each lambda read a
+    * bound attribute instead.
     */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame = {
     val (a, b) = perms(numPerm)
-    val hashes = transform(shingles(col("text")), s => hash(s).cast("long"))
     val sig = array((0 until numPerm).map { i =>
-      array_min(transform(hashes, h => pmod(lit(a(i)) * h + lit(b(i)), lit(MinhashP))))
+      array_min(transform(col("hashes"),
+        h => pmod(lit(a(i)) * h + lit(b(i)), lit(MinhashP))))
     }: _*)
-    docs.where(size(wordsOf(col("text"))) >= 3)
-      .select(col("doc_id"), sig.as("sig"))
+    withShingleHashes(docs).select(col("doc_id"), sig.as("sig"))
   }
+
+  /** docs + `hashes` column: hashed 3-shingles, built via materialized
+    * intermediates (see minhashSignatures scaladoc).
+    */
+  private def withShingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", wordsOf(col("text")))
+      .where(size(col("ws")) >= 3)
+      .withColumn("sh", shinglesFromWords(col("ws")))
+      .withColumn("hashes", transform(col("sh"), s => hash(s).cast("long")))
 
   /** Near-dup candidate pairs via LSH banding over minhash signatures.
     * Output: (id1, id2, est_jaccard). `maxBucket` caps pathological
@@ -83,8 +106,8 @@ object Dedup {
     * (id1, id2, est_jaccard, jaccard).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh"))
+    val sh = docs.withColumn("ws", wordsOf(col("text")))
+      .select(col("doc_id"), array_distinct(shinglesFromWords(col("ws"))).as("sh"))
     minhashLsh(docs)
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
