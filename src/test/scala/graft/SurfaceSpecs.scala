@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.GraftSession
+import graft.sources.TradeSource
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SqlSurfaceSpec extends SparkSpec {
+  test("star schema + trades reachable from spark.sql, incl. native cosine_sim") {
+    Graft.registerViews(spark, Sf0001)
+    val candles = spark.sql(
+      """SELECT symbol, date_trunc('hour', ts) AS b, min(price) AS lo, max(price) AS hi
+        |FROM trades GROUP BY 1, 2""".stripMargin)
+    assert(candles.count() > 0)
+    val cos = spark.sql(
+      """SELECT a.vec_id, cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                            CAST(a.embedding AS ARRAY<DOUBLE>)) AS self_cos
+        |FROM embeddings a LIMIT 5""".stripMargin).collect()
+    assert(cos.forall(r => math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-9))
+  }
+
+  test("GraftExtensions registers cosine_sim against a fresh extensions set") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions()(exts) // must not throw; function wired
+  }
+}
+
+class TradeSourceSpec extends SparkSpec {
+  test("csv and json trade batches read with the canonical schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_src").toString
+    val df = Seq(("BTC", ts(T0 + 1), 100.5, 2.0), ("ETH", ts(T0 + 2), 10.25, 1.0))
+      .toDF("symbol", "ts", "price", "qty")
+    df.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+
+    val fromCsv = TradeSource.csv(spark, s"$dir/csv")
+    val fromJson = TradeSource.json(spark, s"$dir/json")
+    assert(fromCsv.schema == TradeSource.schema)
+    assert(fromCsv.count() == 2 && fromJson.count() == 2)
+    assert(fromJson.where(col("symbol") === "BTC").head().getAs[Double]("price") == 100.5)
+  }
+}
