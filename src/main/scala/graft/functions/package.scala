@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for native expressions (Spark 4 classic). */
+package object functions {
+  def toColumn(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** Native minhash signature column (see MinHashSignature). */
+  def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    toColumn(MinHashSignature(toExpression(hashes), a, b, p))
+
+  /** Native 64-bit simhash column (see SimHash64). */
+  def simhash64(hashes: Column): Column =
+    toColumn(SimHash64(toExpression(hashes)))
+
+  /** Native hyperplane-LSH bucket column (see LshBucket). */
+  def lsh_bucket(v: Column, planes: Array[Double], numPlanes: Int, dim: Int): Column =
+    toColumn(LshBucket(toExpression(v), planes, numPlanes, dim))
+
+  /** Native cosine similarity column (see CosineSimilarity). */
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+}

@@ -59,6 +59,18 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame = {
     val (a, b) = perms(numPerm)
+    // native fused expression: one codegen loop for all permutations
+    // (graft.functions.MinHashSignature); semantics identical to the
+    // composed form array(array_min(transform(hashes, a_i*h+b_i mod p))...)
+    val sig = graft.functions.minhash_sig(col("hashes"), a, b, MinhashP)
+    withShingleHashes(docs).select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Composed-builtins signature (reference semantics for the native
+    * expression; spec asserts equality).
+    */
+  private[graft] def minhashSignaturesComposed(docs: DataFrame, numPerm: Int): DataFrame = {
+    val (a, b) = perms(numPerm)
     val sig = array((0 until numPerm).map { i =>
       array_min(transform(col("hashes"),
         h => pmod(lit(a(i)) * h + lit(b(i)), lit(MinhashP))))
@@ -117,16 +129,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** (doc_id, simhash): 64-bit SimHash over word hashes. Map-only. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val wh = transform(wordsOf(col("text")), w => xxhash64(w))
+  /** (doc_id, simhash): 64-bit SimHash over word hashes. Map-only; the
+    * bit-vote fold is a single native codegen pass
+    * (graft.functions.SimHash64).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.where(size(wordsOf(col("text"))) >= 1)
+      .withColumn("wh", transform(wordsOf(col("text")), w => xxhash64(w)))
+      .select(col("doc_id"), graft.functions.simhash64(col("wh")).as("simhash"))
+
+  /** Composed-builtins simhash (reference semantics for the native
+    * expression; spec asserts equality).
+    */
+  private[graft] def simhashSignaturesComposed(docs: DataFrame): DataFrame = {
     val sim = (0 until 64).map { j =>
       val vote = aggregate(col("wh"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     docs.where(size(wordsOf(col("text"))) >= 1)
-      .withColumn("wh", wh)
+      .withColumn("wh", transform(wordsOf(col("text")), w => xxhash64(w)))
       .select(col("doc_id"), sim.as("simhash"))
   }
 

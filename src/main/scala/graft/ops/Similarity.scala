@@ -27,11 +27,9 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Native codegen'd cosine via the registered function. */
-  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
-    call_udf("cosine_sim", a, b)
-  }
+  /** Native codegen'd cosine expression. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.cosine_sim(a, b)
 
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -69,8 +67,16 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket id for a vector under the hyperplane set. */
+  /** Sign-bucket id for a vector under the hyperplane set — one fused
+    * native loop (graft.functions.LshBucket).
+    */
   def lshBucket(v: Column, numPlanes: Int = 12, dim: Int = 64): Column =
+    graft.functions.lsh_bucket(v, planes(numPlanes, dim).flatten, numPlanes, dim)
+
+  /** Composed-builtins bucket (reference semantics; spec asserts equality
+    * with the native expression).
+    */
+  private[graft] def lshBucketComposed(v: Column, numPlanes: Int = 12, dim: Int = 64): Column =
     planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       val proj = aggregate(zip_with(v, typedlit(p.toSeq), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
   }
 
+  test("native signature expressions match composed-builtins forms") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val nat = Dedup.minhashSignatures(d, 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    val com = Dedup.minhashSignaturesComposed(d, 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    assert(nat == com)
+    val natS = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val comS = Dedup.simhashSignaturesComposed(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(natS == comS)
+  }
+
   test("sf0.001 corpus: minhash candidates are confirmed by true jaccard") {
     val d = Tables.table(spark, Sf0001, "documents")
     val verified = Dedup.ngramJaccard(d, 0.8).collect()
@@ -62,6 +76,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosine(spark, col("v"), col("qv")).as("native"),
       Similarity.cosineComposed(col("v"), col("qv")).as("composed"))
     val bad = both.where(abs(col("native") - col("composed")) > lit(1e-12)).count()
+    assert(bad == 0)
+  }
+
+  test("native lsh bucket matches composed-builtins bucket") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bad = e.select(
+      Similarity.lshBucket(col("v")).as("nat"),
+      Similarity.lshBucketComposed(col("v")).as("com"))
+      .where(col("nat") =!= col("com")).count()
     assert(bad == 0)
   }
 
