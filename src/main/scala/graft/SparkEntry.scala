@@ -85,6 +85,11 @@ object SparkEntry {
     }),
     "gap_detect" -> ((s, dir) =>
       Candles.gaps(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h)),
+    "ohlcv_1h_from_1m" -> ((s, dir) =>
+      // cascade resample: 1h candles from 1m candles, never re-reading trades
+      Candles.resample(Candles.fromTrades(Tables.trades(s, dir), Tf1m), Tf1h)),
+    "sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.byUser(Tables.events(s, dir), 1800000000L)),
 
     // B. market analytics ----------------------------------------------------
     "vwap" -> ((s, dir) => Analytics.vwap(Tables.trades(s, dir))),
@@ -292,6 +297,22 @@ object SparkEntry {
         "CAST(sum(CAST(high - low AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_range, " +
         "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS total_volume " +
         "FROM c GROUP BY 1"),
+    "ohlcv_1h_from_1m" -> withTrades(
+      s", c1 AS (${candlesSql(60000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts AS b, open, high, low, close, volume, trades FROM c1) " +
+        "SELECT symbol, make_timestamp(epoch_us(b) - epoch_us(b) % 3600000000) AS bucket_ts, " +
+        "min_by(open, b) AS open, max(high) AS high, min(low) AS low, max_by(close, b) AS close, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+        "CAST(sum(trades) AS BIGINT) AS trades FROM f GROUP BY 1, 2"),
+    "sessionize" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM s GROUP BY 1, 2"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -38,6 +38,23 @@ object Candles {
         exactSum(col("qty")).as("volume"),
         count(lit(1)).as("trades"))
 
+  /** Cascade resample: coarse candles from fine candles (1m → 1h → 1d)
+    * without touching raw trades. At 100 TB this is the difference between
+    * re-scanning the trade log and aggregating an already-thousandfold-
+    * smaller candle table; correctness holds because OHLCV is
+    * hierarchically composable (open = open of earliest sub-bucket, etc.).
+    */
+  def resample(candles: DataFrame, to: Timeframe): DataFrame =
+    candles
+      .groupBy(col("symbol"), to.bucketStart(col("bucket_ts")).as("bucket_ts"))
+      .agg(
+        min_by(col("open"), col("bucket_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("bucket_ts")).as("close"),
+        exactSum(col("volume")).as("volume"),
+        sum(col("trades")).as("trades"))
+
   /** Last persisted bucket per symbol — the resume point the reference
     * reads back via `get_last_candle_timestamp` (ccxt-ohlcv-fetch.py:86-91).
     */

@@ -64,6 +64,16 @@ class CandlesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("open") == 99.0) // second BTC bucket
   }
 
+  test("cascade resample equals direct aggregation from trades") {
+    val trades = graft.core.Tables.trades(spark, Sf0001)
+    val direct = Candles.fromTrades(trades, Timeframe.parse("1h"))
+      .collect().map(_.toSeq).toSet
+    val cascade = Candles.resample(
+      Candles.fromTrades(trades, Timeframe.parse("1m")), Timeframe.parse("1h"))
+      .collect().map(_.toSeq).toSet
+    assert(cascade == direct)
+  }
+
   test("upsert: later batch wins per (symbol, bucket)") {
     val c1 = Candles.fromTrades(mkTrades(
       ("BTC", T0 + 10, 100.0, 1.0), ("BTC", T0 + 70, 101.0, 1.0)), Timeframe.parse("1m"))

@@ -92,6 +92,48 @@ class StreamingCandlesSpec extends SparkSpec {
   }
 }
 
+class StreamingSessionizeSpec extends SparkSpec {
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val events = ms.toDF.toDF("user_id", "ts", "event_id")
+    val q = StreamingSessionize.byUser(events, gapMillis = 60000, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // user 7: two events 10s apart (one session)
+      ms.addData((7L, ts(T0), 1L), (7L, ts(T0 + 10), 2L))
+      q.processAllAvailable()
+      // much later event: advances watermark far past session end + gap,
+      // timing out and closing the first session
+      ms.addData((7L, ts(T0 + 3600), 3L))
+      q.processAllAvailable()
+      ms.addData((7L, ts(T0 + 7200), 4L)) // close the second too
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(got.contains((7L, ts(T0), ts(T0 + 10), 2L)))
+    assert(got.contains((7L, ts(T0 + 3600), ts(T0 + 3600), 1L)))
+  }
+
+  test("streaming sessions match the batch sessionizer on the same data") {
+    import spark.implicits._
+    val batch = graft.ops.Sessionize.byUser(
+      Seq((7L, ts(T0), 1L), (7L, ts(T0 + 10), 2L), (7L, ts(T0 + 3600), 3L))
+        .toDF("user_id", "ts", "event_id"), gapMicros = 60000000L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(batch == Set(
+      Seq(7L, ts(T0), ts(T0 + 10), 2L),
+      Seq(7L, ts(T0 + 3600), ts(T0 + 3600), 1L)))
+  }
+}
+
 class EntrySmokeSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
