@@ -53,6 +53,21 @@ final class CandleStore(val root: String) {
     rows.headOption.flatMap(r => Option(r.getTimestamp(0)))
   }
 
+  /** Register the candle set as a bucketed+sorted catalog table:
+    * `bucketBy(symbol)` co-locates each symbol's candles, so symbol-keyed
+    * joins and aggregations between bucketed tables run with NO shuffle
+    * (spec asserts the plan is Exchange-free). At 100 TB, pre-bucketing
+    * the store once amortizes every downstream symbol join.
+    */
+  def writeBucketedTable(candles: DataFrame, table: String, buckets: Int = 8,
+                         sortCols: Seq[String] = Seq("symbol", "bucket_ts")): Unit =
+    candles.write
+      .bucketBy(buckets, "symbol")
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV export of one series — the sqlite2csv.sh / README §"convert to
     * CSV" equivalent.
     */

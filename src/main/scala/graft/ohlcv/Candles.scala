@@ -38,6 +38,37 @@ object Candles {
         exactSum(col("qty")).as("volume"),
         count(lit(1)).as("trades"))
 
+  /** Skew-resistant resample: two-phase salted aggregation for hot keys.
+    * A viral symbol that would funnel its entire bucket through one reducer
+    * is first aggregated into `salts` partial candles (random salt from the
+    * unique trade ts), then merged. Partial candles carry first/last trade
+    * ts so open/close picks stay exact. Output is identical to
+    * `fromTrades` (spec-asserted).
+    */
+  def fromTradesSalted(trades: DataFrame, tf: Timeframe, salts: Int = 16): DataFrame =
+    trades
+      .groupBy(col("symbol"), tf.bucketStart(col("ts")).as("bucket_ts"),
+        pmod(hash(col("ts")), lit(salts)).as("_salt"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        min(col("ts")).as("_first_ts"),
+        max(col("ts")).as("_last_ts"),
+        sum(col("qty").cast(DecimalType(18, 2))).as("_vol_dec"),
+        count(lit(1)).as("trades"))
+      .groupBy(col("symbol"), col("bucket_ts"))
+      .agg(
+        min_by(col("open"), col("_first_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("_last_ts")).as("close"),
+        sum(col("_vol_dec")).cast("double").as("volume"),
+        sum(col("trades")).as("trades"))
+      .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("trades"))
+
   /** Cascade resample: coarse candles from fine candles (1m → 1h → 1d)
     * without touching raw trades. At 100 TB this is the difference between
     * re-scanning the trade log and aggregating an already-thousandfold-

@@ -44,6 +44,45 @@ class CandleStoreSpec extends SparkSpec {
     assert(store.read(spark).count() == before)
   }
 
+  test("salted aggregation equals plain aggregation (skew path)") {
+    val trades = graft.core.Tables.trades(spark, Sf0001)
+    val plain = graft.ohlcv.Candles.fromTrades(trades, tf)
+      .collect().map(_.toSeq).toSet
+    val salted = graft.ohlcv.Candles.fromTradesSalted(trades, tf, 16)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed candle tables join with no shuffle") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // in-memory catalog forgets tables across JVMs but their warehouse
+      // dirs persist; clear both
+      Seq("c_bucketed_a", "c_bucketed_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val store = new CandleStore("unused")
+      store.writeBucketedTable(candles, "c_bucketed_a")
+      store.writeBucketedTable(
+        graft.ohlcv.Analytics.stats(candles)
+          .withColumnRenamed("n_buckets", "nb"), "c_bucketed_b",
+        sortCols = Seq("symbol"))
+      val joined = spark.table("c_bucketed_a")
+        .join(spark.table("c_bucketed_b"), "symbol")
+      joined.count() // force final plan under AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("csv export mirrors sqlite2csv") {
     val root = Files.createTempDirectory("graft_store3").toString
     val out = Files.createTempDirectory("graft_csv").toString + "/out"
