@@ -173,6 +173,43 @@ object SparkEntry {
     "distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))),
+    "q6_selective" -> ((s, dir) => {
+      // range-predicate showcase: every filter reaches the parquet scan
+      val d = DecimalType(18, 2)
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(d) * col("l_discount").cast(d))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+    }),
+    "customers_no_orders" -> ((s, dir) =>
+      // anti join: customers with NO high-value order (NOT EXISTS)
+      Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "big_spender_segments" -> ((s, dir) =>
+      // semi join: EXISTS with a pushed-down predicate on the inner side
+      Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders").where(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+    "value_percentiles" -> ((s, dir) =>
+      // exact percentiles (linear interpolation both engines); rounded so
+      // co-moment accumulation order can't flip the last ulp
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+    "value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+    "value_corr" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_value_user"))),
     "approx_distinct" -> ((s, dir) =>
       // HLL sketch path — no exact oracle by construction (rows-only check);
       // spec asserts ±5% of exact.
@@ -348,6 +385,29 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "q6_selective" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "customers_no_orders" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000)"),
+    "big_spender_segments" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000) " +
+        "GROUP BY 1"),
+    "value_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90, " +
+        "round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1"),
+    "value_histogram" ->
+      ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n " +
+        "FROM events GROUP BY 1, 2"),
+    "value_corr" ->
+      ("SELECT event_type, round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user " +
+        "FROM events GROUP BY 1"),
     "lang_id" ->
       ("WITH s AS (SELECT doc_id, lang, " +
         s"${markerSql("the','and','of','to")} AS s_en, " +
