@@ -53,6 +53,19 @@ final class CandleStore(val root: String) {
     rows.headOption.flatMap(r => Option(r.getTimestamp(0)))
   }
 
+  /** Append a micro-batch without touching existing partitions — the sink
+    * mode for streaming ingest (each watermark-closed window is emitted
+    * exactly once by append-mode streaming, so no overwrite is needed).
+    */
+  def append(candles: DataFrame, exchange: String, tf: Timeframe): Unit =
+    candles
+      .withColumn("exchange", lit(exchange))
+      .withColumn("timeframe", lit(tf.toString))
+      .write
+      .partitionBy("exchange", "symbol", "timeframe")
+      .mode(SaveMode.Append)
+      .parquet(root)
+
   /** Register the candle set as a bucketed+sorted catalog table:
     * `bucketBy(symbol)` co-locates each symbol's candles, so symbol-keyed
     * joins and aggregations between bucketed tables run with NO shuffle

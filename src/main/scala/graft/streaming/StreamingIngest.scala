@@ -1,0 +1,26 @@
+package graft.streaming
+
+import graft.core.Timeframe
+import graft.ohlcv.CandleStore
+import org.apache.spark.sql.{DataFrame, Row, Dataset}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference fetcher's full loop, live: streaming trades → candles →
+  * store (ccxt-ohlcv-fetch.py:110-130 + persist :55-83). Append-mode
+  * windows emit exactly once (post-watermark), so the sink appends each
+  * micro-batch's closed candles; the incomplete tail never reaches the
+  * store, and restart resumes from the checkpoint (the streaming analog of
+  * `get_last_candle_timestamp` resume).
+  */
+object StreamingIngest {
+
+  def run(trades: DataFrame, tf: Timeframe, store: CandleStore,
+          exchange: String, watermark: String = "10 minutes",
+          checkpoint: Option[String] = None): StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit =
+      (batch, _) => store.append(batch, exchange, tf)
+    val w = StreamingCandles.fromTrades(trades, tf, watermark)
+      .writeStream.outputMode("append").foreachBatch(sink)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+}

@@ -131,6 +131,36 @@ class StreamingCandlesSpec extends SparkSpec {
   }
 }
 
+class StreamingIngestSpec extends SparkSpec {
+  test("streaming trades land in the candle store (full reference loop, live)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tf = Timeframe.parse("1m")
+    val root = Files.createTempDirectory("graft_stream_store").toString
+    val store = new CandleStore(root)
+
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val q = graft.streaming.StreamingIngest.run(
+      ms.toDF.toDF("symbol", "ts", "price", "qty"), tf, store, "binance",
+      watermark = "5 seconds")
+    try {
+      ms.addData(("BTC", ts(T0 + 10), 100.0, 1.0), ("BTC", ts(T0 + 20), 104.0, 2.0))
+      q.processAllAvailable()
+      ms.addData(("BTC", ts(T0 + 600), 99.0, 1.0)) // closes the first window
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = store.read(spark, Some("binance"), Some("BTC"), Some("1m"))
+      .select("bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect()
+    assert(stored.length == 1) // only the watermark-closed window persisted
+    val c = stored.head
+    assert(c.getTimestamp(0) == ts(T0) && c.getAs[Double]("open") == 100.0 &&
+      c.getAs[Double]("high") == 104.0 && c.getAs[Double]("volume") == 3.0 &&
+      c.getAs[Long]("trades") == 2L)
+  }
+}
+
 class StreamingSessionizeSpec extends SparkSpec {
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     import spark.implicits._
