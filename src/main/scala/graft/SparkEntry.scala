@@ -246,7 +246,10 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
-      graft.ops.Multimodal.decodeStub(Tables.table(s, dir, "documents")))
+      graft.ops.Multimodal.decodeStub(Tables.table(s, dir, "documents"))),
+    "profile_lineitem" -> ((s, dir) =>
+      // single-pass data-quality profile (rows-only: HLL estimates inside)
+      graft.ops.Profile.profile(Tables.table(s, dir, "lineitem")))
   )
 
   /** TPC-H style revenue aggregate: exact decimal partial sums. */

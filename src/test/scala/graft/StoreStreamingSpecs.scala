@@ -203,6 +203,60 @@ class StreamingSessionizeSpec extends SparkSpec {
   }
 }
 
+class StreamingDedupSpec extends SparkSpec {
+  test("re-delivered trades within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val q = graft.streaming.StreamingDedup.dropDuplicateTrades(
+      ms.toDF.toDF("symbol", "ts", "price", "qty"), "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      ms.addData(("BTC", ts(T0), 1.0, 1.0), ("BTC", ts(T0), 1.0, 1.0)) // dup in-batch
+      q.processAllAvailable()
+      ms.addData(("BTC", ts(T0), 1.0, 1.0), ("BTC", ts(T0 + 5), 2.0, 1.0)) // redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_out").collect()
+    assert(rows.length == 2) // one (BTC, T0), one (BTC, T0+5)
+  }
+}
+
+class MiscOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("salted join equals plain join") {
+    val li = graft.core.Tables.table(spark, Sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.core.Tables.table(spark, Sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey")
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)"))).head().toSeq
+    val salted = graft.operators.SaltedJoin.inner(li, o, "l_orderkey", 8)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)"))).head().toSeq
+    assert(salted == plain)
+  }
+
+  test("profile produces one stats row per column in one pass") {
+    val p = graft.ops.Profile.profile(
+      graft.core.Tables.table(spark, Sf0001, "lineitem"))
+    val rows = p.collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(rows.size == 11)
+    assert(rows("l_quantity").getAs[Double]("min_num") >= 0.0)
+    assert(rows("l_returnflag").getAs[Long]("max_len") >= 1L)
+    assert(rows.values.forall(_.getAs[Long]("n_null") == 0L))
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == 6000L))
+  }
+
+  test("typed candle Dataset round-trips") {
+    val ds = graft.ohlcv.Candle.typed(
+      graft.ohlcv.Candles.fromTrades(graft.core.Tables.trades(spark, Sf0001),
+        graft.core.Timeframe.parse("1h")))
+    val c = ds.filter(_.symbol == "click").collect()
+    assert(c.nonEmpty && c.forall(x => x.high >= x.low && x.trades > 0))
+  }
+}
+
 class EntrySmokeSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
