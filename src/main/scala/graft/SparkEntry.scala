@@ -243,6 +243,10 @@ object SparkEntry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Similarity.lshTopK(s, e, e.where(col("vec_id") < 10), 5)
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>

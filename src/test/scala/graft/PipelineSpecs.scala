@@ -101,6 +101,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"recall $recall too low")
   }
 
+  test("ivf ANN trains, probes cells, and recalls against brute force") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(spark, e, queries, 5)
+      .select("qid", "id2").as[(Long, Long)].collect().toSet
+    val ivf = graft.ops.Ivf.searchTopK(e, queries, 5)
+      .select("qid", "id2").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall $recall too low")
+  }
+
+  test("CanonicalizeCosine rule makes argument order canonical") {
+    import graft.functions.{CosineSimilarity, toExpression}
+    val e = Tables.table(spark, Sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"),
+        reverse(col("embedding").cast("array<double>")).as("w"))
+    val a = toExpression(e("v")); val b = toExpression(e("w"))
+    val plan = e.select(
+      graft.functions.toColumn(CosineSimilarity(a, b)).as("x"),
+      graft.functions.toColumn(CosineSimilarity(b, a)).as("y"))
+      .queryExecution.analyzed
+    val rewritten = graft.plans.CanonicalizeCosine(plan)
+    val cosines = rewritten.expressions.flatMap(_.collect {
+      case c: CosineSimilarity => (c.left.semanticHash(), c.right.semanticHash())
+    })
+    assert(cosines.size == 2 && cosines.distinct.size == 1,
+      s"both cosine calls should be canonicalized to one order: $cosines")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val e = Tables.events(spark, Sf0001)
     val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
