@@ -109,6 +109,10 @@ object SparkEntry {
     }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
+    "bollinger" -> ((s, dir) =>
+      Analytics.bollinger(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
+    "rsi" -> ((s, dir) =>
+      Analytics.rsi(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
     "top_volume" -> ((s, dir) =>
       Analytics.topVolume(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 3)),
     "candle_stats" -> ((s, dir) =>
@@ -314,6 +318,31 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, close, prev_close, (close - prev_close) / prev_close AS ret FROM (" +
         "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
         "WHERE prev_close IS NOT NULL"),
+    "bollinger" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts, close, " +
+        "CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_c, " +
+        "CAST(sum(CAST(CAST(close AS DECIMAL(18,2)) * CAST(close AS DECIMAL(18,2)) AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sum_c2, " +
+        "count(*) OVER w AS cnt FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT symbol, bucket_ts, close, sum_c / CAST(cnt AS DOUBLE) AS mean, " +
+        "greatest((sum_c2 - sum_c * sum_c / CAST(cnt AS DOUBLE)) / CAST(cnt - 1 AS DOUBLE), 0.0) AS var " +
+        "FROM f WHERE cnt = 20) " +
+        "SELECT symbol, bucket_ts, close, mean, " +
+        "mean + 2.0 * sqrt(var) AS upper, mean - 2.0 * sqrt(var) AS lower FROM g"),
+    "rsi" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, " +
+        "greatest(CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS gain, " +
+        "greatest(-(CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS loss " +
+        "FROM p WHERE prev IS NOT NULL), " +
+        "f AS (SELECT symbol, bucket_ts, " +
+        "CAST(sum(gain) OVER w AS DOUBLE) AS sum_gain, " +
+        "CAST(sum(loss) OVER w AS DOUBLE) AS sum_loss, count(*) OVER w AS cnt FROM d " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(CASE WHEN sum_loss = 0.0 THEN 100.0 " +
+        "ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END, 6) AS rsi FROM f WHERE cnt = 14"),
     "asof_join" ->
       ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +

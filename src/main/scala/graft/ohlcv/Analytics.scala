@@ -42,6 +42,54 @@ object Analytics {
           count(lit(1)).over(w).cast("double"))
   }
 
+  /** Bollinger bands (n-bucket mean ± 2σ) per symbol, full frames only.
+    * Determinism: sum(x) and sum(x²) go through exact decimals (prices
+    * have 2 decimals ⇒ squares have 4 ⇒ DECIMAL(28,4) is exact), variance
+    * is then pure double arithmetic — bit-identical across engines.
+    */
+  def bollinger(candles: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    val d4 = DecimalType(28, 4)
+    val sumC = sum(col("close").cast(D)).over(w).cast("double")
+    val sumC2 = sum((col("close").cast(D) * col("close").cast(D)).cast(d4))
+      .over(w).cast("double")
+    val cnt = count(lit(1)).over(w)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("cnt", cnt)
+      .withColumn("mean", sumC / col("cnt").cast("double"))
+      .withColumn("var",
+        greatest((sumC2 - sumC * sumC / col("cnt").cast("double")) /
+          (col("cnt") - 1).cast("double"), lit(0.0)))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"), col("close"), col("mean"),
+        (col("mean") + lit(2.0) * sqrt(col("var"))).as("upper"),
+        (col("mean") - lit(2.0) * sqrt(col("var"))).as("lower"))
+  }
+
+  /** Relative Strength Index over n buckets (full frames only; RSI=100
+    * when there are no losses in the frame). Gains/losses are exact
+    * decimals; the final ratio is plain double arithmetic.
+    */
+  def rsi(candles: DataFrame, n: Int): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val diff = (col("close").cast(D) - col("prev").cast(D))
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(wl))
+      .where(col("prev").isNotNull)
+      .withColumn("gain", greatest(diff, lit(0).cast(D)))
+      .withColumn("loss", greatest(-diff, lit(0).cast(D)))
+      .withColumn("sum_gain", sum(col("gain")).over(wf).cast("double"))
+      .withColumn("sum_loss", sum(col("loss")).over(wf).cast("double"))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(when(col("sum_loss") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("sum_gain") / col("sum_loss"))), 6).as("rsi"))
+  }
+
   /** Close-to-close percentage returns per symbol. */
   def returns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
