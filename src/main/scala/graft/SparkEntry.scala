@@ -249,7 +249,7 @@ object SparkEntry {
     }),
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
-      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5)
+      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 1)
     }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),

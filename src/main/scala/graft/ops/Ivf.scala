@@ -34,21 +34,34 @@ object Ivf {
       .select(col("vec_id"), col("v"), col("cid"))
   }
 
-  /** Train the coarse quantizer: (cid, cvec) centroid table. */
+  /** Materialize the (tiny, k-row) centroid table driver-side and rebuild
+    * it as a fresh local DataFrame. Without this every Lloyd iteration —
+    * and the final search — drags the previous iteration's full lineage
+    * (crossJoin+window+explode+2×groupBy) into one enormous plan; a
+    * k-means *model* belongs on the driver, exactly like MLlib's.
+    */
+  private def localize(spark: SparkSession, centroids: DataFrame): DataFrame = {
+    import spark.implicits._
+    centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .toSeq.toDF("cid", "cvec")
+  }
+
+  /** Train the coarse quantizer: (cid, cvec) centroid table (localized). */
   def train(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    val e = vecs(emb).cache()
-    var centroids = e.orderBy(col("vec_id")).limit(k)
+    val e = vecs(emb)
+    var centroids = localize(spark, e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
-        col("v").as("cvec"))
+        col("v").as("cvec")))
     (1 to iters).foreach { _ =>
-      centroids = assign(spark, e, centroids)
+      centroids = localize(spark, assign(spark, e, centroids)
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-          s => s.getField("x")).as("cvec"))
+          s => s.getField("x")).as("cvec")))
     }
     centroids
   }
