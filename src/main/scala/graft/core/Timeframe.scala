@@ -13,7 +13,6 @@ import org.apache.spark.sql.functions._
 final case class Timeframe(n: Int, unit: Char) {
   require(n > 0, s"timeframe count must be positive: $n$unit")
   require("smhdwMy".indexOf(unit.toInt) >= 0, s"unknown timeframe unit: $unit")
-  require(!isCalendar || n == 1, s"calendar timeframes support n=1 only, got $n$unit")
 
   def isCalendar: Boolean = unit == 'M' || unit == 'y'
 
@@ -31,14 +30,25 @@ final case class Timeframe(n: Int, unit: Char) {
     * (`ts - ts mod width`) rather than float division: exact, codegen'd,
     * and oracle-reproducible.
     */
+  /** Width in months (calendar units only). */
+  private def months: Int = if (unit == 'M') n else n * 12
+
   def bucketStart(ts: Column): Column =
-    if (isCalendar) date_trunc(if (unit == 'M') "month" else "year", ts)
-    else timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(micros)))
+    if (isCalendar) {
+      if (n == 1) date_trunc(if (unit == 'M') "month" else "year", ts)
+      else {
+        // n-month buckets anchored at 1970-01 (epoch month arithmetic,
+        // mirroring the reference's relativedelta month/year stepping)
+        val m = (year(ts) - 1970) * 12 + month(ts) - 1
+        // add_months yields DateType; surface the bucket as a timestamp
+        add_months(to_timestamp(lit("1970-01-01 00:00:00")),
+          m - pmod(m, lit(months))).cast("timestamp")
+      }
+    } else timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(micros)))
 
   /** Exclusive bucket end. */
   def bucketEnd(ts: Column): Column =
-    if (unit == 'M') add_months(bucketStart(ts), 1)
-    else if (unit == 'y') add_months(bucketStart(ts), 12)
+    if (isCalendar) add_months(bucketStart(ts), months).cast("timestamp")
     else timestamp_micros(unix_micros(bucketStart(ts)) + lit(micros))
 
   override def toString: String = s"$n$unit"

@@ -15,7 +15,21 @@ class TimeframeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Timeframe.parse("1x"))
     intercept[IllegalArgumentException](Timeframe.parse(""))
     intercept[IllegalArgumentException](Timeframe.parse("0m"))
-    intercept[IllegalArgumentException](Timeframe.parse("3M"))
+  }
+
+  test("n-month calendar buckets anchor at epoch months") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tf3M = Timeframe.parse("3M")
+    val tf2y = Timeframe.parse("2y")
+    val r = Seq(Timestamp.valueOf("2024-05-15 10:30:00"))
+      .toDF("t")
+      .select(tf3M.bucketStart(col("t")).as("b3m"), tf3M.bucketEnd(col("t")).as("e3m"),
+        tf2y.bucketStart(col("t")).as("b2y"))
+      .head()
+    assert(r.getTimestamp(0) == Timestamp.valueOf("2024-04-01 00:00:00"))
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2024-07-01 00:00:00"))
+    assert(r.getTimestamp(2) == Timestamp.valueOf("2024-01-01 00:00:00"))
   }
 
   test("bucketStart is a width-multiple lower bound (property)") {

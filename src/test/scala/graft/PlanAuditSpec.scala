@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guard: scale properties asserted on the actual
+  * executed plans, so a refactor can't silently un-push a filter, drop a
+  * broadcast, or add a shuffle. (The human-readable audit lives in
+  * BENCH_NOTES.md; this keeps it true.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.count() // finalize under AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOccurrences(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("candle resample is a single-shuffle hash aggregation") {
+    val p = planOf("ohlcv_1m")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_min_by"), "map-side partial aggregation expected")
+    assert(!p.contains("SortAggregate"), "hash aggregation expected")
+  }
+
+  test("q1/q6 filters reach the parquet scan") {
+    val p1 = planOf("q1_pricing")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual"), p1)
+    // (the plan string truncates long pushed-filter lists, so assert on
+    // the stable prefix)
+    val p6 = planOf("q6_selective")
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"), p6)
+  }
+
+  test("q5 dim chain is broadcast, never shuffled") {
+    val p = planOf("q5_region")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 4, p)
+    // only the final aggregation may shuffle
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("scans are column-pruned") {
+    val p = planOf("ann_topk")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+    val t = planOf("token_count")
+    assert(t.contains("ReadSchema: struct<doc_id:bigint,text:string>"), t)
+  }
+
+  test("dedup signature stage is map-only up to the LSH band shuffle") {
+    val p = planOf("dedup_minhash")
+    // signatures must not require a shuffle of the documents themselves
+    // before banding: first Exchange comes after posexplode of bands
+    assert(p.contains("MinHashSignature") || p.contains("minhash"),
+      "native signature expression expected in plan\n" + p)
+  }
+}
