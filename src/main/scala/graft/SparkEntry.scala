@@ -55,6 +55,8 @@ object SparkEntry {
     "ohlcv_5m" -> ((s, dir) => Candles.fromTrades(Tables.trades(s, dir), Tf5m)),
     "ohlcv_1d" -> ((s, dir) =>
       Candles.fromTrades(Tables.trades(s, dir), Timeframe.parse("1d"))),
+    "ohlcv_1M" -> ((s, dir) =>
+      Candles.fromTrades(Tables.trades(s, dir), Timeframe.parse("1M"))),
     "resume_since" -> ((s, dir) =>
       Candles.resumeSince(Candles.fromTrades(Tables.trades(s, dir), Tf1m))),
     "incremental_fetch" -> ((s, dir) => {
@@ -98,7 +100,11 @@ object SparkEntry {
     "returns" -> ((s, dir) =>
       Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "ema" -> ((s, dir) =>
-      Analytics.ema(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
+      // rounded so the oracle's list_reduce (same op order) compares safely
+      Analytics.ema(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)
+        .withColumn("ema", round(col("ema"), 6))),
+    "atr" -> ((s, dir) =>
+      Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
     "asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val p = e.where(col("event_type") === "purchase")
@@ -278,6 +284,34 @@ object SparkEntry {
         "max_by(price, ts) AS close, " +
         "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
         "count(*) AS trades FROM t GROUP BY 1, 2"),
+    "ohlcv_1M" -> withTrades(
+      "SELECT symbol, CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_ts, " +
+        "min_by(price, ts) AS open, max(price) AS high, min(price) AS low, " +
+        "max_by(price, ts) AS close, " +
+        "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+        "count(*) AS trades FROM t GROUP BY 1, 2"),
+    "ema" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "l AS (SELECT symbol, bucket_ts, close, " +
+        "list(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS closes FROM c) " +
+        "SELECT symbol, bucket_ts, close, " +
+        "round(list_reduce(closes, (acc, x) -> " +
+        "(CAST(2 AS DOUBLE) / CAST(21 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(21 AS DOUBLE)) * acc), 6) AS ema FROM l"),
+    "atr" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, high, low, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, greatest(" +
+        "CAST(high AS DECIMAL(18,2)) - CAST(low AS DECIMAL(18,2)), " +
+        "abs(CAST(high AS DECIMAL(18,2)) - CAST(prev_close AS DECIMAL(18,2))), " +
+        "abs(CAST(low AS DECIMAL(18,2)) - CAST(prev_close AS DECIMAL(18,2)))) AS tr " +
+        "FROM p WHERE prev_close IS NOT NULL), " +
+        "f AS (SELECT symbol, bucket_ts, CAST(tr AS DOUBLE) AS tr, " +
+        "CAST(sum(tr) OVER w AS DOUBLE) AS sum_tr, count(*) OVER w AS cnt FROM d " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, tr, round(sum_tr / CAST(cnt AS DOUBLE), 6) AS atr FROM f WHERE cnt = 14"),
     "resume_since" -> withTrades(
       s"SELECT symbol, max(bucket_ts) AS last_ts FROM (${candlesSql(60000000L)}) GROUP BY 1"),
     "incremental_fetch" -> withTrades(

@@ -90,6 +90,28 @@ object Analytics {
             (lit(1.0) + col("sum_gain") / col("sum_loss"))), 6).as("rsi"))
   }
 
+  /** Average True Range over n buckets (full frames only). True range
+    * components are exact decimals (2-dec prices), the frame average is an
+    * exact decimal sum over a double count.
+    */
+  def atr(candles: DataFrame, n: Int): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val tr = greatest(
+      col("high").cast(D) - col("low").cast(D),
+      abs(col("high").cast(D) - col("prev_close").cast(D)),
+      abs(col("low").cast(D) - col("prev_close").cast(D)))
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(wl))
+      .where(col("prev_close").isNotNull)
+      .withColumn("tr", tr)
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .withColumn("atr",
+        round(sum(col("tr")).over(wf).cast("double") / col("cnt").cast("double"), 6))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"), col("tr").cast("double").as("tr"), col("atr"))
+  }
+
   /** Close-to-close percentage returns per symbol. */
   def returns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
