@@ -52,6 +52,8 @@ object AsofJoin {
       var lastRight: Row = null
       it.flatMap { row =>
         val k = row.get(0)
+        if (k == null) Iterator.empty // SQL join semantics: nulls never match
+        else {
         if (k != curKey) { curKey = k; lastRight = null }
         if (row.getInt(2) == 0) { // right side: remember, emit nothing
           lastRight = row.getStruct(4)
@@ -67,6 +69,7 @@ object AsofJoin {
             new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
               vals, outSchema): Row)
         } else Iterator.empty
+        }
       }
     }(outEnc)
   }

@@ -108,6 +108,14 @@ class CandlesSpec extends SparkSpec {
     assert(kept.length == 1) // second bucket [T0+60, T0+120) incomplete at T0+90
   }
 
+  test("empty inputs produce empty outputs, not errors") {
+    val empty = mkTrades().where(lit(false))
+    assert(Candles.fromTrades(empty, Timeframe.parse("1m")).count() == 0)
+    assert(Candles.gaps(Candles.fromTrades(empty, Timeframe.parse("1m")),
+      Timeframe.parse("1m")).count() == 0)
+    assert(Analytics.ema(Candles.fromTrades(empty, Timeframe.parse("1m")), 5).count() == 0)
+  }
+
   test("gaps finds missing buckets") {
     val c = Candles.fromTrades(mkTrades(
       ("BTC", T0 + 10, 1.0, 1.0), ("BTC", T0 + 200, 2.0, 1.0)), Timeframe.parse("1m"))
@@ -163,5 +171,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(0).getAs[String]("tag") == "p1" && out(0).getAs[Double]("r_v") == 10.0)
     assert(out(1).getAs[String]("tag") == "p2" && out(1).getAs[Double]("r_v") == 30.0)
+  }
+
+  test("null keys never match (SQL join semantics)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, ts(T0 + 100), "pnull"),
+      org.apache.spark.sql.Row(1L: java.lang.Long, ts(T0 + 100), "p1"))
+    val left = spark.createDataFrame(rows, schema)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, ts(T0 + 50), "rnull"),
+      org.apache.spark.sql.Row(1L: java.lang.Long, ts(T0 + 50), "r1")), schema)
+    val out = AsofJoin.join(left, right, "user_id", "ts", "ts").collect()
+    assert(out.length == 1 && out.head.getAs[String]("tag") == "p1")
   }
 }
