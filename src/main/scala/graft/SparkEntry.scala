@@ -105,6 +105,10 @@ object SparkEntry {
         .withColumn("ema", round(col("ema"), 6))),
     "atr" -> ((s, dir) =>
       Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
+    "max_drawdown" -> ((s, dir) =>
+      Analytics.maxDrawdown(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "obv" -> ((s, dir) =>
+      Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val p = e.where(col("event_type") === "purchase")
@@ -255,7 +259,7 @@ object SparkEntry {
     }),
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
-      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 1)
+      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 0)
     }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
@@ -312,6 +316,24 @@ object SparkEntry {
         "CAST(sum(tr) OVER w AS DOUBLE) AS sum_tr, count(*) OVER w AS cnt FROM d " +
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, tr, round(sum_tr / CAST(cnt AS DOUBLE), 6) AS atr FROM f WHERE cnt = 14"),
+    "max_drawdown" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, " +
+        "max(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c), " +
+        "d AS (SELECT symbol, round((close - peak) / peak, 6) AS drawdown, peak FROM p) " +
+        "SELECT symbol, min(drawdown) AS max_drawdown, max(peak) AS peak_close " +
+        "FROM d GROUP BY 1"),
+    "obv" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, volume, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, CASE " +
+        "WHEN prev IS NULL OR CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) = CAST(0 AS DECIMAL(18,2)) THEN CAST(0 AS DECIMAL(18,2)) " +
+        "WHEN CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) > CAST(0 AS DECIMAL(18,2)) THEN CAST(volume AS DECIMAL(18,2)) " +
+        "ELSE -CAST(volume AS DECIMAL(18,2)) END AS signed_vol FROM p) " +
+        "SELECT symbol, bucket_ts, CAST(sum(signed_vol) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv FROM d"),
     "resume_since" -> withTrades(
       s"SELECT symbol, max(bucket_ts) AS last_ts FROM (${candlesSql(60000000L)}) GROUP BY 1"),
     "incremental_fetch" -> withTrades(

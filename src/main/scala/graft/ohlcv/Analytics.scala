@@ -112,6 +112,38 @@ object Analytics {
       .select(col("symbol"), col("bucket_ts"), col("tr").cast("double").as("tr"), col("atr"))
   }
 
+  /** Per-symbol maximum drawdown: running-peak close vs close, as a ratio
+    * (rounded: final double division crosses engines).
+    */
+  def maxDrawdown(candles: DataFrame): DataFrame = {
+    val run = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("peak", max(col("close")).over(run))
+      .withColumn("drawdown", round((col("close") - col("peak")) / col("peak"), 6))
+      .groupBy(col("symbol"))
+      .agg(min(col("drawdown")).as("max_drawdown"),
+        max(col("peak")).as("peak_close"))
+  }
+
+  /** On-balance volume: cumulative volume signed by close direction.
+    * Fully exact — sign comes from decimal close diffs, the cumulative
+    * sum is decimal.
+    */
+  def obv(candles: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val run = wl.rowsBetween(Window.unboundedPreceding, 0)
+    val diff = col("close").cast(D) - col("prev").cast(D)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"), col("volume"))
+      .withColumn("prev", lag(col("close"), 1).over(wl))
+      .withColumn("signed_vol",
+        when(col("prev").isNull || diff === lit(0).cast(D), lit(0).cast(D))
+          .when(diff > lit(0).cast(D), col("volume").cast(D))
+          .otherwise(-col("volume").cast(D)))
+      .withColumn("obv", sum(col("signed_vol")).over(run).cast("double"))
+      .select(col("symbol"), col("bucket_ts"), col("obv"))
+  }
+
   /** Close-to-close percentage returns per symbol. */
   def returns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
