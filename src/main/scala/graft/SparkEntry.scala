@@ -239,6 +239,8 @@ object SparkEntry {
       graft.ops.Dedup.simhashNearDup(Tables.table(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccard(Tables.table(s, dir, "documents"))),
+    "corpus_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.corpusDedup(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
     "quality_score" -> ((s, dir) =>

@@ -129,6 +129,51 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-dup pairs: every doc in a component
+    * gets the component's minimum doc_id as `cluster_id`. Iterative
+    * min-label propagation — each round is one join + aggregation, and the
+    * label count shrinks monotonically; `maxIters` bounds worst-case
+    * chains (components in near-dup graphs are shallow in practice).
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .select(col("a").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      converged = next.join(labels,
+        next("doc_id") === labels("doc_id") &&
+          next("cluster_id") =!= labels("cluster_id")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: LSH candidates → exact-Jaccard verify →
+    * components → keep the highest-quality doc per cluster (ties: lowest
+    * doc_id). Returns (doc_id, cluster_id, keep) for every clustered doc.
+    */
+  def corpusDedup(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val comp = clusters(ngramJaccard(docs, minJaccard))
+    val scored = comp.join(
+      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("score")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+  }
+
   /** (doc_id, simhash): 64-bit SimHash over word hashes. Map-only; the
     * bit-vote fold is a single native codegen pass
     * (graft.functions.SimHash64).

@@ -42,6 +42,23 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
   }
 
+  test("clusters: min-label components over a chained pair graph") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("corpusDedup keeps exactly one doc per near-dup cluster") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val out = Dedup.corpusDedup(d).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.values.forall(_.count(_.getAs[Boolean]("keep")) == 1))
+  }
+
   test("native signature expressions match composed-builtins forms") {
     val d = Tables.table(spark, Sf0001, "documents")
     val nat = Dedup.minhashSignatures(d, 32).collect()
