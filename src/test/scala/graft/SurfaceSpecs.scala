@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.GraftSession
+import graft.ohlcv.CandleStore
 import graft.sources.TradeSource
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -22,6 +23,26 @@ class SqlSurfaceSpec extends SparkSpec {
   test("GraftExtensions registers cosine_sim against a fresh extensions set") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions()(exts) // must not throw; function wired
+  }
+}
+
+class CandleSourceSpec extends SparkSpec {
+  test("ccxt fetch_ohlcv JSON batches explode into candle rows") {
+    import graft.sources.CandleSource
+    val dir = Files.createTempDirectory("graft_ccxt").toString
+    val line =
+      s"""{"symbol":"XRP/USD","ohlcv":[[${(T0) * 1000}.0,0.5,0.6,0.45,0.55,1000.0],""" +
+        s"""[${(T0 + 60) * 1000}.0,0.55,0.7,0.5,0.65,2000.0]]}"""
+    Files.writeString(java.nio.file.Paths.get(dir, "batch.json"), line)
+    val candles = CandleSource.ccxtJson(spark, dir)
+    val rows = candles.orderBy("bucket_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[java.sql.Timestamp]("bucket_ts") == ts(T0))
+    assert(rows(0).getAs[Double]("open") == 0.5 && rows(0).getAs[Double]("volume") == 1000.0)
+    // round-trips through the store like engine-computed candles
+    val store = new CandleStore(Files.createTempDirectory("graft_ccxt_store").toString)
+    store.write(candles, "bitfinex", graft.core.Timeframe.parse("1m"))
+    assert(store.read(spark, Some("bitfinex"), Some("XRP/USD")).count() == 2)
   }
 }
 
