@@ -38,6 +38,43 @@ object Candles {
         exactSum(col("qty")).as("volume"),
         count(lit(1)).as("trades"))
 
+  /** Mergeable candles: like `fromTrades` but carrying first/last trade
+    * timestamps, which makes candles a commutative monoid under `merge` —
+    * the storage-layer analog of partial aggregation. An incremental
+    * pipeline stores these and folds in late or out-of-order trade
+    * batches exactly, without re-reading the trade log.
+    */
+  def fromTradesMergeable(trades: DataFrame, tf: Timeframe): DataFrame =
+    trades
+      .groupBy(col("symbol"), tf.bucketStart(col("ts")).as("bucket_ts"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        exactSum(col("qty")).as("volume"),
+        count(lit(1)).as("trades"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  /** Exact merge of two mergeable-candle sets (same timeframe): per
+    * (symbol, bucket), open follows the earliest first_ts, close the
+    * latest last_ts, extremes/volumes combine. Equal to recomputing from
+    * the union of the underlying trades (spec-asserted).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("symbol"), col("bucket_ts"))
+      .agg(
+        min_by(col("open"), col("first_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("last_ts")).as("close"),
+        exactSum(col("volume")).as("volume"),
+        sum(col("trades")).as("trades"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"))
+
   /** Skew-resistant resample: two-phase salted aggregation for hot keys.
     * A viral symbol that would funnel its entire bucket through one reducer
     * is first aggregated into `salts` partial candles (random salt from the

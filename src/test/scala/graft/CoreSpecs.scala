@@ -78,6 +78,20 @@ class CandlesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("open") == 99.0) // second BTC bucket
   }
 
+  test("mergeable candles: merge of arbitrary splits == full recompute") {
+    val trades = graft.core.Tables.trades(spark, Sf0001)
+    val tf = Timeframe.parse("1h")
+    // adversarial split: interleaved by row hash, cutting through buckets
+    val h = pmod(hash(col("ts")), lit(2))
+    val merged = Candles.merge(
+        Candles.fromTradesMergeable(trades.where(h === 0), tf),
+        Candles.fromTradesMergeable(trades.where(h === 1), tf))
+      .drop("first_ts", "last_ts")
+      .collect().map(_.toSeq).toSet
+    val full = Candles.fromTrades(trades, tf).collect().map(_.toSeq).toSet
+    assert(merged == full)
+  }
+
   test("cascade resample equals direct aggregation from trades") {
     val trades = graft.core.Tables.trades(spark, Sf0001)
     val direct = Candles.fromTrades(trades, Timeframe.parse("1h"))
