@@ -29,6 +29,7 @@ final class CandleStore(val root: String) {
       .write
       .partitionBy("exchange", "symbol", "timeframe")
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd") // better ratio than snappy at archive scale
       .mode(SaveMode.Overwrite)
       .parquet(root)
 
