@@ -161,6 +161,49 @@ class StreamingIngestSpec extends SparkSpec {
   }
 }
 
+class StreamingResumeSpec extends SparkSpec {
+  test("checkpoint restart resumes without duplicating stored candles") {
+    import graft.core.Timeframe
+    import graft.streaming.StreamingIngest
+    import org.apache.spark.sql.functions.col
+
+    val tf = Timeframe.parse("1m")
+    val srcDir = Files.createTempDirectory("graft_resume_src").toString
+    val storeRoot = Files.createTempDirectory("graft_resume_store").toString
+    val ckpt = Files.createTempDirectory("graft_resume_ckpt").toString
+    val store = new CandleStore(storeRoot)
+
+    def writeBatch(name: String, rows: Seq[(String, java.sql.Timestamp, Double, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("symbol", "ts", "price", "qty").coalesce(1)
+        .write.option("header", "true").mode("append").csv(srcDir)
+    }
+
+    // batch 1: one full window + a watermark-advancing later trade
+    writeBatch("b1", Seq(
+      ("BTC", ts(T0 + 10), 100.0, 1.0), ("BTC", ts(T0 + 20), 102.0, 1.0),
+      ("BTC", ts(T0 + 600), 99.0, 1.0)))
+    val trades = graft.sources.TradeSource.csvStream(spark, srcDir)
+    val q1 = StreamingIngest.run(trades, tf, store, "binance",
+      watermark = "5 seconds", checkpoint = Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = store.read(spark).count()
+    assert(afterFirst == 1) // only the closed first window
+
+    // restart from the same checkpoint with one more file: the first
+    // window must NOT be re-emitted (offsets + state resume)
+    writeBatch("b2", Seq(("BTC", ts(T0 + 1300), 98.0, 1.0)))
+    val q2 = StreamingIngest.run(
+      graft.sources.TradeSource.csvStream(spark, srcDir), tf, store, "binance",
+      watermark = "5 seconds", checkpoint = Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = store.read(spark).select("bucket_ts").collect().map(_.getTimestamp(0))
+    assert(rows.length == 2, s"expected no duplicates, got ${rows.toSeq}")
+    assert(rows.toSet == Set(ts(T0), ts(T0 + 600)))
+  }
+}
+
 class StreamingSessionizeSpec extends SparkSpec {
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     import spark.implicits._
