@@ -19,16 +19,12 @@ object Ivf {
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  private def cos(spark: SparkSession) =
-    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      graft.functions.cosine_sim(a, b)
-
   /** Assign each vector to its nearest centroid (max cosine, cid tiebreak). */
   def assign(spark: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cid"))
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"),
-        cos(spark)(col("v"), col("cvec")).as("c"))
+        graft.functions.cosine_sim(col("v"), col("cvec")).as("c"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
@@ -77,7 +73,7 @@ object Ivf {
     val probes = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("cid"),
-        cos(spark)(col("qv"), col("cvec")).as("c"))
+        graft.functions.cosine_sim(col("qv"), col("cvec")).as("c"))
       .withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
@@ -86,7 +82,7 @@ object Ivf {
     cells.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
-        round(cos(spark)(col("qv"), col("v")), 6).as("cos"))
+        round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos"))
       .groupBy(col("qid"), col("id2")).agg(max(col("cos")).as("cos")) // cells may overlap probes
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)

@@ -28,7 +28,7 @@ object Similarity {
   }
 
   /** Native codegen'd cosine expression. */
-  def cosine(spark: SparkSession, a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_sim(a, b)
 
   private def vecs(emb: DataFrame): DataFrame =
@@ -42,7 +42,7 @@ object Similarity {
     val e = vecs(emb)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosine(spark, col("a.v"), col("b.v")), 6).as("cos"))
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -56,7 +56,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id2"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
-        round(cosine(spark, col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
   }
@@ -102,7 +102,7 @@ object Similarity {
     e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
-        round(cosine(spark, col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
   }

@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
     val q = e.where(col("vec_id") === 0)
       .select(col("v").as("qv"))
     val both = e.crossJoin(broadcast(q)).select(
-      Similarity.cosine(spark, col("v"), col("qv")).as("native"),
+      Similarity.cosine(col("v"), col("qv")).as("native"),
       Similarity.cosineComposed(col("v"), col("qv")).as("composed"))
     val bad = both.where(abs(col("native") - col("composed")) > lit(1e-12)).count()
     assert(bad == 0)
