@@ -479,6 +479,12 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "dedup_minhash" ->
+      s"WITH ${minhashPairsCtes()} SELECT id1, id2, est_jaccard FROM mh",
+    "dedup_simhash" -> simhashNearDupSql(),
+    "ngram_jaccard" ->
+      s"WITH $jaccardCtes SELECT id1, id2, est_jaccard, jaccard FROM jac WHERE jaccard >= 0.5",
+    "corpus_dedup" -> corpusDedupSql(0.8),
     "q6_selective" ->
       ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
         "count(*) AS n FROM lineitem " +
@@ -563,4 +569,102 @@ object SparkEntry {
   private val RevenueSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  // ---- dedup-family oracle SQL (DuckDB replay of the md5-portable
+  //      minhash/simhash pipelines; permutation/band constants are inlined
+  //      from the exact same Dedup.perms arrays the Spark side uses) -------
+
+  /** list_value(sig_0, ..., sig_{numPerm-1}): the minhash signature. */
+  private def minhashSigSql(numPerm: Int): String = {
+    val (a, b) = graft.ops.Dedup.perms(numPerm)
+    (0 until numPerm).map(i =>
+      s"list_min(list_transform(hashes, h -> (${a(i)}*h + ${b(i)}) % ${graft.ops.Dedup.MinhashP}))")
+      .mkString("list_value(", ", ", ")")
+  }
+
+  /** CTE chain ending in `mh(id1, id2, est_jaccard)`: the minhash-LSH
+    * candidate pairs, mirroring Dedup.minhashLsh (incl. oversized-bucket
+    * representative pairing).
+    */
+  private def minhashPairsCtes(numPerm: Int = 128, bands: Int = 16,
+                               maxBucket: Int = 100): String = {
+    val rows = numPerm / bands
+    s"dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+      "dh AS (SELECT doc_id, list_transform(" +
+      "list_transform(generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])), " +
+      "s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes FROM dw WHERE len(ws) >= 3), " +
+      s"sigs AS (SELECT doc_id, ${minhashSigSql(numPerm)} AS sig FROM dh), " +
+      "banded AS (SELECT doc_id, sig, band, " +
+      s"md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')) AS bsig " +
+      s"FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) bx), " +
+      "stats AS (SELECT band, bsig, count(*) AS bucket_n, min(doc_id) AS rep FROM banded GROUP BY 1, 2), " +
+      "tagged AS (SELECT b.doc_id, b.sig, b.band, b.bsig, s.bucket_n, s.rep " +
+      "FROM banded b JOIN stats s ON b.band = s.band AND b.bsig = s.bsig), " +
+      s"small AS (SELECT * FROM tagged WHERE bucket_n <= $maxBucket), " +
+      "smallpairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, x.sig AS sig1, y.sig AS sig2 " +
+      "FROM small x JOIN small y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id), " +
+      "bigpairs AS (SELECT t.rep AS id1, t.doc_id AS id2, s1.sig AS sig1, t.sig AS sig2 " +
+      s"FROM tagged t JOIN sigs s1 ON s1.doc_id = t.rep WHERE t.bucket_n > $maxBucket AND t.doc_id <> t.rep), " +
+      "allpairs AS (SELECT * FROM smallpairs UNION ALL SELECT * FROM bigpairs), " +
+      "mh AS (SELECT id1, id2, " +
+      s"max(len(list_filter(generate_series(1, $numPerm), i -> sig1[i] = sig2[i])) / $numPerm.0) AS est_jaccard " +
+      "FROM allpairs GROUP BY 1, 2)"
+  }
+
+  /** CTE chain extending minhash pairs with exact shingle-set Jaccard:
+    * ends in `jac(id1, id2, est_jaccard, jaccard)` (unfiltered).
+    */
+  private def jaccardCtes: String =
+    minhashPairsCtes() + ", " +
+      "shg AS (SELECT doc_id, list_distinct(list_transform(" +
+      "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
+      "jac AS (SELECT m.id1, m.id2, m.est_jaccard, " +
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard " +
+      "FROM mh m JOIN shg a ON a.doc_id = m.id1 JOIN shg b ON b.doc_id = m.id2)"
+
+  /** SimHash oracle: 60 bit-vote terms over portable 60-bit word hashes,
+    * then pigeonhole chunk join — mirrors Dedup.simhashNearDup.
+    */
+  private def simhashNearDupSql(maxHamming: Int = 3): String = {
+    val terms = (0 until 60).map { j =>
+      s"(CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    "WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents " +
+      "WHERE len(string_split_regex(text, '\\s+')) >= 1), " +
+      "wh AS (SELECT doc_id, list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS wh FROM dw), " +
+      s"sh AS (SELECT doc_id, $terms AS simhash FROM wh), " +
+      "chunked AS (SELECT doc_id, simhash, chunk, (simhash >> (chunk*15)) & 32767 AS cval " +
+      "FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS chunk) cx) " +
+      "SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, " +
+      "CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming " +
+      "FROM chunked x JOIN chunked y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id " +
+      s"WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming"
+  }
+
+  /** Connected components + keeper pick, mirroring Dedup.corpusDedup:
+    * recursive min-label reachability over symmetric near-dup edges, then
+    * one keeper per cluster (best quality score, ties lowest doc_id).
+    */
+  private def corpusDedupSql(minJaccard: Double): String =
+    s"WITH RECURSIVE $jaccardCtes, " +
+      s"edges0 AS (SELECT id1, id2 FROM jac WHERE jaccard >= $minJaccard), " +
+      "edges AS (SELECT id1 AS a, id2 AS b FROM edges0 UNION SELECT id2, id1 FROM edges0), " +
+      "nodes AS (SELECT DISTINCT a AS doc_id FROM edges), " +
+      "comp AS (SELECT doc_id, doc_id AS lbl FROM nodes " +
+      "UNION SELECT e.a AS doc_id, c.lbl FROM edges e JOIN comp c ON e.b = c.doc_id), " +
+      "labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM comp GROUP BY 1), " +
+      "qf AS (SELECT doc_id, " +
+      "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+      "CAST(length(text) AS DOUBLE) AS nc, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+      "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+      "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+      "FROM documents), " +
+      "qual AS (SELECT doc_id, 0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + " +
+      "0.2 * least(nw / 100.0, 1.0) AS score FROM qf) " +
+      "SELECT l.doc_id, l.cluster_id, " +
+      "(row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.doc_id) = 1) AS keep " +
+      "FROM labels l JOIN qual q ON q.doc_id = l.doc_id"
 }

@@ -6,13 +6,34 @@ import org.apache.spark.sql.functions._
 /** Deduplication family for an LLM training-data pipeline.
   *
   * Scale design: signatures (minhash / simhash) are computed map-side with
-  * higher-order functions — one pass over each document, no shuffle. The
-  * O(n²) pair space is never materialized: LSH banding (minhash) and
-  * pigeonhole chunking (simhash) turn candidate generation into an
-  * equi-join on (band, signature) — a single hash shuffle whose fan-out is
-  * bounded by bucket size, with an explicit bucket cap as the skew guard.
+  * one fused codegen pass per document — no shuffle. The O(n²) pair space
+  * is never materialized: LSH banding (minhash) and pigeonhole chunking
+  * (simhash) turn candidate generation into an equi-join on
+  * (band, signature) — a single hash shuffle whose fan-out is bounded by
+  * bucket size. Oversized buckets (heavily duplicated content — the
+  * highest-value dedup target) are NOT dropped: their members pair against
+  * the bucket representative (min doc_id), so an m-copy cluster costs m-1
+  * pairs instead of m·(m-1)/2 while every member still reaches the
+  * representative and connected components reunite the cluster.
+  *
+  * All content hashing is md5-prefix based (`hash32`/`hash60`) rather than
+  * an engine-private hash, so every step of the pipeline is expressible in
+  * any SQL engine — the driver's DuckDB oracle replays it end to end.
   */
 object Dedup {
+
+  /** Portable 32-bit content hash: first 8 hex chars of md5 as a long in
+    * [0, 2^32). Engine-portable (DuckDB: `CAST('0x'||substr(md5(x),1,8) AS
+    * BIGINT)`), unlike murmur3/xxhash64.
+    */
+  private[graft] def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Portable 60-bit content hash (15 hex chars): always positive, so bit
+    * extraction needs no sign games in any engine.
+    */
+  private[graft] def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Exact dedup: group identical texts by content hash. */
   def exact(docs: DataFrame): DataFrame =
@@ -39,9 +60,12 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesFromWords(wordsOf(text), k)
 
-  // deterministic permutation constants for minhash (fixed seed)
-  private val MinhashP = 2147483647L
-  private def perms(numPerm: Int): (Array[Long], Array[Long]) = {
+  // deterministic permutation constants for minhash (fixed seed).
+  // a ∈ [1, 2^31), b ∈ [0, 2^31), shingle hashes < 2^32 ⇒ a*h+b < 2^63:
+  // the permutation arithmetic never overflows a signed 64-bit integer in
+  // ANY engine (DuckDB raises on BIGINT overflow; Spark would wrap).
+  private[graft] val MinhashP = 2147483647L
+  private[graft] def perms(numPerm: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(numPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val b = Array.fill(numPerm)(rnd.nextInt(Int.MaxValue).toLong)
@@ -85,11 +109,32 @@ object Dedup {
     docs.withColumn("ws", wordsOf(col("text")))
       .where(size(col("ws")) >= 3)
       .withColumn("sh", shinglesFromWords(col("ws")))
-      .withColumn("hashes", transform(col("sh"), s => hash(s).cast("long")))
+      .withColumn("hashes", transform(col("sh"), s => hash32(s)))
+
+  /** Portable band signature: md5 of the comma-joined band slice of the
+    * minhash signature (any engine can replay it, unlike xxhash64).
+    */
+  private def bandSig(sig: Column, band: Int, rows: Int): Column =
+    md5(concat_ws(",",
+      transform(slice(sig, band * rows + 1, rows), v => v.cast("string")))
+      .cast("binary"))
+
+  /** Estimated Jaccard from two minhash signatures: matching fraction. */
+  private def estJaccard(sig1: Column, sig2: Column, numPerm: Int): Column =
+    size(filter(zip_with(sig1, sig2, (p, q) => p === q), m => m))
+      .cast("double") / lit(numPerm.toDouble)
 
   /** Near-dup candidate pairs via LSH banding over minhash signatures.
-    * Output: (id1, id2, est_jaccard). `maxBucket` caps pathological
-    * buckets (skew guard at scale).
+    * Output: (id1, id2, est_jaccard).
+    *
+    * Buckets larger than `maxBucket` (pathological duplication / skew)
+    * switch from all-pairs to representative pairing: each member pairs
+    * only with the bucket's min doc_id. Recall for downstream clustering
+    * is preserved (the component stays connected through the
+    * representative); pair count per hot bucket drops from O(m²) to O(m).
+    * Bucket sizes come from a groupBy + co-partitioned join on
+    * (band, bsig) — not a window, which would force a sort of all banded
+    * rows.
     */
   def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
                  maxBucket: Int = 100): DataFrame = {
@@ -97,20 +142,28 @@ object Dedup {
     val sigs = minhashSignatures(docs, numPerm)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(bnd =>
-        xxhash64(slice(col("sig"), bnd * rows + 1, rows))): _*)))
+        bandSig(col("sig"), bnd, rows)): _*)))
       .toDF("doc_id", "sig", "band", "bsig")
-    val small = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
-      .where(col("bucket_n") <= maxBucket)
+    val stats = banded.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
+    val tagged = banded.join(stats, Seq("band", "bsig"))
+    val small = tagged.where(col("bucket_n") <= maxBucket)
     val x = small.select(col("band"), col("bsig"),
       col("doc_id").as("id1"), col("sig").as("sig1"))
     val y = small.select(col("band"), col("bsig"),
       col("doc_id").as("id2"), col("sig").as("sig2"))
-    x.join(y, Seq("band", "bsig")).where(col("id1") < col("id2"))
+    val smallPairs = x.join(y, Seq("band", "bsig"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    // oversized buckets: members pair with the bucket representative only
+    val bigPairs = tagged
+      .where(col("bucket_n") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    smallPairs.unionByName(bigPairs)
       .select(col("id1"), col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (p, q) => p === q),
-          m => m)).cast("double") / lit(numPerm.toDouble)).as("est_jaccard"))
+        estJaccard(col("sig1"), col("sig2"), numPerm).as("est_jaccard"))
       .groupBy(col("id1"), col("id2")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
@@ -130,32 +183,50 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs: every doc in a component
-    * gets the component's minimum doc_id as `cluster_id`. Iterative
-    * min-label propagation — each round is one join + aggregation, and the
-    * label count shrinks monotonically; `maxIters` bounds worst-case
-    * chains (components in near-dup graphs are shallow in practice).
+    * gets the component's minimum doc_id as `cluster_id`.
+    *
+    * Min-label propagation with pointer jumping (each round a node also
+    * adopts its current label's label), so rounds needed grow with
+    * log₂(component diameter), not the diameter itself. Each round:
+    *  - one eager `localCheckpoint` materializes the new labels and cuts
+    *    lineage (no plan growth across rounds; superseded round outputs
+    *    are dropped by the context cleaner once unreferenced);
+    *  - convergence = zero changed labels, counted from the already
+    *    checkpointed frame — no recompute of the round's join.
+    * Non-convergence after `maxIters` (diameter > 2^maxIters — not
+    * reachable for real near-dup graphs) raises rather than silently
+    * splitting a component.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .select(col("a").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
-      converged = next.join(labels,
-        next("doc_id") === labels("doc_id") &&
-          next("cluster_id") =!= labels("cluster_id")).isEmpty
-      labels = next
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
+        .select(col("a").as("doc_id"), col("cand"))
+      val viaPointer = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
+      val next = labels.select(col("doc_id"), col("cluster_id").as("cand"))
+        .unionByName(viaNeighbor).unionByName(viaPointer)
+        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") =!= col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster_id"))
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(component diameter > 2^" + maxIters + ")")
     labels
   }
 
@@ -174,13 +245,14 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("keep"))
   }
 
-  /** (doc_id, simhash): 64-bit SimHash over word hashes. Map-only; the
-    * bit-vote fold is a single native codegen pass
-    * (graft.functions.SimHash64).
+  /** (doc_id, simhash): 64-bit SimHash over 60-bit portable word hashes
+    * (bits 60-63 are never voted up, so signatures stay in [0, 2^60) —
+    * positive in every engine). Map-only; the bit-vote fold is a single
+    * native codegen pass (graft.functions.SimHash64).
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.where(size(wordsOf(col("text"))) >= 1)
-      .withColumn("wh", transform(wordsOf(col("text")), w => xxhash64(w)))
+      .withColumn("wh", transform(wordsOf(col("text")), w => hash60(w)))
       .select(col("doc_id"), graft.functions.simhash64(col("wh")).as("simhash"))
 
   /** Composed-builtins simhash (reference semantics for the native
@@ -193,18 +265,19 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     docs.where(size(wordsOf(col("text"))) >= 1)
-      .withColumn("wh", transform(wordsOf(col("text")), w => xxhash64(w)))
+      .withColumn("wh", transform(wordsOf(col("text")), w => hash60(w)))
       .select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Near-dup pairs with hamming distance <= maxHamming via pigeonhole
-    * chunking (4×16-bit chunks: any pair within hamming 3 shares a chunk).
+    * chunking (4×15-bit chunks of the 60 live signature bits: any pair
+    * within hamming 3 shares a chunk).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF("doc_id", "simhash", "chunk", "cval")
     val x = chunked.select(col("chunk"), col("cval"),
       col("doc_id").as("id1"), col("simhash").as("h1"))
