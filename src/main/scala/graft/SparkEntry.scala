@@ -225,10 +225,16 @@ object SparkEntry {
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_value_user"))),
     "approx_distinct" -> ((s, dir) =>
-      // HLL sketch path — no exact oracle by construction (rows-only check);
-      // spec asserts ±5% of exact.
+      // HLL sketch surfaced as a checkable contract: the estimate must land
+      // within 5% of the exact count — deterministic given the data, so the
+      // oracle (exact count + literal true) hash-matches iff the sketch
+      // honors its accuracy bound.
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            lit(0.05) * col("n_exact")).as("approx_ok"))),
 
     // D. LLM-training-data pipeline ------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -560,8 +566,101 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS content_md5, " +
         "substr(hex(encode(text)), 1, 16) AS payload_hex_prefix, " +
-        "'text' AS modality FROM documents")
+        "'text' AS modality FROM documents"),
+    "approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok " +
+        "FROM events GROUP BY 1"),
+    "multimodal_decode" ->
+      ("WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h32, " +
+        "md5(text) AS hx FROM documents) " +
+        "SELECT doc_id, 16 + h32 % 64 AS width, 16 + (h32 >> 8) % 64 AS height, " +
+        "CAST(3 AS BIGINT) AS channels, " +
+        (0 until 8).map(i =>
+          s"CAST('0x' || substr(hx, ${2 * i + 1}, 2) AS BIGINT) / 255.0 AS f$i")
+          .mkString(", ") +
+        " FROM h"),
+    "profile_lineitem" -> profileOracleSql,
+    "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
+    "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4)
   )
+
+  /** DuckDB replay of Similarity.lshTopK: hyperplane sign buckets from the
+    * same seeded plane constants, hamming≤1 multiprobe, rounded-cosine
+    * top-k. Plane constants are inlined at full double precision (shortest
+    * round-trip repr), so both engines bucket identically.
+    */
+  private def annLshOracleSql(k: Int, numPlanes: Int): String = {
+    val ps = graft.ops.Similarity.planes(numPlanes, 64)
+    val bucket = (0 until numPlanes).map { i =>
+      val plane = ps(i).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"eb AS (SELECT vec_id, v, $bucket AS bucket FROM e), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < 10), " +
+      "cand AS (SELECT q.qid, e2.vec_id AS id2, " +
+      "round(list_cosine_similarity(q.qv, e2.v), 6) AS cos " +
+      "FROM eb e2 CROSS JOIN q " +
+      "WHERE bit_count(xor(CAST(e2.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1 " +
+      "AND e2.vec_id <> q.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $k"
+  }
+
+  /** DuckDB replay of Ivf.searchTopK at iters=0: centroids are the
+    * numCells lowest vec_ids, assignment/probing/top-k all order by
+    * round(cosine, 6) with cell-id (resp. neighbor-id) tiebreaks —
+    * exactly the native NearestCell + bounded top-k semantics.
+    */
+  private def annIvfOracleSql(k: Int, numCells: Int, nprobe: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
+      "assigned AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+      "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, a.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, a.v), 6) AS cos " +
+      "FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $k"
+
+  /** Column-by-column exact profile of lineitem (mirrors Profile.profile:
+    * decimal-exact means, exact distinct counts, NULL fills for
+    * non-applicable stats).
+    */
+  private def profileOracleSql: String = {
+    val cols = Seq(
+      ("l_orderkey", "bigint", "num"), ("l_partkey", "bigint", "num"),
+      ("l_suppkey", "bigint", "num"), ("l_linenumber", "int", "num"),
+      ("l_quantity", "double", "num"), ("l_extendedprice", "double", "num"),
+      ("l_discount", "double", "num"), ("l_tax", "double", "num"),
+      ("l_returnflag", "string", "str"), ("l_linestatus", "string", "str"),
+      // Spark reads the parquet TIMESTAMP (isAdjustedToUTC=false) as NTZ
+      ("l_shipdate", "timestamp_ntz", "other"))
+    cols.map { case (n, t, kind) =>
+      val num = kind == "num"
+      val str = kind == "str"
+      val minN = if (num) s"CAST(min($n) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val maxN = if (num) s"CAST(max($n) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mean = if (num) s"CAST(sum(CAST($n AS DECIMAL(27,6))) AS DOUBLE) / count($n)"
+                 else "CAST(NULL AS DOUBLE)"
+      val lmin = if (str) s"CAST(min(length($n)) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      val lmax = if (str) s"CAST(max(length($n)) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$n' AS "column", '$t' AS dtype, count(*) AS n_rows, """ +
+        s"CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        s"count(DISTINCT $n) AS n_distinct, $minN AS min_num, $maxN AS max_num, " +
+        s"$mean AS mean_num, $lmin AS min_len, $lmax AS max_len FROM lineitem"
+    }.mkString(" UNION ALL ")
+  }
 
   private def markerSql(quotedList: String): String =
     s"CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('$quotedList'))) AS BIGINT)"
@@ -595,7 +694,7 @@ object SparkEntry {
       "s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes FROM dw WHERE len(ws) >= 3), " +
       s"sigs AS (SELECT doc_id, ${minhashSigSql(numPerm)} AS sig FROM dh), " +
       "banded AS (SELECT doc_id, sig, band, " +
-      s"md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')) AS bsig " +
+      s"CAST('0x' || substr(md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')), 1, 15) AS BIGINT) AS bsig " +
       s"FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS band) bx), " +
       "stats AS (SELECT band, bsig, count(*) AS bucket_n, min(doc_id) AS rep FROM banded GROUP BY 1, 2), " +
       "tagged AS (SELECT b.doc_id, b.sig, b.band, b.bsig, s.bucket_n, s.rep " +

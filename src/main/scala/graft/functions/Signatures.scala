@@ -4,6 +4,52 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Portable md5-prefix hash: string → long from the first `hexChars` hex
+  * characters of the md5 digest (hexChars ∈ {8, 15} → 32/60-bit values).
+  * Numerically identical to `conv(substring(md5(x), 1, hexChars), 16, 10)`
+  * — the form any SQL engine can replay — but computed straight from the
+  * digest bytes: the first 8 hex chars are the first 4 bytes (top >>> 32
+  * of the big-endian first 8 bytes), 15 hex chars drop the last nibble
+  * (>>> 4). No hex string materialization, no radix-string parse.
+  */
+case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpression {
+  require(hexChars == 8 || hexChars == 15, "supported prefixes: 8 or 15 hex chars")
+
+  override def dataType: DataType = LongType
+
+  private def shift: Int = if (hexChars == 8) 32 else 4
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    java.lang.Long.valueOf(l >>> shift)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "md5Digest",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, in => {
+      val d = ctx.freshName("digest"); val l = ctx.freshName("l")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $d = $md.digest($in.getBytes());
+         |long $l = 0L;
+         |for (int $i = 0; $i < 8; $i++) { $l = ($l << 8) | ($d[$i] & 0xffL); }
+         |${ev.value} = $l >>> $shift;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
 
 /** Native signature expressions for the dedup family. The composed-HOF
   * forms (`transform` × 128 permutations / 64 `aggregate`s) are correct but
@@ -113,6 +159,84 @@ case class LshBucket(child: Expression, planes: Array[Double], numPlanes: Int, d
          |  if ($dot > 0) $bucket |= (1 << $i);
          |}
          |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid cell id: array<double> vector → int cid maximizing the
+  * cosine similarity against a broadcast row-major (k × dim) centroid
+  * matrix; ties break to the lowest cid. One fused map-side loop — the
+  * IVF assignment never materializes the n × k crossJoin.
+  *
+  * Cosines are rounded to 6 decimals (half away from zero, matching both
+  * Spark's `round` and DuckDB's) before the argmax, so assignment is
+  * bit-stable across engines even when two centroids nearly tie.
+  */
+case class NearestCell(child: Expression, centroids: Array[Double], k: Int, dim: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = java.lang.Math.min(dim, v.numElements())
+    var nv = 0.0
+    var j = 0
+    while (j < d) { val x = v.getDouble(j); nv += x * x; j += 1 }
+    var best = 0
+    var bestC = java.lang.Double.NEGATIVE_INFINITY
+    var cell = 0
+    while (cell < k) {
+      var dot = 0.0; var nc = 0.0
+      j = 0
+      while (j < d) {
+        val c = centroids(cell * dim + j)
+        dot += c * v.getDouble(j); nc += c * c
+        j += 1
+      }
+      val cos = dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      var r = java.lang.Math.floor(java.lang.Math.abs(cos) * 1.0e6 + 0.5) / 1.0e6
+      if (cos < 0) r = -r
+      if (r > bestC) { bestC = r; best = cell }
+      cell += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cellCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val nv = ctx.freshName("nv"); val x = ctx.freshName("x")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val cell = ctx.freshName("cell"); val dot = ctx.freshName("dot")
+      val nc = ctx.freshName("nc"); val cv = ctx.freshName("cv")
+      val cos = ctx.freshName("cos"); val r = ctx.freshName("r")
+      s"""
+         |int $d = java.lang.Math.min($dim, $in.numElements());
+         |double $nv = 0.0;
+         |for (int $j = 0; $j < $d; $j++) {
+         |  double $x = $in.getDouble($j); $nv += $x * $x;
+         |}
+         |int $best = 0;
+         |double $bestC = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $cell = 0; $cell < $k; $cell++) {
+         |  double $dot = 0.0; double $nc = 0.0;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    double $cv = $cRef[$cell * $dim + $j];
+         |    $dot += $cv * $in.getDouble($j); $nc += $cv * $cv;
+         |  }
+         |  double $cos = $dot / (java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nc));
+         |  double $r = java.lang.Math.floor(java.lang.Math.abs($cos) * 1.0e6 + 0.5) / 1.0e6;
+         |  if ($cos < 0) $r = -$r;
+         |  if ($r > $bestC) { $bestC = $r; $best = $cell; }
+         |}
+         |${ev.value} = $best;
        """.stripMargin
     })
   }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (score, id) candidate flowing into the top-k accumulator. */
+case class ScoredId(cos: Double, id: Long)
+
+/** Bounded top-k aggregator: keeps the k best (cos desc, id asc) rows per
+  * group. Registered via `functions.udaf`, Spark plans it as a regular
+  * two-phase aggregate — each map task reduces its partition to at most k
+  * rows per group BEFORE the shuffle, so a query scoring n candidates
+  * shuffles O(k × partitions) rows per group instead of all n (the
+  * row_number-window formulation shuffles and sorts everything).
+  *
+  * Determinism: the ordering (cos desc, then id asc) is total for distinct
+  * ids, so results are independent of partitioning and merge order.
+  */
+class TopKByScore(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def better(x: ScoredId, y: ScoredId): Boolean =
+    x.cos > y.cos || (x.cos == y.cos && x.id < y.id)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
+    if (buf.size >= k && better(buf.last, in)) buf
+    else (buf :+ in).sortWith(better).take(k)
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+  override def bufferEncoder: ExpressionEncoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+
+  override def outputEncoder: ExpressionEncoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+}

@@ -26,4 +26,12 @@ package object functions {
   /** Native cosine similarity column (see CosineSimilarity). */
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+
+  /** Native md5-prefix hash column (see Md5PrefixLong). */
+  def md5_prefix_long(s: Column, hexChars: Int): Column =
+    toColumn(Md5PrefixLong(toExpression(s), hexChars))
+
+  /** Native nearest-centroid cell column (see NearestCell). */
+  def nearest_cell(v: Column, centroids: Array[Double], k: Int, dim: Int): Column =
+    toColumn(NearestCell(toExpression(v), centroids, k, dim))
 }

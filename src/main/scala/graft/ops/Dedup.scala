@@ -24,15 +24,24 @@ object Dedup {
 
   /** Portable 32-bit content hash: first 8 hex chars of md5 as a long in
     * [0, 2^32). Engine-portable (DuckDB: `CAST('0x'||substr(md5(x),1,8) AS
-    * BIGINT)`), unlike murmur3/xxhash64.
+    * BIGINT)`), unlike murmur3/xxhash64. Computed by a native digest-bytes
+    * expression — no hex string round-trip (see Md5PrefixLong).
     */
   private[graft] def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.md5_prefix_long(c, 8)
 
   /** Portable 60-bit content hash (15 hex chars): always positive, so bit
     * extraction needs no sign games in any engine.
     */
   private[graft] def hash60(c: Column): Column =
+    graft.functions.md5_prefix_long(c, 15)
+
+  /** Composed-builtins forms of hash32/hash60 (reference semantics for the
+    * native expression; spec asserts equality).
+    */
+  private[graft] def hash32Composed(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  private[graft] def hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Exact dedup: group identical texts by content hash. */
@@ -111,13 +120,13 @@ object Dedup {
       .withColumn("sh", shinglesFromWords(col("ws")))
       .withColumn("hashes", transform(col("sh"), s => hash32(s)))
 
-  /** Portable band signature: md5 of the comma-joined band slice of the
-    * minhash signature (any engine can replay it, unlike xxhash64).
+  /** Portable band signature: 60-bit md5-prefix of the comma-joined band
+    * slice of the minhash signature (any engine can replay it, unlike
+    * xxhash64) — a long join key, not a 32-char hex string.
     */
   private def bandSig(sig: Column, band: Int, rows: Int): Column =
-    md5(concat_ws(",",
-      transform(slice(sig, band * rows + 1, rows), v => v.cast("string")))
-      .cast("binary"))
+    hash60(concat_ws(",",
+      transform(slice(sig, band * rows + 1, rows), v => v.cast("string"))))
 
   /** Estimated Jaccard from two minhash signatures: matching fraction. */
   private def estJaccard(sig1: Column, sig2: Column, numPerm: Int): Column =
@@ -139,40 +148,49 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
                  maxBucket: Int = 100): DataFrame = {
     val rows = numPerm / bands
-    val sigs = minhashSignatures(docs, numPerm)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // One hash-exchange in front of the signature compute: every consumer
+    // below (banding, and the two per-side signature joins for scoring)
+    // reads the SAME materialized exchange (Spark's ReuseExchange), so the
+    // shingle+minhash pass over the corpus runs exactly once.
+    val sigs = minhashSignatures(docs, numPerm).repartition(col("doc_id"))
+    // banding rows are skinny (doc_id, band, bsig) — the 128-long signature
+    // array never travels through the bucket-stats shuffles.
+    val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(bnd =>
         bandSig(col("sig"), bnd, rows)): _*)))
-      .toDF("doc_id", "sig", "band", "bsig")
+      .toDF("doc_id", "band", "bsig")
     val stats = banded.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
     val tagged = banded.join(stats, Seq("band", "bsig"))
     val small = tagged.where(col("bucket_n") <= maxBucket)
-    val x = small.select(col("band"), col("bsig"),
-      col("doc_id").as("id1"), col("sig").as("sig1"))
-    val y = small.select(col("band"), col("bsig"),
-      col("doc_id").as("id2"), col("sig").as("sig2"))
-    val smallPairs = x.join(y, Seq("band", "bsig"))
+    val smallPairs = small.select(col("band"), col("bsig"), col("doc_id").as("id1"))
+      .join(small.select(col("band"), col("bsig"), col("doc_id").as("id2")),
+        Seq("band", "bsig"))
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
     // oversized buckets: members pair with the bucket representative only
     val bigPairs = tagged
       .where(col("bucket_n") > maxBucket && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      .select(col("rep").as("id1"), col("doc_id").as("id2"))
+    // dedupe candidate pairs BEFORE scoring: est_jaccard depends only on
+    // the two signatures, so one evaluation per distinct pair suffices
+    val pairs = smallPairs.unionByName(bigPairs).distinct()
+    pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
-    smallPairs.unionByName(bigPairs)
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
         estJaccard(col("sig1"), col("sig2"), numPerm).as("est_jaccard"))
-      .groupBy(col("id1"), col("id2")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Exact shingle-Jaccard verification over LSH candidates:
     * (id1, id2, est_jaccard, jaccard).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // same ReuseExchange trick as minhashLsh: one shingle-set pass feeds
+    // both per-side joins
     val sh = docs.withColumn("ws", wordsOf(col("text")))
       .select(col("doc_id"), array_distinct(shinglesFromWords(col("ws"))).as("sh"))
+      .repartition(col("doc_id"))
     minhashLsh(docs)
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")

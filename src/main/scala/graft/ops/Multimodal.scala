@@ -31,25 +31,35 @@ object Multimodal {
   /** Batched decode/feature-extract stub. Batch size 64 mirrors a
     * vectorized decode unit (what a GPU/SIMD codec would consume at once).
     * Replace the body of `fakeDecode` with a real codec in deployment.
+    *
+    * The stub's outputs are md5-derived scalars (not an opaque float
+    * array), so the result is sortable/hashable by any downstream compare
+    * harness and replayable in SQL: width/height come from the first
+    * 8 md5 hex chars, feature f_i from hex chars [2i, 2i+2) over 255.
     */
   def decodeStub(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Int, Int, Int, Array[Float]) = {
+    def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Array[Double]) = {
       // STUB: deterministic content-derived metadata + feature vector.
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 16 + math.floorMod(h, 64)
-      val ht = 16 + math.floorMod(h >> 8, 64)
-      val feat = Array.tabulate(8)(i => math.floorMod(h >> i, 256).toFloat / 255f)
-      (id, w, ht, 3, feat)
+      val hexD = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hexD.substring(0, 8), 16)
+      val w = 16 + h % 64
+      val ht = 16 + (h >> 8) % 64
+      val feat = Array.tabulate(8)(i =>
+        java.lang.Long.parseLong(hexD.substring(2 * i, 2 * i + 2), 16) / 255.0)
+      (id, w, ht, 3L, feat)
     }
 
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
-        fakeDecode(id, bytes)
+        val (i, w, h, c, f) = fakeDecode(id, bytes)
+        (i, w, h, c, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
       }))
-      .toDF("doc_id", "width", "height", "channels", "feature")
+      .toDF("doc_id", "width", "height", "channels",
+        "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
   }
 }

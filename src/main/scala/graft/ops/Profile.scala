@@ -2,36 +2,62 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{DecimalType, NumericType, StringType}
 
 /** Single-pass column profiler — the data-quality sweep a training-data
   * pipeline runs before ingest. One aggregation job produces one row per
-  * column (null rate, distinct estimate, numeric min/max/mean, string
-  * length stats); no per-column jobs, no collect loops.
+  * column (null rate, distinct count, numeric min/max/mean, string length
+  * stats); no per-column jobs, no collect loops.
+  *
+  * Determinism: means go through exact DECIMAL(27,6) partial sums (order-
+  * insensitive) divided by the non-null count, so the result is
+  * bit-identical across engines and shuffle orders. Distinct counts are
+  * exact by default (Spark plans all of them in one pass via Expand); pass
+  * `exactDistinct = false` for the HLL-sketch variant when an estimate is
+  * enough — at very large scale that trades the Expand row multiplication
+  * for a fixed-size sketch per column.
   */
 object Profile {
 
-  def profile(df: DataFrame): DataFrame = {
-    val total = count(lit(1))
-    val perCol: Seq[Column] = df.schema.fields.zipWithIndex.map { case (f, i) =>
+  def profile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val fields = df.schema.fields
+    val d = DecimalType(27, 6)
+    val aggs = Seq.newBuilder[Column]
+    aggs += count(lit(1)).as("_nrows")
+    fields.zipWithIndex.foreach { case (f, i) =>
       val c = col(f.name)
+      aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"_null$i")
+      aggs += (if (exactDistinct) count_distinct(c)
+               else approx_count_distinct(c)).as(s"_dist$i")
+      if (f.dataType.isInstanceOf[NumericType]) {
+        aggs += min(c).cast("double").as(s"_min$i")
+        aggs += max(c).cast("double").as(s"_max$i")
+        aggs += sum(c.cast(d)).cast("double").as(s"_sum$i")
+        aggs += count(c).as(s"_cnt$i")
+      }
+      if (f.dataType == StringType) {
+        aggs += min(length(c)).cast("long").as(s"_lmin$i")
+        aggs += max(length(c)).cast("long").as(s"_lmax$i")
+      }
+    }
+    val a = aggs.result()
+    val agged = df.agg(a.head, a.tail: _*)
+    val structs = fields.zipWithIndex.map { case (f, i) =>
       val numeric = f.dataType.isInstanceOf[NumericType]
       val stringy = f.dataType == StringType
       struct(
         lit(f.name).as("column"),
         lit(f.dataType.simpleString).as("dtype"),
-        total.as("n_rows"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
-        approx_count_distinct(c).as("approx_distinct"),
-        (if (numeric) min(c).cast("double") else lit(null).cast("double")).as("min_num"),
-        (if (numeric) max(c).cast("double") else lit(null).cast("double")).as("max_num"),
-        (if (numeric) avg(c.cast("double")) else lit(null).cast("double")).as("mean_num"),
-        (if (stringy) min(length(c)).cast("long") else lit(null).cast("long")).as("min_len"),
-        (if (stringy) max(length(c)).cast("long") else lit(null).cast("long")).as("max_len"))
-        .as(s"c$i")
-    }.toSeq
-    df.agg(perCol.head, perCol.tail: _*)
-      .select(explode(array(df.schema.fields.indices.map(i => col(s"c$i")): _*)))
-      .select("col.*")
+        col("_nrows").as("n_rows"),
+        col(s"_null$i").as("n_null"),
+        col(s"_dist$i").as("n_distinct"),
+        (if (numeric) col(s"_min$i") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) col(s"_max$i") else lit(null).cast("double")).as("max_num"),
+        (if (numeric) col(s"_sum$i") / col(s"_cnt$i")
+         else lit(null).cast("double")).as("mean_num"),
+        (if (stringy) col(s"_lmin$i") else lit(null).cast("long")).as("min_len"),
+        (if (stringy) col(s"_lmax$i") else lit(null).cast("long")).as("max_len"))
+    }
+    agged.select(explode(array(structs.toSeq: _*))).select("col.*")
   }
 }

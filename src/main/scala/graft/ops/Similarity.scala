@@ -1,17 +1,19 @@
 package graft.ops
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, ScoredId, TopKByScore}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column.
   *
   * Scale design: the brute-force paths broadcast only the (small) query
   * set; candidate scoring is map-side over the big embedding table, and
-  * top-k is a bounded window per query. The 100 TB path is `lshTopK`:
-  * random-hyperplane signatures bucket the table (map-only), and search
-  * touches a single bucket — shuffle bounded by bucket sizes.
+  * top-k is a bounded-heap partial aggregate — each map task emits at most
+  * k rows per query, so no full scored set ever shuffles. Exact pair
+  * search is block-triangle partitioned (equi-joins only, no nested-loop
+  * join). The 100 TB paths are `lshTopK` / `Ivf.searchTopK`: signatures
+  * bucket the table map-only, and search touches a bounded candidate set.
   */
 object Similarity {
 
@@ -34,11 +36,52 @@ object Similarity {
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Exact near-duplicate pairs above a cosine threshold. Thresholds and
-    * emitted values are rounded to 6 decimals so the row-set is stable
-    * across engines/plans. (All-pairs baseline; LSH is the scale path.)
+  /** Map-side bounded top-k per query over a scored candidate frame
+    * (qid, id2, cos) → (qid, id2, cos, rn). See TopKByScore for why this
+    * beats a row_number window at scale.
     */
-  def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKByScore(k), ExpressionEncoder[ScoredId]())
+    scored.groupBy(col("qid"))
+      .agg(agg(col("cos"), col("id2")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id2"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** Exact near-duplicate pairs above a cosine threshold, block-triangle
+    * partitioned: vectors hash into `blocks` blocks, the (bi ≤ bj) block
+    * pair list is broadcast, and candidate generation is two equi-joins —
+    * a plain shuffle join on the block key, never a BroadcastNestedLoopJoin.
+    * The O(n²) comparison count is inherent to EXACT pair search; what the
+    * blocking buys is that the work distributes across the cluster in
+    * bounded per-task chunks (and AQE can split the heavier high-key
+    * partitions). LSH/IVF are the sub-quadratic approximate paths.
+    *
+    * Thresholds and emitted values are rounded to 6 decimals so the
+    * row-set is stable across engines/plans.
+    */
+  def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+                   blocks: Int = 32): DataFrame = {
+    import spark.implicits._
+    val e = vecs(emb).withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val bp = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      .toDF("bi", "bj")
+    val l = e.select(col("vec_id").as("vid1"), col("v").as("v1"), col("blk").as("bi"))
+      .join(broadcast(bp), "bi")
+    val r = e.select(col("vec_id").as("vid2"), col("v").as("v2"), col("blk").as("bj"))
+    l.join(r, "bj")
+      .where(col("bi") =!= col("bj") || col("vid1") < col("vid2"))
+      .select(least(col("vid1"), col("vid2")).as("id1"),
+        greatest(col("vid1"), col("vid2")).as("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** All-pairs reference form (BroadcastNestedLoopJoin by construction):
+    * the small-sf truth source the blocked form is spec-checked against.
+    */
+  private[graft] def nearDupPairsAllPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = vecs(emb)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
@@ -48,21 +91,20 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (excluding self).
     * Deterministic: ordered by rounded cosine desc, then neighbor id.
+    * Scoring is map-side (broadcast query set, native cosine codegen);
+    * top-k is the bounded partial aggregate.
     */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                      k: Int): DataFrame = {
     val e = vecs(emb)
     val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id2"))
-    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    topK(e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+        round(cosine(col("qv"), col("v")), 6).as("cos")), k)
   }
 
   /** Deterministic random hyperplanes (seeded). */
-  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -98,12 +140,9 @@ object Similarity {
         bucket.bitwiseXOR(lit(1 << i))): _*)
     val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
       .withColumn("bucket", explode(probes(lshBucket(col("qv"), numPlanes))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id2"))
-    e.join(broadcast(q), Seq("bucket"))
+    topK(e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+        round(cosine(col("qv"), col("v")), 6).as("cos")), k)
   }
 }

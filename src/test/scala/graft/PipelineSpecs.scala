@@ -71,6 +71,11 @@ class DedupSpec extends SparkSpec {
     val comS = Dedup.simhashSignaturesComposed(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     assert(natS == comS)
+    // native md5-prefix hash == conv(substring(md5)) composed form
+    val h = d.select(
+      Dedup.hash32(col("text")).as("n32"), Dedup.hash32Composed(col("text")).as("c32"),
+      Dedup.hash60(col("text")).as("n60"), Dedup.hash60Composed(col("text")).as("c60"))
+    assert(h.where(col("n32") =!= col("c32") || col("n60") =!= col("c60")).count() == 0)
   }
 
   test("sf0.001 corpus: minhash candidates are confirmed by true jaccard") {
@@ -129,6 +134,54 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.2, s"ivf recall $recall too low")
+  }
+
+  test("blocked exact pair search matches the all-pairs reference") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val blocked = Similarity.nearDupPairs(spark, e, 0.3)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect().toSet
+    val allPairs = Similarity.nearDupPairsAllPairs(e, 0.3)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(blocked == allPairs)
+    assert(blocked.nonEmpty)
+  }
+
+  test("bounded top-k aggregate matches the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.table(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+    val viaAgg = Similarity.topK(scored, 5)
+      .select("qid", "id2", "cos", "rn").as[(Long, Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id2"))
+    val viaWindow = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select("qid", "id2", "cos", "rn").as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 50)
+  }
+
+  test("native nearest-cell argmax matches the composed crossJoin+window form") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.table(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.ops.Ivf.train(e.select(col("vec_id"),
+      col("v").cast("array<float>").as("embedding")), 16, 0)
+    val native = graft.ops.Ivf.assign(e, cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cid"))
+    val composed = e.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("cid"),
+        round(Similarity.cosine(col("v"), col("cvec")), 6).as("c"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(native == composed)
   }
 
   test("CanonicalizeCosine rule makes argument order canonical") {
@@ -192,13 +245,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.columns.toSeq ==
       Seq("doc_id", "n_bytes", "content_md5", "payload_hex_prefix", "modality"))
     val dec = Multimodal.decodeStub(d)
-    assert(dec.columns.toSeq == Seq("doc_id", "width", "height", "channels", "feature"))
+    assert(dec.columns.toSeq == Seq("doc_id", "width", "height", "channels",
+      "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"))
     val rows = dec.collect()
     assert(rows.length == d.count().toInt)
-    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    assert(rows.forall { r =>
+      (0 until 8).forall { i =>
+        val f = r.getAs[Double](s"f$i"); f >= 0.0 && f <= 1.0
+      }
+    })
+    assert(rows.forall { r =>
+      val w = r.getAs[Long]("width"); w >= 16 && w < 80
+    })
     // deterministic across runs/partitioning
     val again = Multimodal.decodeStub(d.repartition(7)).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
-    assert(rows.forall(r => again(r.getAs[Long]("doc_id")) == r.getAs[Int]("width")))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("width")).toMap
+    assert(rows.forall(r => again(r.getAs[Long]("doc_id")) == r.getAs[Long]("width")))
   }
 }

@@ -53,4 +53,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MinHashSignature") || p.contains("minhash"),
       "native signature expression expected in plan\n" + p)
   }
+
+  test("exact pair search is equi-join blocked, never a nested-loop join") {
+    val p = planOf("embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann top-k paths aggregate map-side instead of windowing the scored set") {
+    val pTop = planOf("ann_topk")
+    assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
+    assert(pTop.toLowerCase.contains("topkbyscore"), pTop)
+    val pLsh = planOf("ann_lsh")
+    assert(!pLsh.contains("Window"), pLsh)
+    // ivf: assignment is the fused map-side argmax (no crossJoin+window over
+    // the corpus); the only Window ranks nprobe cells per query — |q|×cells
+    val pIvf = planOf("ann_ivf")
+    assert(pIvf.toLowerCase.contains("nearestcell"), pIvf)
+    assert(countOccurrences(pIvf, "Window [row_number") <= 1, pIvf)
+  }
 }
