@@ -3,17 +3,24 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.AllDoubleArrayInputs
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two array<double>
   * columns. A single fused loop (dot + both norms) with `doGenCode`, so the
   * hot path of similarity search stays inside whole-stage codegen — no UDF
   * serialization, no per-row boxing of 64-element arrays.
+  *
+  * Typed at analysis time: inputs must be (castable to) array<double> —
+  * `cosine_sim(embedding, ...)` on a raw array<float> column auto-widens,
+  * and a string argument fails as an AnalysisException instead of a
+  * runtime ClassCastException on executors. A zero-norm input yields NaN
+  * (documented; zero vectors carry no direction, callers filter or treat
+  * NaN as "no similarity" — NaN comparisons are false, so thresholds and
+  * top-k orderings naturally exclude them).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs must be array<double> — enforced by the Column/SQL wrappers in
-  // graft.ops.Similarity which cast before calling
+    extends BinaryExpression with AllDoubleArrayInputs {
 
   override def dataType: DataType = DoubleType
 

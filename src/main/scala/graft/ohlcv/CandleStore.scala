@@ -38,7 +38,10 @@ final class CandleStore(val root: String) {
     */
   def read(spark: SparkSession, exchange: Option[String] = None,
            symbol: Option[String] = None, timeframe: Option[String] = None): DataFrame = {
-    val base = spark.read.parquet(root)
+    val loaded = spark.read.parquet(root)
+    val base = // internal ingest bookkeeping never reaches readers
+      if (loaded.columns.contains("ingest_batch")) loaded.drop("ingest_batch")
+      else loaded
     Seq("exchange" -> exchange, "symbol" -> symbol, "timeframe" -> timeframe)
       .foldLeft(base) {
         case (df, (c, Some(v))) => df.where(col(c) === v)
@@ -54,17 +57,24 @@ final class CandleStore(val root: String) {
     rows.headOption.flatMap(r => Option(r.getTimestamp(0)))
   }
 
-  /** Append a micro-batch without touching existing partitions — the sink
-    * mode for streaming ingest (each watermark-closed window is emitted
-    * exactly once by append-mode streaming, so no overwrite is needed).
+  /** Idempotent micro-batch append for streaming ingest. foreachBatch is
+    * at-least-once: a crash between the data write and the checkpoint
+    * commit re-runs the batch on restart. Each batch therefore lands in
+    * its own `ingest_batch=<id>` partition via dynamic overwrite — a
+    * replay of batch N rewrites exactly N's directories instead of
+    * appending duplicates. The batch column is shed again by `read`.
     */
-  def append(candles: DataFrame, exchange: String, tf: Timeframe): Unit =
+  def appendBatch(candles: DataFrame, exchange: String, tf: Timeframe,
+                  batchId: Long): Unit =
     candles
       .withColumn("exchange", lit(exchange))
       .withColumn("timeframe", lit(tf.toString))
+      .withColumn("ingest_batch", lit(batchId))
       .write
-      .partitionBy("exchange", "symbol", "timeframe")
-      .mode(SaveMode.Append)
+      .partitionBy("exchange", "symbol", "timeframe", "ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .mode(SaveMode.Overwrite)
       .parquet(root)
 
   /** Register the candle set as a bucketed+sorted catalog table:

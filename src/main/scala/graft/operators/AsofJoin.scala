@@ -36,9 +36,13 @@ object AsofJoin {
       right(key).as("_k"), right(rightTs).as("_t"), lit(0).as("_side"),
       lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
+    // final `_r` sort key: a deterministic tiebreak when two right rows
+    // share (key, ts) — the struct-greatest right row wins, independent of
+    // physical row order. (Requires right columns to be orderable types,
+    // which ASOF semantics already effectively assume.)
     val unioned = lTagged.unionByName(rTagged)
       .repartition(col("_k"))
-      .sortWithinPartitions(col("_k"), col("_t"), col("_side"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_side"), col("_r"))
 
     val outSchema = StructType(
       left.schema.fields ++

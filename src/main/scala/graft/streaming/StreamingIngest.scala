@@ -7,10 +7,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The reference fetcher's full loop, live: streaming trades → candles →
   * store (ccxt-ohlcv-fetch.py:110-130 + persist :55-83). Append-mode
-  * windows emit exactly once (post-watermark), so the sink appends each
-  * micro-batch's closed candles; the incomplete tail never reaches the
-  * store, and restart resumes from the checkpoint (the streaming analog of
-  * `get_last_candle_timestamp` resume).
+  * windows emit each closed candle once (post-watermark); the incomplete
+  * tail never reaches the store, and restart resumes from the checkpoint
+  * (the streaming analog of `get_last_candle_timestamp` resume). The sink
+  * itself is replay-safe: foreachBatch delivery is at-least-once, so each
+  * micro-batch is written batch-addressed (CandleStore.appendBatch) and a
+  * replayed batch overwrites its own output instead of duplicating it —
+  * end-to-end effectively-once.
   */
 object StreamingIngest {
 
@@ -18,7 +21,7 @@ object StreamingIngest {
           exchange: String, watermark: String = "10 minutes",
           checkpoint: Option[String] = None): StreamingQuery = {
     val sink: (Dataset[Row], Long) => Unit =
-      (batch, _) => store.append(batch, exchange, tf)
+      (batch, batchId) => store.appendBatch(batch, exchange, tf, batchId)
     val w = StreamingCandles.fromTrades(trades, tf, watermark)
       .writeStream.outputMode("append").foreachBatch(sink)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

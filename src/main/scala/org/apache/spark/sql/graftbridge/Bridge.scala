@@ -13,3 +13,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Mixin declaring "every input is array<double>" with implicit casting.
+  * `AbstractDataType` is private[sql], so the trait lives in this shim
+  * package; graft expressions just mix it in.
+  */
+trait AllDoubleArrayInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ =>
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+}

@@ -187,6 +187,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(1).getAs[String]("tag") == "p2" && out(1).getAs[Double]("r_v") == 30.0)
   }
 
+  test("duplicate right timestamps resolve deterministically (struct-greatest wins)") {
+    val left = Seq((1L, ts(T0 + 100), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(T0 + 50), 10.0), (1L, ts(T0 + 50), 30.0),
+      (1L, ts(T0 + 50), 20.0)).toDF("user_id", "ts", "v")
+    // whatever the physical input order, the tied pick must be stable
+    (1 to 3).foreach { p =>
+      val out = AsofJoin.join(left, right.repartition(p), "user_id", "ts", "ts")
+        .collect()
+      assert(out.length == 1 && out.head.getAs[Double]("r_v") == 30.0)
+    }
+  }
+
   test("null keys never match (SQL join semantics)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),

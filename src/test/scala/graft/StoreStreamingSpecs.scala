@@ -161,6 +161,27 @@ class StreamingIngestSpec extends SparkSpec {
   }
 }
 
+class IdempotentSinkSpec extends SparkSpec {
+  test("replaying a micro-batch overwrites its output instead of duplicating") {
+    import spark.implicits._
+    val tf = Timeframe.parse("1m")
+    val root = Files.createTempDirectory("graft_replay_store").toString
+    val store = new CandleStore(root)
+    val candles = Seq(("BTC", ts(T0), 100.0, 104.0, 99.0, 101.0, 3.0, 2L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    // foreachBatch is at-least-once: simulate a crash-replay of batch 7
+    store.appendBatch(candles, "binance", tf, 7L)
+    store.appendBatch(candles, "binance", tf, 7L)
+    assert(store.read(spark).count() == 1)
+    // a different batch id is a genuine new batch, not a replay
+    val more = Seq(("BTC", ts(T0 + 600), 99.0, 99.0, 98.0, 98.0, 1.0, 1L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    store.appendBatch(more, "binance", tf, 8L)
+    assert(store.read(spark).count() == 2)
+    assert(!store.read(spark).columns.contains("ingest_batch"))
+  }
+}
+
 class StreamingResumeSpec extends SparkSpec {
   test("checkpoint restart resumes without duplicating stored candles") {
     import graft.core.Timeframe

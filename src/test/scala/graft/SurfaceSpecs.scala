@@ -24,6 +24,19 @@ class SqlSurfaceSpec extends SparkSpec {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions()(exts) // must not throw; function wired
   }
+
+  test("cosine_sim is typed: float arrays widen, strings fail at analysis") {
+    Graft.registerViews(spark, Sf0001)
+    // raw array<float> embeddings auto-cast to array<double> — no explicit CAST
+    val cos = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 5").collect()
+    assert(cos.forall(r => math.abs(r.getAs[Double]("c") - 1.0) < 1e-6))
+    // a string argument is an analysis-time error, not an executor crash
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim('oops', embedding) FROM embeddings").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
 }
 
 class CandleSourceSpec extends SparkSpec {
