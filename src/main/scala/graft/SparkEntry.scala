@@ -228,10 +228,11 @@ object SparkEntry {
       // HLL sketch surfaced as a checkable contract: the estimate must land
       // within 5% of the exact count — deterministic given the data, so the
       // oracle (exact count + literal true) hash-matches iff the sketch
-      // honors its accuracy bound.
+      // honors its accuracy bound. rsd=0.01 makes 5% a ~5σ bound (the
+      // default rsd=0.05 is 1σ and actually misses 5% at sf0.1).
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"),
-          approx_count_distinct(col("user_id")).as("n_approx"))
+          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("n_approx") - col("n_exact")).cast("double") <=
             lit(0.05) * col("n_exact")).as("approx_ok"))),
@@ -264,6 +265,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Similarity.lshTopK(s, e, e.where(col("vec_id") < 10), 5)
+    }),
+    "ann_lsh_multi" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopKMulti(s, e, e.where(col("vec_id") < 10), 5)
     }),
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
@@ -581,6 +586,7 @@ object SparkEntry {
         " FROM h"),
     "profile_lineitem" -> profileOracleSql,
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
+    "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4)
   )
 
@@ -603,6 +609,32 @@ object SparkEntry {
       "FROM eb e2 CROSS JOIN q " +
       "WHERE bit_count(xor(CAST(e2.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1 " +
       "AND e2.vec_id <> q.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $k"
+  }
+
+  /** DuckDB replay of Similarity.lshTopKMulti: per-table sign buckets from
+    * the same per-table seeded planes; candidate = hamming≤1 in ANY table.
+    */
+  private def annLshMultiOracleSql(k: Int, numPlanes: Int, numTables: Int): String = {
+    def bucketSql(table: Int): String = {
+      val ps = graft.ops.Similarity.planes(numPlanes, 64, table)
+      (0 until numPlanes).map { i =>
+        val plane = ps(i).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $plane) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val bucketCols = (0 until numTables).map(t => s"${bucketSql(t)} AS b$t").mkString(", ")
+    val anyTable = (0 until numTables)
+      .map(t => s"bit_count(xor(CAST(e2.b$t AS BIGINT), CAST(q.b$t AS BIGINT))) <= 1")
+      .mkString(" OR ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"eb AS (SELECT vec_id, v, $bucketCols FROM e), " +
+      "q AS (SELECT * FROM eb WHERE vec_id < 10), " +
+      "cand AS (SELECT q.vec_id AS qid, e2.vec_id AS id2, " +
+      "round(list_cosine_similarity(q.v, e2.v), 6) AS cos " +
+      s"FROM eb e2 CROSS JOIN q WHERE e2.vec_id <> q.vec_id AND ($anyTable)) " +
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM cand) WHERE rn <= $k"

@@ -103,17 +103,21 @@ object Similarity {
         round(cosine(col("qv"), col("v")), 6).as("cos")), k)
   }
 
-  /** Deterministic random hyperplanes (seeded). */
-  private[graft] def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
+  /** Deterministic random hyperplanes (seeded); `table` varies the seed so
+    * multi-table LSH gets independent plane sets (table 0 == the classic
+    * single-table planes).
+    */
+  private[graft] def planes(numPlanes: Int, dim: Int, table: Int = 0): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7 + table)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-bucket id for a vector under the hyperplane set — one fused
-    * native loop (graft.functions.LshBucket).
+    * native loop (graft.functions.LshBucket). `table` selects an
+    * independent plane set for multi-table amplification.
     */
-  def lshBucket(v: Column, numPlanes: Int = 12, dim: Int = 64): Column =
-    graft.functions.lsh_bucket(v, planes(numPlanes, dim).flatten, numPlanes, dim)
+  def lshBucket(v: Column, numPlanes: Int = 12, dim: Int = 64, table: Int = 0): Column =
+    graft.functions.lsh_bucket(v, planes(numPlanes, dim, table).flatten, numPlanes, dim)
 
   /** Composed-builtins bucket (reference semantics; spec asserts equality
     * with the native expression).
@@ -143,6 +147,42 @@ object Similarity {
     topK(e.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
+        round(cosine(col("qv"), col("v")), 6).as("cos")), k)
+  }
+
+  /** Multi-table LSH (OR-amplification): `numTables` independent
+    * hyperplane tables; a vector is a candidate if ANY table puts it
+    * within hamming≤1 of the query. Per-table hit probability p becomes
+    * 1-(1-p)^T — the standard recall knob — while work stays bounded:
+    * ONE pass computes all T bucket ids per vector (skinny
+    * (vec_id, table, bucket) rows, no vector payload through the explode),
+    * candidates are deduplicated across tables BEFORE the single scoring
+    * join, and top-k is the bounded partial aggregate.
+    */
+  def lshTopKMulti(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                   k: Int, numPlanes: Int = 6, numTables: Int = 4): DataFrame = {
+    val e = vecs(emb)
+    val q0 = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val eb = e.select(col("vec_id"),
+      posexplode(array((0 until numTables).map(t =>
+        lshBucket(col("v"), numPlanes, table = t)): _*)))
+      .toDF("vec_id", "table", "bucket")
+    val probeStructs = (0 until numTables).flatMap { t =>
+      val b = lshBucket(col("qv"), numPlanes, table = t)
+      (0 to numPlanes).map { p =>
+        val probe = if (p == 0) b else b.bitwiseXOR(lit(1 << (p - 1)))
+        struct(lit(t).as("table"), probe.as("bucket"))
+      }
+    }
+    val qt = q0.select(col("qid"), explode(array(probeStructs: _*)).as("pr"))
+      .select(col("qid"), col("pr.table").as("table"), col("pr.bucket").as("bucket"))
+    val cand = eb.join(broadcast(qt), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"))
+      .distinct()
+    topK(cand.join(e.select(col("vec_id").as("id2"), col("v")), "id2")
+      .join(broadcast(q0), "qid")
+      .select(col("qid"), col("id2"),
         round(cosine(col("qv"), col("v")), 6).as("cos")), k)
   }
 }

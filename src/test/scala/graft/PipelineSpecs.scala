@@ -121,6 +121,13 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty, "multiprobe LSH must return candidates (zero-result regression)")
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.1, s"recall $recall too low")
+    // OR-amplification: 4 independent tables must strictly improve on one
+    val multi = Similarity.lshTopKMulti(spark, e, queries, 5)
+      .select("qid", "id2").as[(Long, Long)].collect().toSet
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    info(s"recall single=$recall multi=$recallMulti")
+    assert(recallMulti >= recall, s"multi-table recall $recallMulti below single $recall")
+    assert(recallMulti >= 0.4, s"multi-table recall $recallMulti too low")
   }
 
   test("ivf ANN trains, probes cells, and recalls against brute force") {
