@@ -256,6 +256,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.tokenCount(Tables.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
+    "ngram_freq" -> ((s, dir) =>
+      graft.ops.TextAnalysis.ngramFreq(Tables.table(s, dir, "documents"))),
+    "text_normalize" -> ((s, dir) =>
+      graft.ops.TextAnalysis.normalize(Tables.table(s, dir, "documents"))),
+    "pii_scrub" -> ((s, dir) =>
+      graft.ops.TextAnalysis.piiScrub(Tables.table(s, dir, "documents"))),
     "embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.nearDupPairs(s, Tables.table(s, dir, "embeddings"), 0.4)),
     "ann_topk" -> ((s, dir) => {
@@ -552,6 +558,25 @@ object SparkEntry {
       ("SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words FROM documents"),
+    "ngram_freq" ->
+      ("WITH w AS (SELECT string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "g AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1), " +
+        "i -> concat_ws(' ', ws[i], ws[i+1]))) AS ngram FROM w) " +
+        "SELECT ngram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"),
+    "text_normalize" ->
+      ("WITH x AS (SELECT doc_id, text, " +
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, md5(norm) AS norm_fp, " +
+        "CAST(length(norm) AS BIGINT) AS n_chars_norm, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_raw FROM x"),
+    "pii_scrub" ->
+      ("WITH x AS (SELECT doc_id, text, " +
+        "regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9][0-9 ()-]{6,}[0-9]', '<NUMBER>', 'g') AS clean FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_digit_runs, " +
+        "md5(clean) AS clean_fp, CAST(length(clean) AS BIGINT) AS n_chars_clean FROM x"),
     "embed_neardup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
         "SELECT a.vec_id AS id1, b.vec_id AS id2, " +

@@ -77,4 +77,52 @@ object TextAnalysis {
       substring(md5(col("text").cast("binary")), 1, 8).as("fp_prefix"),
       length(col("text")).cast("long").as("n_chars_actual"),
       size(words(col("text"))).cast("long").as("n_words"))
+
+  /** Corpus-level n-gram frequency: the top-`topN` word `n`-grams with
+    * counts (contamination screening / template detection in a training
+    * corpus). Explode is map-side; the groupBy partial-aggregates per
+    * n-gram BEFORE the shuffle, so reducers see one row per distinct
+    * n-gram per map task — hot n-grams combine, they don't skew. The
+    * final top-N is a TakeOrdered (no global sort). Ties break on the
+    * n-gram string for cross-engine determinism.
+    */
+  def ngramFreq(docs: DataFrame, n: Int = 2, topN: Int = 20): DataFrame =
+    docs.select(explode(Dedup.shingles(col("text"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(topN)
+
+  /** Canonical text normalization (the C4-style cleanup pass): lowercase,
+    * collapse runs of whitespace, trim. Emitted as the normalized
+    * fingerprint + lengths so downstream exact-dedup can key on it.
+    * Map-only, pure codegen'd built-ins.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      md5(norm.cast("binary")).as("norm_fp"),
+      length(norm).cast("long").as("n_chars_norm"),
+      length(col("text")).cast("long").as("n_chars_raw"))
+  }
+
+  /** PII scrub: redact email-like and long-digit-run tokens, report
+    * redaction counts per doc (the pipeline pass a corpus runs before
+    * training). Patterns are portable regex (same semantics in Java and
+    * RE2 engines). Map-only.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val digits = "[0-9][0-9 ()-]{6,}[0-9]"
+    val clean = regexp_replace(
+      regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUMBER>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(digits), lit(0))).cast("long")
+        .as("n_digit_runs"),
+      md5(clean.cast("binary")).as("clean_fp"),
+      length(clean).cast("long").as("n_chars_clean"))
+  }
 }

@@ -233,6 +233,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("ngram frequency, normalization, and pii scrub on known docs") {
+    val d = Seq(
+      (1L, "a b a b a  b"), // double space collapses in normalize
+      (2L, "Mail me at bob.smith@example.com or call 555 123 4567 now"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.ngramFreq(d, 2, 3).collect()
+      .map(r => r.getAs[String]("ngram") -> r.getAs[Long]("n")).toMap
+    assert(top("a b") == 3L && top("b a") == 2L)
+    val norm = TextAnalysis.normalize(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(norm(1L).getAs[Long]("n_chars_norm") == 11L) // "a b a b a b"
+    assert(norm(1L).getAs[Long]("n_chars_raw") == 12L)
+    val pii = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(pii(2L).getAs[Long]("n_emails") == 1L)
+    assert(pii(2L).getAs[Long]("n_digit_runs") == 1L)
+    assert(pii(1L).getAs[Long]("n_emails") == 0L)
+  }
+
   test("lang id prefers marker-bearing languages deterministically") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),
