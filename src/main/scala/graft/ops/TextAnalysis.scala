@@ -87,7 +87,12 @@ object TextAnalysis {
     * n-gram string for cross-engine determinism.
     */
   def ngramFreq(docs: DataFrame, n: Int = 2, topN: Int = 20): DataFrame =
-    docs.select(explode(Dedup.shingles(col("text"), n)).as("ngram"))
+    // materialize the word array behind a filter barrier so the shingle
+    // lambda reads a bound attribute — inlining `split` into the transform
+    // re-evaluates it per element, O(words²) per doc
+    docs.withColumn("ws", split(col("text"), "\\s+"))
+      .where(size(col("ws")) >= n)
+      .select(explode(Dedup.shinglesFromWords(col("ws"), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(topN)
