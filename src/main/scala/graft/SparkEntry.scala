@@ -115,7 +115,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val c = e.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("value"))
-      AsofJoin.join(p, c, "user_id", "ts", "ts", "click_")
+      AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_")
     }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),

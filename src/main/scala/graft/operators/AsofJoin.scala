@@ -18,9 +18,36 @@ import org.apache.spark.sql.types._
   */
 object AsofJoin {
 
-  /** Inner backward as-of join. Right columns are emitted with `prefix`.
-    * At equal timestamps the right row is visible to the left row
-    * ("at-or-before").
+  /** As-of join as a first-class physical operator (graft.plans
+    * .AsofJoinExec): declares ClusteredDistribution + (key, ts) ordering
+    * and lets EnsureRequirements plan the exchanges — which it can then
+    * ELIDE when a child is already hash-partitioned or bucketed on the
+    * key, unlike the hand-repartitioned `join` below. Same semantics,
+    * spec-checked equal.
+    */
+  def joinNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = Bridge.analyzed(left)
+    // fresh exprIds on the right side: both inputs may derive from the
+    // same scan (self-join), and DeduplicateRelations doesn't visit
+    // custom nodes
+    val rPlan0 = Bridge.analyzed(right)
+    val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    Bridge.ofRows(spark,
+      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix))
+  }
+
+  /** Inner backward as-of join (composed formulation: tag-union both
+    * sides, one repartition, per-partition sweep). Right columns are
+    * emitted with `prefix`. At equal timestamps the right row is visible
+    * to the left row ("at-or-before").
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator as-of join as first-class Catalyst machinery: a logical
+  * node, a planner strategy, and a physical operator that DECLARES its
+  * distribution/ordering needs instead of hand-building them — Spark's
+  * EnsureRequirements then co-partitions both children on the key and
+  * sorts each by (key, ts), exactly like a SortMergeJoin, and can elide
+  * either shuffle/sort when a child is already partitioned or bucketed
+  * that way (something the RDD-style union+repartition formulation in
+  * graft.operators.AsofJoin can never benefit from).
+  *
+  * Execution is a per-partition merge sweep: advance the right iterator
+  * while right.ts <= left.ts for the current key, carrying one buffered
+  * right row — O(n+m) per partition, state of a single row. Right rows
+  * tied on (key, ts) resolve by their trailing sort columns, so output is
+  * deterministic regardless of physical input order.
+  */
+case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        key: String, leftTs: String, rightTs: String,
+                        prefix: String) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(a => a.withName(prefix + a.name))
+  // the operator consumes every child column it emits; without this,
+  // ColumnPruning sees zero expression references (keys are names, not
+  // exprs) and prunes the children empty under e.g. count()
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, key, lts, rts, prefix) =>
+      def attr(p: LogicalPlan, name: String): Attribute =
+        p.output.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+      AsofJoinExec(attr(l, key), attr(l, lts), attr(r, key), attr(r, rts),
+        prefix, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
+                        rKey: Attribute, rTs: Attribute, prefix: String,
+                        left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(a => a.withName(prefix + a.name))
+
+  // co-partition both children on the join key (EnsureRequirements makes
+  // the two hash partitionings compatible, or reuses existing ones)
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(lKey)), ClusteredDistribution(Seq(rKey)))
+
+  // each child sorted by (key, ts); the right side additionally by its
+  // remaining columns so (key, ts) ties resolve deterministically
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTs, Ascending)),
+    Seq(SortOrder(rKey, Ascending), SortOrder(rTs, Ascending)) ++
+      right.output.filterNot(a => a.exprId == rKey.exprId || a.exprId == rTs.exprId)
+        .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+        .map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == lKey.exprId)
+    val lTsIdx = left.output.indexWhere(_.exprId == lTs.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rTs.exprId)
+    val keyType = lKey.dataType
+    val tsType = lTs.dataType
+    val outAttrs = output
+    val inAttrs = left.output ++ right.output
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val kOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val tOrd = TypeUtils.getInterpretedOrdering(tsType)
+        val proj = UnsafeProjection.create(outAttrs, inAttrs)
+        val joined = new JoinedRow
+        val rBuf = rIter.buffered
+        var lastKey: Any = null
+        var lastRight: InternalRow = null
+
+        lIter.flatMap { l =>
+          val lk = l.get(lKeyIdx, keyType)
+          val lt = l.get(lTsIdx, tsType)
+          if (lk == null || lt == null) Iterator.empty // nulls never match
+          else {
+            // consume right rows at-or-before (lk, lt); later keys stay put
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = r.get(rKeyIdx, keyType)
+              val rt = r.get(rTsIdx, tsType)
+              if (rk == null || rt == null) { rBuf.next() } // skip null rows
+              else {
+                val c = kOrd.compare(rk, lk)
+                if (c < 0 || (c == 0 && tOrd.compare(rt, lt) <= 0)) {
+                  rBuf.next()
+                  lastKey = rk
+                  lastRight = r.copy()
+                } else advance = false
+              }
+            }
+            if (lastRight != null && lastKey != null && kOrd.compare(lastKey, lk) == 0)
+              Iterator.single(proj(joined(l, lastRight)))
+            else Iterator.empty
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

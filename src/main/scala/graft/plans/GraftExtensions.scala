@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => CanonicalizeCosine)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -199,6 +199,32 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("native AsofJoinExec matches the composed formulation (incl. self-join inputs)") {
+    val e = graft.core.Tables.events(spark, Sf0001)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "ts", "value",
+        "click_user_id", "click_ts", "click_value")
+        .collect().map(_.toSeq).toSet
+    val native = AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_")
+    assert(native.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      native.queryExecution.executedPlan.toString)
+    assert(rows(native) == rows(AsofJoin.join(p, c, "user_id", "ts", "ts", "click_")))
+    // tie determinism mirrors the composed form: struct-greatest right wins
+    import spark.implicits._
+    val l1 = Seq((1L, ts(T0 + 100), "p1")).toDF("user_id", "ts", "tag")
+    val r1 = Seq((1L, ts(T0 + 50), 10.0), (1L, ts(T0 + 50), 30.0))
+      .toDF("user_id", "ts", "v")
+    (1 to 3).foreach { parts =>
+      val out = AsofJoin.joinNative(l1, r1.repartition(parts), "user_id", "ts", "ts")
+        .collect()
+      assert(out.length == 1 && out.head.getAs[Double]("r_v") == 30.0)
+    }
+  }
+
   test("null keys never match (SQL join semantics)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),

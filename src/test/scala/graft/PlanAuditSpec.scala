@@ -54,6 +54,14 @@ class PlanAuditSpec extends SparkSpec {
       "native signature expression expected in plan\n" + p)
   }
 
+  test("asof join plans as the native physical operator") {
+    val p = planOf("asof_join")
+    assert(p.contains("AsofJoin"), p)
+    // EnsureRequirements co-partitions the two sides: one exchange each,
+    // nothing else
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("exact pair search is equi-join blocked, never a nested-loop join") {
     val p = planOf("embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
