@@ -280,6 +280,12 @@ object SparkEntry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 0)
     }),
+    "ann_ivf_trained" -> ((s, dir) => {
+      // 2 Lloyd rounds — exercises deterministic distributed k-means; the
+      // oracle replays both rounds (decimal-exact centroid means)
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 2)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -612,8 +618,49 @@ object SparkEntry {
     "profile_lineitem" -> profileOracleSql,
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
-    "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4)
+    "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),
+    "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2)
   )
+
+  /** DuckDB replay of Ivf.searchTopK with `iters` Lloyd rounds: each round
+    * is argmax-assignment (rounded cosine, cid tiebreak) followed by
+    * decimal-exact per-component centroid means, with cids re-ranked the
+    * way Ivf.localize compacts them. Trained k-means, bit-replayed in SQL.
+    */
+  private def annIvfTrainedOracleSql(k: Int, numCells: Int, nprobe: Int,
+                                     iters: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        s"FROM e CROSS JOIN $cents c) WHERE arn = 1)"
+    def meanCte(name: String, from: String): String =
+      s"$name AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cid, cvec FROM (" +
+        "SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
+        "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
+        s"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $from) " +
+        "GROUP BY cid, pos) GROUP BY cid) x)"
+    val rounds = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"a${i - 1}", s"cents${i - 1}"), meanCte(s"cents$i", s"a${i - 1}"))
+    }.mkString(", ")
+    val fin = s"cents$iters"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
+      rounds + ", " +
+      assignCte("af", fin) + ", " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN $fin c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, a.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, a.v), 6) AS cos " +
+      "FROM af a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $k"
+  }
 
   /** DuckDB replay of Similarity.lshTopK: hyperplane sign buckets from the
     * same seeded plane constants, hamming≤1 multiprobe, rounded-cosine

@@ -45,8 +45,14 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
 
-  /** Train the coarse quantizer: k centroids as a driver-side matrix. */
+  /** Train the coarse quantizer: k centroids as a driver-side matrix.
+    * Centroid means go through exact DECIMAL(30,15) partial sums, so each
+    * Lloyd round is bit-identical under any shuffle order AND replayable
+    * by any SQL engine — deterministic distributed training, the property
+    * that makes `ann_ivf_trained` oracle-checkable end to end.
+    */
   def train(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    val d = org.apache.spark.sql.types.DecimalType(30, 15)
     val e = vecs(emb)
     var cents = localize(e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
@@ -55,7 +61,8 @@ object Ivf {
       cents = localize(assign(e, cents)
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           s => s.getField("x")).as("cvec")))
