@@ -77,6 +77,29 @@ final class CandleStore(val root: String) {
       .mode(SaveMode.Overwrite)
       .parquet(root)
 
+  /** Compact the store into a new generation at `destRoot`: one file per
+    * (exchange, symbol, timeframe) series, per-batch `ingest_batch`
+    * bookkeeping collapsed away. Streaming ingest writes one directory per
+    * micro-batch (the price of replay-safety), so a long-lived store
+    * accretes small files; compaction jobs write a fresh generation and
+    * the catalog/path pointer swaps atomically — the standard object-store
+    * pattern (an in-place rewrite could never atomically drop the old
+    * batch directories).
+    */
+  def compactTo(spark: SparkSession, destRoot: String): CandleStore = {
+    val all = spark.read.parquet(root)
+    val clean =
+      if (all.columns.contains("ingest_batch")) all.drop("ingest_batch") else all
+    clean
+      .repartition(col("exchange"), col("symbol"), col("timeframe"))
+      .write
+      .partitionBy("exchange", "symbol", "timeframe")
+      .option("compression", "zstd")
+      .mode(SaveMode.Overwrite)
+      .parquet(destRoot)
+    new CandleStore(destRoot)
+  }
+
   /** Register the candle set as a bucketed+sorted catalog table:
     * `bucketBy(symbol)` co-locates each symbol's candles, so symbol-keyed
     * joins and aggregations between bucketed tables run with NO shuffle

@@ -180,6 +180,29 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(store.read(spark).count() == 2)
     assert(!store.read(spark).columns.contains("ingest_batch"))
   }
+
+  test("compaction collapses per-batch directories into one file per series") {
+    import spark.implicits._
+    val tf = Timeframe.parse("1m")
+    val root = Files.createTempDirectory("graft_compact_src").toString
+    val store = new CandleStore(root)
+    (0 until 5).foreach { b =>
+      val c = Seq(("BTC", ts(T0 + b * 600), 100.0 + b, 104.0, 99.0, 101.0, 1.0, 1L))
+        .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      store.appendBatch(c, "binance", tf, b.toLong)
+    }
+    def parquetFiles(dir: String): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try it.filter(_.toString.endsWith(".parquet")).count().toInt finally it.close()
+    }
+    val before = store.read(spark).select("symbol", "bucket_ts", "open").collect().toSet
+    assert(parquetFiles(root) >= 5) // one dir per micro-batch
+    val dest = Files.createTempDirectory("graft_compact_dst").toString
+    val compacted = store.compactTo(spark, dest)
+    assert(parquetFiles(dest) == 1)
+    assert(compacted.read(spark).select("symbol", "bucket_ts", "open").collect().toSet == before)
+    assert(!compacted.read(spark).columns.contains("ingest_batch"))
+  }
 }
 
 class StreamingResumeSpec extends SparkSpec {
