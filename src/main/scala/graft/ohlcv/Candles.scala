@@ -66,10 +66,13 @@ object Candles {
     a.unionByName(b)
       .groupBy(col("symbol"), col("bucket_ts"))
       .agg(
-        min_by(col("open"), col("first_ts")).as("open"),
+        // value is part of the pick key: if inputs violate the disjoint
+        // unique-ts precondition (e.g. contradictory same-ts candles),
+        // the pick is still deterministic instead of order-dependent
+        min_by(col("open"), struct(col("first_ts"), col("open"))).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("last_ts")).as("close"),
+        max_by(col("close"), struct(col("last_ts"), col("close"))).as("close"),
         exactSum(col("volume")).as("volume"),
         sum(col("trades")).as("trades"),
         min(col("first_ts")).as("first_ts"),

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.Timeframe
+import graft.ohlcv.Candles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based checks of the algebraic claims the engine is built on:
+  * mergeable candles form a commutative monoid under `Candles.merge`
+  * (so ANY partitioning / batch arrival order yields the same store), and
+  * the salted resample is output-identical to the plain one. Cases are
+  * generated with seeded scalacheck Gens — deterministic, but far wider
+  * than hand-picked examples.
+  */
+class CandleAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Trade(symbol: String, off: Int, price: Double, qty: Double)
+
+  // unique trade timestamps by construction (the documented determinism
+  // precondition for open/close picks)
+  private val genTrades: Gen[List[Trade]] = for {
+    n <- Gen.chooseNum(5, 60)
+    offs <- Gen.pick(n, 0 until 3000)
+    syms <- Gen.listOfN(n, Gen.oneOf("BTC", "ETH", "XRP"))
+    prices <- Gen.listOfN(n, Gen.chooseNum(1, 99999))
+    qtys <- Gen.listOfN(n, Gen.chooseNum(1, 9999))
+  } yield offs.toList.lazyZip(syms).lazyZip(prices).lazyZip(qtys).map {
+    case (o, s, p, q) => Trade(s, o, p / 100.0, q / 100.0)
+  }
+
+  private def df(trades: Seq[Trade]): DataFrame =
+    trades.map(t => (t.symbol, ts(T0 + t.off), t.price, t.qty))
+      .toDF("symbol", "ts", "price", "qty")
+
+  private def canon(c: DataFrame): Set[Seq[Any]] =
+    c.select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+
+  private def cases(n: Int): Seq[List[Trade]] =
+    (0 until n).flatMap(i =>
+      genTrades.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+
+  test("merge(split A, split B) == fromTrades(A ++ B) for random splits") {
+    val tf = Timeframe.parse("5m")
+    cases(5).zipWithIndex.foreach { case (trades, i) =>
+      val (a, b) = trades.splitAt(trades.length * (i % 3 + 1) / 4)
+      val whole = Candles.fromTradesMergeable(df(trades), tf)
+      val merged = Candles.merge(
+        Candles.fromTradesMergeable(df(a), tf),
+        Candles.fromTradesMergeable(df(b), tf))
+      assert(canon(merged) == canon(whole), s"case $i: split merge diverged")
+    }
+  }
+
+  test("merge is commutative and the empty set is an identity") {
+    val tf = Timeframe.parse("5m")
+    val Seq(t1, t2raw) = cases(2)
+    // merge's precondition: the two batches' trade timestamps are disjoint
+    val t2 = t2raw.map(t => t.copy(off = t.off + 3000))
+    val m1 = Candles.fromTradesMergeable(df(t1), tf)
+    val m2 = Candles.fromTradesMergeable(df(t2), tf)
+    assert(canon(Candles.merge(m1, m2)) == canon(Candles.merge(m2, m1)))
+    val empty = Candles.fromTradesMergeable(df(Nil), tf)
+    assert(canon(Candles.merge(m1, empty)) == canon(m1))
+  }
+
+  test("salted resample is output-identical to the plain one on random data") {
+    val tf = Timeframe.parse("1m")
+    cases(3).foreach { trades =>
+      val plain = canon(Candles.fromTrades(df(trades), tf))
+      val salted = canon(Candles.fromTradesSalted(df(trades), tf))
+      assert(salted == plain)
+    }
+  }
+
+  test("timeframe grammar roundtrips and rejects junk") {
+    Seq("1m", "5m", "15m", "1h", "4h", "1d", "1w", "30s", "1M", "1y").foreach { s =>
+      assert(Timeframe.parse(s).toString == s)
+    }
+    Seq("", "m", "5x", "-1m", "1.5h", "h1").foreach { s =>
+      intercept[IllegalArgumentException](Timeframe.parse(s))
+    }
+  }
+}
