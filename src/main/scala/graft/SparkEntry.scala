@@ -262,6 +262,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.normalize(Tables.table(s, dir, "documents"))),
     "pii_scrub" -> ((s, dir) =>
       graft.ops.TextAnalysis.piiScrub(Tables.table(s, dir, "documents"))),
+    "corpus_curate" -> ((s, dir) =>
+      graft.ops.TextAnalysis.curate(Tables.table(s, dir, "documents"))),
     "embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.nearDupPairs(s, Tables.table(s, dir, "embeddings"), 0.4)),
     "ann_topk" -> ((s, dir) => {
@@ -616,6 +618,25 @@ object SparkEntry {
           .mkString(", ") +
         " FROM h"),
     "profile_lineitem" -> profileOracleSql,
+    "corpus_curate" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, 0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + " +
+        "0.2 * least(nw / 100.0, 1.0) AS score FROM f), " +
+        "st AS (SELECT d.doc_id, " +
+        "md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS norm_fp, " +
+        "q.score, q.score >= 0.42 AS passed_quality " +
+        "FROM documents d JOIN q ON q.doc_id = d.doc_id), " +
+        "k AS (SELECT norm_fp, first(doc_id ORDER BY score DESC, doc_id) AS keep_id " +
+        "FROM st WHERE passed_quality GROUP BY 1) " +
+        "SELECT st.doc_id, st.norm_fp, round(st.score, 6) AS score, st.passed_quality, " +
+        "(st.passed_quality AND st.doc_id = k.keep_id) AS kept " +
+        "FROM st LEFT JOIN k ON k.norm_fp = st.norm_fp"),
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),

@@ -111,6 +111,29 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars_raw"))
   }
 
+  /** End-to-end corpus curation — the composed pass a training pipeline
+    * runs per snapshot: quality gate → canonical normalization →
+    * exact-dedup on the normalized fingerprint (keep the best-quality
+    * copy, ties to lowest doc_id). Emits the per-doc decision record
+    * (auditable lineage, not just the survivor set). Everything upstream
+    * is map-only; the only shuffle is the canonical-group aggregation,
+    * one row per distinct normalized fingerprint.
+    */
+  def curate(docs: DataFrame, minScore: Double = 0.42): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val scored = qualityScore(docs).select(col("doc_id"), col("score"))
+    val staged = docs.select(col("doc_id"), md5(norm.cast("binary")).as("norm_fp"))
+      .join(scored, "doc_id")
+      .withColumn("passed_quality", col("score") >= minScore)
+    val keepers = staged.where(col("passed_quality"))
+      .groupBy(col("norm_fp"))
+      .agg(min_by(col("doc_id"), struct(negate(col("score")), col("doc_id"))).as("keep_id"))
+    staged.join(keepers, Seq("norm_fp"), "left")
+      .select(col("doc_id"), col("norm_fp"), round(col("score"), 6).as("score"),
+        col("passed_quality"),
+        (col("passed_quality") && col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   /** PII scrub: redact email-like and long-digit-run tokens, report
     * redaction counts per doc (the pipeline pass a corpus runs before
     * training). Patterns are portable regex (same semantics in Java and

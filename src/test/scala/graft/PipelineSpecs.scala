@@ -252,6 +252,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pii(1L).getAs[Long]("n_emails") == 0L)
   }
 
+  test("curate keeps one best-quality doc per normalized-duplicate group") {
+    val good = "the cat and of to in is it for on the mats sat here today fine"
+    val d = Seq(
+      (1L, good),                        // duplicate group (same normalized text)
+      (2L, good.replace(" ", "  ")),     //   ... twin with doubled whitespace
+      (3L, "zzz qqq www!!!???"))         // low quality: fails the gate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.curate(d, 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("norm_fp") == out(2L).getAs[String]("norm_fp"))
+    assert(out(1L).getAs[Boolean]("passed_quality") && out(2L).getAs[Boolean]("passed_quality"))
+    val keptTwins = Seq(1L, 2L).filter(out(_).getAs[Boolean]("kept"))
+    assert(keptTwins.size == 1)
+    // the kept twin is the higher-scoring one
+    val best = Seq(1L, 2L).maxBy(id => (out(id).getAs[Double]("score"), -id))
+    assert(keptTwins.head == best)
+    assert(!out(3L).getAs[Boolean]("passed_quality") && !out(3L).getAs[Boolean]("kept"))
+  }
+
   test("lang id prefers marker-bearing languages deterministically") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),
