@@ -224,6 +224,20 @@ object SparkEntry {
     "value_corr" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_value_user"))),
+    "approx_percentiles" -> ((s, dir) =>
+      // GK-sketch percentiles surfaced as their accuracy contract: every
+      // approx percentile must land within 2% relative error of the exact
+      // one (accuracy=10000 ⇒ rank error 1e-4; the value-space slack
+      // covers the rank→value mapping). Same pattern as approx_distinct.
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact"),
+          expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("approx"))
+        .select(col("event_type"),
+          round(element_at(col("exact"), 1), 6).as("p50"),
+          round(element_at(col("exact"), 2), 6).as("p90"),
+          round(element_at(col("exact"), 3), 6).as("p99"),
+          forall(zip_with(col("approx"), col("exact"),
+            (a, e) => abs(a - e) <= lit(0.02) * abs(e)), x => x).as("approx_ok"))),
     "approx_distinct" -> ((s, dir) =>
       // HLL sketch surfaced as a checkable contract: the estimate must land
       // within 5% of the exact count — deterministic given the data, so the
@@ -607,6 +621,11 @@ object SparkEntry {
         "'text' AS modality FROM documents"),
     "approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok " +
+        "FROM events GROUP BY 1"),
+    "approx_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90, " +
+        "round(quantile_cont(value, 0.99), 6) AS p99, true AS approx_ok " +
         "FROM events GROUP BY 1"),
     "multimodal_decode" ->
       ("WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h32, " +
