@@ -248,6 +248,70 @@ class StreamingResumeSpec extends SparkSpec {
   }
 }
 
+class StreamingAsofSpec extends SparkSpec {
+  test("stream-stream asof joins out-of-order arrivals exactly once watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingAsof.join(
+      lefts.toDF.toDF("user_id", "ts", "event_id", "value"),
+      rights.toDF.toDF("user_id", "ts", "value"),
+      watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    try {
+      // left arrives BEFORE its matching right (out of order across batches)
+      lefts.addData((1L, ts(T0 + 100), 10L, 1.0))
+      q.processAllAvailable()
+      rights.addData((1L, ts(T0 + 50), 7.0), (1L, ts(T0 + 90), 8.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM asof_out").count() == 0) // not finalizable yet
+      // advance BOTH watermarks past the left row
+      lefts.addData((2L, ts(T0 + 900), 99L, 0.0))
+      rights.addData((2L, ts(T0 + 900), 0.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 1800), 98L, 0.0))
+      rights.addData((2L, ts(T0 + 1800), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, r_value FROM asof_out WHERE user_id = 1")
+        .as[(Long, Double)].collect().toSet
+      // latest right at-or-before t+100 is (t+90, 8.0); exactly one emission
+      assert(rows == Set((10L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream asof keeps the pre-watermark right representative for future lefts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingAsof.join(
+      lefts.toDF.toDF("user_id", "ts", "event_id", "value"),
+      rights.toDF.toDF("user_id", "ts", "value"),
+      watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("asof_rep").start()
+    try {
+      // right long ago; watermark advances far past it; THEN a left arrives
+      rights.addData((1L, ts(T0 + 10), 5.0))
+      lefts.addData((2L, ts(T0 + 2000), 99L, 0.0))
+      rights.addData((2L, ts(T0 + 2000), 0.0))
+      q.processAllAvailable()
+      lefts.addData((1L, ts(T0 + 2100), 11L, 1.0)) // matches the old right
+      lefts.addData((2L, ts(T0 + 4000), 98L, 0.0))
+      rights.addData((2L, ts(T0 + 4000), 0.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 8000), 97L, 0.0))
+      rights.addData((2L, ts(T0 + 8000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, r_value FROM asof_rep WHERE user_id = 1")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((11L, 5.0)))
+    } finally q.stop()
+  }
+}
+
 class StreamingSessionizeSpec extends SparkSpec {
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     import spark.implicits._
