@@ -119,6 +119,37 @@ object SparkEntry {
     }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
+    "funnel_1h" -> ((s, dir) => {
+      // click→purchase attribution within 1h: forward interval join
+      // (equi-join on user + interval residual — a hash join, never a
+      // nested loop), then one aggregate per day
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.IntervalJoin
+        .forward(clicks, purchases, "user_id", "ts", "ts", 3600000000L, "p_")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("event_id")).as("n_converting_clicks"),
+          count(lit(1)).as("n_attributed_purchases"),
+          sum(col("p_value").cast(DecimalType(18, 2))).cast("double").as("attributed_value"))
+    }),
+    "retention_cohorts" -> ((s, dir) => {
+      // classic cohort retention: users grouped by first-active day,
+      // counted per day-offset they return. Two shuffles total (cohort
+      // agg + the final rollup); the activity join is a broadcast of the
+      // per-user cohort table at dim scale, a shuffle join at 100 TB.
+      val e = Tables.events(s, dir)
+      val activity = e.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     "bollinger" -> ((s, dir) =>
       Analytics.bollinger(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
     "rsi" -> ((s, dir) =>
@@ -455,6 +486,22 @@ object SparkEntry {
         "last_value(c.close IGNORE NULLS) OVER (PARTITION BY sp.symbol ORDER BY sp.bucket_ts " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled " +
         "FROM sp LEFT JOIN c ON sp.symbol = c.symbol AND sp.bucket_ts = c.bucket_ts"),
+    "funnel_1h" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT c.ts, c.event_id, p.value FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND p.ts > c.ts AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000) " +
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "count(DISTINCT event_id) AS n_converting_clicks, " +
+        "count(*) AS n_attributed_purchases, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value " +
+        "FROM j GROUP BY 1"),
+    "retention_cohorts" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +
+        "SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset, " +
+        "count(DISTINCT a.user_id) AS n_users " +
+        "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"),
     "top_volume" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}) " +
         "SELECT symbol, bucket_ts, volume, rn FROM (" +
