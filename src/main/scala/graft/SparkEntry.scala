@@ -105,6 +105,8 @@ object SparkEntry {
         .withColumn("ema", round(col("ema"), 6))),
     "atr" -> ((s, dir) =>
       Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
+    "heikin_ashi" -> ((s, dir) =>
+      Analytics.heikinAshi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "max_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "obv" -> ((s, dir) =>
@@ -388,6 +390,22 @@ object SparkEntry {
         "CAST(sum(tr) OVER w AS DOUBLE) AS sum_tr, count(*) OVER w AS cnt FROM d " +
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, tr, round(sum_tr / CAST(cnt AS DOUBLE), 6) AS atr FROM f WHERE cnt = 14"),
+    "heikin_ashi" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "w AS (SELECT symbol, bucket_ts, open, high, low, close, " +
+        "(open + high + low + close) / 4.0 AS hac, " +
+        "first_value(open) OVER ws AS fo, first_value(close) OVER ws AS fc, " +
+        "list((open + high + low + close) / 4.0) OVER " +
+        "(PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hcs " +
+        "FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "h AS (SELECT symbol, bucket_ts, high, low, hac, " +
+        "list_reduce(list_prepend((fo + fc) / 2.0, coalesce(hcs, [])), " +
+        "(acc, x) -> (acc + x) / 2.0) AS hao FROM w) " +
+        "SELECT symbol, bucket_ts, round(hao, 6) AS ha_open, " +
+        "round(greatest(high, greatest(hao, hac)), 6) AS ha_high, " +
+        "round(least(low, least(hao, hac)), 6) AS ha_low, " +
+        "round(hac, 6) AS ha_close FROM h"),
     "max_drawdown" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, close, " +

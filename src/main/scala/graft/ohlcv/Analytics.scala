@@ -178,6 +178,43 @@ object Analytics {
       .toDF("symbol", "bucket_ts", "close", "ema")
   }
 
+  /** Heikin-Ashi smoothed candles: ha_close = (o+h+l+c)/4 per bar,
+    * ha_open = midpoint of the previous HA bar (seeded with the first
+    * bar's (o+c)/2), extremes stretched over both. The recursion is the
+    * same inherently-sequential per-symbol sweep as `ema`; arithmetic
+    * order matches the oracle's list_reduce fold exactly, so values are
+    * bit-reproducible cross-engine (rounded at emission only).
+    */
+  def heikinAshi(candles: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var prevO = 0.0
+        var prevC = 0.0
+        var first = true
+        it.map { case (s, t, o, h, l, c) =>
+          if (s != cur) { cur = s; first = true }
+          val haC = (o + h + l + c) / 4.0
+          val haO = if (first) (o + c) / 2.0 else (prevO + prevC) / 2.0
+          first = false
+          prevO = haO; prevC = haC
+          val haH = math.max(h, math.max(haO, haC))
+          val haL = math.min(l, math.min(haO, haC))
+          (s, t, haO, haH, haL, haC)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "ha_open", "ha_high", "ha_low", "ha_close")
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("ha_open"), 6).as("ha_open"), round(col("ha_high"), 6).as("ha_high"),
+        round(col("ha_low"), 6).as("ha_low"), round(col("ha_close"), 6).as("ha_close"))
+  }
+
   /** Densify a candle series to one row per bucket between each symbol's
     * first and last bucket, forward-filling close. sequence+explode is
     * map-side; the fill is one window per symbol.
