@@ -105,6 +105,21 @@ object SparkEntry {
         .withColumn("ema", round(col("ema"), 6))),
     "atr" -> ((s, dir) =>
       Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
+    "symbol_correlations" -> ((s, dir) => {
+      // pairwise return correlation across symbols: returns self-joined on
+      // the shared hour bucket (equi join), one corr aggregate per pair.
+      // At 100 TB the join shuffles on bucket_ts; the pair space is
+      // |symbols|² — a dim-scale output.
+      val r = Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
+        .select(col("symbol"), col("bucket_ts"), col("ret"))
+      r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
+        .join(r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2")),
+          "bucket_ts")
+        .where(col("sym1") < col("sym2"))
+        .groupBy(col("sym1"), col("sym2"))
+        .agg(round(corr(col("ret1"), col("ret2")), 6).as("corr_ret"),
+          count(lit(1)).as("n_overlap"))
+    }),
     "heikin_ashi" -> ((s, dir) =>
       Analytics.heikinAshi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "max_drawdown" -> ((s, dir) =>
@@ -390,6 +405,15 @@ object SparkEntry {
         "CAST(sum(tr) OVER w AS DOUBLE) AS sum_tr, count(*) OVER w AS cnt FROM d " +
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, tr, round(sum_tr / CAST(cnt AS DOUBLE), 6) AS atr FROM f WHERE cnt = 14"),
+    "symbol_correlations" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL) " +
+        "SELECT a.symbol AS sym1, b.symbol AS sym2, " +
+        "round(corr(a.ret, b.ret), 6) AS corr_ret, count(*) AS n_overlap " +
+        "FROM r a JOIN r b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol " +
+        "GROUP BY 1, 2"),
     "heikin_ashi" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "w AS (SELECT symbol, bucket_ts, open, high, low, close, " +

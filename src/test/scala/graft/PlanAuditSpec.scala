@@ -68,6 +68,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("interval join plans as an equi hash join with residual, not a nested loop") {
+    val p = planOf("funnel_1h")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
