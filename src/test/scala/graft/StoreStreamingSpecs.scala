@@ -312,6 +312,38 @@ class StreamingAsofSpec extends SparkSpec {
   }
 }
 
+class StreamingIntervalSpec extends SparkSpec {
+  test("forward interval join attributes rights inside the window, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingInterval.forward(
+      lefts.toDF.toDF("user_id", "ts", "event_id", "value"),
+      rights.toDF.toDF("user_id", "ts", "value"),
+      windowMillis = 60000L, watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("iv_out").start()
+    try {
+      // click at t+10; purchases at t+30 (inside) and t+100 (outside 60s)
+      lefts.addData((1L, ts(T0 + 10), 10L, 1.0))
+      rights.addData((1L, ts(T0 + 30), 7.0), (1L, ts(T0 + 100), 9.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM iv_out").count() == 0) // window not closed
+      // advance both watermarks far past t+70
+      lefts.addData((2L, ts(T0 + 900), 99L, 0.0))
+      rights.addData((2L, ts(T0 + 900), 0.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 1800), 98L, 0.0))
+      rights.addData((2L, ts(T0 + 1800), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, r_value FROM iv_out WHERE user_id = 1")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((10L, 7.0))) // only the in-window purchase, once
+    } finally q.stop()
+  }
+}
+
 class StreamingSessionizeSpec extends SparkSpec {
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     import spark.implicits._
