@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe (not part of the driver contract): replicates the
+  * pipeline tables k× with remapped ids and times the heavy operators,
+  * so BENCH_NOTES can report measured growth curves instead of claims.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def amplifyDocs(k: Int): DataFrame = {
+      val d = Tables.table(spark, dir, "documents")
+      (0 until k).map { i =>
+        d.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          // salt every word so copies share no shingles: constant dup-rate,
+          // pure corpus-size growth (the near-dup-explosion variant is the
+          // concat-suffix form, measured separately in BENCH_NOTES)
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+    def amplifyEmb(k: Int): DataFrame = {
+      val e = Tables.table(spark, dir, "embeddings")
+      (0 until k).map { i =>
+        e.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+
+    Seq(1, 8, 27).foreach { k =>
+      val docs = amplifyDocs(k).cache(); docs.count()
+      time(s"dedup_minhash x$k (${5000 * k} docs)") {
+        graft.ops.Dedup.minhashLsh(docs).count()
+      }
+      time(s"corpus_dedup x$k") {
+        graft.ops.Dedup.corpusDedup(docs).count()
+      }
+      docs.unpersist()
+      val emb = amplifyEmb(k).cache(); emb.count()
+      val q = emb.where(col("vec_id") < 10)
+      time(s"ann_ivf x$k (${5000 * k} vecs)") {
+        graft.ops.Ivf.searchTopK(emb, q, 5, iters = 0).count()
+      }
+      time(s"ann_lsh_multi x$k") {
+        graft.ops.Similarity.lshTopKMulti(spark, emb, q, 5).count()
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}
