@@ -45,18 +45,24 @@ object TextAnalysis {
     scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
   }
 
-  /** Quality features + composite score. */
+  /** Quality features + composite score. Divisors are null-guarded: an
+    * empty document yields null ratios/score instead of an ANSI
+    * DIVIDE_BY_ZERO that would kill the whole job (found by the
+    * null-robustness spec; no effect on non-degenerate rows).
+    */
   def qualityScore(docs: DataFrame): DataFrame = {
     val nWords = size(words(col("text"))).cast("double")
     val nChars = length(col("text")).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
     val nStop = hitCount(col("text"), Stopwords).cast("double")
+    val safeChars = when(nChars > 0, nChars) // null divisor -> null ratio
+    val safeWords = when(nWords > 0, nWords)
     docs.select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
-      (nPunct / nChars).as("punct_ratio"),
-      (nStop / nWords).as("stop_ratio"),
-      (lit(0.5) * (nStop / nWords) + lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      (nPunct / safeChars).as("punct_ratio"),
+      (nStop / safeWords).as("stop_ratio"),
+      (lit(0.5) * (nStop / safeWords) + lit(0.3) * (lit(1.0) - nPunct / safeChars) +
         lit(0.2) * least(nWords / lit(100.0), lit(1.0))).as("score"))
   }
 

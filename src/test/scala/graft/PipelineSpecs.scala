@@ -252,6 +252,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pii(1L).getAs[Long]("n_emails") == 0L)
   }
 
+  test("null and empty texts flow through the text/dedup family without throwing") {
+    val d = Seq((1L, "the cat sat on the mat here"), (2L, null), (3L, ""), (4L, "one"))
+      .toDF("doc_id", "text")
+    // none of these may throw; null/degenerate docs either drop or carry nulls
+    assert(Dedup.exact(d).count() == 4) // null and "" are distinct hash groups? both present
+    assert(Dedup.minhashLsh(d).count() == 0) // no near-dups among 1 real doc
+    assert(Dedup.simhashNearDup(d).count() == 0)
+    assert(Dedup.corpusDedup(d).count() == 0)
+    val q = TextAnalysis.qualityScore(d).collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(q == Set(1L, 2L, 3L, 4L))
+    assert(TextAnalysis.tokenCount(d).count() == 4)
+    assert(TextAnalysis.normalize(d).count() == 4)
+    assert(TextAnalysis.piiScrub(d).count() == 4)
+    assert(TextAnalysis.ngramFreq(d, 2, 10).count() > 0)
+    assert(TextAnalysis.curate(d, 0.0).count() >= 2) // null/empty may drop from scoring joins
+    assert(graft.ops.Multimodal.meta(d).count() == 4)
+  }
+
   test("curate keeps one best-quality doc per normalized-duplicate group") {
     val good = "the cat and of to in is it for on the mats sat here today fine"
     val d = Seq(
