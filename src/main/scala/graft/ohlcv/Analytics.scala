@@ -120,7 +120,8 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, 0)
     candles.select(col("symbol"), col("bucket_ts"), col("close"))
       .withColumn("peak", max(col("close")).over(run))
-      .withColumn("drawdown", round((col("close") - col("peak")) / col("peak"), 6))
+      .withColumn("drawdown", round((col("close") - col("peak")) /
+        when(col("peak") =!= 0, col("peak")), 6))
       .groupBy(col("symbol"))
       .agg(min(col("drawdown")).as("max_drawdown"),
         max(col("peak")).as("peak_close"))
@@ -150,7 +151,10 @@ object Analytics {
     candles.select(col("symbol"), col("bucket_ts"), col("close"))
       .withColumn("prev_close", lag(col("close"), 1).over(w))
       .where(col("prev_close").isNotNull)
-      .withColumn("ret", (col("close") - col("prev_close")) / col("prev_close"))
+      // null-guarded divisor: a degenerate zero price yields null return
+      // instead of an ANSI DIVIDE_BY_ZERO killing the job
+      .withColumn("ret", (col("close") - col("prev_close")) /
+        when(col("prev_close") =!= 0, col("prev_close")))
   }
 
   /** Exponential moving average — inherently sequential per symbol, so:
