@@ -53,7 +53,9 @@ object Profile {
         col(s"_dist$i").as("n_distinct"),
         (if (numeric) col(s"_min$i") else lit(null).cast("double")).as("min_num"),
         (if (numeric) col(s"_max$i") else lit(null).cast("double")).as("max_num"),
-        (if (numeric) col(s"_sum$i") / col(s"_cnt$i")
+        // null-guarded: an all-null numeric column yields null mean rather
+        // than an ANSI DIVIDE_BY_ZERO
+        (if (numeric) col(s"_sum$i") / when(col(s"_cnt$i") > 0, col(s"_cnt$i"))
          else lit(null).cast("double")).as("mean_num"),
         (if (stringy) col(s"_lmin$i") else lit(null).cast("long")).as("min_len"),
         (if (stringy) col(s"_lmax$i") else lit(null).cast("long")).as("max_len"))
