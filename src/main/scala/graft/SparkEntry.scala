@@ -937,7 +937,11 @@ object SparkEntry {
       "FROM small x JOIN small y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id), " +
       "bigpairs AS (SELECT t.rep AS id1, t.doc_id AS id2, s1.sig AS sig1, t.sig AS sig2 " +
       s"FROM tagged t JOIN sigs s1 ON s1.doc_id = t.rep WHERE t.bucket_n > $maxBucket AND t.doc_id <> t.rep), " +
-      "allpairs AS (SELECT * FROM smallpairs UNION ALL SELECT * FROM bigpairs), " +
+      "ringsrc AS (SELECT doc_id, sig, lead(doc_id) OVER (PARTITION BY band, bsig ORDER BY doc_id) AS next_id " +
+      s"FROM tagged WHERE bucket_n > $maxBucket), " +
+      "ringpairs AS (SELECT r.doc_id AS id1, r.next_id AS id2, r.sig AS sig1, s2.sig AS sig2 " +
+      "FROM ringsrc r JOIN sigs s2 ON s2.doc_id = r.next_id WHERE r.next_id IS NOT NULL), " +
+      "allpairs AS (SELECT * FROM smallpairs UNION ALL SELECT * FROM bigpairs UNION ALL SELECT * FROM ringpairs), " +
       "mh AS (SELECT id1, id2, " +
       s"max(len(list_filter(generate_series(1, $numPerm), i -> sig1[i] = sig2[i])) / $numPerm.0) AS est_jaccard " +
       "FROM allpairs GROUP BY 1, 2)"

@@ -23,12 +23,29 @@ class TopKByScore(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Scored
 
   override def zero: Seq[ScoredId] = Vector.empty
 
+  // buffer is kept sorted (best first); insertion splices at the ordered
+  // position — O(k) per accepted row, no re-sort (k is small and the
+  // reduce path is the 100 TB hot loop)
   override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
     if (buf.size >= k && better(buf.last, in)) buf
-    else (buf :+ in).sortWith(better).take(k)
+    else {
+      val (above, below) = buf.span(better(_, in))
+      ((above :+ in) ++ below).take(k)
+    }
 
-  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
-    (a ++ b).sortWith(better).take(k)
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
+    // merge two sorted buffers, truncate to k
+    val out = Vector.newBuilder[ScoredId]
+    var (x, y) = (a, b)
+    var n = 0
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
 

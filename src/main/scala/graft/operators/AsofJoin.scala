@@ -31,9 +31,15 @@ object AsofJoin {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // idempotent runtime registration (synchronized: check-then-append on
+    // shared session state). Sessions built with GraftExtensions already
+    // carry the strategy via injectPlannerStrategy; a duplicate candidate
+    // would be harmless (the planner takes the first plan) but is avoided.
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
     val lPlan = Bridge.analyzed(left)
     // fresh exprIds on the right side: both inputs may derive from the
     // same scan (self-join), and DeduplicateRelations doesn't visit

@@ -137,13 +137,16 @@ object Dedup {
     * Output: (id1, id2, est_jaccard).
     *
     * Buckets larger than `maxBucket` (pathological duplication / skew)
-    * switch from all-pairs to representative pairing: each member pairs
-    * only with the bucket's min doc_id. Recall for downstream clustering
-    * is preserved (the component stays connected through the
-    * representative); pair count per hot bucket drops from O(m²) to O(m).
-    * Bucket sizes come from a groupBy + co-partitioned join on
-    * (band, bsig) — not a window, which would force a sort of all banded
-    * rows.
+    * switch from all-pairs to bounded pairing: each member pairs with the
+    * bucket's min doc_id (representative) AND with its doc_id-successor
+    * (ring). Candidate-level connectivity is fully preserved; after
+    * strict downstream verification the ring keeps locally-similar chains
+    * connected even when members resemble neighbors more than the
+    * representative. Recall vs all-pairs can still drop in adversarial
+    * mixed buckets — that is the explicit price of capping O(m²) hot
+    * buckets at O(m) pairs. Bucket sizes come from a groupBy +
+    * co-partitioned join on (band, bsig); the only sort is confined to
+    * the oversized buckets themselves.
     */
   def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
                  maxBucket: Int = 100): DataFrame = {
@@ -168,10 +171,17 @@ object Dedup {
         Seq("band", "bsig"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-    // oversized buckets: members pair with the bucket representative only
-    val bigPairs = tagged
-      .where(col("bucket_n") > maxBucket && col("doc_id") =!= col("rep"))
+    // oversized buckets: representative pairing + doc_id-ring pairing
+    val big = tagged.where(col("bucket_n") > maxBucket)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bsig")).orderBy(col("doc_id"))
+    val ringPairs = big
+      .withColumn("next_id", lead(col("doc_id"), 1).over(wb))
+      .where(col("next_id").isNotNull)
+      .select(col("doc_id").as("id1"), col("next_id").as("id2"))
+    val bigPairs = big.where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("id1"), col("doc_id").as("id2"))
+      .unionByName(ringPairs)
     // dedupe candidate pairs BEFORE scoring: est_jaccard depends only on
     // the two signatures, so one evaluation per distinct pair suffices
     val pairs = smallPairs.unionByName(bigPairs).distinct()
@@ -206,21 +216,32 @@ object Dedup {
     * Min-label propagation with pointer jumping (each round a node also
     * adopts its current label's label), so rounds needed grow with
     * log₂(component diameter), not the diameter itself. Each round:
-    *  - one eager `localCheckpoint` materializes the new labels and cuts
-    *    lineage (no plan growth across rounds; superseded round outputs
-    *    are dropped by the context cleaner once unreferenced);
+    *  - one eager lineage cut per round (`cutLineage`: reliable checkpoint
+    *    on a cluster, executor-local in local mode) materializes the new
+    *    labels — no plan growth across rounds; superseded round outputs
+    *    are dropped by the context cleaner once unreferenced;
     *  - convergence = zero changed labels, counted from the already
     *    checkpointed frame — no recompute of the round's join.
     * Non-convergence after `maxIters` (diameter > 2^maxIters — not
     * reachable for real near-dup graphs) raises rather than silently
     * splitting a component.
     */
+  /** Lineage cut between iterative rounds: a RELIABLE checkpoint when the
+    * session has a checkpoint dir (cluster fault tolerance — local
+    * checkpoint blocks die with their executor, which at 100 TB with
+    * dynamic allocation means a failed job, not a recompute); an
+    * executor-local checkpoint otherwise (bench/local mode, no dir).
+    */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+      .distinct())
+    var labels = cutLineage(edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -230,13 +251,12 @@ object Dedup {
       val viaPointer = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
-      val next = labels.select(col("doc_id"), col("cluster_id").as("cand"))
+      val next = cutLineage(labels.select(col("doc_id"), col("cluster_id").as("cand"))
         .unionByName(viaNeighbor).unionByName(viaPointer)
         .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
         .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
         .select(col("doc_id"), col("cluster_id"),
-          (col("cluster_id") =!= col("prev")).as("changed"))
-        .localCheckpoint()
+          (col("cluster_id") =!= col("prev")).as("changed")))
       converged = next.where(col("changed")).isEmpty
       labels = next.select(col("doc_id"), col("cluster_id"))
       i += 1

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.values.forall(_.count(_.getAs[Boolean]("keep")) == 1))
   }
 
+  test("oversized buckets pair via representative + ring, and still cluster") {
+    // 150 identical docs land in one >maxBucket bucket in every band
+    val d = (1L to 150L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d, maxBucket = 100)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // rep pairing: (1, j); ring pairing: (j, j+1); nothing else
+    val rep = (2L to 150L).map(j => (1L, j)).toSet
+    val ring = (1L to 149L).map(j => (j, j + 1)).toSet
+    assert(pairs == (rep ++ ring))
+    // downstream clustering reunites the whole duplicate set
+    val kept = Dedup.corpusDedup(d).where(col("keep")).count()
+    assert(kept == 1)
+  }
+
   test("native signature expressions match composed-builtins forms") {
     val d = Tables.table(spark, Sf0001, "documents")
     val nat = Dedup.minhashSignatures(d, 32).collect()
