@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.values.forall(_.count(_.getAs[Boolean]("keep")) == 1))
   }
 
+  test("clusters with a reliable checkpoint dir (cluster fault-tolerance path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+      val out = Dedup.clusters(pairs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote checkpoint data
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try assert(it.filter(java.nio.file.Files.isRegularFile(_)).count() > 0)
+      finally it.close()
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("oversized buckets pair via representative + ring, and still cluster") {
     // 150 identical docs land in one >maxBucket bucket in every band
     val d = (1L to 150L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
