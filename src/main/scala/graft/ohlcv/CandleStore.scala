@@ -77,6 +77,19 @@ final class CandleStore(val root: String) {
       .mode(SaveMode.Overwrite)
       .parquet(root)
 
+  /** Merge-on-read over a store of mergeable PARTIAL candles (see
+    * StreamingIngest.runMergeable): folds all stored partials per
+    * (symbol, bucket) into final candles. The LSM read path — writers
+    * only ever append partials (idempotent, late-data-exact), readers
+    * fold; compaction (`compactTo` + a mergePartials rewrite) bounds the
+    * fold depth.
+    */
+  def readMerged(spark: SparkSession, exchange: Option[String] = None,
+                 symbol: Option[String] = None, timeframe: Option[String] = None): DataFrame =
+    Candles.mergePartials(read(spark, exchange, symbol, timeframe),
+      Seq("exchange", "symbol", "timeframe", "bucket_ts"))
+      .drop("first_ts", "last_ts")
+
   /** Compact the store into a new generation at `destRoot`: one file per
     * (exchange, symbol, timeframe) series, per-batch `ingest_batch`
     * bookkeeping collapsed away. Streaming ingest writes one directory per

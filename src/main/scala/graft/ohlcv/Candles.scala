@@ -57,14 +57,15 @@ object Candles {
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
 
-  /** Exact merge of two mergeable-candle sets (same timeframe): per
-    * (symbol, bucket), open follows the earliest first_ts, close the
-    * latest last_ts, extremes/volumes combine. Equal to recomputing from
-    * the union of the underlying trades (spec-asserted).
+  /** Fold ANY number of mergeable partials per group into one — the
+    * monoid's n-ary reduction (merge-on-read for an LSM-style candle
+    * store: each ingest appends partials, readers fold). `groupCols`
+    * lets store readers keep their partition columns in the key.
     */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy(col("symbol"), col("bucket_ts"))
+  def mergePartials(partials: DataFrame,
+                    groupCols: Seq[String] = Seq("symbol", "bucket_ts")): DataFrame =
+    partials
+      .groupBy(groupCols.map(col): _*)
       .agg(
         // value is part of the pick key: if inputs violate the disjoint
         // unique-ts precondition (e.g. contradictory same-ts candles),
@@ -77,6 +78,14 @@ object Candles {
         sum(col("trades")).as("trades"),
         min(col("first_ts")).as("first_ts"),
         max(col("last_ts")).as("last_ts"))
+
+  /** Exact merge of two mergeable-candle sets (same timeframe): per
+    * (symbol, bucket), open follows the earliest first_ts, close the
+    * latest last_ts, extremes/volumes combine. Equal to recomputing from
+    * the union of the underlying trades (spec-asserted).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    mergePartials(a.unionByName(b))
 
   /** Skew-resistant resample: two-phase salted aggregation for hot keys.
     * A viral symbol that would funnel its entire bucket through one reducer

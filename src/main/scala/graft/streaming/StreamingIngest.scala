@@ -26,4 +26,23 @@ object StreamingIngest {
       .writeStream.outputMode("append").foreachBatch(sink)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** LSM-style exact ingest: each micro-batch is reduced to MERGEABLE
+    * partial candles (Candles.fromTradesMergeable) and appended
+    * batch-addressed; `CandleStore.readMerged` folds partials on read.
+    * Unlike the watermark path above, arbitrarily LATE trades are
+    * absorbed exactly — a late batch just adds another partial for its
+    * bucket, and the fold reproduces the batch-recompute answer
+    * bit-for-bit (the mergeable monoid, spec-asserted). No watermark, no
+    * dropped data, replay-idempotent; compaction bounds fold depth.
+    */
+  def runMergeable(trades: DataFrame, tf: Timeframe, store: CandleStore,
+                   exchange: String,
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) =>
+      store.appendBatch(
+        graft.ohlcv.Candles.fromTradesMergeable(batch, tf), exchange, tf, batchId)
+    val w = trades.writeStream.outputMode("append").foreachBatch(sink)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

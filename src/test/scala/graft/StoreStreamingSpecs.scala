@@ -312,6 +312,39 @@ class StreamingAsofSpec extends SparkSpec {
   }
 }
 
+class MergeableIngestSpec extends SparkSpec {
+  test("LSM ingest absorbs arbitrarily late trades exactly (merge-on-read == batch recompute)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tf = Timeframe.parse("1m")
+    val root = Files.createTempDirectory("graft_lsm_store").toString
+    val store = new CandleStore(root)
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val q = graft.streaming.StreamingIngest.runMergeable(
+      ms.toDF.toDF("symbol", "ts", "price", "qty"), tf, store, "binance")
+    val all = Seq(
+      ("BTC", ts(T0 + 10), 100.0, 1.0), ("BTC", ts(T0 + 40), 104.0, 2.0),
+      ("BTC", ts(T0 + 20), 90.0, 1.5), // LATE: same bucket, earlier ts, new low
+      ("BTC", ts(T0 + 5), 101.0, 0.5), // LATE: becomes the true open
+      ("ETH", ts(T0 + 30), 10.0, 3.0))
+    try {
+      ms.addData(all(0), all(1)); q.processAllAvailable()
+      ms.addData(all(2)); q.processAllAvailable() // a watermark path would drop these
+      ms.addData(all(3), all(4)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = store.readMerged(spark)
+      .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+    val batch = Candles.fromTrades(
+      all.toDF("symbol", "ts", "price", "qty"), tf)
+      .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val btc = store.readMerged(spark).where(col("symbol") === "BTC").head()
+    assert(btc.getAs[Double]("open") == 101.0 && btc.getAs[Double]("low") == 90.0)
+  }
+}
+
 class StreamingIntervalSpec extends SparkSpec {
   test("forward interval join attributes rights inside the window, exactly once") {
     import spark.implicits._
