@@ -103,7 +103,14 @@ final class CandleStore(val root: String) {
     val all = spark.read.parquet(root)
     val clean =
       if (all.columns.contains("ingest_batch")) all.drop("ingest_batch") else all
-    clean
+    // a mergeable-partial store (LSM ingest) folds its partials during
+    // compaction, resetting merge-on-read fold depth to one row per bucket
+    val folded =
+      if (clean.columns.contains("first_ts"))
+        Candles.mergePartials(clean,
+          Seq("exchange", "symbol", "timeframe", "bucket_ts"))
+      else clean
+    folded
       .repartition(col("exchange"), col("symbol"), col("timeframe"))
       .write
       .partitionBy("exchange", "symbol", "timeframe")

@@ -342,6 +342,15 @@ class MergeableIngestSpec extends SparkSpec {
     assert(streamed == batch)
     val btc = store.readMerged(spark).where(col("symbol") === "BTC").head()
     assert(btc.getAs[Double]("open") == 101.0 && btc.getAs[Double]("low") == 90.0)
+    // compaction folds partials: one row per bucket, same merged answer
+    val dest = Files.createTempDirectory("graft_lsm_compact").toString
+    val compacted = store.compactTo(spark, dest)
+    assert(compacted.read(spark).count() ==
+      compacted.read(spark).select("symbol", "bucket_ts").distinct().count())
+    val after = compacted.readMerged(spark)
+      .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+      .collect().map(_.toSeq).toSet
+    assert(after == streamed)
   }
 }
 
