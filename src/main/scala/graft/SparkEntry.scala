@@ -326,6 +326,9 @@ object SparkEntry {
       graft.ops.TextAnalysis.piiScrub(Tables.table(s, dir, "documents"))),
     "corpus_curate" -> ((s, dir) =>
       graft.ops.TextAnalysis.curate(Tables.table(s, dir, "documents"))),
+    "corpus_sample" -> ((s, dir) =>
+      graft.ops.TextAnalysis.stratifiedSample(Tables.table(s, dir, "documents"),
+        "lang", Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1))),
     "embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.nearDupPairs(s, Tables.table(s, dir, "embeddings"), 0.4)),
     "ann_topk" -> ((s, dir) => {
@@ -726,6 +729,11 @@ object SparkEntry {
           .mkString(", ") +
         " FROM h"),
     "profile_lineitem" -> profileOracleSql,
+    "corpus_sample" ->
+      ("SELECT doc_id, lang AS stratum FROM documents " +
+        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 < " +
+        "CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 " +
+        "WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END"),
     "corpus_curate" ->
       ("WITH f AS (SELECT doc_id, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +

@@ -140,6 +140,25 @@ object TextAnalysis {
         (col("passed_quality") && col("doc_id") === col("keep_id")).as("kept"))
   }
 
+  /** Deterministic stratified sampling — training-mix construction: each
+    * stratum (e.g. source) keeps the fraction `rates(stratum)` of its
+    * docs, chosen by a portable content hash of the doc id, NOT rand().
+    * Reproducible across runs/engines/partitionings (the sample is a pure
+    * function of the data), map-only, and any SQL engine can replay it.
+    * Unlisted strata default to rate 0 (drop).
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    // hash32(doc_id) / 2^32 is uniform in [0,1): keep if below the rate
+    val u = Dedup.hash32(col("doc_id").cast("string")).cast("double") /
+      lit(4294967296.0)
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(u < rate)
+      .select(col("doc_id"), col(stratumCol).as("stratum"))
+  }
+
   /** PII scrub: redact email-like and long-digit-run tokens, report
     * redaction counts per doc (the pipeline pass a corpus runs before
     * training). Patterns are portable regex (same semantics in Java and
