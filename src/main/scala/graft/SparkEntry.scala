@@ -353,6 +353,8 @@ object SparkEntry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 2)
     }),
+    "label_confusion" -> ((s, dir) =>
+      graft.ops.Ivf.labelConfusion(Tables.table(s, dir, "embeddings"))),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -756,6 +758,19 @@ object SparkEntry {
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),
+    "label_confusion" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
+        "SELECT CAST(label AS INTEGER) AS cid, pos, " +
+        "CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
+        "SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) " +
+        "GROUP BY 1, 2) GROUP BY cid), " +
+        "assigned AS (SELECT vec_id, label, cid FROM (" +
+        "SELECT e.vec_id, e.label, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1) " +
+        "SELECT label, CAST(cid AS BIGINT) AS pred_label, count(*) AS n " +
+        "FROM assigned GROUP BY 1, 2"),
     "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2)
   )
 

@@ -70,6 +70,30 @@ object Ivf {
     cents
   }
 
+  /** Embedding-quality confusion matrix: mean centroid per label
+    * (decimal-exact, deterministic like `train`), every vector classified
+    * to its nearest label centroid via the fused map-side argmax, counts
+    * per (true label, predicted label). Labels must be dense 0..k-1 (cid
+    * == label). One shuffle for the centroid means, one for the final
+    * count; classification itself is map-only.
+    */
+  def labelConfusion(emb: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(30, 15)
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = localize(e
+      .select(col("label").cast("int").as("cid"), posexplode(col("v")))
+      .toDF("cid", "pos", "x")
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("cvec")))
+    assign(e, cents)
+      .groupBy(col("label"), col("cid").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.
