@@ -281,6 +281,35 @@ class StreamingAsofSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream asof resolves duplicate right timestamps deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingAsof.join(
+      lefts.toDF.toDF("user_id", "ts", "event_id", "value"),
+      rights.toDF.toDF("user_id", "ts", "value"),
+      watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("asof_tie").start()
+    try {
+      // two rights tied on ts, delivered in descending-value order
+      rights.addData((1L, ts(T0 + 50), 30.0))
+      rights.addData((1L, ts(T0 + 50), 10.0))
+      lefts.addData((1L, ts(T0 + 100), 10L, 1.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 900), 99L, 0.0))
+      rights.addData((2L, ts(T0 + 900), 0.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 1800), 98L, 0.0))
+      rights.addData((2L, ts(T0 + 1800), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, r_value FROM asof_tie WHERE user_id = 1")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((10L, 30.0))) // greatest value wins the tie
+    } finally q.stop()
+  }
+
   test("stream-stream asof keeps the pre-watermark right representative for future lefts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
