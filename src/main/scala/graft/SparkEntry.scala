@@ -273,19 +273,25 @@ object SparkEntry {
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_value_user"))),
     "approx_percentiles" -> ((s, dir) =>
-      // GK-sketch percentiles surfaced as their accuracy contract: every
-      // approx percentile must land within 2% relative error of the exact
-      // one (accuracy=10000 ⇒ rank error 1e-4; the value-space slack
-      // covers the rank→value mapping). Same pattern as approx_distinct.
+      // GK-sketch percentiles surfaced as their accuracy contract. The
+      // sketch guarantees RANK error, not value error, so the check is
+      // rank-windowed: each approx percentile must lie between the exact
+      // percentiles at q ± 0.01 (a 100× slack over the 1e-4 rank error of
+      // accuracy=10000, robust at any scale — a value-relative bound
+      // breaks on small groups where adjacent order stats differ a lot).
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact"),
+          expr("percentile(value, array(0.49, 0.89, 0.98))").as("lo"),
+          expr("percentile(value, array(0.51, 0.91, 1.0))").as("hi"),
           expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("approx"))
         .select(col("event_type"),
           round(element_at(col("exact"), 1), 6).as("p50"),
           round(element_at(col("exact"), 2), 6).as("p90"),
           round(element_at(col("exact"), 3), 6).as("p99"),
-          forall(zip_with(col("approx"), col("exact"),
-            (a, e) => abs(a - e) <= lit(0.02) * abs(e)), x => x).as("approx_ok"))),
+          (element_at(col("approx"), 1).between(element_at(col("lo"), 1), element_at(col("hi"), 1)) &&
+            element_at(col("approx"), 2).between(element_at(col("lo"), 2), element_at(col("hi"), 2)) &&
+            element_at(col("approx"), 3).between(element_at(col("lo"), 3), element_at(col("hi"), 3)))
+            .as("approx_ok"))),
     "approx_distinct" -> ((s, dir) =>
       // HLL sketch surfaced as a checkable contract: the estimate must land
       // within 5% of the exact count — deterministic given the data, so the
