@@ -57,8 +57,8 @@ object AsofJoin {
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {
-    val lStruct = struct(left.columns.map(left(_)): _*)
-    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(left(_)): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(right(_)): _*)
     val lType = left.schema
     val rType = right.schema
 

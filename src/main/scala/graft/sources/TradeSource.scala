@@ -31,7 +31,7 @@ object TradeSource {
     spark.read.schema(schema).json(path)
 
   def parquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(schema.fieldNames.map(col): _*)
+    spark.read.parquet(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
   /** Streaming variants for the live tail. */
   def csvStream(spark: SparkSession, path: String): DataFrame =
