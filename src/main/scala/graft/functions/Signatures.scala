@@ -167,6 +167,83 @@ case class LshBucket(child: Expression, planes: Array[Double], numPlanes: Int, d
     copy(child = newChild)
 }
 
+/** Fully-fused shingle minhash: string → array<long> signature in ONE
+  * pass — whitespace split, k-word shingles, md5-prefix hashes, and the
+  * numPerm permutation minima, with one reused digest and no intermediate
+  * Catalyst arrays. Returns NULL for documents shorter than k words (the
+  * caller filters on isNotNull instead of re-splitting for a size guard).
+  * Value-identical to the composed pipeline
+  * (split → shinglesFromWords → hash32 → MinHashSignature); spec-asserted.
+  */
+case class ShingleMinHash(child: Expression, k: Int,
+                          a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleMinHash.compute(input.asInstanceOf[UTF8String], k, a, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("smhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("smhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = graft.functions.ShingleMinHash.compute($in, $k, $aRef, $bRef, ${p}L);
+         |if ($res == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $res;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleMinHash {
+  /** Static helper so generated code stays a one-line call (keeps the
+    * projection inside whole-stage codegen). split(.., -1) keeps trailing
+    * empty strings, matching Spark SQL's `split` semantics exactly.
+    */
+  def compute(text: UTF8String, k: Int, a: Array[Long], b: Array[Long],
+              p: Long): GenericArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val nSh = words.length - (k - 1)
+    if (words.length < 3 || nSh <= 0) return null // mirrors the size(ws) >= 3 gate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nPerm = a.length
+    val out = new Array[Long](nPerm)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var l = 0L
+      var bi = 0
+      while (bi < 8) { l = (l << 8) | (d(bi) & 0xffL); bi += 1 }
+      val h = l >>> 32 // first 8 hex chars == hash32
+      var q = 0
+      while (q < nPerm) {
+        val v = java.lang.Math.floorMod(a(q) * h + b(q), p)
+        if (v < out(q)) out(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Nearest-centroid cell id: array<double> vector → int cid maximizing the
   * cosine similarity against a broadcast row-major (k × dim) centroid
   * matrix; ties break to the lowest cid. One fused map-side loop — the

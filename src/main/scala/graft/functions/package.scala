@@ -27,6 +27,11 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
 
+  /** Fully-fused shingle-minhash column (see ShingleMinHash). */
+  def shingle_minhash(text: Column, k: Int, a: Array[Long], b: Array[Long],
+                      p: Long): Column =
+    toColumn(ShingleMinHash(toExpression(text), k, a, b, p))
+
   /** Native md5-prefix hash column (see Md5PrefixLong). */
   def md5_prefix_long(s: Column, hexChars: Int): Column =
     toColumn(Md5PrefixLong(toExpression(s), hexChars))

@@ -92,11 +92,13 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame = {
     val (a, b) = perms(numPerm)
-    // native fused expression: one codegen loop for all permutations
-    // (graft.functions.MinHashSignature); semantics identical to the
-    // composed form array(array_min(transform(hashes, a_i*h+b_i mod p))...)
-    val sig = graft.functions.minhash_sig(col("hashes"), a, b, MinhashP)
-    withShingleHashes(docs).select(col("doc_id"), sig.as("sig"))
+    // one fully-fused expression: split → shingles → md5-prefix hashes →
+    // all permutation minima in a single pass (graft.functions
+    // .ShingleMinHash), NULL for docs under 3 words; value-identical to
+    // the composed split/transform/MinHashSignature chain (spec-asserted)
+    docs.select(col("doc_id"),
+        graft.functions.shingle_minhash(col("text"), 3, a, b, MinhashP).as("sig"))
+      .where(col("sig").isNotNull)
   }
 
   /** Composed-builtins signature (reference semantics for the native
