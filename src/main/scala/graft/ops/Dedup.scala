@@ -122,11 +122,19 @@ object Dedup {
       .withColumn("sh", shinglesFromWords(col("ws")))
       .withColumn("hashes", transform(col("sh"), s => hash32(s)))
 
+  /** Column form of the fused signature (null for sub-3-word docs) — also
+    * the map-side signature pass of the STREAMING near-dup operator.
+    */
+  private[graft] def minhashSig(text: Column, numPerm: Int = 128): Column = {
+    val (a, b) = perms(numPerm)
+    graft.functions.shingle_minhash(text, 3, a, b, MinhashP)
+  }
+
   /** Portable band signature: 60-bit md5-prefix of the comma-joined band
     * slice of the minhash signature (any engine can replay it, unlike
     * xxhash64) — a long join key, not a 32-char hex string.
     */
-  private def bandSig(sig: Column, band: Int, rows: Int): Column =
+  private[graft] def bandSig(sig: Column, band: Int, rows: Int): Column =
     hash60(concat_ws(",",
       transform(slice(sig, band * rows + 1, rows), v => v.cast("string"))))
 

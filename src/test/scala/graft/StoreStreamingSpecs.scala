@@ -383,6 +383,35 @@ class MergeableIngestSpec extends SparkSpec {
   }
 }
 
+class StreamingNearDupSpec extends SparkSpec {
+  test("near-duplicate documents arriving in later micro-batches are detected live") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = graft.streaming.StreamingNearDup.run(
+      ms.toDF.toDF("doc_id", "ts", "text"), watermark = "5 seconds")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    try {
+      ms.addData(
+        (1L, ts(T0 + 10), base),
+        (2L, ts(T0 + 20), "completely different words about spark catalyst plans"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup_out").count() == 0) // nothing seen twice
+      // a near-duplicate of doc 1 arrives a batch later
+      ms.addData((3L, ts(T0 + 30), base + " extra"))
+      q.processAllAvailable()
+      val found = spark.sql(
+        "SELECT DISTINCT id1, id2 FROM neardup_out WHERE est_jaccard > 0.5")
+        .as[(Long, Long)].collect().toSet
+      assert(found == Set((1L, 3L)))
+      // the unrelated doc never pairs
+      assert(spark.sql("SELECT * FROM neardup_out WHERE id1 = 2 OR id2 = 2").count() == 0)
+    } finally q.stop()
+  }
+}
+
 class StreamingIntervalSpec extends SparkSpec {
   test("forward interval join attributes rights inside the window, exactly once") {
     import spark.implicits._
