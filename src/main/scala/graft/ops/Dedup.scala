@@ -159,18 +159,27 @@ object Dedup {
     * the oversized buckets themselves.
     */
   def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
-                 maxBucket: Int = 100): DataFrame = {
+                 maxBucket: Int = 100): DataFrame =
+    minhashLshFromSigs(cutLineageLazy(minhashSignatures(docs, numPerm)),
+      numPerm, bands, maxBucket)
+
+  /** LSH banding over an ALREADY-MATERIALIZED signature frame.
+    *
+    * The signature pass is the full corpus text scan — by far the most
+    * expensive map stage in the pipeline — and it feeds three consumer
+    * branches (banding + both sides of the scoring join). Per-branch
+    * pushed-down filters de-canonicalize the subtrees, so ReuseExchange
+    * never fires and a lazy plan recomputes the scan per branch.
+    * `minhashLsh` therefore cuts lineage ONCE right after
+    * `minhashSignatures` (reliable checkpoint on a cluster, executor-local
+    * otherwise — blocks are MEMORY_AND_DISK, n×128 longs ≪ corpus text):
+    * every branch then reads the materialized blocks instead of
+    * re-scanning the corpus. Driver-measured at sf0.1 this replaced three
+    * full ShingleMinHash passes with one.
+    */
+  private[graft] def minhashLshFromSigs(sigs: DataFrame, numPerm: Int = 128,
+                                        bands: Int = 16, maxBucket: Int = 100): DataFrame = {
     val rows = numPerm / bands
-    // The repartition is an optimization BARRIER, not a reuse point: each
-    // consumer branch (banding + the two per-side scoring joins) still
-    // recomputes the map-only signature pass through its own exchange
-    // (pushed-down per-branch filters de-canonicalize the subtrees, so
-    // ReuseExchange never fires) — but the barrier stops the fused
-    // ShingleMinHash expression from ALSO being duplicated into each
-    // branch's pushed filters/projections, which measures ~1.8× faster
-    // than the barrier-free plan at sf0.1. Recomputing the cheap map
-    // stage per branch beats materializing n×128 longs at corpus scale.
-    val sigs = minhashSignatures(docs, numPerm).repartition(col("doc_id"))
     // banding rows are skinny (doc_id, band, bsig) — the 128-long signature
     // array never travels through the bucket-stats shuffles.
     val banded = sigs.select(col("doc_id"),
@@ -210,13 +219,26 @@ object Dedup {
   /** Exact shingle-Jaccard verification over LSH candidates:
     * (id1, id2, est_jaccard, jaccard).
     */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    // same optimization-barrier repartition as minhashLsh, for the
-    // shingle-set pass feeding both join sides
-    val sh = docs.withColumn("ws", wordsOf(col("text")))
-      .select(col("doc_id"), array_distinct(shinglesFromWords(col("ws"))).as("sh"))
-      .repartition(col("doc_id"))
-    minhashLsh(docs)
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    ngramJaccardFrom(cutLineageLazy(sigShingleScan(docs)), minJaccard)
+
+  /** ONE fused full-text pass producing everything the near-dup pipeline
+    * needs per doc: the fused minhash signature (null for sub-3-word docs)
+    * and the distinct shingle set. Materialized once by the callers; every
+    * downstream branch (banding, both scoring-join sides, both
+    * Jaccard-verify sides) derives from the materialized frame — the
+    * corpus text is scanned exactly once.
+    */
+  private def sigShingleScan(docs: DataFrame, extra: Column*): DataFrame =
+    docs.withColumn("ws", wordsOf(col("text")))
+      .select(Seq(col("doc_id"), minhashSig(col("text")).as("sig"),
+        array_distinct(shinglesFromWords(col("ws"))).as("sh")) ++ extra: _*)
+
+  /** Verify stage over a materialized (doc_id, sig, sh[, …]) frame. */
+  private[graft] def ngramJaccardFrom(base: DataFrame, minJaccard: Double): DataFrame = {
+    val sigs = base.where(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+    val sh = base.select(col("doc_id"), col("sh"))
+    minhashLshFromSigs(sigs)
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"), col("est_jaccard"),
@@ -231,12 +253,10 @@ object Dedup {
     * Min-label propagation with pointer jumping (each round a node also
     * adopts its current label's label), so rounds needed grow with
     * log₂(component diameter), not the diameter itself. Each round:
-    *  - one eager lineage cut per round (`cutLineage`: reliable checkpoint
-    *    on a cluster, executor-local in local mode) materializes the new
-    *    labels — no plan growth across rounds; superseded round outputs
-    *    are dropped by the context cleaner once unreferenced;
-    *  - convergence = zero changed labels, counted from the already
-    *    checkpointed frame — no recompute of the round's join.
+    *  - ONE job per round: a lazy lineage cut (`cutLineageLazy`) whose
+    *    materialization folds into the changed-label count — no plan
+    *    growth across rounds, no separate probe action; superseded round
+    *    outputs are dropped by the context cleaner once unreferenced;
     * Non-convergence after `maxIters` (diameter > 2^maxIters — not
     * reachable for real near-dup graphs) raises rather than silently
     * splitting a component.
@@ -250,6 +270,14 @@ object Dedup {
   private def cutLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lazy lineage cut: materialization folds into the NEXT action on the
+    * returned frame, so a CC round costs ONE job (materialize + count
+    * changed labels together) instead of checkpoint-then-probe.
+    */
+  private def cutLineageLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+    else df.localCheckpoint(false)
 
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
@@ -266,13 +294,15 @@ object Dedup {
       val viaPointer = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
-      val next = cutLineage(labels.select(col("doc_id"), col("cluster_id").as("cand"))
+      val next = cutLineageLazy(labels.select(col("doc_id"), col("cluster_id").as("cand"))
         .unionByName(viaNeighbor).unionByName(viaPointer)
         .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
         .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") =!= col("prev")).as("changed")))
-      converged = next.where(col("changed")).isEmpty
+      // single action per round: the count's full scan materializes the
+      // lazy checkpoint AND yields the convergence signal
+      converged = next.where(col("changed")).count() == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       i += 1
     }
@@ -288,9 +318,13 @@ object Dedup {
     * doc_id). Returns (doc_id, cluster_id, keep) for every clustered doc.
     */
   def corpusDedup(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
-    val comp = clusters(ngramJaccard(docs, minJaccard))
-    val scored = comp.join(
-      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("score")), "doc_id")
+    // ONE materialized full-text pass (signature + shingle set + quality
+    // score); LSH banding, both scoring-join sides, both verify sides and
+    // the keeper choice all derive from it — no branch re-scans the corpus
+    val base = cutLineageLazy(sigShingleScan(docs,
+      TextAnalysis.scoreColumn(col("text")).as("score")))
+    val comp = clusters(ngramJaccardFrom(base, minJaccard))
+    val scored = comp.join(base.select(col("doc_id"), col("score")), "doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
     scored
@@ -327,7 +361,9 @@ object Dedup {
     * within hamming 3 shares a chunk).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // materialize the signature scan once — both sides of the chunk join
+    // would otherwise recompute the full word-hash pass (see minhashLsh)
+    val sigs = cutLineageLazy(simhashSignatures(docs))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*)))

@@ -62,8 +62,22 @@ object TextAnalysis {
       nWords.cast("long").as("n_words"),
       (nPunct / safeChars).as("punct_ratio"),
       (nStop / safeWords).as("stop_ratio"),
-      (lit(0.5) * (nStop / safeWords) + lit(0.3) * (lit(1.0) - nPunct / safeChars) +
-        lit(0.2) * least(nWords / lit(100.0), lit(1.0))).as("score"))
+      scoreColumn(col("text")).as("score"))
+  }
+
+  /** Column form of the composite quality score — shared with
+    * Dedup.corpusDedup so the keeper choice folds into the corpus's single
+    * materialized full-text pass instead of a second corpus scan.
+    */
+  private[graft] def scoreColumn(text: Column): Column = {
+    val nWords = size(words(text)).cast("double")
+    val nChars = length(text).cast("double")
+    val nPunct = length(regexp_replace(text, "[a-z0-9\\s]", "")).cast("double")
+    val nStop = hitCount(text, Stopwords).cast("double")
+    val safeChars = when(nChars > 0, nChars) // null divisor -> null score
+    val safeWords = when(nWords > 0, nWords)
+    lit(0.5) * (nStop / safeWords) + lit(0.3) * (lit(1.0) - nPunct / safeChars) +
+      lit(0.2) * least(nWords / lit(100.0), lit(1.0))
   }
 
   /** Whitespace + BPE-ish subword token counts. */

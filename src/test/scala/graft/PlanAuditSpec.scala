@@ -46,12 +46,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(t.contains("ReadSchema: struct<doc_id:bigint,text:string>"), t)
   }
 
-  test("dedup signature stage is map-only up to the LSH band shuffle") {
+  test("dedup signature stage is map-only and materialized exactly once") {
+    // the signature pass itself is pure map: zero exchanges, fused
+    // native expression straight over the parquet scan
+    val sp = graft.ops.Dedup.minhashSignatures(
+      graft.core.Tables.table(spark, Sf0001, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), "signature pass must not shuffle\n" + sp)
+    assert(sp.toLowerCase.contains("minhash"),
+      "native signature expression expected in plan\n" + sp)
+    // every consumer branch reads the ONE materialized signature RDD —
+    // the corpus text scan must not appear in the downstream plan at all
     val p = planOf("dedup_minhash")
-    // signatures must not require a shuffle of the documents themselves
-    // before banding: first Exchange comes after posexplode of bands
-    assert(p.contains("MinHashSignature") || p.contains("minhash"),
-      "native signature expression expected in plan\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "materialized signature RDD expected in plan\n" + p)
+    assert(!p.contains("FileScan"),
+      "corpus must not be re-scanned past the signature cut\n" + p)
   }
 
   test("asof join plans as the native physical operator") {
