@@ -106,15 +106,27 @@ object SparkEntry {
     "atr" -> ((s, dir) =>
       Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
     "symbol_correlations" -> ((s, dir) => {
-      // pairwise return correlation across symbols: returns self-joined on
-      // the shared hour bucket (equi join), one corr aggregate per pair.
-      // At 100 TB the join shuffles on bucket_ts; the pair space is
-      // |symbols|² — a dim-scale output.
+      // pairwise return correlation across symbols, BLOCKED pair
+      // generation: keying the self-join on bucket_ts alone would expand
+      // |symbols|² rows under every time key (classic blow-up join with a
+      // large symbol universe). Instead the right side is tagged with a
+      // symbol block blk = hash(sym2) mod B and the left side replicated
+      // over all B blocks, so the join key (bucket_ts, blk) spreads each
+      // bucket's pair work across B reducer keys — per-reducer fan-out
+      // drops from |s|² to |s|·(|s|/B) at the cost of B× left-side shuffle
+      // volume (B is tuned to the symbol universe; 4 here). The corr/count
+      // aggregate partial-aggregates map-side (CentralMomentAgg is
+      // declarative), so the second shuffle carries |pairs| partial rows,
+      // never the joined rows. Output values are identical to the plain
+      // bucket_ts join — the oracle replays the unblocked form.
+      val B = 4
       val r = Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
         .select(col("symbol"), col("bucket_ts"), col("ret"))
-      r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
-        .join(r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2")),
-          "bucket_ts")
+      val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
+        .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
+      val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
+        .withColumn("blk", pmod(hash(col("sym2")), lit(B)))
+      left.join(right, Seq("bucket_ts", "blk"))
         .where(col("sym1") < col("sym2"))
         .groupBy(col("sym1"), col("sym2"))
         .agg(round(corr(col("ret1"), col("ret2")), 6).as("corr_ret"),
