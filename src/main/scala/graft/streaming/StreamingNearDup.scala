@@ -81,7 +81,14 @@ object StreamingNearDup {
                 bucket = Bucket((e.doc_id, e.sig) :: bucket.docs)
             }
             state.update(bucket)
-            if (maxTs > 0) state.setTimeoutTimestamp(maxTs + idleRetentionMs)
+            // clamp to just past the current watermark: a timeout at or
+            // before the watermark throws IllegalArgumentException, and
+            // maxTs + idleRetention can land there when the bucket's
+            // newest event trails the batch's max event time by more than
+            // the idle horizon (or idleRetention is 0)
+            if (maxTs > 0)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, maxTs + idleRetentionMs))
             out.result().iterator
           }
         })

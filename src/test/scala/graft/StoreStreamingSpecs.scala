@@ -410,6 +410,41 @@ class StreamingNearDupSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM neardup_out WHERE id1 = 2 OR id2 = 2").count() == 0)
     } finally q.stop()
   }
+
+  test("degenerate idle horizon (retention 0) never crashes timeout registration") {
+    // with idleRetention 0, a bucket's raw timeout target maxTs + retention
+    // can collide with the watermark (Spark rejects timeouts <= watermark
+    // with IllegalArgumentException); the operator clamps to watermark + 1.
+    // Rows at/behind the watermark are dropped by the late filter and idle
+    // buckets expire immediately, so the query must simply keep running —
+    // empty output, no mid-batch throw, state cleanly timed out.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = graft.streaming.StreamingNearDup.run(
+      ms.toDF.toDF("doc_id", "ts", "text"),
+      watermark = "0 seconds", idleRetentionMs = 0L)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_clamp_out").start()
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    try {
+      ms.addData((1L, ts(T0 + 100), base))
+      q.processAllAvailable() // watermark advances to T0 + 100
+      // exactly-at-watermark (late-filter edge) then past-watermark after
+      // the bucket expired: every batch must complete without throwing
+      ms.addData((2L, ts(T0 + 100), base + " extra"))
+      q.processAllAvailable()
+      ms.addData((3L, ts(T0 + 101), base + " more"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      // doc 2 (exactly at the watermark) is late-filtered; doc 1's bucket
+      // state survives its clamped timeout and doc 3 still pairs with it
+      val found = spark.sql(
+        "SELECT DISTINCT id1, id2 FROM neardup_clamp_out").as[(Long, Long)]
+        .collect().toSet
+      assert(found == Set((1L, 3L)))
+    } finally q.stop()
+  }
 }
 
 class StreamingIntervalSpec extends SparkSpec {
