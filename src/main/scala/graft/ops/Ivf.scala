@@ -97,11 +97,23 @@ object Ivf {
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.
+    *
+    * Self-contained form: trains the quantizer in place (the oracle query
+    * replays the whole pipeline). For repeated searches over the same
+    * corpus, `train` once and pass the model to `searchTopKWith` — Lloyd
+    * does not re-run per query.
     */
   def searchTopK(emb: DataFrame, queries: DataFrame, k: Int,
-                 numCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+                 numCells: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    searchTopKWith(emb, queries, k, train(emb, numCells, iters), nprobe)
+
+  /** Search against a PRE-TRAINED quantizer (the k-row driver-side
+    * centroid matrix returned by `train`) — the serving-path API: train
+    * once per corpus snapshot, search many times.
+    */
+  def searchTopKWith(emb: DataFrame, queries: DataFrame, k: Int,
+                     cents: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    val cents = train(emb, numCells, iters)
     val cells = assign(vecs(emb), cents) // vec_id, v, cid
 
     // query-side probe ranking: |q| × numCells rows — tiny by contract

@@ -173,6 +173,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall $recall too low")
   }
 
+  test("pre-trained ivf search equals the self-training path, without re-running Lloyd") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    import spark.implicits._
+    val model = graft.ops.Ivf.train(e) // train ONCE
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id2", "cos").as[(Long, Long, Double)].collect().toSet
+    val selfTrained = run(graft.ops.Ivf.searchTopK(e, queries, 5))
+    // two searches against the shared model: both equal the one-shot path
+    assert(run(graft.ops.Ivf.searchTopKWith(e, queries, 5, model)) == selfTrained)
+    assert(run(graft.ops.Ivf.searchTopKWith(e, queries, 5, model)) == selfTrained)
+  }
+
   test("blocked exact pair search matches the all-pairs reference") {
     val e = Tables.table(spark, Sf0001, "embeddings")
     val blocked = Similarity.nearDupPairs(spark, e, 0.3)
