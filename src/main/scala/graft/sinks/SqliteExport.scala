@@ -1,0 +1,119 @@
+package graft.sinks
+
+import graft.core.Timeframe
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's physical store surface: per-(exchange, symbol,
+  * timeframe) SQLite database files (ccxt-ohlcv-fetch.py:134-138
+  * `gen_db_name`, :263-271 engine setup, :35-47 the `candles` table with
+  * `timestamp INTEGER PRIMARY KEY` and TEXT prices). A user migrating off
+  * the reference keeps their downstream `.sqlite`-reading tooling: this
+  * export writes real SQLite files (see SqliteFile) with the same table
+  * schema and directory layout.
+  *
+  * Scale design: the export is a per-series fan-out — `repartition` on the
+  * series key routes each symbol's candles to one task, sorted within the
+  * partition so rowids (timestamps) arrive ascending and the b-tree
+  * bulk-loads in one pass. Each task writes only its own series' files;
+  * on a cluster, point `rootDir` at a shared mount (each .sqlite file is
+  * written by exactly one task — no coordination needed). A single series
+  * must fit one task's memory — inherent to emitting a single SQLite file
+  * per series, exactly the reference's own layout (one db per
+  * exchange/symbol/timeframe run).
+  */
+object SqliteExport {
+
+  /** Reference schema, ccxt-ohlcv-fetch.py:35-47 (prices are TEXT there
+    * because ccxt hands back strings; kept for drop-in compatibility).
+    */
+  val CandlesCreateSql: String =
+    "CREATE TABLE candles (timestamp INTEGER PRIMARY KEY, open TEXT, " +
+      "high TEXT, low TEXT, close TEXT, volume TEXT)"
+
+  /** `gen_db_name` (ccxt-ohlcv-fetch.py:134-138): symbol slashes dropped,
+    * `ccxt/<exchange>/<sym>/<tf>/<exchange>_<sym>_<tf>.sqlite`.
+    */
+  def dbPath(exchange: String, symbol: String, timeframe: String): String = {
+    val sym = symbol.replace("/", "")
+    s"ccxt/$exchange/$sym/$timeframe/${exchange}_${sym}_${timeframe}.sqlite"
+  }
+
+  /** Export one exchange+timeframe's candles (the graft candle schema:
+    * symbol, bucket_ts, open, high, low, close, volume) to per-symbol
+    * SQLite files under `rootDir`. Returns the relative paths written.
+    */
+  def export(candles: DataFrame, exchange: String, tf: Timeframe,
+             rootDir: String): Seq[String] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val tfName = tf.toString
+    val prepared = candles.select(
+        col("symbol"),
+        unix_millis(col("bucket_ts")).as("ts_ms"),
+        col("open").cast("string").as("o"),
+        col("high").cast("string").as("h"),
+        col("low").cast("string").as("l"),
+        col("close").cast("string").as("c"),
+        col("volume").cast("string").as("v"))
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts_ms"))
+    prepared.mapPartitions { it =>
+      val buffered = it.buffered
+      val written = Seq.newBuilder[String]
+      while (buffered.hasNext) {
+        val symbol = buffered.head.getString(0)
+        val rel = dbPath(exchange, symbol, tfName)
+        val run = Iterator.unfold(()) { _ =>
+          if (buffered.hasNext && buffered.head.getString(0) == symbol)
+            Some((buffered.next(), ())) else None
+        }
+        SqliteFile.write(new java.io.File(rootDir, rel), "candles",
+          CandlesCreateSql, run.map(rowToSqlite))
+        written += rel
+      }
+      written.result().iterator
+    }.collect().toSeq.sorted
+  }
+
+  private def rowToSqlite(r: Row): (Long, Seq[SqliteFile.SqlValue]) = {
+    import SqliteFile._
+    def txt(i: Int): SqlValue =
+      if (r.isNullAt(i)) SqlNull else SqlText(r.getString(i))
+    // timestamp INTEGER PRIMARY KEY aliases the rowid: stored as NULL in
+    // the record, the key lives in the b-tree (format spec; matches what
+    // SQLite itself writes for the reference's schema)
+    (r.getLong(1), Seq(SqlNull, txt(2), txt(3), txt(4), txt(5), txt(6)))
+  }
+}
+
+/** Generic JDBC candle sink/source — the `sqlalchemy.create_engine` lane
+  * of the reference (ccxt-ohlcv-fetch.py:263-271) for warehouses reachable
+  * over JDBC. `df.write.jdbc` opens one connection per partition and
+  * batches inserts (`batchsize` option); `numPartitions` caps write
+  * parallelism against small databases. With a SQLite JDBC driver on the
+  * classpath the same call writes `jdbc:sqlite:<file>` URLs unchanged
+  * (single-writer: coalesce(1) first); the container ships Derby, which
+  * the spec uses for a real embedded roundtrip.
+  */
+object JdbcSink {
+
+  /** Write candles in the reference's table shape (epoch-ms INTEGER
+    * timestamp + TEXT prices).
+    */
+  def writeCandles(candles: DataFrame, url: String, table: String = "candles",
+                   properties: java.util.Properties = new java.util.Properties,
+                   mode: SaveMode = SaveMode.Append): Unit =
+    candles.select(
+        unix_millis(col("bucket_ts")).as("timestamp"),
+        col("open").cast("string").as("open"),
+        col("high").cast("string").as("high"),
+        col("low").cast("string").as("low"),
+        col("close").cast("string").as("close"),
+        col("volume").cast("string").as("volume"))
+      .write.mode(mode).jdbc(url, table, properties)
+
+  def readCandles(spark: SparkSession, url: String, table: String = "candles",
+                  properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
+}

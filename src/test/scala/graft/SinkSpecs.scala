@@ -1,0 +1,211 @@
+package graft
+
+import graft.ohlcv.Candles
+import graft.core.{Tables, Timeframe}
+import graft.sinks.{JdbcSink, SqliteExport, SqliteFile}
+import org.apache.spark.sql.functions._
+
+/** Minimal independent SQLite reader used to verify the writer's files
+  * in-JVM (the files are additionally validated against stock SQLite's
+  * `pragma integrity_check` — see BENCH_NOTES). Walks the table b-tree of
+  * a single-table database produced by SqliteFile.
+  */
+object SqliteReaderForTest {
+  import java.nio.ByteBuffer
+
+  private def varint(b: ByteBuffer): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 9) {
+      val x = b.get() & 0xff
+      if (i == 8) return (v << 8) | x
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) return v
+      i += 1
+    }
+    v
+  }
+
+  private def record(buf: Array[Byte]): Seq[Any] = {
+    val b = ByteBuffer.wrap(buf)
+    val start = b.position()
+    val hdrLen = varint(b)
+    val serials = scala.collection.mutable.ArrayBuffer[Long]()
+    while (b.position() < start + hdrLen) serials += varint(b)
+    serials.toSeq.map {
+      case 0 => null
+      case n if n >= 1 && n <= 6 =>
+        val len = Seq(1, 2, 3, 4, 6, 8)(n.toInt - 1)
+        var v = 0L
+        (1 to len).foreach(_ => v = (v << 8) | (b.get() & 0xff))
+        // sign-extend
+        val shift = 64 - 8 * len
+        (v << shift) >> shift
+      case 7 => b.getDouble()
+      case 8 => 0L
+      case 9 => 1L
+      case t if t >= 13 && t % 2 == 1 =>
+        val a = new Array[Byte](((t - 13) / 2).toInt); b.get(a)
+        new String(a, java.nio.charset.StandardCharsets.UTF_8)
+      case t => sys.error(s"unsupported serial type $t")
+    }
+  }
+
+  /** All (rowid, values) of the table rooted at `rootPage`. */
+  private def walk(pages: Array[Byte] => Unit, data: Array[Byte], pageSize: Int,
+                   pageNo: Int, headerAt: Int): Seq[(Long, Seq[Any])] = {
+    val off = (pageNo - 1) * pageSize
+    val b = ByteBuffer.wrap(data, off, pageSize).slice()
+    val tpe = b.get(headerAt) & 0xff
+    val nCells = b.getShort(headerAt + 3) & 0xffff
+    val hdrLen = if (tpe == 0x05) 12 else 8
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Seq[Any])]()
+    if (tpe == 0x05) {
+      for (i <- 0 until nCells) {
+        val cellOff = b.getShort(headerAt + hdrLen + 2 * i) & 0xffff
+        val child = ByteBuffer.wrap(data, off + cellOff, 4).getInt
+        out ++= walk(pages, data, pageSize, child, 0)
+      }
+      out ++= walk(pages, data, pageSize, b.getInt(headerAt + 8), 0)
+    } else {
+      require(tpe == 0x0d, s"unexpected page type $tpe")
+      for (i <- 0 until nCells) {
+        val cellOff = b.getShort(headerAt + hdrLen + 2 * i) & 0xffff
+        val cb = ByteBuffer.wrap(data, off + cellOff, pageSize - cellOff).slice()
+        val payloadLen = varint(cb)
+        val rowid = varint(cb)
+        val rec = new Array[Byte](payloadLen.toInt)
+        cb.get(rec)
+        out += ((rowid, record(rec)))
+      }
+    }
+    out.toSeq
+  }
+
+  /** (tableName, createSql, rows) of a single-table database file. */
+  def read(path: java.io.File): (String, String, Seq[(Long, Seq[Any])]) = {
+    val data = java.nio.file.Files.readAllBytes(path.toPath)
+    require(new String(data, 0, 15, "US-ASCII") == "SQLite format 3", "bad magic")
+    val pageSize = ByteBuffer.wrap(data).getShort(16) & 0xffff
+    val master = walk(_ => (), data, pageSize, 1, 100)
+    require(master.length == 1, s"expected one schema row, got ${master.length}")
+    val Seq(tpe, name, _, rootPage, sql) = master.head._2
+    require(tpe == "table")
+    (name.toString, sql.toString,
+      walk(_ => (), data, pageSize, rootPage.asInstanceOf[Long].toInt, 0))
+  }
+}
+
+class SqliteFileSpec extends SparkSpec {
+  import SqliteFile._
+
+  test("varint encoding round-trips against the reader across the full range") {
+    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, 1L << 35, Long.MaxValue,
+                  -1L, Long.MinValue)) {
+      val bytes = SqliteFile.varint(v)
+      val b = java.nio.ByteBuffer.wrap(bytes ++ Array.fill(9)(0.toByte))
+      var out = 0L
+      var i = 0
+      var done = false
+      while (!done && i < 9) {
+        val x = b.get() & 0xff
+        if (i == 8) { out = (out << 8) | x; done = true }
+        else { out = (out << 7) | (x & 0x7f); if ((x & 0x80) == 0) done = true }
+        i += 1
+      }
+      assert(out == v, s"varint roundtrip failed for $v")
+      assert(bytes.length <= 9)
+    }
+  }
+
+  test("single-leaf, multi-level, empty and mixed-type databases round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-spec").toFile
+    // multi-level b-tree: 10k rows forces leaf + interior pages
+    val big = new java.io.File(dir, "big.sqlite")
+    val rows = (1 to 10000).map(i => (1700000000000L + i * 60000L,
+      Seq[SqlValue](SqlNull, SqlText(s"$i.1"), SqlText(s"$i.9"),
+        SqlText(s"$i.0"), SqlText(s"$i.5"), SqlText(s"${i * 10}.0"))))
+    assert(SqliteFile.write(big, "candles", SqliteExport.CandlesCreateSql,
+      rows.iterator) == 10000L)
+    val (name, sql, got) = SqliteReaderForTest.read(big)
+    assert(name == "candles" && sql == SqliteExport.CandlesCreateSql)
+    assert(got.length == 10000)
+    assert(got.map(_._1) == rows.map(_._1)) // rowid order preserved
+    assert(got.head._2 == Seq(null, "1.1", "1.9", "1.0", "1.5", "10.0"))
+    assert(got.last._2(4) == "10000.5")
+    // empty table
+    val empty = new java.io.File(dir, "empty.sqlite")
+    assert(SqliteFile.write(empty, "t", "CREATE TABLE t (id INTEGER PRIMARY KEY)",
+      Iterator.empty) == 0L)
+    assert(SqliteReaderForTest.read(empty)._3.isEmpty)
+    // mixed serial types: negative/zero/one/big ints, reals, NULL, UTF-8
+    val mixed = new java.io.File(dir, "mixed.sqlite")
+    val mrows = Seq(
+      (1L, Seq[SqlValue](SqlNull, SqlInt(-5), SqlReal(3.25), SqlText("héllo"))),
+      (2L, Seq[SqlValue](SqlNull, SqlInt(0), SqlReal(-0.5), SqlNull)),
+      (300000L, Seq[SqlValue](SqlNull, SqlInt(1L << 40), SqlReal(1e300), SqlText(""))))
+    SqliteFile.write(mixed, "t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, b REAL, c TEXT)",
+      mrows.iterator)
+    val got2 = SqliteReaderForTest.read(mixed)._3
+    assert(got2 == Seq(
+      (1L, Seq(null, -5L, 3.25, "héllo")),
+      (2L, Seq(null, 0L, -0.5, null)),
+      (300000L, Seq(null, 1L << 40, 1e300, ""))))
+  }
+
+  test("non-ascending rowids and oversized payloads are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-spec").toFile
+    intercept[IllegalArgumentException] {
+      SqliteFile.write(new java.io.File(dir, "bad.sqlite"), "t",
+        "CREATE TABLE t (id INTEGER PRIMARY KEY)",
+        Iterator((2L, Seq[SqlValue](SqlNull)), (2L, Seq[SqlValue](SqlNull))))
+    }
+    intercept[IllegalArgumentException] {
+      SqliteFile.write(new java.io.File(dir, "big.sqlite"), "t",
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, c TEXT)",
+        Iterator((1L, Seq[SqlValue](SqlNull, SqlText("x" * 5000)))))
+    }
+  }
+}
+
+class SqliteExportSpec extends SparkSpec {
+  test("candles export to the reference's per-series sqlite layout, readable back") {
+    val candles = Candles.fromTrades(Tables.trades(spark, Sf0001), Timeframe.parse("1h"))
+    val root = java.nio.file.Files.createTempDirectory("sqlite-export").toString
+    val written = SqliteExport.export(candles, "binance", Timeframe.parse("1h"), root)
+    val symbols = candles.select("symbol").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    // gen_db_name layout: one file per symbol series
+    assert(written == symbols.map(s => SqliteExport.dbPath("binance", s, "1h")))
+    // a series file holds exactly that symbol's candles, rowid = epoch ms
+    val sym = symbols.head
+    val (name, sql, rows) =
+      SqliteReaderForTest.read(new java.io.File(root, written.head))
+    assert(name == "candles" && sql == SqliteExport.CandlesCreateSql)
+    val expected = candles.where(col("symbol") === sym)
+      .select(unix_millis(col("bucket_ts")), col("open").cast("string"),
+        col("close").cast("string"))
+      .orderBy(col("bucket_ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.map(_._1) == expected.map(_._1))
+    assert(rows.map(r => (r._1, r._2(1), r._2(4))) == expected)
+  }
+}
+
+class JdbcSinkSpec extends SparkSpec {
+  test("jdbc roundtrip against embedded Derby preserves every candle") {
+    val candles = Candles.fromTrades(Tables.trades(spark, Sf0001), Timeframe.parse("1h"))
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    JdbcSink.writeCandles(candles, url, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val back = JdbcSink.readCandles(spark, url)
+    assert(back.count() == candles.count())
+    val a = candles.select(unix_millis(col("bucket_ts")).as("ts"),
+        col("close").cast("string").as("close")).orderBy(col("ts"), col("close"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = back.select(col("timestamp"), col("close"))
+      .orderBy(col("timestamp"), col("close"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b)
+  }
+}
