@@ -328,6 +328,12 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccard(Tables.table(s, dir, "documents"))),
     "corpus_dedup" -> ((s, dir) =>
       graft.ops.Dedup.corpusDedup(Tables.table(s, dir, "documents"))),
+    "contamination_check" -> ((s, dir) =>
+      graft.ops.TextAnalysis.contaminationCheck(Tables.table(s, dir, "documents"))),
+    "tfidf_topterms" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfidfTopTerms(Tables.table(s, dir, "documents"))),
+    "volume_anomaly" -> ((s, dir) =>
+      Analytics.volumeAnomaly(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
     "quality_score" -> ((s, dir) =>
@@ -636,6 +642,44 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT id1, id2, est_jaccard, jaccard FROM jac WHERE jaccard >= 0.5",
     "corpus_dedup" -> corpusDedupSql(0.8),
+    "contamination_check" ->
+      ("WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "shg AS (SELECT doc_id, source, list_distinct(list_transform(" +
+        "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
+        "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM shg WHERE source = 'src0'), " +
+        "corpus AS (SELECT doc_id, sh FROM shg WHERE source <> 'src0'), " +
+        "ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus), " +
+        "hits AS (SELECT e.doc_id, count(*) AS n_hit FROM ex e JOIN bsh b ON e.s = b.s GROUP BY 1), " +
+        "base AS (SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles, " +
+        "COALESCE(h.n_hit, 0) AS n_hit FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id) " +
+        "SELECT doc_id, n_shingles, n_hit, containment, containment >= 0.5 AS contaminated " +
+        "FROM (SELECT base.*, CASE WHEN n_shingles > 0 THEN " +
+        "round(CAST(n_hit AS DOUBLE) / n_shingles, 6) END AS containment FROM base) b2"),
+    "tfidf_topterms" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+        "wf AS (SELECT doc_id, term FROM w WHERE term <> ''), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM wf GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "scored AS (SELECT t.doc_id, t.term, t.tf, " +
+        "round(t.tf * ln(CAST(nd.n_docs + 1 AS DOUBLE) / (d.df + 1)), 6) AS score " +
+        "FROM tf t JOIN df d ON d.term = t.term CROSS JOIN nd) " +
+        "SELECT doc_id, term, tf, score, rank FROM (SELECT scored.*, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank " +
+        "FROM scored) s WHERE rank <= 3"),
+    "volume_anomaly" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "st AS (SELECT symbol, count(*) AS n, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
+        "FROM c GROUP BY 1), " +
+        "j0 AS (SELECT c.symbol, c.bucket_ts, c.volume, st.n, st.s1 / st.n AS mu, st.s2 " +
+        "FROM c JOIN st ON st.symbol = c.symbol), " +
+        "j AS (SELECT symbol, bucket_ts, volume, mu, " +
+        "(s2 - n * mu * mu) / (n - 1) AS variance FROM j0) " +
+        "SELECT symbol, bucket_ts, volume, " +
+        "round((volume - mu) / sqrt(variance), 6) AS zscore FROM j " +
+        "WHERE variance > 0 AND abs(round((volume - mu) / sqrt(variance), 6)) >= 2.0"),
     "q6_selective" ->
       ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
         "count(*) AS n FROM lineitem " +

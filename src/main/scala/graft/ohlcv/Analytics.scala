@@ -258,4 +258,29 @@ object Analytics {
       (sum((col("high") - col("low")).cast(D)).cast("double") /
         count(lit(1)).cast("double")).as("avg_range"),
       sum(col("volume").cast(D)).cast("double").as("total_volume"))
+
+  /** Volume anomaly screen: buckets whose volume sits >= `z` sample
+    * standard deviations from the symbol's mean. Moments come from ONE
+    * map-side-partial aggregation over decimal-exact sums (sum(v),
+    * sum(v*v) as decimals -> identical under any shuffle order and
+    * replayable by any engine), variance/z assembled in plain IEEE
+    * double from those exact sums, broadcast-joined back (symbols are
+    * dim-scale). No whole-partition window, no second scan shuffle.
+    */
+  def volumeAnomaly(candles: DataFrame, z: Double = 2.0): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val stats = candles.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"),
+      sum(col("volume").cast(d2)).cast("double").as("s1"),
+      sum(col("volume").cast(d2) * col("volume").cast(d2)).cast("double").as("s2"))
+    candles.join(broadcast(stats), "symbol")
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("n") * col("mu") * col("mu")) / (col("n") - 1))
+      .where(col("variance") > 0)
+      .withColumn("zscore",
+        round((col("volume") - col("mu")) / sqrt(col("variance")), 6))
+      .where(abs(col("zscore")) >= z)
+      .select(col("symbol"), col("bucket_ts"), col("volume"), col("zscore"))
+  }
 }

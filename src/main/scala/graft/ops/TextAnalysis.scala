@@ -192,4 +192,60 @@ object TextAnalysis {
       md5(clean.cast("binary")).as("clean_fp"),
       length(clean).cast("long").as("n_chars_clean"))
   }
+
+  /** Decontamination screen for a training corpus: fraction of each
+    * corpus doc's distinct 3-shingles that appear anywhere in the
+    * benchmark/eval set (`source == benchmarkSource`). The classic
+    * train/test-overlap check run before every pretraining job.
+    *
+    * Scale design: an eval set is dim-scale next to a 100 TB corpus, so
+    * its distinct shingle set BROADCASTS; the corpus side is one map-only
+    * shingle explode + broadcast-hash semi hit-count, then a single
+    * aggregation by doc — no corpus-sized shuffle beyond the per-doc
+    * counts. Zero-hit and sub-3-word docs are kept (containment 0 / null)
+    * via the left join of per-doc totals.
+    */
+  def contaminationCheck(docs: DataFrame, benchmarkSource: String = "src0",
+                         threshold: Double = 0.5): DataFrame = {
+    val sh = docs.withColumn("ws", words(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_distinct(Dedup.shinglesFromWords(col("ws"))).as("sh"))
+    val bench = sh.where(col("source") === benchmarkSource)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = sh.where(col("source") =!= benchmarkSource)
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment", when(col("n_shingles") > 0,
+        round(col("n_hit").cast("double") / col("n_shingles"), 6)))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
+
+  /** Per-doc top-k TF-IDF terms (corpus vocabulary profiling / keyword
+    * extraction). idf = ln((N+1)/(df+1)); scores are rounded to 6 decimals
+    * BEFORE ranking so the ordering is engine-stable, ties break on the
+    * term. Shuffles: one for (doc, term) counts (map-side combine), a
+    * vocabulary-sized one for document frequencies, and the per-doc rank
+    * window (bounded frames). The doc count rides along as a broadcast
+    * 1-row aggregate — no driver-side action.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+  }
 }

@@ -166,6 +166,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 2)
     assert(math.abs(out(0).getAs[Double]("ret") - 0.1) < 1e-12)
   }
+
+  test("volume anomaly flags only buckets beyond z sample deviations") {
+    // volumes 1,1,1,1,10: mean 2.8, sd 4.02...; only the 10 passes z=1.5
+    val c = Candles.fromTrades(
+      (0 to 3).map(i => ("BTC", ts(T0 + 10 + 3600 * i), 100.0, 1.0))
+        .:+ (("BTC", ts(T0 + 10 + 3600 * 4), 100.0, 10.0))
+      .toDF("symbol", "ts", "price", "qty"), Timeframe.parse("1h"))
+    val out = Analytics.volumeAnomaly(c, 1.5).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("volume") == 10.0)
+    assert(out(0).getAs[Double]("zscore") > 1.5)
+    // constant volumes: variance 0 -> nothing flagged, nothing thrown
+    val flat = Candles.fromTrades(
+      (0 to 3).map(i => ("BTC", ts(T0 + 10 + 3600 * i), 100.0, 2.0))
+        .toDF("symbol", "ts", "price", "qty"), Timeframe.parse("1h"))
+    assert(Analytics.volumeAnomaly(flat, 1.5).count() == 0)
+  }
 }
 
 class AsofJoinSpec extends SparkSpec {

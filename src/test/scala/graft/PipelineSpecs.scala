@@ -342,6 +342,39 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "en")
   }
+
+  test("contamination check measures benchmark shingle overlap per corpus doc") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "bench"), // benchmark doc
+      (2L, "alpha beta gamma delta zeta", "web"),      // shares 2 of 3 shingles
+      (3L, "one two three four five", "web"),          // shares none
+      (4L, "too short", "web"))                        // <3 words -> null
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.contaminationCheck(d, "bench", 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L)) // benchmark docs are not scored
+    assert(out(2L).getAs[Long]("n_hit") == 2L &&
+      out(2L).getAs[Boolean]("contaminated"))
+    assert(out(3L).getAs[Long]("n_hit") == 0L &&
+      !out(3L).getAs[Boolean]("contaminated"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("containment")))
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck common"),
+      (3L, "goose common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        r.getAs[String]("term")).toMap
+    // 'common' is in every doc (lowest idf): never rank 1
+    assert(out((1L, 1L)) == "spark")
+    assert(out((2L, 1L)) == "duck")
+    assert(out((3L, 1L)) == "goose")
+    assert(out((1L, 2L)) == "common")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
