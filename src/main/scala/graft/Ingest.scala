@@ -19,7 +19,8 @@ object Ingest {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     require(pos.length >= 4,
-      "usage: Ingest <tradesDir> <storeRoot> <exchange> <timeframe> [csvOut] [--since=ISO8601]")
+      "usage: Ingest <tradesDir> <storeRoot> <exchange> <timeframe> [csvOut] " +
+        "[--since=ISO8601] [--sqlite=DIR]")
     val Array(tradesDir, storeRoot, exchange, tfStr) = pos.take(4)
     val tf = Timeframe.parse(tfStr)
     val spark = GraftSession.builder(
@@ -45,6 +46,14 @@ object Ingest {
     pos.lift(4).foreach { csvOut =>
       store.exportCsv(spark, csvOut, exchange, symbols.head, tf)
       println(s"[ingest] exported ${symbols.head} -> $csvOut")
+    }
+    // --sqlite=DIR additionally emits the reference's literal per-series
+    // .sqlite files (gen_db_name layout) for downstream sqlite tooling
+    flags.collectFirst { case f if f.startsWith("--sqlite=") =>
+      f.stripPrefix("--sqlite=")
+    }.foreach { dir =>
+      val files = graft.sinks.SqliteExport.export(candles, exchange, tf, dir)
+      println(s"[ingest] sqlite export: ${files.length} series files under $dir")
     }
     println(s"[ingest] wrote ${candles.count()} candles for ${symbols.length} symbols")
     spark.stop()
