@@ -267,8 +267,11 @@ object Analytics {
     * double from those exact sums, broadcast-joined back (symbols are
     * dim-scale). No whole-partition window, no second scan shuffle.
     */
-  def volumeAnomaly(candles: DataFrame, z: Double = 2.0): DataFrame = {
+  def volumeAnomaly(candles0: DataFrame, z: Double = 2.0): DataFrame = {
     val d2 = DecimalType(18, 2)
+    // materialize the candle frame once: the stats branch and the probe
+    // side would otherwise recompute the whole upstream resample
+    val candles = graft.core.Materialize.once(candles0)
     val stats = candles.groupBy(col("symbol")).agg(
       count(lit(1)).as("n"),
       sum(col("volume").cast(d2)).cast("double").as("s1"),

@@ -267,17 +267,13 @@ object Dedup {
     * dynamic allocation means a failed job, not a recompute); an
     * executor-local checkpoint otherwise (bench/local mode, no dir).
     */
-  private def cutLineage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  private def cutLineage(df: DataFrame): DataFrame = graft.core.Materialize.cut(df)
 
   /** Lazy lineage cut: materialization folds into the NEXT action on the
     * returned frame, so a CC round costs ONE job (materialize + count
     * changed labels together) instead of checkpoint-then-probe.
     */
-  private def cutLineageLazy(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
-    else df.localCheckpoint(false)
+  private def cutLineageLazy(df: DataFrame): DataFrame = graft.core.Materialize.once(df)
 
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))

@@ -207,9 +207,12 @@ object TextAnalysis {
     */
   def contaminationCheck(docs: DataFrame, benchmarkSource: String = "src0",
                          threshold: Double = 0.5): DataFrame = {
-    val sh = docs.withColumn("ws", words(col("text")))
+    // one materialized shingle scan shared by the benchmark branch and
+    // both corpus branches (explode + per-doc totals) — the corpus text
+    // is read exactly once (see core.Materialize)
+    val sh = graft.core.Materialize.once(docs.withColumn("ws", words(col("text")))
       .select(col("doc_id"), col("source"),
-        array_distinct(Dedup.shinglesFromWords(col("ws"))).as("sh"))
+        array_distinct(Dedup.shinglesFromWords(col("ws"))).as("sh")))
     val bench = sh.where(col("source") === benchmarkSource)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = sh.where(col("source") =!= benchmarkSource)

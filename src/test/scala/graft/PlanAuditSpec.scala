@@ -64,6 +64,21 @@ class PlanAuditSpec extends SparkSpec {
       "corpus must not be re-scanned past the signature cut\n" + p)
   }
 
+  test("contamination/anomaly stats broadcast and their base scans materialize once") {
+    // benchmark shingle set and per-symbol moments are dim-scale: both
+    // queries must broadcast them, and their shared base frame (shingle
+    // scan / candle resample) must come from ONE materialized RDD — no
+    // FileScan may survive past the cut
+    for (name <- Seq("contamination_check", "volume_anomaly")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name must broadcast\n" + p)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read the materialized base frame\n" + p)
+      assert(!p.contains("FileScan"),
+        s"$name must not re-scan its input past the cut\n" + p)
+    }
+  }
+
   test("asof join plans as the native physical operator") {
     val p = planOf("asof_join")
     assert(p.contains("AsofJoin"), p)
