@@ -120,8 +120,11 @@ object SparkEntry {
       // never the joined rows. Output values are identical to the plain
       // bucket_ts join — the oracle replays the unblocked form.
       val B = 4
-      val r = Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
-        .select(col("symbol"), col("bucket_ts"), col("ret"))
+      // the returns frame feeds both join sides: materialize it once so
+      // the resample + lag window upstream runs a single time
+      val r = graft.core.Materialize.once(
+        Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
+          .select(col("symbol"), col("bucket_ts"), col("ret")))
       val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
         .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
       val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
@@ -170,8 +173,10 @@ object SparkEntry {
       // agg + the final rollup); the activity join is a broadcast of the
       // per-user cohort table at dim scale, a shuffle join at 100 TB.
       val e = Tables.events(s, dir)
-      val activity = e.select(col("user_id"),
-        date_trunc("day", col("ts")).as("day")).distinct()
+      // activity feeds the cohort aggregation AND the join probe side:
+      // one materialized distinct instead of two events scans
+      val activity = graft.core.Materialize.once(e.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct())
       val cohort = activity.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
       activity.join(cohort, "user_id")
