@@ -447,6 +447,43 @@ class StreamingNearDupSpec extends SparkSpec {
   }
 }
 
+class StreamingAnomalySpec extends SparkSpec {
+  test("candles score against prior running moments, exactly as the batch formula") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingAnomaly.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "volume"), z = 2.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_out").start()
+    try {
+      // priors 1,2 then 1.5 (scores z=0 against mean 1.5): nothing emits
+      ms.addData(("BTC", ts(T0), 1.0), ("BTC", ts(T0 + 3600), 2.0),
+        ("BTC", ts(T0 + 7200), 1.5))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM anomaly_out").count() == 0)
+      // 10.0 against priors (1, 2, 1.5): mean 1.5, sample var 0.25 -> z = 17;
+      // a second symbol's first candle has no priors and stays silent
+      ms.addData(("BTC", ts(T0 + 10800), 10.0), ("ETH", ts(T0 + 10800), 999.0))
+      q.processAllAvailable()
+      val found = spark.sql("SELECT symbol, volume, zscore, n_prior FROM anomaly_out")
+        .as[(String, Double, Double, Long)].collect().toSet
+      assert(found == Set(("BTC", 10.0, 17.0, 3L)))
+      // state carried across batches: next BTC candle scores against 4 priors
+      // (1, 2, 1.5, 10): mean 3.625, var (107.25 - 4*3.625^2)/3
+      ms.addData(("BTC", ts(T0 + 14400), 30.0))
+      q.processAllAvailable()
+      val z2 = spark.sql("SELECT zscore FROM anomaly_out WHERE volume = 30.0")
+        .as[Double].collect()
+      val mu = 3.625
+      val variance = (107.25 - 4 * mu * mu) / 3
+      val expected = BigDecimal((30.0 - mu) / math.sqrt(variance))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(z2.toSeq == Seq(expected))
+    } finally q.stop()
+  }
+}
+
 class StreamingIntervalSpec extends SparkSpec {
   test("forward interval join attributes rights inside the window, exactly once") {
     import spark.implicits._
