@@ -279,8 +279,12 @@ object Dedup {
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct())
-    var labels = cutLineage(edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")))
+    // seed with the first propagation round folded into init: each node
+    // starts at min(self, min neighbor) — one aggregation over the edge
+    // list instead of a distinct + a full join round
+    var labels = cutLineage(edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("cluster_id"))
+      .select(col("a").as("doc_id"), col("cluster_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
