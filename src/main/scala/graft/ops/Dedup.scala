@@ -188,7 +188,9 @@ object Dedup {
       .toDF("doc_id", "band", "bsig")
     val stats = banded.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
-    val tagged = banded.join(stats, Seq("band", "bsig"))
+    // four consumers (both small-pair sides, representative pairs, ring
+    // pairs) would each re-run the banding + bucket-stats join — cut once
+    val tagged = graft.core.Materialize.once(banded.join(stats, Seq("band", "bsig")))
     val small = tagged.where(col("bucket_n") <= maxBucket)
     val smallPairs = small.select(col("band"), col("bsig"), col("doc_id").as("id1"))
       .join(small.select(col("band"), col("bsig"), col("doc_id").as("id2")),
