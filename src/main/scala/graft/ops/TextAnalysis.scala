@@ -239,7 +239,10 @@ object TextAnalysis {
     val terms = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .where(col("term") =!= "")
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds the document-frequency aggregation AND the scoring join:
+    // one lazy cut instead of two explode+count passes over the corpus
+    val tf = graft.core.Materialize.once(
+      terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
