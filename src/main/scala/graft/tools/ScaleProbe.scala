@@ -48,6 +48,12 @@ object ScaleProbe {
       time(s"corpus_dedup x$k") {
         graft.ops.Dedup.corpusDedup(docs).count()
       }
+      time(s"contamination_check x$k") {
+        graft.ops.TextAnalysis.contaminationCheck(docs).count()
+      }
+      time(s"tfidf_topterms x$k") {
+        graft.ops.TextAnalysis.tfidfTopTerms(docs).count()
+      }
       docs.unpersist()
       val emb = amplifyEmb(k).cache(); emb.count()
       val q = emb.where(col("vec_id") < 10)
