@@ -339,6 +339,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfidfTopTerms(Tables.table(s, dir, "documents"))),
     "volume_anomaly" -> ((s, dir) =>
       Analytics.volumeAnomaly(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "candle_patterns" -> ((s, dir) =>
+      Analytics.candlePatterns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "bigram_surprisal" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
     "quality_score" -> ((s, dir) =>
@@ -672,6 +676,28 @@ object SparkEntry {
         "SELECT doc_id, term, tf, score, rank FROM (SELECT scored.*, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank " +
         "FROM scored) s WHERE rank <= 3"),
+    "candle_patterns" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, open, high, low, close, " +
+        "lag(open) OVER w AS prev_open, lag(close) OVER w AS prev_close FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "f AS (SELECT symbol, bucket_ts, open, high, low, close, " +
+        "(high - low > 0 AND abs(close - open) <= 0.1 * (high - low)) AS doji, " +
+        "(prev_close < prev_open AND close > open AND open <= prev_close AND close >= prev_open) AS bull_engulf, " +
+        "(prev_close > prev_open AND close < open AND open >= prev_close AND close <= prev_open) AS bear_engulf FROM p) " +
+        "SELECT symbol, bucket_ts, open, high, low, close, doji, bull_engulf, bear_engulf " +
+        "FROM f WHERE doji OR bull_engulf OR bear_engulf"),
+    "bigram_surprisal" ->
+      ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "dw2 AS (SELECT doc_id, ws FROM dw WHERE len(ws) >= 2), " +
+        "bi0 AS (SELECT doc_id, unnest(generate_series(1, len(ws)-1)) AS i, ws FROM dw2), " +
+        "bi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bi0), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1) " +
+        "SELECT b.doc_id, count(*) AS n_bigrams, " +
+        "round(avg(ln(CAST(c1.c1 AS DOUBLE) / c12.c12)), 6) AS surprisal " +
+        "FROM bi b JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2 " +
+        "JOIN c1 ON c1.w1 = b.w1 GROUP BY 1"),
     "volume_anomaly" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "st AS (SELECT symbol, count(*) AS n, " +

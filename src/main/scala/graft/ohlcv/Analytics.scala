@@ -286,4 +286,28 @@ object Analytics {
       .where(abs(col("zscore")) >= z)
       .select(col("symbol"), col("bucket_ts"), col("volume"), col("zscore"))
   }
+
+  /** Candlestick pattern flags — doji (body within 10% of the range) and
+    * bullish/bearish engulfing vs the previous candle. One lag window per
+    * symbol (bounded frame); pure double comparisons, no rounding needed.
+    * Emits only candles matching at least one pattern.
+    */
+  def candlePatterns(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    candles
+      .withColumn("prev_open", lag(col("open"), 1).over(w))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("doji", range > 0 && body <= lit(0.1) * range)
+      .withColumn("bull_engulf", col("prev_close") < col("prev_open") &&
+        col("close") > col("open") &&
+        col("open") <= col("prev_close") && col("close") >= col("prev_open"))
+      .withColumn("bear_engulf", col("prev_close") > col("prev_open") &&
+        col("close") < col("open") &&
+        col("open") >= col("prev_close") && col("close") <= col("prev_open"))
+      .where(col("doji") || col("bull_engulf") || col("bear_engulf"))
+      .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("doji"), col("bull_engulf"), col("bear_engulf"))
+  }
 }

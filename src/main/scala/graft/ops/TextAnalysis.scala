@@ -254,4 +254,33 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
   }
+
+  /** Bigram-surprisal quality proxy: average -ln p(w2|w1) per doc under
+    * the corpus's own bigram model — the classic cheap stand-in for a
+    * model-based quality filter (high surprisal = unnatural word
+    * sequences: boilerplate, mangled text, spam).
+    *
+    * Scale design: the exploded bigram frame is materialized once and
+    * feeds both the count aggregation and the scoring join; unigram
+    * counts DERIVE from the bigram counts (sum over w2) instead of a
+    * second corpus pass. Two skinny-key joins (vocabulary-sized), one
+    * per-doc average. p is exact-rational per bigram (count ratio), only
+    * the final ln/avg is floating point, rounded for engine stability.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bi = graft.core.Materialize.once(
+      docs.withColumn("ws", words(col("text")))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c1").cast("double") / col("c12"))), 6).as("surprisal"))
+  }
 }

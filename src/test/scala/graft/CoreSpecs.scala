@@ -167,6 +167,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("ret") - 0.1) < 1e-12)
   }
 
+  test("candle patterns flag doji and engulfing bars") {
+    val c = Seq(
+      // BTC: red bar then a bullish engulfing bar
+      ("BTC", ts(T0), 10.0, 10.5, 8.5, 9.0),
+      ("BTC", ts(T0 + 3600), 8.9, 10.5, 8.5, 10.1),
+      // ETH: a doji (tiny body, wide range)
+      ("ETH", ts(T0), 10.0, 11.0, 9.0, 10.01),
+      // ETH: plain bar, no pattern
+      ("ETH", ts(T0 + 3600), 10.0, 12.0, 9.9, 11.9))
+      .toDF("symbol", "ts", "open", "high", "low", "close")
+      .withColumn("bucket_ts", col("ts")).drop("ts")
+    val out = Analytics.candlePatterns(c).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Double]("close")) -> r).toMap
+    assert(out.keySet == Set(("BTC", 10.1), ("ETH", 10.01)))
+    assert(out(("BTC", 10.1)).getAs[Boolean]("bull_engulf"))
+    assert(out(("ETH", 10.01)).getAs[Boolean]("doji"))
+  }
+
   test("volume anomaly flags only buckets beyond z sample deviations") {
     // volumes 1,1,1,1,10: mean 2.8, sd 4.02...; only the 10 passes z=1.5
     val c = Candles.fromTrades(

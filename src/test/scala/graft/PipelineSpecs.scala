@@ -360,6 +360,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("containment")))
   }
 
+  test("bigram surprisal averages -ln p(w2|w1) under the corpus model") {
+    // c12: (a,b)=3, (b,a)=1, (b,x)=1; c1: a=3, b=2
+    val d = Seq((1L, "a b a b"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("surprisal"))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, r6(math.log(2.0) / 3))))  // [0, ln2, 0] / 3
+    assert(out(2L) == ((2L, r6(math.log(2.0) / 2))))  // [0, ln2] / 2
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val d = Seq(
       (1L, "spark spark spark common"),
