@@ -447,6 +447,37 @@ class StreamingNearDupSpec extends SparkSpec {
   }
 }
 
+class StreamingGapDetectSpec extends SparkSpec {
+  test("gaps emit live as candles arrive, matching the batch operator's shape") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingGapDetect.run(
+      ms.toDF.toDF("symbol", "bucket_ts"), Timeframe.parse("1h"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_out").start()
+    try {
+      // contiguous hours: no gap
+      ms.addData(("BTC", ts(T0)), ("BTC", ts(T0 + 3600)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM gap_out").count() == 0)
+      // 3 missing hours, detected the moment the next candle lands;
+      // gap crosses the batch boundary (state carries the last bucket)
+      ms.addData(("BTC", ts(T0 + 5 * 3600)), ("ETH", ts(T0)))
+      q.processAllAvailable()
+      val gaps = spark.sql("SELECT symbol, gap_start, gap_end, missing FROM gap_out")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(gaps == Set(("BTC", ts(T0 + 3600), ts(T0 + 5 * 3600), 3L)))
+      // batch semantics agree: run Candles.gaps over the same points
+      val batch = graft.ohlcv.Candles.gaps(
+        Seq(("BTC", ts(T0)), ("BTC", ts(T0 + 3600)), ("BTC", ts(T0 + 5 * 3600)),
+          ("ETH", ts(T0))).toDF("symbol", "bucket_ts"), Timeframe.parse("1h"))
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(batch == gaps)
+    } finally q.stop()
+  }
+}
+
 class StreamingAnomalySpec extends SparkSpec {
   test("candles score against prior running moments, exactly as the batch formula") {
     import spark.implicits._
