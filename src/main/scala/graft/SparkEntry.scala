@@ -685,8 +685,7 @@ object SparkEntry {
         "(high - low > 0 AND abs(close - open) <= 0.1 * (high - low)) AS doji, " +
         "(prev_close < prev_open AND close > open AND open <= prev_close AND close >= prev_open) AS bull_engulf, " +
         "(prev_close > prev_open AND close < open AND open >= prev_close AND close <= prev_open) AS bear_engulf FROM p) " +
-        "SELECT symbol, bucket_ts, open, high, low, close, doji, bull_engulf, bear_engulf " +
-        "FROM f WHERE doji OR bull_engulf OR bear_engulf"),
+        "SELECT symbol, bucket_ts, open, high, low, close, doji, bull_engulf, bear_engulf FROM f"),
     "bigram_surprisal" ->
       ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
         "dw2 AS (SELECT doc_id, ws FROM dw WHERE len(ws) >= 2), " +

@@ -290,7 +290,9 @@ object Analytics {
   /** Candlestick pattern flags — doji (body within 10% of the range) and
     * bullish/bearish engulfing vs the previous candle. One lag window per
     * symbol (bounded frame); pure double comparisons, no rounding needed.
-    * Emits only candles matching at least one pattern.
+    * Emits EVERY candle with its flags (feature-engineering shape;
+    * engulfing flags are null on a symbol's first candle) — downstream
+    * filters pick the patterns they care about.
     */
   def candlePatterns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
@@ -306,7 +308,6 @@ object Analytics {
       .withColumn("bear_engulf", col("prev_close") > col("prev_open") &&
         col("close") < col("open") &&
         col("open") >= col("prev_close") && col("close") <= col("prev_open"))
-      .where(col("doji") || col("bull_engulf") || col("bear_engulf"))
       .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
         col("low"), col("close"), col("doji"), col("bull_engulf"), col("bear_engulf"))
   }

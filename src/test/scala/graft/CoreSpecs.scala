@@ -180,9 +180,17 @@ class AnalyticsSpec extends SparkSpec {
       .withColumn("bucket_ts", col("ts")).drop("ts")
     val out = Analytics.candlePatterns(c).collect()
       .map(r => (r.getAs[String]("symbol"), r.getAs[Double]("close")) -> r).toMap
-    assert(out.keySet == Set(("BTC", 10.1), ("ETH", 10.01)))
+    assert(out.size == 4) // every candle emitted with its flags
     assert(out(("BTC", 10.1)).getAs[Boolean]("bull_engulf"))
     assert(out(("ETH", 10.01)).getAs[Boolean]("doji"))
+    val plain = out(("ETH", 11.9))
+    assert(!plain.getAs[Boolean]("doji") && !plain.getAs[Boolean]("bull_engulf") &&
+      !plain.getAs[Boolean]("bear_engulf"))
+    // a first candle's engulfing flag is null only when its own direction
+    // doesn't already falsify the conjunction (3VL: null AND false = false)
+    val first = out(("BTC", 9.0)) // red: close < open, so bull_engulf = false
+    assert(!first.getAs[Boolean]("bull_engulf"))
+    assert(first.isNullAt(first.fieldIndex("bear_engulf")))
   }
 
   test("volume anomaly flags only buckets beyond z sample deviations") {
