@@ -311,6 +311,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.ngramFreq(d, 2, 10).count() > 0)
     assert(TextAnalysis.curate(d, 0.0).count() >= 2) // null/empty may drop from scoring joins
     assert(graft.ops.Multimodal.meta(d).count() == 4)
+    // round-3 ops: degenerate docs drop (no bigrams/terms) or carry nulls
+    val ds = d.withColumn("source", lit("web"))
+    assert(TextAnalysis.contaminationCheck(ds, "bench").count() == 4)
+    assert(TextAnalysis.tfidfTopTerms(d).where(col("doc_id").isin(1L, 4L)).count() > 0)
+    assert(TextAnalysis.bigramSurprisal(d).count() == 1) // only doc 1 has bigrams
   }
 
   test("curate keeps one best-quality doc per normalized-duplicate group") {
