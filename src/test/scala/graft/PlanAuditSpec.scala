@@ -69,6 +69,11 @@ class PlanAuditSpec extends SparkSpec {
     // queries must broadcast them, and their shared base frame (shingle
     // scan / candle resample) must come from ONE materialized RDD — no
     // FileScan may survive past the cut
+    // bigram_surprisal: the exploded bigram frame is the single corpus
+    // read; counts and both scoring joins derive from it
+    val pb = planOf("bigram_surprisal")
+    assert(pb.contains("Scan ExistingRDD") && !pb.contains("FileScan"),
+      "bigram frame must materialize once\n" + pb)
     for (name <- Seq("contamination_check", "volume_anomaly")) {
       val p = planOf(name)
       assert(p.contains("BroadcastHashJoin"), s"$name must broadcast\n" + p)

@@ -84,3 +84,46 @@ class CandleAlgebraSpec extends SparkSpec {
     }
   }
 }
+
+/** Property-based checks of the SQLite writer: random rows of every
+  * serial-type class round-trip byte-exactly through write + the
+  * independent test reader, across single-leaf and multi-level trees.
+  */
+class SqliteAlgebraSpec extends SparkSpec {
+  import graft.sinks.SqliteFile._
+
+  private val genValue: Gen[SqlValue] = Gen.oneOf(
+    Gen.const(SqlNull),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(SqlInt),
+    Gen.chooseNum(-1e12, 1e12).map(SqlReal),
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(cs => SqlText(cs.mkString))))
+
+  private val genRows: Gen[List[(Long, Seq[SqlValue])]] = for {
+    n <- Gen.oneOf(0, 1, 3, 400, 3000) // empty, single-leaf and interior trees
+    ids <- Gen.pick(n, 0 until 100000)
+    rows <- Gen.listOfN(n, Gen.listOfN(3, genValue))
+  } yield ids.toList.sorted.map(_.toLong).lazyZip(rows)
+    .map((id, vs) => (id, SqlNull +: vs.toSeq)).toList
+
+  test("random rows round-trip through write + independent reader") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-prop").toFile
+    (0 until 8).foreach { i =>
+      val rows = genRows.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)).get
+      val f = new java.io.File(dir, s"p$i.sqlite")
+      val sql = "CREATE TABLE t (id INTEGER PRIMARY KEY, a, b, c)"
+      assert(graft.sinks.SqliteFile.write(f, "t", sql, rows.iterator) == rows.length.toLong)
+      val (_, gotSql, got) = SqliteReaderForTest.read(f)
+      assert(gotSql == sql)
+      val expected = rows.map { case (id, vs) =>
+        (id, vs.map {
+          case SqlNull => null
+          case SqlInt(v) => v
+          case SqlReal(v) => v
+          case SqlText(v) => v
+        })
+      }
+      assert(got == expected, s"case $i diverged")
+    }
+  }
+}
