@@ -45,6 +45,20 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
 
+  /** Assemble the centroid matrix from per-dimension rows (cid, pos, x) —
+    * k·d rows collect straight off the single (cid, pos) aggregation, so
+    * each Lloyd round skips a second shuffle + collect_list/array_sort
+    * pass. Present cids only, sorted (same contract as `localize`).
+    */
+  private def localizePos(rows: DataFrame, dim: Int): Array[Array[Double]] =
+    rows.collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        val a = new Array[Double](dim)
+        rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+        a
+      }.toArray
+
   /** Train the coarse quantizer: k centroids as a driver-side matrix.
     * Centroid means go through exact DECIMAL(30,15) partial sums, so each
     * Lloyd round is bit-identical under any shuffle order AND replayable
@@ -57,15 +71,14 @@ object Ivf {
     var cents = localize(e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
         col("v").as("cvec")))
+    val dim = cents.head.length
     (1 to iters).foreach { _ =>
-      cents = localize(assign(e, cents)
+      cents = localizePos(assign(e, cents)
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-          s => s.getField("x")).as("cvec")))
+        .select(col("cid"), col("pos").cast("int").as("pos"), col("x")), dim)
     }
     cents
   }
