@@ -394,7 +394,23 @@ object SparkEntry {
       graft.ops.Multimodal.decodeStub(Tables.table(s, dir, "documents"))),
     "profile_lineitem" -> ((s, dir) =>
       // single-pass data-quality profile (rows-only: HLL estimates inside)
-      graft.ops.Profile.profile(Tables.table(s, dir, "lineitem")))
+      graft.ops.Profile.profile(Tables.table(s, dir, "lineitem"))),
+    "profile_approx" -> ((s, dir) => {
+      // the HLL-sketch profile path (the 100 TB default — fixed-size
+      // sketches instead of the Expand row multiplication) surfaced as its
+      // accuracy contract: every per-column estimate within 5% of exact.
+      // rsd=0.01 makes 5% a ~5 sigma bound, deterministic given the data.
+      val li = Tables.table(s, dir, "lineitem")
+      val ap = graft.ops.Profile.profile(li, exactDistinct = false, rsd = 0.01)
+        .select(col("column"), col("n_distinct").as("n_approx"))
+      val ex = graft.ops.Profile.profile(li)
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("n_distinct").as("n_exact"))
+      ex.join(ap, "column")
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            lit(0.05) * col("n_exact")).as("approx_ok"))
+    })
   )
 
   /** TPC-H style revenue aggregate: exact decimal partial sums. */
@@ -823,6 +839,7 @@ object SparkEntry {
           .mkString(", ") +
         " FROM h"),
     "profile_lineitem" -> profileOracleSql,
+    "profile_approx" -> profileApproxOracleSql,
     "corpus_sample" ->
       ("SELECT doc_id, lang AS stratum FROM documents " +
         "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 < " +
@@ -1009,6 +1026,18 @@ object SparkEntry {
         s"$mean AS mean_num, $lmin AS min_len, $lmax AS max_len FROM lineitem"
     }.mkString(" UNION ALL ")
   }
+
+  /** HLL-profile contract oracle: exact counts + a literal TRUE per
+    * column — hash-matches iff every sketch honors its 5% bound.
+    */
+  private def profileApproxOracleSql: String =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate").map { n =>
+      s"""SELECT '$n' AS "column", count(*) AS n_rows, """ +
+        s"CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        s"count(DISTINCT $n) AS n_exact, TRUE AS approx_ok FROM lineitem"
+    }.mkString(" UNION ALL ")
 
   private def markerSql(quotedList: String): String =
     s"CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('$quotedList'))) AS BIGINT)"

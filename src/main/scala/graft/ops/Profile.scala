@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{DecimalType, NumericType, StringType}
   */
 object Profile {
 
-  def profile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+  def profile(df: DataFrame, exactDistinct: Boolean = true,
+              rsd: Double = 0.05): DataFrame = {
     val fields = df.schema.fields
     val d = DecimalType(27, 6)
     val aggs = Seq.newBuilder[Column]
@@ -28,7 +29,7 @@ object Profile {
       val c = col(f.name)
       aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"_null$i")
       aggs += (if (exactDistinct) count_distinct(c)
-               else approx_count_distinct(c)).as(s"_dist$i")
+               else approx_count_distinct(c, rsd)).as(s"_dist$i")
       if (f.dataType.isInstanceOf[NumericType]) {
         aggs += min(c).cast("double").as(s"_min$i")
         aggs += max(c).cast("double").as(s"_max$i")
