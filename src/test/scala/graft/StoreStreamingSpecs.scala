@@ -447,6 +447,39 @@ class StreamingNearDupSpec extends SparkSpec {
   }
 }
 
+class StreamingPatternsSpec extends SparkSpec {
+  test("live pattern flags equal the batch operator over the same candles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ("BTC", ts(T0), 10.0, 10.5, 8.5, 9.0),
+      ("BTC", ts(T0 + 3600), 8.9, 10.5, 8.5, 10.1),  // bullish engulfing
+      ("ETH", ts(T0), 10.0, 11.0, 9.0, 10.01),       // doji
+      ("ETH", ts(T0 + 3600), 10.0, 12.0, 9.9, 11.9))
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double, Double, Double)]
+    val q = graft.streaming.StreamingPatterns.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "open", "high", "low", "close"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pat_out").start()
+    try {
+      // split across two batches to exercise the cross-batch prev state
+      ms.addData(data.take(2).map { case (s, t, o, h, l, c) => (s, t, o, h, l, c) }: _*)
+      q.processAllAvailable()
+      ms.addData(data.drop(2).map { case (s, t, o, h, l, c) => (s, t, o, h, l, c) }: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("symbol", "bucket_ts", "doji", "bull_engulf", "bear_engulf")
+          .collect().map(_.toSeq).toSet
+      val live = canon(spark.sql("SELECT * FROM pat_out"))
+      val batch = canon(graft.ohlcv.Analytics.candlePatterns(
+        data.toDF("symbol", "ts", "open", "high", "low", "close")
+          .withColumn("bucket_ts", col("ts")).drop("ts")))
+      assert(live == batch)
+      assert(live.size == 4)
+    } finally q.stop()
+  }
+}
+
 class StreamingGapDetectSpec extends SparkSpec {
   test("gaps emit live as candles arrive, matching the batch operator's shape") {
     import spark.implicits._
