@@ -76,6 +76,61 @@ object SqliteExport {
     }.collect().toSeq.sorted
   }
 
+  /** Export ANY DataFrame to one real SQLite file: `rowidCol` (a unique
+    * integer column) becomes the INTEGER PRIMARY KEY / rowid; remaining
+    * columns map by Spark type (integers → INTEGER, floating → REAL,
+    * strings → TEXT, binary → BLOB, booleans → 0/1, timestamps →
+    * epoch-ms INTEGER). Arbitrarily long TEXT/BLOB values are fine — the
+    * writer chains overflow pages.
+    *
+    * One SQLite file is inherently a single-writer artifact, so rows
+    * stream to the driver partition-at-a-time (`toLocalIterator`) in
+    * rowid order — memory-bounded, but wall-clock-bounded by one sink.
+    * For parallel export, fan out per key with `export` instead.
+    */
+  def exportTable(df: DataFrame, tableName: String, rowidCol: String,
+                  path: java.io.File): Long = {
+    import org.apache.spark.sql.types._
+    val others = df.schema.fields.filter(_.name != rowidCol)
+    def sqlType(t: DataType): String = t match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: BooleanType | _: TimestampType => "INTEGER"
+      case _: DoubleType | _: FloatType => "REAL"
+      case _: StringType => "TEXT"
+      case _: BinaryType => "BLOB"
+      case other => throw new IllegalArgumentException(
+        s"no SQLite mapping for column type $other")
+    }
+    val createSql = s"CREATE TABLE $tableName ($rowidCol INTEGER PRIMARY KEY, " +
+      others.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ") + ")"
+    import SqliteFile._
+    def toValue(r: Row, i: Int, t: org.apache.spark.sql.types.DataType): SqlValue =
+      if (r.isNullAt(i)) SqlNull
+      else t match {
+        case _: LongType => SqlInt(r.getLong(i))
+        case _: IntegerType => SqlInt(r.getInt(i).toLong)
+        case _: ShortType => SqlInt(r.getShort(i).toLong)
+        case _: ByteType => SqlInt(r.getByte(i).toLong)
+        case _: BooleanType => SqlInt(if (r.getBoolean(i)) 1L else 0L)
+        case _: TimestampType => SqlInt(r.getTimestamp(i).getTime)
+        case _: DoubleType => SqlReal(r.getDouble(i))
+        case _: FloatType => SqlReal(r.getFloat(i).toDouble)
+        case _: StringType => SqlText(r.getString(i))
+        case _: BinaryType => SqlBlob(r.getAs[Array[Byte]](i))
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+    val ordered = df.select(col(rowidCol).cast("long").as(rowidCol) +:
+        others.toSeq.map(f => col(f.name)): _*)
+      .orderBy(col(rowidCol))
+    val it = ordered.toLocalIterator()
+    val rows = Iterator.continually(()).takeWhile(_ => it.hasNext).map { _ =>
+      val r = it.next()
+      (r.getLong(0), SqliteFile.SqlNull +:
+        others.toSeq.zipWithIndex.map { case (f, i) => toValue(r, i + 1, f.dataType) })
+    }
+    SqliteFile.write(path, tableName, createSql, rows)
+  }
+
   private def rowToSqlite(r: Row): (Long, Seq[SqliteFile.SqlValue]) = {
     import SqliteFile._
     def txt(i: Int): SqlValue =

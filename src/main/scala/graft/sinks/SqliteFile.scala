@@ -17,8 +17,9 @@ import scala.collection.mutable.ArrayBuffer
   *  - serial types NULL / 1..8-byte big-endian ints / float64 / TEXT
   *  - an INTEGER PRIMARY KEY column aliases the rowid and is stored as
   *    NULL in the record, per the format spec
-  *  - no indexes (the rowid key IS the timestamp index), no overflow
-  *    pages (row payload must fit a page — enforced), no freelist
+  *  - oversized payloads chain through linked overflow pages (so TEXT/
+  *    BLOB columns of any length export correctly)
+  *  - no indexes (the rowid key IS the table's index), no freelist
   *
   * The writer is a pure function over an iterator of (rowid, values) —
   * safe to call inside `foreachPartition`/`mapPartitions` on executors.
@@ -30,11 +31,23 @@ object SqliteFile {
   final case class SqlInt(v: Long) extends SqlValue
   final case class SqlReal(v: Double) extends SqlValue
   final case class SqlText(v: String) extends SqlValue
+  final case class SqlBlob(v: Array[Byte]) extends SqlValue
 
   private val PageSize = 4096
-  // table-leaf max in-page payload: usable - 35 (spec §B-tree Pages);
-  // larger payloads would need overflow chains, which we don't emit
+  // table-leaf payload thresholds (format spec §B-tree Pages): payloads
+  // above MaxLocal keep K = MinLocal + (P - MinLocal) mod (U - 4) bytes
+  // in-page (MinLocal if K overshoots) and chain the rest through 4-byte
+  // linked overflow pages
   private val MaxLocal = PageSize - 35
+  private val MinLocal = (PageSize - 12) * 32 / 255 - 23
+
+  /** In-page byte count for a payload of length `p`. */
+  private[graft] def localLen(p: Int): Int =
+    if (p <= MaxLocal) p
+    else {
+      val k = MinLocal + (p - MinLocal) % (PageSize - 4)
+      if (k <= MaxLocal) k else MinLocal
+    }
 
   /** SQLite variable-length integer: 1-9 bytes, big-endian 7-bit groups,
     * 9th byte (when present) carries a full 8 bits.
@@ -88,6 +101,7 @@ object SqliteFile {
     case SqlText(s) =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       (13L + 2L * b.length, b)
+    case SqlBlob(b) => (12L + 2L * b.length, b)
   }
 
   /** Record format: [varint header-size incl itself][serial types][body]. */
@@ -105,12 +119,24 @@ object SqliteFile {
     out.toArray
   }
 
-  /** Table-leaf cell: [varint payload len][varint rowid][record]. */
-  private def leafCell(rowid: Long, rec: Array[Byte]): Array[Byte] = {
-    require(rec.length <= MaxLocal,
-      s"row payload ${rec.length} exceeds single-page maximum $MaxLocal " +
-        "(overflow pages not supported by this writer)")
-    varint(rec.length.toLong) ++ varint(rowid) ++ rec
+  /** One leaf entry: serialized size is known before overflow pages are
+    * numbered (cell = varints + local bytes [+ 4-byte overflow pointer]).
+    */
+  private final case class LeafEntry(rowid: Long, rec: Array[Byte]) {
+    val local: Int = localLen(rec.length)
+    val cellLen: Int = varint(rec.length.toLong).length +
+      varint(rowid).length + local + (if (local < rec.length) 4 else 0)
+    def overflowBytes: Int = rec.length - local
+  }
+
+  /** Table-leaf cell: [varint payload len][varint rowid][local record
+    * bytes][4-byte first overflow page, when chained].
+    */
+  private def leafCell(e: LeafEntry, firstOverflowPage: Int): Array[Byte] = {
+    val head = varint(e.rec.length.toLong) ++ varint(e.rowid) ++ e.rec.take(e.local)
+    if (e.local < e.rec.length)
+      head ++ ByteBuffer.allocate(4).putInt(firstOverflowPage).array()
+    else head
   }
 
   /** One b-tree page image (leaf 0x0D or interior 0x05), cells packed
@@ -161,8 +187,8 @@ object SqliteFile {
   def write(path: java.io.File, tableName: String, createSql: String,
             rows: Iterator[(Long, Seq[SqlValue])]): Long = {
     // ---- 1. pack leaf pages ------------------------------------------------
-    val leaves = ArrayBuffer[(Seq[Array[Byte]], Long)]() // (cells, max rowid)
-    var cur = ArrayBuffer[Array[Byte]]()
+    val leaves = ArrayBuffer[(Seq[LeafEntry], Long)]() // (entries, max rowid)
+    var cur = ArrayBuffer[LeafEntry]()
     var curBytes = 0
     var lastRowid = Long.MinValue
     var curMax = 0L
@@ -171,11 +197,11 @@ object SqliteFile {
       require(rowid > lastRowid,
         s"rowids must be strictly ascending: $rowid after $lastRowid")
       lastRowid = rowid
-      val cell = leafCell(rowid, record(values))
-      if (!fits(curBytes, cur.length, cell.length, 0, interior = false) && cur.nonEmpty) {
+      val entry = LeafEntry(rowid, record(values))
+      if (!fits(curBytes, cur.length, entry.cellLen, 0, interior = false) && cur.nonEmpty) {
         leaves += ((cur.toSeq, curMax)); cur = ArrayBuffer(); curBytes = 0
       }
-      cur += cell; curBytes += cell.length; curMax = rowid
+      cur += entry; curBytes += entry.cellLen; curMax = rowid
       count += 1
     }
     if (cur.nonEmpty || leaves.isEmpty) leaves += ((cur.toSeq, curMax))
@@ -210,13 +236,36 @@ object SqliteFile {
     for (l <- 1 until nLevels)
       firstPageOfLevel(l) = firstPageOfLevel(l - 1) + levelSizes(l - 1)
     val rootPage = firstPageOfLevel(nLevels - 1) // single node in last level
-    val totalPages = 1 + levelSizes.sum
+    val btreePages = 1 + levelSizes.sum
+    // overflow pages live after every b-tree page, allocated in leaf order
+    val overflowPageCount = leaves.iterator.flatMap(_._1).map(e =>
+      (e.overflowBytes + (PageSize - 4) - 1) / (PageSize - 4)).sum
+    val totalPages = btreePages + overflowPageCount
 
     // ---- 3. serialize ------------------------------------------------------
     val images = new Array[Array[Byte]](totalPages) // index = pageNo - 1
-    for ((cellsMax, i) <- leaves.zipWithIndex)
-      images(firstPageOfLevel(0) + i - 1) =
-        pageImage(0x0d, cellsMax._1, 0, 0)
+    var nextOverflow = btreePages + 1
+    for ((cellsMax, i) <- leaves.zipWithIndex) {
+      val cells = cellsMax._1.map { e =>
+        if (e.overflowBytes == 0) leafCell(e, 0)
+        else {
+          val first = nextOverflow
+          var off = e.local
+          while (off < e.rec.length) {
+            val chunk = math.min(PageSize - 4, e.rec.length - off)
+            val page = new Array[Byte](PageSize)
+            val next = if (off + chunk < e.rec.length) nextOverflow + 1 else 0
+            ByteBuffer.wrap(page).putInt(0, next)
+            System.arraycopy(e.rec, off, page, 4, chunk)
+            images(nextOverflow - 1) = page
+            nextOverflow += 1
+            off += chunk
+          }
+          leafCell(e, first)
+        }
+      }
+      images(firstPageOfLevel(0) + i - 1) = pageImage(0x0d, cells, 0, 0)
+    }
     // interiors: regroup exactly as in the sizing pass
     var childLevelKeys = leaves.map(_._2).toSeq
     for (l <- 1 until nLevels) {
@@ -243,7 +292,8 @@ object SqliteFile {
     // page 1: database header + sqlite_master leaf with the one table row
     val masterRec = record(Seq(SqlText("table"), SqlText(tableName),
       SqlText(tableName), SqlInt(rootPage.toLong), SqlText(createSql)))
-    val page1 = pageImage(0x0d, Seq(leafCell(1L, masterRec)), 0, 100)
+    require(masterRec.length <= MaxLocal, "create-table sql too long for page 1")
+    val page1 = pageImage(0x0d, Seq(leafCell(LeafEntry(1L, masterRec), 0)), 0, 100)
     val h = ByteBuffer.wrap(page1)
     h.position(0)
     h.put("SQLite format 3\u0000".getBytes(StandardCharsets.US_ASCII))

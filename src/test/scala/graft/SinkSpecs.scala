@@ -47,6 +47,9 @@ object SqliteReaderForTest {
       case t if t >= 13 && t % 2 == 1 =>
         val a = new Array[Byte](((t - 13) / 2).toInt); b.get(a)
         new String(a, java.nio.charset.StandardCharsets.UTF_8)
+      case t if t >= 12 && t % 2 == 0 =>
+        val a = new Array[Byte](((t - 12) / 2).toInt); b.get(a)
+        a.toSeq // byte blob (Seq for structural equality in asserts)
       case t => sys.error(s"unsupported serial type $t")
     }
   }
@@ -72,10 +75,24 @@ object SqliteReaderForTest {
       for (i <- 0 until nCells) {
         val cellOff = b.getShort(headerAt + hdrLen + 2 * i) & 0xffff
         val cb = ByteBuffer.wrap(data, off + cellOff, pageSize - cellOff).slice()
-        val payloadLen = varint(cb)
+        val payloadLen = varint(cb).toInt
         val rowid = varint(cb)
-        val rec = new Array[Byte](payloadLen.toInt)
-        cb.get(rec)
+        val local = graft.sinks.SqliteFile.localLen(payloadLen)
+        val rec = new Array[Byte](payloadLen)
+        cb.get(rec, 0, local)
+        if (local < payloadLen) { // follow the overflow chain
+          var page = cb.getInt()
+          var at = local
+          while (page != 0) {
+            val pOff = (page - 1) * pageSize
+            val next = ByteBuffer.wrap(data, pOff, 4).getInt
+            val chunk = math.min(pageSize - 4, payloadLen - at)
+            System.arraycopy(data, pOff + 4, rec, at, chunk)
+            at += chunk
+            page = next
+          }
+          require(at == payloadLen, s"overflow chain short: $at of $payloadLen")
+        }
         out += ((rowid, record(rec)))
       }
     }
@@ -154,18 +171,36 @@ class SqliteFileSpec extends SparkSpec {
       (300000L, Seq(null, 1L << 40, 1e300, ""))))
   }
 
-  test("non-ascending rowids and oversized payloads are rejected") {
+  test("non-ascending rowids are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("sqlite-spec").toFile
     intercept[IllegalArgumentException] {
       SqliteFile.write(new java.io.File(dir, "bad.sqlite"), "t",
         "CREATE TABLE t (id INTEGER PRIMARY KEY)",
         Iterator((2L, Seq[SqlValue](SqlNull)), (2L, Seq[SqlValue](SqlNull))))
     }
-    intercept[IllegalArgumentException] {
-      SqliteFile.write(new java.io.File(dir, "big.sqlite"), "t",
-        "CREATE TABLE t (id INTEGER PRIMARY KEY, c TEXT)",
-        Iterator((1L, Seq[SqlValue](SqlNull, SqlText("x" * 5000)))))
-    }
+  }
+
+  test("oversized TEXT/BLOB payloads chain through overflow pages and read back") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-spec").toFile
+    val f = new java.io.File(dir, "overflow.sqlite")
+    // payloads spanning 0, 1 and several overflow pages, interleaved with
+    // small rows (multi-page local regions around the chains)
+    val big1 = "x" * 5000
+    val big2 = ("ab" * 9000) + "!"            // ~4.4 pages of chain
+    val blob = Array.tabulate(12345)(i => (i % 251).toByte)
+    val rows = Seq(
+      (1L, Seq[SqlValue](SqlNull, SqlText("small"), SqlNull)),
+      (2L, Seq[SqlValue](SqlNull, SqlText(big1), SqlNull)),
+      (3L, Seq[SqlValue](SqlNull, SqlText(big2), SqlBlob(blob))),
+      (4L, Seq[SqlValue](SqlNull, SqlText("tail"), SqlBlob(Array[Byte](1, 2, 3)))))
+    SqliteFile.write(f, "t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, c TEXT, b BLOB)", rows.iterator)
+    val got = SqliteReaderForTest.read(f)._3
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got(1)._2(1) == big1)
+    assert(got(2)._2(1) == big2)
+    assert(got(2)._2(2) == blob.toSeq)
+    assert(got(3)._2 == Seq(null, "tail", Seq[Byte](1, 2, 3)))
   }
 }
 
@@ -190,6 +225,23 @@ class SqliteExportSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(rows.map(_._1) == expected.map(_._1))
     assert(rows.map(r => (r._1, r._2(1), r._2(4))) == expected)
+  }
+}
+
+class SqliteTableExportSpec extends SparkSpec {
+  test("any DataFrame exports to a single sqlite file (documents corpus roundtrip)") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val f = new java.io.File(
+      java.nio.file.Files.createTempDirectory("sqlite-any").toFile, "docs.sqlite")
+    val n = graft.sinks.SqliteExport.exportTable(docs, "documents", "doc_id", f)
+    assert(n == docs.count())
+    val (name, sql, rows) = SqliteReaderForTest.read(f)
+    assert(name == "documents")
+    assert(sql.contains("doc_id INTEGER PRIMARY KEY") && sql.contains("text TEXT") &&
+      sql.contains("n_chars INTEGER"))
+    val expected = docs.orderBy(col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    assert(rows.map(r => (r._1, r._2(1))) == expected)
   }
 }
 
