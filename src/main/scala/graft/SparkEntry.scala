@@ -135,6 +135,30 @@ object SparkEntry {
         .agg(round(corr(col("ret1"), col("ret2")), 6).as("corr_ret"),
           count(lit(1)).as("n_overlap"))
     }),
+    "rolling_corr" -> ((s, dir) => {
+      // 24-bucket rolling correlation per symbol pair: the same blocked
+      // pair generation as symbol_correlations, then one bounded window
+      // per pair (frame-ordered sequential aggregation — deterministic,
+      // rounded for cross-engine stability). Full frames only.
+      val B = 4
+      val r = graft.core.Materialize.once(
+        Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
+          .select(col("symbol"), col("bucket_ts"), col("ret")))
+      val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
+        .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
+      val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
+        .withColumn("blk", pmod(hash(col("sym2")), lit(B)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sym1"), col("sym2")).orderBy(col("bucket_ts"))
+        .rowsBetween(-23, 0)
+      left.join(right, Seq("bucket_ts", "blk"))
+        .where(col("sym1") < col("sym2"))
+        .select(col("sym1"), col("sym2"), col("bucket_ts"), col("ret1"), col("ret2"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("rolling_corr", round(corr(col("ret1"), col("ret2")).over(w), 6))
+        .where(col("cnt") === 24)
+        .select(col("sym1"), col("sym2"), col("bucket_ts"), col("rolling_corr"))
+    }),
     "heikin_ashi" -> ((s, dir) =>
       Analytics.heikinAshi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "max_drawdown" -> ((s, dir) =>
@@ -468,6 +492,18 @@ object SparkEntry {
         "round(corr(a.ret, b.ret), 6) AS corr_ret, count(*) AS n_overlap " +
         "FROM r a JOIN r b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol " +
         "GROUP BY 1, 2"),
+    "rolling_corr" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL), " +
+        "p AS (SELECT a.symbol AS sym1, b.symbol AS sym2, a.bucket_ts, " +
+        "a.ret AS ret1, b.ret AS ret2 " +
+        "FROM r a JOIN r b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol), " +
+        "f AS (SELECT sym1, sym2, bucket_ts, count(*) OVER w AS cnt, " +
+        "round(corr(ret1, ret2) OVER w, 6) AS rolling_corr FROM p " +
+        "WINDOW w AS (PARTITION BY sym1, sym2 ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT sym1, sym2, bucket_ts, rolling_corr FROM f WHERE cnt = 24"),
     "heikin_ashi" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "w AS (SELECT symbol, bucket_ts, open, high, low, close, " +
