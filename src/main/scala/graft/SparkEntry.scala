@@ -306,6 +306,20 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+    "clip_outliers" -> ((s, dir) => {
+      // winsorization — the value-normalization pass a training pipeline
+      // runs before feature export: exact per-group p01/p99 bounds
+      // (linear interpolation, rounded), broadcast back, values clipped.
+      // One percentile aggregation + a map-only clip; no window.
+      val e = Tables.events(s, dir)
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.01)"), 6).as("lo"),
+          round(expr("percentile(value, 0.99)"), 6).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+    }),
     "value_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
@@ -782,6 +796,13 @@ object SparkEntry {
     "value_histogram" ->
       ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n " +
         "FROM events GROUP BY 1, 2"),
+    "clip_outliers" ->
+      ("WITH b AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo, " +
+        "round(quantile_cont(value, 0.99), 6) AS hi FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "least(greatest(e.value, b.lo), b.hi) AS clipped, " +
+        "(e.value < b.lo OR e.value > b.hi) AS was_clipped " +
+        "FROM events e JOIN b ON b.event_type = e.event_type"),
     "value_corr" ->
       ("SELECT event_type, round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user " +
         "FROM events GROUP BY 1"),
