@@ -13,11 +13,15 @@ import graft.ohlcv.{Candles, CandleStore}
   */
 object Backfill {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: Backfill <tradesDir> <storeRoot> <exchange> [timeframes...]")
-    val Array(tradesDir, storeRoot, exchange) = args.take(3)
-    val frames = (if (args.length > 3) args.drop(3).toSeq
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length >= 3,
+      "usage: Backfill <tradesDir> <storeRoot> <exchange> [timeframes...] [--sqlite=DIR]")
+    val Array(tradesDir, storeRoot, exchange) = pos.take(3)
+    val frames = (if (pos.length > 3) pos.drop(3).toSeq
       else Seq("1m", "5m", "1h", "1d")).map(Timeframe.parse)
+    val sqliteDir = flags.collectFirst {
+      case f if f.startsWith("--sqlite=") => f.stripPrefix("--sqlite=")
+    }
     require(frames.nonEmpty && !frames.head.isCalendar,
       "finest timeframe must be fixed-width")
 
@@ -31,6 +35,10 @@ object Backfill {
     frames.foreach { tf =>
       val candles = if (tf == frames.head) finest else Candles.resample(finest, tf)
       store.write(candles, exchange, tf)
+      sqliteDir.foreach { dir =>
+        val files = graft.sinks.SqliteExport.export(candles, exchange, tf, dir)
+        println(s"[backfill] sqlite: ${files.length} series files for $tf")
+      }
       println(s"[backfill] $exchange/$tf: ${candles.count()} candles")
     }
     finest.unpersist()

@@ -92,6 +92,17 @@ object SparkEntry {
       Candles.resample(Candles.fromTrades(Tables.trades(s, dir), Tf1m), Tf1h)),
     "sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.byUser(Tables.events(s, dir), 1800000000L)),
+    "session_stats" -> ((s, dir) =>
+      // daily engagement rollup over the sessionized stream: all-integer
+      // arithmetic (microsecond duration sums), so exact in any engine
+      graft.ops.Sessionize.byUser(Tables.events(s, dir), 1800000000L)
+        .groupBy(date_trunc("day", col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            .as("total_duration_us"),
+          max(col("n_events")).as("max_session_events"))),
 
     // B. market analytics ----------------------------------------------------
     "vwap" -> ((s, dir) => Analytics.vwap(Tables.trades(s, dir))),
@@ -676,6 +687,19 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y) " +
         "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM s GROUP BY 1, 2"),
+    "session_stats" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM s GROUP BY 1, 2) " +
+        "SELECT date_trunc('day', session_start) AS day, count(*) AS n_sessions, " +
+        "count(DISTINCT user_id) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events, " +
+        "CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS BIGINT) AS total_duration_us, " +
+        "max(n_events) AS max_session_events FROM sess GROUP BY 1"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
