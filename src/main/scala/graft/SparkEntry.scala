@@ -392,6 +392,8 @@ object SparkEntry {
       Analytics.candlePatterns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "bigram_surprisal" -> ((s, dir) =>
       graft.ops.TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"))),
+    "repetition_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionScore(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
     "quality_score" -> ((s, dir) =>
@@ -741,6 +743,14 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT id1, id2, est_jaccard, jaccard FROM jac WHERE jaccard >= 0.5",
     "corpus_dedup" -> corpusDedupSql(0.8),
+    "repetition_score" ->
+      ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "shg AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2), " +
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS sh FROM dw), " +
+        "c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_trigrams, " +
+        "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_trigrams FROM shg) " +
+        "SELECT doc_id, n_trigrams, n_distinct_trigrams, CASE WHEN n_trigrams > 0 THEN " +
+        "round(1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams, 6) END AS repetition FROM c"),
     "contamination_check" ->
       ("WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
         "shg AS (SELECT doc_id, source, list_distinct(list_transform(" +

@@ -283,4 +283,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("c1").cast("double") / col("c12"))), 6).as("surprisal"))
   }
+
+  /** Repetition score — the classic repeated-n-gram quality filter
+    * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
+    * doc (null for docs under 3 words). Pure map-only codegen.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", words(col("text")))
+      .withColumn("sh", Dedup.shinglesFromWords(col("ws")))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_trigrams"))
+      .withColumn("repetition", when(col("n_trigrams") > 0,
+        round(lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"), 6)))
 }
