@@ -40,10 +40,21 @@ object Bench {
       System.err.println(f"[bench] $name%-20s ${times.map(t => f"$t%.2f").mkString(" ")} s")
       name -> times.last
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal times keep the closing JSON line compact (BENCH_r03's
+    // full-precision doubles overflowed the driver's bounded output tail
+    // and truncated the per-query map); the same line is also written to a
+    // file so the artifact survives any stdout capture limit.
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // file copy is best-effort
+    println(line)
     spark.stop()
   }
 }

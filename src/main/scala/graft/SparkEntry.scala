@@ -184,6 +184,17 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_")
     }),
+    "asof_join_left" -> ((s, dir) => {
+      // ASOF LEFT JOIN: purchases with no prior click stay visible with
+      // null click columns (the attribution shape where "no touchpoint
+      // yet" is itself the signal) — same native single-sweep operator
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", leftOuter = true)
+    }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "funnel_1h" -> ((s, dir) => {
@@ -636,6 +647,12 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, p.ts, p.value, " +
         "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "asof_join_left" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "gap_fill" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket_ts " +

@@ -24,9 +24,17 @@ object AsofJoin {
     * ELIDE when a child is already hash-partitioned or bucketed on the
     * key, unlike the hand-repartitioned `join` below. Same semantics,
     * spec-checked equal.
+    *
+    * `leftOuter = true` gives ASOF LEFT JOIN semantics: every left row is
+    * preserved; lefts with no at-or-before right match (or a null
+    * key/timestamp) emit null right columns — the portfolio/attribution
+    * shape where "no prior quote yet" must stay visible. Same plan, same
+    * single sweep; the physical operator just emits a null-filled right
+    * side instead of dropping the row.
     */
   def joinNative(left: DataFrame, right: DataFrame, key: String,
-                 leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {
+                 leftTs: String, rightTs: String, prefix: String = "r_",
+                 leftOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
@@ -47,7 +55,7 @@ object AsofJoin {
     val rPlan0 = Bridge.analyzed(right)
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     Bridge.ofRows(spark,
-      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix))
+      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix, leftOuter))
   }
 
   /** Inner backward as-of join (composed formulation: tag-union both

@@ -68,9 +68,15 @@ object Ivf {
   def train(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     val d = org.apache.spark.sql.types.DecimalType(30, 15)
     val e = vecs(emb)
-    var cents = localize(e.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
-        col("v").as("cvec")))
+    // seed = the k lowest vec_ids; cid assignment happens driver-side on
+    // the (already k-row) collected seed set — no global row_number window
+    // (an unpartitioned WindowExec, even over k rows, single-partitions
+    // the frame and spams "No Partition Defined" into every log)
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
     val dim = cents.head.length
     (1 to iters).foreach { _ =>
       cents = localizePos(assign(e, cents)

@@ -25,9 +25,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         key: String, leftTs: String, rightTs: String,
-                        prefix: String) extends BinaryNode {
+                        prefix: String, leftOuter: Boolean = false) extends BinaryNode {
+  // left-outer: right columns become nullable (unmatched lefts emit nulls)
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(a => a.withName(prefix + a.name))
+    left.output ++ right.output.map(a =>
+      a.withName(prefix + a.name).withNullability(a.nullable || leftOuter))
   // the operator consumes every child column it emits; without this,
   // ColumnPruning sees zero expression references (keys are names, not
   // exprs) and prunes the children empty under e.g. count()
@@ -40,22 +42,24 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, key, lts, rts, prefix) =>
+    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter) =>
       def attr(p: LogicalPlan, name: String): Attribute =
         p.output.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
       AsofJoinExec(attr(l, key), attr(l, lts), attr(r, key), attr(r, rts),
-        prefix, planLater(l), planLater(r)) :: Nil
+        prefix, leftOuter, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
                         rKey: Attribute, rTs: Attribute, prefix: String,
+                        leftOuter: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(a => a.withName(prefix + a.name))
+    left.output ++ right.output.map(a =>
+      a.withName(prefix + a.name).withNullability(a.nullable || leftOuter))
 
   // co-partition both children on the join key (EnsureRequirements makes
   // the two hash partitionings compatible, or reuses existing ones)
@@ -83,7 +87,14 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
     val keyType = lKey.dataType
     val tsType = lTs.dataType
     val outAttrs = output
-    val inAttrs = left.output ++ right.output
+    // under left-outer the projection's right-side inputs can be null even
+    // when the child attribute is non-nullable — bind them nullable so the
+    // generated projection null-checks instead of reading garbage
+    val inAttrs = left.output ++
+      (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
+    val nullRow: InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
+    val isLeftOuter = leftOuter
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -98,8 +109,11 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
         lIter.flatMap { l =>
           val lk = l.get(lKeyIdx, keyType)
           val lt = l.get(lTsIdx, tsType)
-          if (lk == null || lt == null) Iterator.empty // nulls never match
-          else {
+          if (lk == null || lt == null) {
+            // nulls never match; left-outer still preserves the left row
+            if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
+            else Iterator.empty
+          } else {
             // consume right rows at-or-before (lk, lt); later keys stay put
             var advance = true
             while (advance && rBuf.hasNext) {
@@ -118,6 +132,7 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
             }
             if (lastRight != null && lastKey != null && kOrd.compare(lastKey, lk) == 0)
               Iterator.single(proj(joined(l, lastRight)))
+            else if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
             else Iterator.empty
           }
         }

@@ -268,6 +268,35 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("native AsofJoinExec left-outer preserves unmatched lefts with null rights") {
+    val e = graft.core.Tables.events(spark, Sf0001)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val inner = AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_")
+    val outer = AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_",
+      leftOuter = true)
+    assert(outer.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    assert(outer.count() == p.count()) // every left row survives
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // matched rows are exactly the inner join's rows
+    assert(rows(outer.where(col("click_ts").isNotNull)) == rows(inner))
+    // unmatched rows carry nulls across ALL right columns
+    val un = outer.where(col("click_ts").isNull)
+      .select("click_user_id", "click_value").collect()
+    assert(un.nonEmpty && un.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // a null-keyed left row is dropped by inner but preserved by left-outer
+    import spark.implicits._
+    val l1 = Seq((Some(1L), ts(T0 + 100), "p1"), (Option.empty[Long], ts(T0 + 100), "pnull"))
+      .toDF("user_id", "ts", "tag")
+    val r1 = Seq((1L, ts(T0 + 50), 10.0)).toDF("user_id", "ts", "v")
+    val out = AsofJoin.joinNative(l1, r1, "user_id", "ts", "ts", leftOuter = true)
+    assert(out.count() == 2)
+    val nullRow = out.where(col("tag") === "pnull").collect().head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("r_v")))
+  }
+
   test("null keys never match (SQL join semantics)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),

@@ -92,6 +92,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("left-outer asof join plans as the same native operator") {
+    val p = planOf("asof_join_left")
+    assert(p.contains("AsofJoin"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("exact pair search is equi-join blocked, never a nested-loop join") {
     val p = planOf("embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
