@@ -385,6 +385,8 @@ object SparkEntry {
     // D. LLM-training-data pipeline ------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(Tables.table(s, dir, "documents"))),
+    "dedup_substring" -> ((s, dir) =>
+      graft.ops.Dedup.substringDedup(Tables.table(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.minhashLsh(Tables.table(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -754,6 +756,17 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "dedup_substring" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents), " +
+        "sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+19)//20), " +
+        "i -> struct_pack(pos := i, span := array_to_string(ws[(i-1)*20+1:i*20], ' ')))) AS s FROM w), " +
+        "f AS (SELECT doc_id, s.pos AS pos, s.span AS span, md5(s.span) AS h FROM sp), " +
+        "c AS (SELECT h, count(*) AS cnt FROM f GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_spans, " +
+        "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio, " +
+        "md5(coalesce(array_to_string(list(span ORDER BY pos) FILTER (WHERE cnt = 1), ' '), '')) AS clean_fp " +
+        "FROM f JOIN c USING (h) GROUP BY doc_id"),
     "dedup_minhash" ->
       s"WITH ${minhashPairsCtes()} SELECT id1, id2, est_jaccard FROM mh",
     "dedup_simhash" -> simhashNearDupSql(),

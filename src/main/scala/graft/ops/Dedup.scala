@@ -49,6 +49,50 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Paragraph/window-level EXACT substring dedup — the standard
+    * training-data pass doc-level dedup can't do: remove repeated
+    * boilerplate spans *within* otherwise-distinct documents. Documents
+    * are cut into fixed non-overlapping `window`-word spans; a span is
+    * "repeated" when its md5 occurs more than once corpus-wide. Emits per
+    * doc: span counts, the repeated-span ratio, and `clean_fp` — the
+    * fingerprint of the doc with all repeated spans scrubbed (the same
+    * auditable shape as piiScrub's clean_fp).
+    *
+    * Scale design: the span explode is map-only and bounded by corpus
+    * word count / window; the occurrence count is ONE hash aggregation on
+    * the span hash (map-side combined — hot boilerplate spans partially
+    * aggregate before the shuffle, they don't skew it); the count join is
+    * a co-partitioned equi-join on that same hash; the per-doc rollup is
+    * one more bounded aggregation. No pair joins anywhere — cost is
+    * O(spans), not O(docs²), at any corpus size. The span frame is
+    * materialized once and feeds both the counting and the join probe.
+    */
+  def substringDedup(docs: DataFrame, window: Int = 20): DataFrame = {
+    val nWin = ((size(col("ws")) + lit(window - 1)) / lit(window)).cast("int")
+    val spans = graft.core.Materialize.once(
+      docs.withColumn("ws", wordsOf(col("text")))
+        .where(size(col("ws")) >= 1) // null text drops; sequence stays ascending
+        .select(col("doc_id"), posexplode(transform(sequence(lit(1), nWin),
+          i => array_join(slice(col("ws"), (i - lit(1)) * window + lit(1), lit(window)), " "))))
+        .toDF("doc_id", "pos", "span")
+        .select(col("doc_id"), col("pos"), col("span"),
+          md5(col("span").cast("binary")).as("h")))
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    spans.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_repeated_spans"),
+        // kept = globally-unique spans, re-joined in document order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("cnt") === 1, struct(col("pos"), col("span"))))),
+          s => s.getField("span")), " ").cast("binary")).as("clean_fp"))
+      .withColumn("dup_ratio",
+        round(col("n_repeated_spans").cast("double") / col("n_spans"), 6))
+      .select(col("doc_id"), col("n_spans"), col("n_repeated_spans"),
+        col("dup_ratio"), col("clean_fp"))
+  }
+
   private def wordsOf(c: Column): Column = split(c, "\\s+")
 
   /** k-word shingles from a materialized word-array column (empty array

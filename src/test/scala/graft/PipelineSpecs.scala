@@ -21,6 +21,31 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("substring dedup scrubs corpus-repeated spans below doc level") {
+    val d = Seq(
+      (0L, "a b c x y z"),   // spans: "a b c" (shared), "x y z" (unique)
+      (1L, "a b c q r s"),   // spans: "a b c" (shared), "q r s" (unique)
+      (2L, "a b c"))         // single span, shared → fully scrubbed
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, window = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5s(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(0L).getAs[Long]("n_spans") == 2L)
+    assert(out(0L).getAs[Long]("n_repeated_spans") == 1L)
+    assert(out(0L).getAs[Double]("dup_ratio") == 0.5)
+    assert(out(0L).getAs[String]("clean_fp") == md5s("x y z"))
+    assert(out(1L).getAs[String]("clean_fp") == md5s("q r s"))
+    // every span repeated → clean_fp of the empty string, ratio 1
+    assert(out(2L).getAs[Double]("dup_ratio") == 1.0)
+    assert(out(2L).getAs[String]("clean_fp") == md5s(""))
+    // a doc with no corpus-repeated spans is untouched
+    val solo = Dedup.substringDedup(Seq((9L, "u v w")).toDF("doc_id", "text"), 3)
+      .collect().head
+    assert(solo.getAs[Long]("n_repeated_spans") == 0L &&
+      solo.getAs[String]("clean_fp") == md5s("u v w"))
+  }
+
   test("minhash LSH surfaces near-duplicate pairs with high est jaccard") {
     val pairs = Dedup.minhashLsh(docs).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("est_jaccard")))
