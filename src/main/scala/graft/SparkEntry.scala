@@ -47,6 +47,31 @@ object SparkEntry {
 
   private def withTrades(body: String): String = s"WITH t AS ($TradesSql) $body"
 
+  /** Blocked symbol-pair generation shared by symbol_correlations and
+    * rolling_corr. Keying the self-join on bucket_ts alone expands
+    * |symbols|² rows under every time key; instead the right side is
+    * tagged blk = hash(sym2) mod B and the left replicated over all B
+    * blocks, so (bucket_ts, blk) spreads each bucket's pair work across B
+    * reducer keys — per-reducer fan-out drops from |s|² to |s|·(|s|/B) at
+    * the cost of B× left-side shuffle volume. B is DERIVED from the
+    * symbol-universe size (B ≈ √|s| balances replication against
+    * fan-out; one cheap distinct-count job on the already-materialized
+    * returns frame — which also fronts its materialization for the join
+    * that follows). Output values are identical to the plain bucket_ts
+    * join at any B — the oracle replays the unblocked form.
+    */
+  private def blockedPairJoin(r: DataFrame): DataFrame = {
+    val n = r.agg(countDistinct(col("symbol"))).head.getLong(0)
+    val B = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
+      .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
+    val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
+      .withColumn("blk", pmod(hash(col("sym2")), lit(B)))
+    left.join(right, Seq("bucket_ts", "blk"))
+      .where(col("sym1") < col("sym2"))
+      .select(col("sym1"), col("sym2"), col("bucket_ts"), col("ret1"), col("ret2"))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,31 +142,18 @@ object SparkEntry {
     "atr" -> ((s, dir) =>
       Analytics.atr(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 14)),
     "symbol_correlations" -> ((s, dir) => {
-      // pairwise return correlation across symbols, BLOCKED pair
-      // generation: keying the self-join on bucket_ts alone would expand
-      // |symbols|² rows under every time key (classic blow-up join with a
-      // large symbol universe). Instead the right side is tagged with a
-      // symbol block blk = hash(sym2) mod B and the left side replicated
-      // over all B blocks, so the join key (bucket_ts, blk) spreads each
-      // bucket's pair work across B reducer keys — per-reducer fan-out
-      // drops from |s|² to |s|·(|s|/B) at the cost of B× left-side shuffle
-      // volume (B is tuned to the symbol universe; 4 here). The corr/count
-      // aggregate partial-aggregates map-side (CentralMomentAgg is
-      // declarative), so the second shuffle carries |pairs| partial rows,
-      // never the joined rows. Output values are identical to the plain
-      // bucket_ts join — the oracle replays the unblocked form.
-      val B = 4
+      // pairwise return correlation across symbols via blockedPairJoin
+      // (B derived from the symbol universe — see the helper's scaladoc).
+      // The corr/count aggregate partial-aggregates map-side
+      // (CentralMomentAgg is declarative), so the second shuffle carries
+      // |pairs| partial rows, never the joined rows.
+      //
       // the returns frame feeds both join sides: materialize it once so
       // the resample + lag window upstream runs a single time
       val r = graft.core.Materialize.once(
         Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
           .select(col("symbol"), col("bucket_ts"), col("ret")))
-      val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
-        .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
-      val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
-        .withColumn("blk", pmod(hash(col("sym2")), lit(B)))
-      left.join(right, Seq("bucket_ts", "blk"))
-        .where(col("sym1") < col("sym2"))
+      blockedPairJoin(r)
         .groupBy(col("sym1"), col("sym2"))
         .agg(round(corr(col("ret1"), col("ret2")), 6).as("corr_ret"),
           count(lit(1)).as("n_overlap"))
@@ -151,20 +163,13 @@ object SparkEntry {
       // pair generation as symbol_correlations, then one bounded window
       // per pair (frame-ordered sequential aggregation — deterministic,
       // rounded for cross-engine stability). Full frames only.
-      val B = 4
       val r = graft.core.Materialize.once(
         Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))
           .select(col("symbol"), col("bucket_ts"), col("ret")))
-      val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
-        .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))
-      val right = r.select(col("symbol").as("sym2"), col("bucket_ts"), col("ret").as("ret2"))
-        .withColumn("blk", pmod(hash(col("sym2")), lit(B)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("sym1"), col("sym2")).orderBy(col("bucket_ts"))
         .rowsBetween(-23, 0)
-      left.join(right, Seq("bucket_ts", "blk"))
-        .where(col("sym1") < col("sym2"))
-        .select(col("sym1"), col("sym2"), col("bucket_ts"), col("ret1"), col("ret2"))
+      blockedPairJoin(r)
         .withColumn("cnt", count(lit(1)).over(w))
         .withColumn("rolling_corr", round(corr(col("ret1"), col("ret2")).over(w), 6))
         .where(col("cnt") === 24)

@@ -55,3 +55,51 @@ class TopKByScore(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Scored
   override def outputEncoder: ExpressionEncoder[Seq[ScoredId]] =
     ExpressionEncoder[Seq[ScoredId]]()
 }
+
+/** One scored term flowing into the per-doc top-k accumulator. */
+case class ScoredTerm(score: Double, term: String, tf: Long)
+
+/** Bounded top-k over (score desc, term asc) ranked TERMS — the same
+  * map-side-bounded shape as TopKByScore, for tfidfTopTerms' per-doc
+  * ranking: a row_number window sorts every doc's full vocabulary in one
+  * partition (a pathological doc with a huge distinct vocabulary becomes
+  * one fat sorted partition), while this aggregate caps per-doc work and
+  * shuffle volume at O(k) rows per map task. Ordering is total for
+  * distinct terms, so the result is partitioning-independent.
+  */
+class TopKTermsByScore(k: Int)
+    extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
+
+  private def better(x: ScoredTerm, y: ScoredTerm): Boolean =
+    x.score > y.score || (x.score == y.score && x.term < y.term)
+
+  override def zero: Seq[ScoredTerm] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredTerm], in: ScoredTerm): Seq[ScoredTerm] =
+    if (buf.size >= k && better(buf.last, in)) buf
+    else {
+      val (above, below) = buf.span(better(_, in))
+      ((above :+ in) ++ below).take(k)
+    }
+
+  override def merge(a: Seq[ScoredTerm], b: Seq[ScoredTerm]): Seq[ScoredTerm] = {
+    val out = Vector.newBuilder[ScoredTerm]
+    var (x, y) = (a, b)
+    var n = 0
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[ScoredTerm]): Seq[ScoredTerm] = r
+
+  override def bufferEncoder: ExpressionEncoder[Seq[ScoredTerm]] =
+    ExpressionEncoder[Seq[ScoredTerm]]()
+
+  override def outputEncoder: ExpressionEncoder[Seq[ScoredTerm]] =
+    ExpressionEncoder[Seq[ScoredTerm]]()
+}

@@ -20,12 +20,19 @@ final class CandleStore(val root: String) {
   /** Append a batch of candles for one (exchange, timeframe). Dynamic
     * partition overwrite: re-writing an already-ingested window replaces
     * exactly the touched partitions — idempotent, no global rewrite.
+    *
+    * Rows are sorted by bucket_ts within each task before the write, so
+    * every parquet row group covers a narrow time slice and its min/max
+    * statistics prune time-range scans BELOW the partition level —
+    * partition pruning picks the series directory, row-group stats skip
+    * most of the files inside it.
     */
   def write(candles: DataFrame, exchange: String, tf: Timeframe): Unit =
     candles
       .withColumn("exchange", lit(exchange))
       .withColumn("timeframe", lit(tf.toString))
       .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
       .write
       .partitionBy("exchange", "symbol", "timeframe")
       .option("partitionOverwriteMode", "dynamic")
@@ -112,6 +119,8 @@ final class CandleStore(val root: String) {
       else clean
     folded
       .repartition(col("exchange"), col("symbol"), col("timeframe"))
+      .sortWithinPartitions(col("exchange"), col("symbol"), col("timeframe"),
+        col("bucket_ts")) // time-sorted row groups: stats prune range scans
       .write
       .partitionBy("exchange", "symbol", "timeframe")
       .option("compression", "zstd")

@@ -63,4 +63,19 @@ object Profile {
     }
     agged.select(explode(array(structs.toSeq: _*))).select("col.*")
   }
+
+  /** Automatic sketch policy: exact distinct counts up to `maxExactRows`
+    * input rows, HLL sketches above — the 100 TB default where the exact
+    * mode's Expand (one duplicated row per distinct-counted column) would
+    * multiply a huge scan. Row count comes from the optimized plan's
+    * statistics when the catalog has them (free); otherwise one columnar
+    * count job — cheap next to the profile pass itself, and only paid on
+    * stat-less inputs.
+    */
+  def profileAuto(df: DataFrame, maxExactRows: Long = 10000000L,
+                  rsd: Double = 0.01): DataFrame = {
+    val rows = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+    profile(df, exactDistinct = rows <= maxExactRows, rsd = rsd)
+  }
 }

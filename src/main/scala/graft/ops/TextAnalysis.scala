@@ -232,10 +232,14 @@ object TextAnalysis {
     * BEFORE ranking so the ordering is engine-stable, ties break on the
     * term. Shuffles: one for (doc, term) counts (map-side combine), a
     * vocabulary-sized one for document frequencies, and the per-doc rank
-    * window (bounded frames). The doc count rides along as a broadcast
-    * 1-row aggregate — no driver-side action.
+    * via the bounded-heap TopKTermsByScore aggregate — each map task emits
+    * at most k rows per doc, so a pathological doc with a huge distinct
+    * vocabulary never becomes one fat sorted window partition. The doc
+    * count rides along as a broadcast 1-row aggregate — no driver action.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.{ScoredTerm, TopKTermsByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val terms = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .where(col("term") =!= "")
@@ -245,14 +249,15 @@ object TextAnalysis {
       terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val agg = udaf(new TopKTermsByScore(k), ExpressionEncoder[ScoredTerm]())
     tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+      .groupBy(col("doc_id"))
+      .agg(agg(col("score"), col("term"), col("tf")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Bigram-surprisal quality proxy: average -ln p(w2|w1) per doc under

@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pair correlation joins on the blocked key, not bucket_ts alone") {
+    // the join keys must carry blk (whether the planner picks a shuffle or
+    // a broadcast at this scale): that is what spreads each time bucket's
+    // pair fan-out across B reducer keys on a real symbol universe
+    val p = planOf("symbol_correlations")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("blk")), p)
+  }
+
+  test("tfidf per-doc ranking is the bounded aggregate, not a window") {
+    val p = planOf("tfidf_topterms")
+    assert(!p.contains("Window"), "per-doc row_number window regressed\n" + p)
+    assert(p.toLowerCase.contains("topktermsbyscore"), p)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)

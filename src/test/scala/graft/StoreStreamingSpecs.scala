@@ -34,6 +34,29 @@ class CandleStoreSpec extends SparkSpec {
     assert(resume.contains(expectedMax))
   }
 
+  test("store files are time-sorted so row-group stats prune range scans") {
+    val root = Files.createTempDirectory("graft_store_sorted").toString
+    val store = new CandleStore(root)
+    store.write(candles, "testex", tf)
+    // every physical file holds its rows in bucket_ts order — the property
+    // that makes parquet row-group min/max statistics selective for
+    // time-range filters (each group covers a narrow, disjoint slice)
+    val byFile = spark.read.parquet(root)
+      .select(input_file_name().as("f"), col("bucket_ts"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.nonEmpty)
+    byFile.foreach { case (f, rows) =>
+      val ts = rows.map(_.getTimestamp(1).getTime)
+      assert(ts.sameElements(ts.sorted), s"unsorted file $f")
+    }
+    // values unchanged by the sorted write
+    val roundtrip = store.read(spark).select("symbol", "bucket_ts", "open",
+      "high", "low", "close", "volume", "trades").collect().map(_.toSeq).toSet
+    val exp = candles.select("symbol", "bucket_ts", "open",
+      "high", "low", "close", "volume", "trades").collect().map(_.toSeq).toSet
+    assert(roundtrip == exp)
+  }
+
   test("dynamic partition overwrite keeps untouched partitions (idempotent re-ingest)") {
     val root = Files.createTempDirectory("graft_store2").toString
     val store = new CandleStore(root)
@@ -665,6 +688,29 @@ class MiscOpsSpec extends SparkSpec {
     assert(rows("l_returnflag").getAs[Long]("max_len") >= 1L)
     assert(rows.values.forall(_.getAs[Long]("n_null") == 0L))
     assert(rows.values.forall(_.getAs[Long]("n_rows") == 6000L))
+  }
+
+  test("profileAuto picks exact below the row threshold and HLL above") {
+    val li = graft.core.Tables.table(spark, Sf0001, "lineitem") // 6000 rows
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // at/below threshold → exact distinct (no HLL sketch in the plan)
+    val exact = graft.ops.Profile.profileAuto(li, maxExactRows = 6000L)
+    assert(!planOf(exact).contains("approx_count_distinct"), planOf(exact))
+    // one row above the boundary → the HLL path
+    val approx = graft.ops.Profile.profileAuto(li, maxExactRows = 5999L)
+    assert(planOf(approx).contains("approx_count_distinct"), planOf(approx))
+    // both modes agree on everything except the sketched counts, and the
+    // sketch stays inside its 5σ contract at this cardinality
+    val e = exact.collect().map(r => r.getAs[String]("column") ->
+      r.getAs[Long]("n_distinct")).toMap
+    val a = approx.collect().map(r => r.getAs[String]("column") ->
+      r.getAs[Long]("n_distinct")).toMap
+    assert(e.keySet == a.keySet)
+    e.foreach { case (c, ex) =>
+      assert(math.abs(a(c) - ex).toDouble <= math.max(5.0, 0.05 * ex),
+        s"$c: exact=$ex approx=${a(c)}")
+    }
   }
 
   test("typed candle Dataset round-trips") {
