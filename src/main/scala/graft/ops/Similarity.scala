@@ -49,6 +49,20 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** recall@k of an approximate ANN result against the exact top-k truth
+    * (both in the (qid, id2, …) shape the topK paths emit): the fraction
+    * of true neighbor pairs the approximate search surfaced. One
+    * equi-join + two counts — usable at evaluation scale to calibrate
+    * nprobe / table-count knobs (see tools.ScaleProbe's recall mode).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select(col("qid"), col("id2"))
+    val total = t.count()
+    if (total == 0L) 1.0
+    else t.join(approx.select(col("qid"), col("id2")), Seq("qid", "id2"))
+      .count().toDouble / total
+  }
+
   /** Exact near-duplicate pairs above a cosine threshold, block-triangle
     * partitioned: vectors hash into `blocks` blocks, the (bi ≤ bj) block
     * pair list is broadcast, and candidate generation is two equi-joins —

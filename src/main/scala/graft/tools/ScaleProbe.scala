@@ -9,11 +9,48 @@ import org.apache.spark.sql.functions._
   * so BENCH_NOTES can report measured growth curves instead of claims.
   */
 object ScaleProbe {
+
+  /** Recall-vs-cost curves for the approximate ANN paths: recall@k against
+    * the exact brute-force top-k as the cost knob turns (IVF: cells
+    * probed; multi-LSH: table count). Candidate sets are supersets as the
+    * knob grows (probes are top-nprobe cells; tables 0..T-1 ⊆ 0..T), so
+    * recall is monotone by construction (spec-pinned); these curves put
+    * numbers on the tradeoff at two corpus scales. Run:
+    * `runMain graft.tools.ScaleProbe recall`.
+    */
+  private def recallCurves(spark: SparkSession): Unit = {
+    import graft.ops.{Ivf, Similarity}
+    val k = 10
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val emb = Tables.table(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      val q = emb.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(spark, emb, q, k).cache()
+      exact.count()
+      def probe(label: String)(f: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val approx = f
+        val r = Similarity.recallAtK(exact, approx)
+        println(f"[recall] $dir ($n vecs) $label%-22s recall@$k=$r%.3f  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val model = Ivf.train(emb, 16, 2)
+      Seq(1, 2, 4, 8, 16).foreach { p =>
+        probe(s"ivf nprobe=$p/16")(Ivf.searchTopKWith(emb, q, k, model, p))
+      }
+      Seq(1, 2, 4, 8).foreach { t =>
+        probe(s"lsh_multi tables=$t")(
+          Similarity.lshTopKMulti(spark, emb, q, k, numPlanes = 6, numTables = t))
+      }
+      exact.unpersist(); emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("recall")) { recallCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
     def amplifyDocs(k: Int): DataFrame = {

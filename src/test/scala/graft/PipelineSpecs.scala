@@ -198,6 +198,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall $recall too low")
   }
 
+  test("recall is monotone in the cost knob and full-probe IVF is exact") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(spark, e, queries, 5)
+    // IVF: candidates grow as a superset with nprobe → recall never drops;
+    // probing every cell scores the whole corpus → recall exactly 1
+    val model = graft.ops.Ivf.train(e, 16, 2)
+    val ivfCurve = Seq(1, 4, 16).map(p => Similarity.recallAtK(exact,
+      graft.ops.Ivf.searchTopKWith(e, queries, 5, model, p)))
+    assert(ivfCurve.sliding(2).forall(w => w(0) <= w(1)), s"ivf curve $ivfCurve")
+    assert(ivfCurve.last == 1.0, s"full-probe ivf must be exact: $ivfCurve")
+    // multi-LSH: tables 0..T-1 ⊆ 0..T → candidate superset → monotone
+    val lshCurve = Seq(1, 2, 4).map(t => Similarity.recallAtK(exact,
+      Similarity.lshTopKMulti(spark, e, queries, 5, numTables = t)))
+    assert(lshCurve.sliding(2).forall(w => w(0) <= w(1)), s"lsh curve $lshCurve")
+    info(s"ivf nprobe 1/4/16: $ivfCurve; lsh tables 1/2/4: $lshCurve")
+  }
+
   test("pre-trained ivf search equals the self-training path, without re-running Lloyd") {
     val e = Tables.table(spark, Sf0001, "embeddings")
     val queries = e.where(col("vec_id") < 10)
