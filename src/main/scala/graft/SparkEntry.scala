@@ -200,6 +200,17 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", leftOuter = true)
     }),
+    "asof_join_fwd" -> ((s, dir) => {
+      // forward as-of: each purchase matched to the EARLIEST click
+      // at-or-after it (next touchpoint after conversion) — same native
+      // operator, direction flipped
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", forward = true)
+    }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "funnel_1h" -> ((s, dir) => {
@@ -400,6 +411,14 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccard(Tables.table(s, dir, "documents"))),
     "corpus_dedup" -> ((s, dir) =>
       graft.ops.Dedup.corpusDedup(Tables.table(s, dir, "documents"))),
+    "dedup_incremental" -> ((s, dir) => {
+      // nightly-crawl screening: the src0 batch against the rest of the
+      // corpus — (new, corpus) candidates only, oversized corpus buckets
+      // contribute their representative
+      val d = Tables.table(s, dir, "documents")
+      graft.ops.Dedup.incrementalDedup(
+        d.where(col("source") === "src0"), d.where(col("source") =!= "src0"))
+    }),
     "contamination_check" -> ((s, dir) =>
       graft.ops.TextAnalysis.contaminationCheck(Tables.table(s, dir, "documents"))),
     "tfidf_topterms" -> ((s, dir) =>
@@ -660,6 +679,12 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, p.ts, p.value, " +
         "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
         "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "asof_join_fwd" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"),
     "gap_fill" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket_ts " +
@@ -778,6 +803,7 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT id1, id2, est_jaccard, jaccard FROM jac WHERE jaccard >= 0.5",
     "corpus_dedup" -> corpusDedupSql(0.8),
+    "dedup_incremental" -> incrementalDedupSql(),
     "repetition_score" ->
       ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
         "shg AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2), " +
@@ -1215,6 +1241,47 @@ object SparkEntry {
       "mh AS (SELECT id1, id2, " +
       s"max(len(list_filter(generate_series(1, $numPerm), i -> sig1[i] = sig2[i])) / $numPerm.0) AS est_jaccard " +
       "FROM allpairs GROUP BY 1, 2)"
+  }
+
+  /** Oracle for Dedup.incrementalDedup: the src0 batch screened against
+    * the rest of the corpus — mirrors the Scala operator's banding,
+    * oversized-corpus-bucket representative rule, and best-match pick.
+    */
+  private def incrementalDedupSql(minJaccard: Double = 0.8, numPerm: Int = 128,
+                                  bands: Int = 16, maxBucket: Int = 100): String = {
+    val rows = numPerm / bands
+    s"WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+      "dh AS (SELECT doc_id, source, list_transform(" +
+      "list_transform(generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])), " +
+      "s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes FROM dw WHERE len(ws) >= 3), " +
+      s"sigs AS (SELECT doc_id, source, ${minhashSigSql(numPerm)} AS sig FROM dh), " +
+      "nsig AS (SELECT doc_id, sig FROM sigs WHERE source = 'src0'), " +
+      "csig AS (SELECT doc_id, sig FROM sigs WHERE source <> 'src0'), " +
+      s"bx AS (SELECT unnest(generate_series(0, ${bands - 1})) AS band), " +
+      "nb AS (SELECT doc_id, band, " +
+      s"CAST('0x' || substr(md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')), 1, 15) AS BIGINT) AS bsig " +
+      "FROM nsig CROSS JOIN bx), " +
+      "cb AS (SELECT doc_id, band, " +
+      s"CAST('0x' || substr(md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')), 1, 15) AS BIGINT) AS bsig " +
+      "FROM csig CROSS JOIN bx), " +
+      "cs AS (SELECT band, bsig, count(*) AS bucket_n, min(doc_id) AS rep FROM cb GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid FROM nb n " +
+      "JOIN cb c ON n.band = c.band AND n.bsig = c.bsig " +
+      "JOIN cs s ON s.band = n.band AND s.bsig = n.bsig " +
+      s"WHERE s.bucket_n <= $maxBucket OR c.doc_id = s.rep), " +
+      "scored AS (SELECT nid, cid, " +
+      s"len(list_filter(generate_series(1, $numPerm), i -> a.sig[i] = b.sig[i])) / $numPerm.0 AS est " +
+      "FROM cand JOIN nsig a ON a.doc_id = nid JOIN csig b ON b.doc_id = cid), " +
+      "rolled AS (SELECT nid, count(*) AS n_candidates, max(est) AS best_est FROM scored GROUP BY 1), " +
+      // ties at the max estimate break to the lowest corpus id (est is an
+      // exact k/128 double, so the equality join is safe)
+      "best AS (SELECT s.nid, min(s.cid) AS best_match FROM scored s " +
+      "JOIN rolled r ON s.nid = r.nid AND s.est = r.best_est GROUP BY 1), " +
+      "rolled2 AS (SELECT rolled.nid, n_candidates, best_est, best_match FROM rolled JOIN best ON best.nid = rolled.nid) " +
+      "SELECT d.doc_id, COALESCE(n_candidates, 0) AS n_candidates, best_match, best_est, " +
+      s"(best_est IS NULL OR best_est < $minJaccard) AS novel " +
+      "FROM (SELECT doc_id FROM documents WHERE source = 'src0') d " +
+      "LEFT JOIN rolled2 ON rolled2.nid = d.doc_id"
   }
 
   /** CTE chain extending minhash pairs with exact shingle-set Jaccard:

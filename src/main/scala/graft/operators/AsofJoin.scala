@@ -31,10 +31,15 @@ object AsofJoin {
     * shape where "no prior quote yet" must stay visible. Same plan, same
     * single sweep; the physical operator just emits a null-filled right
     * side instead of dropping the row.
+    *
+    * `forward = true` matches each left to the EARLIEST right with
+    * right.ts >= left.ts instead (next fill after the order, next
+    * observation after the query point). Same co-sorted sweep; see
+    * AsofJoinNode. Composes with `leftOuter`.
     */
   def joinNative(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String, prefix: String = "r_",
-                 leftOuter: Boolean = false): DataFrame = {
+                 leftOuter: Boolean = false, forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
@@ -55,7 +60,8 @@ object AsofJoin {
     val rPlan0 = Bridge.analyzed(right)
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     Bridge.ofRows(spark,
-      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix, leftOuter))
+      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix,
+        leftOuter, forward))
   }
 
   /** Inner backward as-of join (composed formulation: tag-union both

@@ -157,6 +157,60 @@ object Dedup {
     withShingleHashes(docs).select(col("doc_id"), sig.as("sig"))
   }
 
+  /** Incremental near-dup screening of an incoming batch against an
+    * EXISTING corpus — the nightly-crawl pass: don't re-cluster the whole
+    * corpus, just answer "is this new doc a near-dup of anything already
+    * kept?". Candidates are (new, corpus) pairs only: new-vs-new is the
+    * batch's own corpusDedup problem and corpus-vs-corpus was settled
+    * when the corpus was built. Per new doc: candidate count, the best
+    * corpus match (max estimated Jaccard, ties to the lowest corpus id),
+    * and `novel` (no candidate at or above `minJaccard`; sub-3-word docs
+    * have no signature and are trivially novel).
+    *
+    * Scale design: signatures are the same fused map-only pass on both
+    * sides (the corpus side can be PRE-COMPUTED and reused across
+    * batches); banding joins are skinny (doc_id, band, bsig) equi-joins;
+    * oversized CORPUS buckets (boilerplate that matches everything)
+    * contribute only their representative per bucket, capping per-new-doc
+    * fan-out at O(bands) instead of O(bucket). The incoming batch is
+    * dim-scale next to the corpus, so the candidate set stays bounded by
+    * |batch| × bands.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       minJaccard: Double = 0.8, numPerm: Int = 128,
+                       bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+    val rows = numPerm / bands
+    def band(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), posexplode(array((0 until bands).map(bnd =>
+        bandSig(col("sig"), bnd, rows)): _*))).toDF("doc_id", "band", "bsig")
+    val nSigs = graft.core.Materialize.once(minhashSignatures(newDocs, numPerm))
+    val cSigs = graft.core.Materialize.once(minhashSignatures(corpus, numPerm))
+    val cBand = band(cSigs)
+    val cStats = cBand.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
+    val cand = band(nSigs).select(col("doc_id").as("nid"), col("band"), col("bsig"))
+      .join(cBand.select(col("doc_id").as("cid"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .join(cStats, Seq("band", "bsig"))
+      .where(col("bucket_n") <= maxBucket || col("cid") === col("rep"))
+      .select(col("nid"), col("cid")).distinct()
+    val scored = cand
+      .join(nSigs.select(col("doc_id").as("nid"), col("sig").as("sig1")), "nid")
+      .join(cSigs.select(col("doc_id").as("cid"), col("sig").as("sig2")), "cid")
+      .select(col("nid"), col("cid"),
+        estJaccard(col("sig1"), col("sig2"), numPerm).as("est"))
+    val rolled = scored.groupBy(col("nid").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("est")).as("best_est"),
+        min_by(col("cid"), array(negate(col("est")), col("cid").cast("double")))
+          .as("best_match"))
+    newDocs.select(col("doc_id"))
+      .join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match"), col("best_est"),
+        (col("best_est").isNull || col("best_est") < minJaccard).as("novel"))
+  }
+
   /** docs + `hashes` column: hashed 3-shingles, built via materialized
     * intermediates (see minhashSignatures scaladoc).
     */

@@ -22,10 +22,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * right row — O(n+m) per partition, state of a single row. Right rows
   * tied on (key, ts) resolve by their trailing sort columns, so output is
   * deterministic regardless of physical input order.
+  *
+  * `forward = true` flips the direction: each left matches the EARLIEST
+  * right with right.ts >= left.ts (next quote after the event). Same
+  * ascending co-sort, same single sweep — the iterator skips rights
+  * strictly before the left timestamp and PEEKS the head instead of
+  * consuming it (later lefts, having later timestamps, can still match
+  * the same right). `leftOuter` composes with either direction.
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         key: String, leftTs: String, rightTs: String,
-                        prefix: String, leftOuter: Boolean = false) extends BinaryNode {
+                        prefix: String, leftOuter: Boolean = false,
+                        forward: Boolean = false) extends BinaryNode {
   // left-outer: right columns become nullable (unmatched lefts emit nulls)
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a =>
@@ -42,19 +50,19 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter) =>
+    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter, forward) =>
       def attr(p: LogicalPlan, name: String): Attribute =
         p.output.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
       AsofJoinExec(attr(l, key), attr(l, lts), attr(r, key), attr(r, rts),
-        prefix, leftOuter, planLater(l), planLater(r)) :: Nil
+        prefix, leftOuter, forward, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
                         rKey: Attribute, rTs: Attribute, prefix: String,
-                        leftOuter: Boolean,
+                        leftOuter: Boolean, forward: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -95,6 +103,7 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
     val nullRow: InternalRow =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
     val isLeftOuter = leftOuter
+    val isForward = forward
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -112,6 +121,29 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
           if (lk == null || lt == null) {
             // nulls never match; left-outer still preserves the left row
             if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
+            else Iterator.empty
+          } else if (isForward) {
+            // skip rights strictly before (lk, lt); the head — if it still
+            // has the left's key — is the earliest right at-or-after. PEEK,
+            // don't consume: later lefts can match the same right.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = r.get(rKeyIdx, keyType)
+              val rt = r.get(rTsIdx, tsType)
+              if (rk == null || rt == null) { rBuf.next() } // skip null rows
+              else {
+                val c = kOrd.compare(rk, lk)
+                if (c < 0 || (c == 0 && tOrd.compare(rt, lt) < 0)) rBuf.next()
+                else advance = false
+              }
+            }
+            val matched = rBuf.hasNext && {
+              val rk = rBuf.head.get(rKeyIdx, keyType)
+              rk != null && kOrd.compare(rk, lk) == 0
+            }
+            if (matched) Iterator.single(proj(joined(l, rBuf.head)))
+            else if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
             else Iterator.empty
           } else {
             // consume right rows at-or-before (lk, lt); later keys stay put

@@ -297,6 +297,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(nullRow.isNullAt(nullRow.fieldIndex("r_v")))
   }
 
+  test("forward asof matches the earliest right at-or-after, sharing rights across lefts") {
+    import spark.implicits._
+    // two lefts both before the same right: PEEK (not consume) means both
+    // match it; a left after every right gets no match (inner) / nulls (outer)
+    val l = Seq((1L, ts(T0 + 10), "a"), (1L, ts(T0 + 20), "b"), (1L, ts(T0 + 99), "z"))
+      .toDF("user_id", "ts", "tag")
+    val r = Seq((1L, ts(T0 + 20), 5.0), (1L, ts(T0 + 50), 7.0))
+      .toDF("user_id", "ts", "v")
+    (1 to 3).foreach { parts =>
+      val out = AsofJoin.joinNative(l, r.repartition(parts), "user_id", "ts", "ts",
+        forward = true).collect()
+        .map(x => x.getAs[String]("tag") -> x.getAs[Double]("r_v")).toMap
+      assert(out == Map("a" -> 5.0, "b" -> 5.0)) // at-or-after: ts 20 matches ts 20
+    }
+    val outer = AsofJoin.joinNative(l, r, "user_id", "ts", "ts",
+      leftOuter = true, forward = true).collect()
+    assert(outer.length == 3)
+    assert(outer.find(_.getAs[String]("tag") == "z").get.isNullAt(3))
+    // cross-check against the composed truth on real data: min right ts
+    // at-or-after per left via an aggregation
+    val e = graft.core.Tables.events(spark, Sf0001)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val expected = p.join(c, col("user_id") === col("cu") && col("cts") >= col("ts"))
+      .groupBy(col("event_id")).agg(min(col("cts")).as("exp_ts"))
+    val native = AsofJoin.joinNative(p, c.select(col("cu").as("user_id"),
+      col("cts").as("ts")), "user_id", "ts", "ts", "c_", forward = true)
+      .select(col("event_id"), col("c_ts"))
+    val diff = native.join(expected, "event_id")
+      .where(col("c_ts") =!= col("exp_ts")).count()
+    assert(diff == 0 && native.count() == expected.count())
+  }
+
   test("null keys never match (SQL join semantics)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),

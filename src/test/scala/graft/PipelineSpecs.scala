@@ -46,6 +46,28 @@ class DedupSpec extends SparkSpec {
       solo.getAs[String]("clean_fp") == md5s("u v w"))
   }
 
+  test("incremental dedup screens a new batch against the existing corpus only") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely different text about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // == 100
+      (2L, "utterly novel content with no overlap whatsoever in any shingle window"),
+      (3L, "too short")) // sub-3-word: no signature → trivially novel
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3)
+    assert(!out(1L).getAs[Boolean]("novel") &&
+      out(1L).getAs[Long]("best_match") == 100L &&
+      out(1L).getAs[Double]("best_est") == 1.0)
+    assert(out(2L).getAs[Boolean]("novel"))
+    assert(out(3L).getAs[Boolean]("novel") && out(3L).getAs[Long]("n_candidates") == 0L)
+    // corpus docs never appear on the output side
+    assert(!out.contains(100L) && !out.contains(101L))
+  }
+
   test("minhash LSH surfaces near-duplicate pairs with high est jaccard") {
     val pairs = Dedup.minhashLsh(docs).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("est_jaccard")))
