@@ -135,6 +135,8 @@ object SparkEntry {
       Analytics.sma(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
     "returns" -> ((s, dir) =>
       Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "rolling_vol" -> ((s, dir) =>
+      Analytics.rollingVol(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "ema" -> ((s, dir) =>
       // rounded so the oracle's list_reduce (same op order) compares safely
       Analytics.ema(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)
@@ -437,6 +439,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.qualityScore(Tables.table(s, dir, "documents"))),
     "token_count" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenCount(Tables.table(s, dir, "documents"))),
+    "packing_stats" -> ((s, dir) =>
+      graft.ops.TextAnalysis.packingStats(Tables.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
     "ngram_freq" -> ((s, dir) =>
@@ -642,6 +646,19 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, close, prev_close, (close - prev_close) / prev_close AS ret FROM (" +
         "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
         "WHERE prev_close IS NOT NULL"),
+    "rolling_vol" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL), " +
+        "f AS (SELECT symbol, bucket_ts, " +
+        "CAST(sum(CAST(ret AS DECIMAL(18,12))) OVER w AS DOUBLE) AS sum_r, " +
+        "CAST(sum(CAST(CAST(ret AS DECIMAL(18,12)) * CAST(ret AS DECIMAL(18,12)) AS DECIMAL(38,24))) OVER w AS DOUBLE) AS sum_r2, " +
+        "count(ret) OVER w AS cnt FROM r " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(sqrt(greatest((sum_r2 - sum_r * sum_r / CAST(cnt AS DOUBLE)) / CAST(cnt - 1 AS DOUBLE), 0.0)), 6) AS vol " +
+        "FROM f WHERE cnt = 24"),
     "bollinger" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "f AS (SELECT symbol, bucket_ts, close, " +
@@ -930,6 +947,15 @@ object SparkEntry {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    "packing_stats" ->
+      ("WITH tc AS (SELECT source, len(string_split_regex(text, '\\s+')) AS t FROM documents) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
+        "CAST(max(t) AS BIGINT) AS max_tokens, " +
+        "CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_ctx, " +
+        "CAST(sum((t + 63) // 64) AS BIGINT) AS windows_padded, " +
+        "CAST((sum(t) + 63) // 64 AS BIGINT) AS windows_packed, " +
+        "round(CAST(sum((t + 63) // 64) * 64 - sum(t) AS DOUBLE) / (sum((t + 63) // 64) * 64), 6) AS padding_waste " +
+        "FROM tc GROUP BY 1"),
     "doc_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual, " +

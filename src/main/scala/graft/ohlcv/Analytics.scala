@@ -157,6 +157,33 @@ object Analytics {
         when(col("prev_close") =!= 0, col("prev_close")))
   }
 
+  /** Rolling return volatility (sample stddev of simple returns over the
+    * trailing `n` buckets; full frames only) — the realized-volatility
+    * series every risk/regime model consumes. Same deterministic shape as
+    * `bollinger`: the two moments go through exact decimal window sums
+    * (order-insensitive, engine-replayable), only the final
+    * variance→sqrt is double, rounded to 6 decimals. One bounded window
+    * per symbol — one shuffle, O(1) state per row.
+    */
+  def rollingVol(candles: DataFrame, n: Int = 24): DataFrame = {
+    val dr = DecimalType(18, 12)
+    val dr2 = DecimalType(38, 24)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    val sumR = sum(col("ret").cast(dr)).over(w).cast("double")
+    val sumR2 = sum((col("ret").cast(dr) * col("ret").cast(dr)).cast(dr2))
+      .over(w).cast("double")
+    returns(candles).select(col("symbol"), col("bucket_ts"), col("ret"))
+      .withColumn("cnt", count(col("ret")).over(w))
+      .withColumn("sum_r", sumR)
+      .withColumn("sum_r2", sumR2)
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(sqrt(greatest(
+          (col("sum_r2") - col("sum_r") * col("sum_r") / col("cnt").cast("double")) /
+            (col("cnt") - 1).cast("double"), lit(0.0))), 6).as("vol"))
+  }
+
   /** Exponential moving average — inherently sequential per symbol, so:
     * one shuffle (repartition by symbol), in-partition sort, then a single
     * O(n) sweep per partition. No window-function state blowup; at 100 TB

@@ -289,6 +289,32 @@ object TextAnalysis {
         round(avg(log(col("c1").cast("double") / col("c12"))), 6).as("surprisal"))
   }
 
+  /** Sequence-packing stats per stratum — the batch-planning question a
+    * training pipeline asks before tokenizing 100 TB: how many
+    * context-length windows does this corpus need, and how much padding
+    * does naive one-doc-per-window batching waste vs dense packing?
+    * `windows_padded` = Σ ceil(tokens/ctx) (each doc alone, padded);
+    * `windows_packed` = ceil(Σ tokens / ctx) (ideal dense packing — the
+    * lower bound any packer approaches). Pure integer arithmetic until
+    * the final waste ratio, so exact in any engine; one map pass + one
+    * aggregation keyed by the (low-cardinality) stratum.
+    */
+  def packingStats(docs: DataFrame, ctx: Int = 64): DataFrame = {
+    val t = size(words(col("text"))).cast("long")
+    val w = floor((t + lit(ctx - 1)) / lit(ctx)).cast("long")
+    docs.select(col("source"), t.as("t"), w.as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        max(col("t")).as("max_tokens"),
+        sum(when(col("t") > ctx, 1L).otherwise(0L)).as("n_over_ctx"),
+        sum(col("w")).as("windows_padded"),
+        floor((sum(col("t")) + lit(ctx - 1)) / lit(ctx)).cast("long").as("windows_packed"))
+      .withColumn("padding_waste",
+        round((col("windows_padded") * ctx - col("total_tokens")).cast("double") /
+          (col("windows_padded") * ctx), 6))
+  }
+
   /** Repetition score — the classic repeated-n-gram quality filter
     * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
     * doc (null for docs under 3 words). Pure map-only codegen.

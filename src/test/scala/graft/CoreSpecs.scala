@@ -161,6 +161,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("ema") - (a * 110 + (1 - a) * 100.0)) < 1e-12)
   }
 
+  test("rolling volatility is the sample stddev of trailing returns") {
+    // closes 100, 110, 99 → returns 0.1, -0.1; n=2 frames: single full
+    // frame at the last bucket with stddev_samp(0.1, -0.1) = 0.1*sqrt(2)
+    val out = Analytics.rollingVol(candles, 2).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("vol") -
+      BigDecimal(0.1 * math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // constant returns → zero volatility
+    val geo = Candles.fromTrades(
+      Seq(("ETH", ts(T0 + 10), 100.0, 1.0), ("ETH", ts(T0 + 3610), 110.0, 1.0),
+        ("ETH", ts(T0 + 7210), 121.0, 1.0))
+        .toDF("symbol", "ts", "price", "qty"), Timeframe.parse("1h"))
+    val flat = Analytics.rollingVol(geo, 2).collect()
+    assert(flat.forall(_.getAs[Double]("vol") == 0.0))
+  }
+
   test("returns are close-over-close") {
     val out = Analytics.returns(candles).sort("bucket_ts").collect()
     assert(out.length == 2)

@@ -328,6 +328,26 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("packing stats count padded vs densely-packed context windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), // 5 tokens → 2 windows at ctx=4
+      (2L, "x y", "s1"),       // 2 tokens → 1 window
+      (3L, "p q r s", "s2"))   // exactly ctx → 1 window, not over
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.packingStats(docs, ctx = 4).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("total_tokens") == 7L)
+    assert(s1.getAs[Long]("n_over_ctx") == 1L)
+    assert(s1.getAs[Long]("windows_padded") == 3L) // 2 + 1
+    assert(s1.getAs[Long]("windows_packed") == 2L) // ceil(7/4)
+    assert(s1.getAs[Double]("padding_waste") == BigDecimal(5.0 / 12.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // (12-7)/12
+    assert(out("s2").getAs[Long]("n_over_ctx") == 0L &&
+      out("s2").getAs[Double]("padding_waste") == 0.0)
+  }
+
   test("token/quality/fingerprint on a known doc") {
     val d = Seq((1L, "the cat, sat on x2 mats!")).toDF("doc_id", "text")
     val t = TextAnalysis.tokenCount(d).head()
