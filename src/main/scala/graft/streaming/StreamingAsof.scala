@@ -27,4 +27,27 @@ object StreamingAsof {
       matches = (lts, rights) => rights.takeWhile(_._1 <= lts).lastOption.toList,
       rightHorizon = identity,
       keepLatestOldRight = true)
+
+  /** Left-outer variant, mirroring the batch operator's `leftOuter`:
+    * every left is emitted exactly once at finalization — with its
+    * at-or-before match, or with null right columns when no such right
+    * exists. Completeness is the same watermark argument as the inner
+    * form (a right that could still match a finalized left would be
+    * late), so "null right" is a PROVEN no-match, not a timing artifact.
+    */
+  def joinLeftOuter(left: DataFrame, right: DataFrame,
+                    watermark: String = "10 minutes"): Dataset[KeyedEventJoin.JoinedOpt] =
+    KeyedEventJoin.runCore[KeyedEventJoin.JoinedOpt](left, right, watermark,
+      finalizeAt = identity,
+      matches = (lts, rights) => rights.takeWhile(_._1 <= lts).lastOption.toList,
+      rightHorizon = identity,
+      keepLatestOldRight = true) { case (user, (lts, eid, lv), ms) =>
+      if (ms.isEmpty)
+        List(KeyedEventJoin.JoinedOpt(eid, user, new java.sql.Timestamp(lts),
+          lv, None, None))
+      else ms.map { case (rts, rv) =>
+        KeyedEventJoin.JoinedOpt(eid, user, new java.sql.Timestamp(lts), lv,
+          Some(new java.sql.Timestamp(rts)), Some(rv))
+      }
+    }
 }

@@ -304,6 +304,38 @@ class StreamingAsofSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer asof emits proven no-matches with null rights") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lefts = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingAsof.joinLeftOuter(
+      lefts.toDF.toDF("user_id", "ts", "event_id", "value"),
+      rights.toDF.toDF("user_id", "ts", "value"),
+      watermark = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("asof_lo").start()
+    try {
+      // user 1: left with a prior right (matches); user 3: left with a
+      // right only AFTER it (no as-of match → null-extended)
+      rights.addData((1L, ts(T0 + 50), 7.0), (3L, ts(T0 + 500), 9.0))
+      lefts.addData((1L, ts(T0 + 100), 10L, 1.0), (3L, ts(T0 + 100), 30L, 1.0))
+      q.processAllAvailable()
+      // advance both watermarks past the lefts
+      lefts.addData((2L, ts(T0 + 1800), 99L, 0.0))
+      rights.addData((2L, ts(T0 + 1800), 0.0))
+      q.processAllAvailable()
+      lefts.addData((2L, ts(T0 + 3600), 98L, 0.0))
+      rights.addData((2L, ts(T0 + 3600), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, r_value FROM asof_lo WHERE user_id IN (1, 3)")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // matched left carries its right; unmatched left appears ONCE, null
+      assert(rows == Set((10L, Some(7.0)), (30L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream asof resolves duplicate right timestamps deterministically") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
