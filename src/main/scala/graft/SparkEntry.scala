@@ -137,6 +137,27 @@ object SparkEntry {
       Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "mtf_context" -> ((s, dir) => {
+      // multi-timeframe context: each 1h candle enriched with its day's
+      // OHLCV and the hour's position in the daily range. The daily frame
+      // DERIVES from the hourly candles (candle aggregation is a monoid)
+      // — one trades scan, one extra dim-scale agg, broadcast-size join
+      // side at any corpus scale
+      val h = graft.core.Materialize.once(
+        Candles.fromTrades(Tables.trades(s, dir), Tf1h))
+      val d = h.groupBy(col("symbol"), date_trunc("day", col("bucket_ts")).as("day"))
+        .agg(min_by(col("open"), col("bucket_ts")).as("d_open"),
+          max(col("high")).as("d_high"), min(col("low")).as("d_low"),
+          max_by(col("close"), col("bucket_ts")).as("d_close"),
+          sum(col("volume").cast(DecimalType(18, 2))).cast("double").as("d_volume"))
+      h.withColumn("day", date_trunc("day", col("bucket_ts")))
+        .join(d, Seq("symbol", "day"))
+        .select(col("symbol"), col("bucket_ts"), col("close"),
+          col("d_open"), col("d_high"), col("d_low"), col("d_close"), col("d_volume"),
+          round((col("close") - col("d_low")) /
+            when(col("d_high") =!= col("d_low"), col("d_high") - col("d_low")), 6)
+            .as("day_range_pos"))
+    }),
     "ema" -> ((s, dir) =>
       // rounded so the oracle's list_reduce (same op order) compares safely
       Analytics.ema(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)
@@ -646,6 +667,16 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, close, prev_close, (close - prev_close) / prev_close AS ret FROM (" +
         "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
         "WHERE prev_close IS NOT NULL"),
+    "mtf_context" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "d AS (SELECT symbol, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS day, " +
+        "min_by(open, bucket_ts) AS d_open, max(high) AS d_high, min(low) AS d_low, " +
+        "max_by(close, bucket_ts) AS d_close, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS d_volume " +
+        "FROM c GROUP BY 1, 2) " +
+        "SELECT c.symbol, c.bucket_ts, c.close, d_open, d_high, d_low, d_close, d_volume, " +
+        "round((c.close - d_low) / (CASE WHEN d_high <> d_low THEN d_high - d_low END), 6) AS day_range_pos " +
+        "FROM c JOIN d ON c.symbol = d.symbol AND CAST(date_trunc('day', c.bucket_ts) AS TIMESTAMP) = d.day"),
     "rolling_vol" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +

@@ -110,6 +110,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("substring dedup reads its span frame from the cut, not a re-scan") {
+    val p = planOf("dedup_substring")
+    // the span explode feeds both the count and probe branches from ONE
+    // materialized frame: exactly one documents FileScan in the plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(countOccurrences(p, "FileScan") == 0, p)
+  }
+
+  test("incremental dedup never rescans either corpus side past the cuts") {
+    val p = planOf("dedup_incremental")
+    // both signature frames materialize once; banding/stats/scoring all
+    // read the cuts. The only FileScan is the final left-join base
+    // (newDocs doc_ids — a column-pruned scan, not a re-signature).
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(countOccurrences(p, "FileScan") <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pair correlation joins on the blocked key, not bucket_ts alone") {
     // the join keys must carry blk (whether the planner picks a shuffle or
     // a broadcast at this scale): that is what spreads each time bucket's
