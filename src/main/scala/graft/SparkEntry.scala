@@ -236,6 +236,8 @@ object SparkEntry {
     }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
+    "gap_fill_linear" -> ((s, dir) =>
+      Analytics.gapFillLinear(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "funnel_1h" -> ((s, dir) => {
       // click→purchase attribution within 1h: forward interval join
       // (equi-join on user + interval residual — a hash join, never a
@@ -462,6 +464,21 @@ object SparkEntry {
       graft.ops.TextAnalysis.tokenCount(Tables.table(s, dir, "documents"))),
     "packing_stats" -> ((s, dir) =>
       graft.ops.TextAnalysis.packingStats(Tables.table(s, dir, "documents"))),
+    "mix_report" -> ((s, dir) => {
+      // training-mix dashboard: docs/tokens/mean quality per (lang,
+      // source) cell. Mean goes through exact decimal partial sums (the
+      // Profile trick) so it is shuffle-order-independent; one map pass +
+      // one low-cardinality aggregation.
+      val d = Tables.table(s, dir, "documents")
+      d.select(col("lang"), col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("t"),
+          graft.ops.TextAnalysis.scoreColumn(col("text")).as("score"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("total_tokens"),
+          round(sum(col("score").cast(DecimalType(18, 12))).cast("double") /
+            count(col("score")), 6).as("mean_score"))
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
     "ngram_freq" -> ((s, dir) =>
@@ -742,6 +759,22 @@ object SparkEntry {
         "last_value(c.close IGNORE NULLS) OVER (PARTITION BY sp.symbol ORDER BY sp.bucket_ts " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled " +
         "FROM sp LEFT JOIN c ON sp.symbol = c.symbol AND sp.bucket_ts = c.bucket_ts"),
+    "gap_fill_linear" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket_ts " +
+        "FROM (SELECT symbol, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM c GROUP BY 1)), " +
+        "j AS (SELECT sp.symbol, sp.bucket_ts, c.close FROM sp LEFT JOIN c ON sp.symbol = c.symbol AND sp.bucket_ts = c.bucket_ts), " +
+        "f AS (SELECT symbol, bucket_ts, close, " +
+        "last_value(close IGNORE NULLS) OVER wb AS prev_c, " +
+        "last_value(CASE WHEN close IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER wb AS prev_t, " +
+        "first_value(close IGNORE NULLS) OVER wf AS next_c, " +
+        "first_value(CASE WHEN close IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER wf AS next_t " +
+        "FROM j WINDOW " +
+        "wb AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT symbol, bucket_ts, CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap, " +
+        "round(CASE WHEN close IS NOT NULL THEN close WHEN next_c IS NULL THEN prev_c WHEN prev_c IS NULL THEN next_c " +
+        "ELSE prev_c + (next_c - prev_c) * (CAST(epoch_us(bucket_ts) - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)) END, 6) AS close_interp FROM f"),
     "funnel_1h" ->
       ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
@@ -978,6 +1011,19 @@ object SparkEntry {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    "mix_report" ->
+      ("WITH f AS (SELECT lang, source, len(string_split_regex(text, '\\s+')) AS t, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+        "FROM documents), " +
+        "g AS (SELECT lang, source, t, " +
+        "0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + 0.2 * least(nw / 100.0, 1.0) AS score FROM f) " +
+        "SELECT lang, source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
+        "round(CAST(sum(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / count(score), 6) AS mean_score " +
+        "FROM g GROUP BY 1, 2"),
     "packing_stats" ->
       ("WITH tc AS (SELECT source, len(string_split_regex(text, '\\s+')) AS t FROM documents) " +
         "SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +

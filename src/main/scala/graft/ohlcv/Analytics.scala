@@ -265,6 +265,43 @@ object Analytics {
         last(col("close"), ignoreNulls = true).over(w).as("close_filled"))
   }
 
+  /** Gap fill with LINEAR interpolation between the surrounding real
+    * closes (forward fill for trailing gaps, backward for leading ones) —
+    * the resampling mode quant pipelines want when a step function biases
+    * indicators. Two unbounded windows per symbol (last/first IGNORE
+    * NULLS carry O(1) state each); the interpolation weight is a ratio of
+    * integer microsecond offsets, so the arithmetic replays exactly in
+    * any engine; rounded to 6 decimals.
+    */
+  def gapFillLinear(candles: DataFrame, widthMicros: Long): DataFrame = {
+    val spine = candles.groupBy(col("symbol"))
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .select(col("symbol"), explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL ${widthMicros / 1000000} SECOND"))).as("bucket_ts"))
+    val wb = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val us = unix_micros(col("bucket_ts"))
+    val realTs = when(col("close").isNotNull, us)
+    val prevC = last(col("close"), ignoreNulls = true).over(wb)
+    val prevT = last(realTs, ignoreNulls = true).over(wb)
+    val nextC = first(col("close"), ignoreNulls = true).over(wf)
+    val nextT = first(realTs, ignoreNulls = true).over(wf)
+    spine
+      .join(candles.select(col("symbol"), col("bucket_ts"), col("close")),
+        Seq("symbol", "bucket_ts"), "left")
+      .select(col("symbol"), col("bucket_ts"),
+        when(col("close").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"),
+        round(
+          when(col("close").isNotNull, col("close"))
+            .when(nextC.isNull, prevC)  // trailing gap: forward fill
+            .when(prevC.isNull, nextC)  // leading gap: backward fill
+            .otherwise(prevC + (nextC - prevC) *
+              ((us - prevT).cast("double") / (nextT - prevT).cast("double"))),
+          6).as("close_interp"))
+  }
+
   /** Top-n buckets by volume per symbol (deterministic tiebreak on
     * bucket_ts).
     */

@@ -161,6 +161,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("ema") - (a * 110 + (1 - a) * 100.0)) < 1e-12)
   }
 
+  test("linear gap fill interpolates between surrounding real closes") {
+    val sparse = Candles.fromTrades(
+      Seq(("BTC", ts(T0 + 10), 100.0, 1.0), ("BTC", ts(T0 + 3 * 3600 + 10), 130.0, 1.0))
+        .toDF("symbol", "ts", "price", "qty"), Timeframe.parse("1h"))
+    val out = Analytics.gapFillLinear(sparse, 3600000000L).sort("bucket_ts")
+      .collect().map(r => (r.getAs[Long]("is_gap"), r.getAs[Double]("close_interp")))
+    // closes 100 @ h0 and 130 @ h3 → gaps at h1/h2 interpolate 110/120
+    assert(out.toSeq == Seq((0L, 100.0), (1L, 110.0), (1L, 120.0), (0L, 130.0)))
+  }
+
   test("rolling volatility is the sample stddev of trailing returns") {
     // closes 100, 110, 99 → returns 0.1, -0.1; n=2 frames: single full
     // frame at the last bucket with stddev_samp(0.1, -0.1) = 0.1*sqrt(2)
