@@ -137,6 +137,10 @@ object SparkEntry {
       Analytics.returns(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "return_moments" -> ((s, dir) =>
+      Analytics.returnMoments(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "candle_validate" -> ((s, dir) =>
+      Analytics.validate(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "mtf_context" -> ((s, dir) => {
       // multi-timeframe context: each 1h candle enriched with its day's
       // OHLCV and the hour's position in the daily range. The daily frame
@@ -494,6 +498,8 @@ object SparkEntry {
         "lang", Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1))),
     "embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.nearDupPairs(s, Tables.table(s, dir, "embeddings"), 0.4)),
+    "embedding_profile" -> ((s, dir) =>
+      graft.ops.Similarity.embeddingProfile(Tables.table(s, dir, "embeddings"))),
     "ann_topk" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Similarity.bruteForceTopK(s, e, e.where(col("vec_id") < 10), 5)
@@ -694,6 +700,32 @@ object SparkEntry {
         "SELECT c.symbol, c.bucket_ts, c.close, d_open, d_high, d_low, d_close, d_volume, " +
         "round((c.close - d_low) / (CASE WHEN d_high <> d_low THEN d_high - d_low END), 6) AS day_range_pos " +
         "FROM c JOIN d ON c.symbol = d.symbol AND CAST(date_trunc('day', c.bucket_ts) AS TIMESTAMP) = d.day"),
+    "return_moments" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, close, prev_close FROM (" +
+        "SELECT symbol, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL), " +
+        "r AS (SELECT symbol, CAST(CASE WHEN close > 0 AND prev_close > 0 " +
+        "THEN round(ln(close / prev_close), 6) END AS DECIMAL(9,6)) AS r FROM r0), " +
+        "a AS (SELECT symbol, count(r) AS n, CAST(sum(r) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(r*r AS DECIMAL(18,12))) AS DOUBLE) AS s2, " +
+        "CAST(sum(CAST(r*r*r AS DECIMAL(27,18))) AS DOUBLE) AS s3, " +
+        "CAST(sum(CAST(r*r*r*r AS DECIMAL(36,24))) AS DOUBLE) AS s4 FROM r GROUP BY 1), " +
+        "b AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4, " +
+        "s1 / CAST(n AS DOUBLE) AS m FROM a), " +
+        "d AS (SELECT *, s2 / nd - m * m AS v FROM b) " +
+        "SELECT symbol, n, round(m, 6) AS mean_ret, round(sqrt(v), 6) AS stddev_ret, " +
+        "round((s3 / nd - 3.0 * m * (s2 / nd) + 2.0 * m * m * m) / (sqrt(v) * v), 6) AS skew_ret, " +
+        "round((s4 / nd - 4.0 * m * (s3 / nd) + 6.0 * m * m * (s2 / nd) - 3.0 * m * m * m * m) / (v * v) - 3.0, 6) AS kurtosis_ret " +
+        "FROM d"),
+    "candle_validate" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, count(*) AS n_candles, " +
+        "CAST(sum(CASE WHEN high < low OR high < greatest(open, close) OR low > least(open, close) THEN 1 ELSE 0 END) AS BIGINT) AS n_ohlc_violations, " +
+        "CAST(sum(CASE WHEN epoch_us(bucket_ts) % 3600000000 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_off_grid, " +
+        "CAST(sum(CASE WHEN volume <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_volume, " +
+        "CAST((max(epoch_us(bucket_ts)) - min(epoch_us(bucket_ts))) // 3600000000 + 1 - count(*) AS BIGINT) AS n_missing_buckets " +
+        "FROM c GROUP BY 1"),
     "rolling_vol" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
@@ -1056,6 +1088,12 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
         "CAST(len(regexp_extract_all(text, '[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_digit_runs, " +
         "md5(clean) AS clean_fp, CAST(length(clean) AS BIGINT) AS n_chars_clean FROM x"),
+    "embedding_profile" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "x AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n, min(x) AS min_x, max(x) AS max_x, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS mean_x " +
+        "FROM x GROUP BY 1"),
     "embed_neardup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
         "SELECT a.vec_id AS id1, b.vec_id AS id2, " +

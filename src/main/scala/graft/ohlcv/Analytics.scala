@@ -302,6 +302,64 @@ object Analytics {
           6).as("close_interp"))
   }
 
+  /** Candle-store consistency validator — the ingest gate a store runs
+    * before trusting a batch: per-symbol counts of OHLC-envelope
+    * violations (high below low / outside the open-close hull), buckets
+    * off the timeframe grid, non-positive volumes, and missing buckets
+    * (span vs count — an aggregate identity, no window needed). Pure
+    * integer arithmetic; one aggregation.
+    */
+  def validate(candles: DataFrame, widthMicros: Long): DataFrame = {
+    val bad = (c: org.apache.spark.sql.Column) => sum(when(c, 1L).otherwise(0L))
+    val us = unix_micros(col("bucket_ts"))
+    candles.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_candles"),
+        bad(col("high") < col("low") ||
+          col("high") < greatest(col("open"), col("close")) ||
+          col("low") > least(col("open"), col("close"))).as("n_ohlc_violations"),
+        bad(pmod(us, lit(widthMicros)) =!= 0).as("n_off_grid"),
+        bad(col("volume") <= 0).as("n_nonpos_volume"),
+        ((max(us) - min(us)) / lit(widthMicros) + 1L - count(lit(1)))
+          .cast("long").as("n_missing_buckets"))
+  }
+
+  /** Per-symbol LOG-return moment profile: mean / stddev / skewness /
+    * excess kurtosis (population moments) from EXACT decimal power sums.
+    * Log returns (not simple returns) because they are bounded for any
+    * positive price ratio — a near-zero price makes a simple return
+    * overflow any fixed decimal, while |ln| stays < 1000 — so the
+    * rounded value fits DECIMAL(9,6) and the 4th-power sums stay inside
+    * DECIMAL(36,24): every partial sum is exact and order-insensitive;
+    * only the final moment formulas are double (identical op order in
+    * the oracle), rounded for engine stability. One aggregation.
+    */
+  def returnMoments(candles: DataFrame): DataFrame = {
+    val r = when(col("close") > 0 && col("prev_close") > 0,
+      round(log(col("close") / col("prev_close")), 6)).cast(DecimalType(9, 6))
+    returns(candles)
+      .select(col("symbol"), r.as("r"))
+      .groupBy(col("symbol"))
+      .agg(count(col("r")).as("n"),
+        sum(col("r")).cast("double").as("s1"),
+        sum((col("r") * col("r")).cast(DecimalType(18, 12))).cast("double").as("s2"),
+        sum((col("r") * col("r") * col("r")).cast(DecimalType(27, 18))).cast("double").as("s3"),
+        sum((col("r") * col("r") * col("r") * col("r")).cast(DecimalType(36, 24)))
+          .cast("double").as("s4"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m", col("s1") / col("nd"))
+      .withColumn("v", col("s2") / col("nd") - col("m") * col("m"))
+      .select(col("symbol"), col("n"),
+        round(col("m"), 6).as("mean_ret"),
+        round(sqrt(col("v")), 6).as("stddev_ret"),
+        round((col("s3") / col("nd") - lit(3.0) * col("m") * (col("s2") / col("nd")) +
+          lit(2.0) * col("m") * col("m") * col("m")) / (sqrt(col("v")) * col("v")), 6)
+          .as("skew_ret"),
+        round((col("s4") / col("nd") - lit(4.0) * col("m") * (col("s3") / col("nd")) +
+          lit(6.0) * col("m") * col("m") * (col("s2") / col("nd")) -
+          lit(3.0) * col("m") * col("m") * col("m") * col("m")) /
+          (col("v") * col("v")) - lit(3.0), 6).as("kurtosis_ret"))
+  }
+
   /** Top-n buckets by volume per symbol (deterministic tiebreak on
     * bucket_ts).
     */

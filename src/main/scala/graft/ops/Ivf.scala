@@ -113,6 +113,21 @@ object Ivf {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Persist a trained centroid model as a k-row parquet table — the
+    * cross-job half of train-once/search-many: train in the indexing
+    * job, `loadModel` in every serving job. (Within one session just
+    * keep the array.)
+    */
+  def saveModel(spark: SparkSession, cents: Array[Array[Double]], path: String): Unit =
+    centroidsDf(spark, cents).write.mode("overwrite").parquet(path)
+
+  /** Load a model written by `saveModel` (sorted by cid — the same
+    * contract `train` returns).
+    */
+  def loadModel(spark: SparkSession, path: String): Array[Array[Double]] =
+    localize(spark.read.parquet(path)
+      .select(col("cid").cast("int").as("cid"), col("cvec").cast("array<double>").as("cvec")))
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.

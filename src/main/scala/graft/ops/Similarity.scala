@@ -49,6 +49,25 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** Per-dimension embedding profile — the sanity sweep before trusting a
+    * vector corpus (dead dimensions, scale drift between snapshots,
+    * out-of-range values). One posexplode (map-side) + one aggregation
+    * keyed by dimension index (64-ish keys — trivially balanced at any
+    * corpus size); means go through exact DECIMAL(30,15) partial sums
+    * like the k-means trainer, so the profile is bit-stable across
+    * engines and partitionings.
+    */
+  def embeddingProfile(emb: DataFrame): DataFrame =
+    vecs(emb).select(col("vec_id"), posexplode(col("v")))
+      .toDF("vec_id", "dim", "x")
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        // final decimal/count division rounded: the exact sums agree
+        // across engines but the closing double division can differ 1 ulp
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1)), 6).as("mean_x"))
+
   /** recall@k of an approximate ANN result against the exact top-k truth
     * (both in the (qid, id2, …) shape the topK paths emit): the fraction
     * of true neighbor pairs the approximate search surfaced. One

@@ -171,6 +171,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 100.0), (1L, 110.0), (1L, 120.0), (0L, 130.0)))
   }
 
+  test("candle validator counts envelope, grid, and gap violations") {
+    import spark.implicits._
+    val w = 3600000000L
+    val frames = Seq(
+      // A: valid but with a 2-bucket hole between h0 and h3
+      ("A", ts(T0), 10.0, 12.0, 9.0, 11.0, 5.0, 1L),
+      ("A", ts(T0 + 3 * 3600), 11.0, 13.0, 10.0, 12.0, 5.0, 1L),
+      // B: off the hourly grid
+      ("B", ts(T0 + 1800), 10.0, 12.0, 9.0, 11.0, 5.0, 1L),
+      // C: broken OHLC envelope + non-positive volume
+      ("C", ts(T0), 10.0, 9.0, 10.5, 10.0, -1.0, 1L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    val out = Analytics.validate(frames, w).collect()
+      .map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(out("A").getAs[Long]("n_missing_buckets") == 2L &&
+      out("A").getAs[Long]("n_ohlc_violations") == 0L)
+    assert(out("B").getAs[Long]("n_off_grid") == 1L)
+    assert(out("C").getAs[Long]("n_ohlc_violations") == 1L &&
+      out("C").getAs[Long]("n_nonpos_volume") == 1L &&
+      out("C").getAs[Long]("n_missing_buckets") == 0L)
+  }
+
+  test("return moments match the hand-computed log-return statistics") {
+    // closes 100, 110, 99 → log returns ln(1.1), ln(0.9)
+    val out = Analytics.returnMoments(candles).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val r1 = BigDecimal(math.log(1.1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2 = BigDecimal(math.log(0.9)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = (r1 + r2) / 2
+    val v = (r1 * r1 + r2 * r2) / 2 - m * m
+    assert(r.getAs[Long]("n") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_ret") - m) < 1e-5)
+    assert(math.abs(r.getAs[Double]("stddev_ret") - math.sqrt(v)) < 1e-5)
+  }
+
   test("rolling volatility is the sample stddev of trailing returns") {
     // closes 100, 110, 99 → returns 0.1, -0.1; n=2 frames: single full
     // frame at the last bucket with stddev_samp(0.1, -0.1) = 0.1*sqrt(2)

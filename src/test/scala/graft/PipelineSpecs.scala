@@ -238,6 +238,30 @@ class SimilaritySpec extends SparkSpec {
     info(s"ivf nprobe 1/4/16: $ivfCurve; lsh tables 1/2/4: $lshCurve")
   }
 
+  test("ivf model persists to parquet and serves identically after reload") {
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val model = graft.ops.Ivf.train(e)
+    val path = java.nio.file.Files.createTempDirectory("ivf_model").toString + "/m"
+    graft.ops.Ivf.saveModel(spark, model, path)
+    val loaded = graft.ops.Ivf.loadModel(spark, path)
+    assert(loaded.length == model.length &&
+      loaded.zip(model).forall { case (a, b) => a.sameElements(b) })
+    import spark.implicits._
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id2", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(run(graft.ops.Ivf.searchTopKWith(e, queries, 5, loaded)) ==
+      run(graft.ops.Ivf.searchTopKWith(e, queries, 5, model)))
+  }
+
+  test("embedding profile reports per-dimension stats") {
+    val p = graft.ops.Similarity.embeddingProfile(
+      Tables.table(spark, Sf0001, "embeddings")).collect()
+    assert(p.length == 64) // one row per dimension
+    assert(p.forall(r => r.getAs[Long]("n") == p.head.getAs[Long]("n")))
+    assert(p.forall(r => r.getAs[Double]("min_x") <= r.getAs[Double]("max_x")))
+  }
+
   test("pre-trained ivf search equals the self-training path, without re-running Lloyd") {
     val e = Tables.table(spark, Sf0001, "embeddings")
     val queries = e.where(col("vec_id") < 10)
