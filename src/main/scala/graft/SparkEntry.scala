@@ -206,6 +206,10 @@ object SparkEntry {
       Analytics.heikinAshi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "max_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "drawdown_curve" -> ((s, dir) =>
+      Analytics.drawdownCurve(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "volume_profile" -> ((s, dir) =>
+      Analytics.volumeProfile(Tables.trades(s, dir))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
@@ -257,6 +261,30 @@ object SparkEntry {
         .agg(countDistinct(col("event_id")).as("n_converting_clicks"),
           count(lit(1)).as("n_attributed_purchases"),
           sum(col("p_value").cast(DecimalType(18, 2))).cast("double").as("attributed_value"))
+    }),
+    "funnel_3stage" -> ((s, dir) => {
+      // view → click (≤24h) → purchase (≤24h after the click): two chained
+      // forward interval joins — both plain equi hash joins with interval
+      // residuals — then one distinct-count rollup per day. The classic
+      // multi-stage conversion funnel.
+      val e = graft.core.Materialize.once(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id")))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val vc = graft.operators.IntervalJoin
+        .forward(views, clicks, "user_id", "ts", "ts", 86400000000L, "c_")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("c_ts"), col("c_event_id"))
+      val vcp = graft.operators.IntervalJoin
+        .forward(vc, purchases, "user_id", "c_ts", "ts", 86400000000L, "p_")
+      vcp.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("event_id")).as("n_converting_views"),
+          countDistinct(col("c_event_id")).as("n_converting_clicks"),
+          countDistinct(col("p_event_id")).as("n_purchases"))
     }),
     "retention_cohorts" -> ((s, dir) => {
       // classic cohort retention: users grouped by first-active day,
@@ -700,6 +728,33 @@ object SparkEntry {
         "SELECT c.symbol, c.bucket_ts, c.close, d_open, d_high, d_low, d_close, d_volume, " +
         "round((c.close - d_low) / (CASE WHEN d_high <> d_low THEN d_high - d_low END), 6) AS day_range_pos " +
         "FROM c JOIN d ON c.symbol = d.symbol AND CAST(date_trunc('day', c.bucket_ts) AS TIMESTAMP) = d.day"),
+    "drawdown_curve" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts, close, max(close) OVER w AS peak, " +
+        "round((close - max(close) OVER w) / (CASE WHEN max(close) OVER w <> 0 THEN max(close) OVER w END), 6) AS drawdown, " +
+        "close < max(close) OVER w AS underwater FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    "volume_profile" -> withTrades(
+      ", rng AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM t GROUP BY 1), " +
+        "b AS (SELECT t.symbol, qty, CASE WHEN hi = lo THEN 0 " +
+        "ELSE CAST(least(floor((price - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) END AS band " +
+        "FROM t JOIN rng ON t.symbol = rng.symbol) " +
+        "SELECT symbol, band, count(*) AS n_trades, " +
+        "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume " +
+        "FROM b GROUP BY 1, 2"),
+    "funnel_3stage" ->
+      ("WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'), " +
+        "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "vc AS (SELECT v.user_id, v.ts, v.event_id, c.ts AS c_ts, c.event_id AS c_event_id " +
+        "FROM v JOIN c ON v.user_id = c.user_id AND c.ts > v.ts AND epoch_us(c.ts) <= epoch_us(v.ts) + 86400000000), " +
+        "vcp AS (SELECT vc.ts, vc.event_id, vc.c_event_id, p.event_id AS p_event_id " +
+        "FROM vc JOIN p ON vc.user_id = p.user_id AND p.ts > vc.c_ts AND epoch_us(p.ts) <= epoch_us(vc.c_ts) + 86400000000) " +
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "count(DISTINCT event_id) AS n_converting_views, " +
+        "count(DISTINCT c_event_id) AS n_converting_clicks, " +
+        "count(DISTINCT p_event_id) AS n_purchases " +
+        "FROM vcp GROUP BY 1"),
     "return_moments" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "r0 AS (SELECT symbol, close, prev_close FROM (" +

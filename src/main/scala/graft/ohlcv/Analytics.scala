@@ -127,6 +127,41 @@ object Analytics {
         max(col("peak")).as("peak_close"))
   }
 
+  /** Drawdown curve: per bucket, the running peak close, the drawdown
+    * from it, and the underwater flag — the full series behind
+    * `maxDrawdown`'s scalar (risk dashboards plot this). One running-max
+    * window per symbol, O(1) state.
+    */
+  def drawdownCurve(candles: DataFrame): DataFrame = {
+    val run = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("peak", max(col("close")).over(run))
+      .withColumn("drawdown", round((col("close") - col("peak")) /
+        when(col("peak") =!= 0, col("peak")), 6))
+      .withColumn("underwater", col("close") < col("peak"))
+  }
+
+  /** Volume profile: traded volume binned into 20 price bands per symbol
+    * (support/resistance analysis). Band edges come from a per-symbol
+    * min/max aggregate broadcast back — two aggregations, one broadcast
+    * join, no window; the trade scan is shared by both passes via a
+    * lineage cut.
+    */
+  def volumeProfile(trades: DataFrame, bands: Int = 20): DataFrame = {
+    val t = graft.core.Materialize.once(
+      trades.select(col("symbol"), col("price"), col("qty")))
+    val rng = t.groupBy(col("symbol"))
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    t.join(broadcast(rng), "symbol")
+      .withColumn("band", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("price") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(bands.toDouble))), lit(bands - 1.0)).cast("long")))
+      .groupBy(col("symbol"), col("band"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("qty").cast(D)).cast("double").as("volume"))
+  }
+
   /** On-balance volume: cumulative volume signed by close direction.
     * Fully exact — sign comes from decimal close diffs, the cumulative
     * sum is decimal.

@@ -171,6 +171,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 100.0), (1L, 110.0), (1L, 120.0), (0L, 130.0)))
   }
 
+  test("drawdown curve tracks running peak and underwater state") {
+    val out = Analytics.drawdownCurve(candles).sort("bucket_ts").collect()
+    assert(out.map(_.getAs[Double]("peak")).toSeq == Seq(100.0, 110.0, 110.0))
+    assert(out.map(_.getAs[Double]("drawdown")).toSeq == Seq(0.0, 0.0, -0.1))
+    assert(out.map(_.getAs[Boolean]("underwater")).toSeq == Seq(false, false, true))
+  }
+
+  test("volume profile bins volume into per-symbol price bands") {
+    import spark.implicits._
+    // prices 0..19 with qty 1 → one trade per band at 20 bands
+    val t = (0 until 20).map(i => ("BTC", ts(T0 + i), i.toDouble, 1.0))
+      .toDF("symbol", "ts", "price", "qty")
+    val out = Analytics.volumeProfile(t).collect()
+    assert(out.length == 20 && out.forall(_.getAs[Long]("n_trades") == 1L))
+    assert(out.map(_.getAs[Long]("band")).sorted.toSeq == (0L until 20L))
+    // degenerate single-price symbol → one band 0
+    val flat = Analytics.volumeProfile(
+      Seq(("ETH", ts(T0), 5.0, 2.0), ("ETH", ts(T0 + 1), 5.0, 3.0))
+        .toDF("symbol", "ts", "price", "qty")).collect()
+    assert(flat.length == 1 && flat.head.getAs[Long]("band") == 0L &&
+      flat.head.getAs[Double]("volume") == 5.0)
+  }
+
   test("candle validator counts envelope, grid, and gap violations") {
     import spark.implicits._
     val w = 3600000000L
