@@ -129,6 +129,19 @@ object SparkEntry {
             .as("total_duration_us"),
           max(col("n_events")).as("max_session_events"))),
 
+    "session_percentiles" -> ((s, dir) =>
+      // session-duration distribution per day: exact interpolated
+      // percentiles over integer microsecond durations
+      graft.ops.Sessionize.byUser(Tables.events(s, dir), 1800000000L)
+        .select(date_trunc("day", col("session_start")).as("day"),
+          (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            .as("dur_us"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(expr("percentile(dur_us, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(dur_us, 0.9)"), 6).as("p90_us"),
+          round(expr("percentile(dur_us, 0.99)"), 6).as("p99_us"))),
+
     // B. market analytics ----------------------------------------------------
     "vwap" -> ((s, dir) => Analytics.vwap(Tables.trades(s, dir))),
     "sma" -> ((s, dir) =>
@@ -556,6 +569,8 @@ object SparkEntry {
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
       graft.ops.Multimodal.decodeStub(Tables.table(s, dir, "documents"))),
+    "multimodal_framesample" -> ((s, dir) =>
+      graft.ops.Multimodal.frameSample(Tables.table(s, dir, "documents"))),
     "profile_lineitem" -> ((s, dir) =>
       // single-pass data-quality profile (rows-only: HLL estimates inside)
       graft.ops.Profile.profile(Tables.table(s, dir, "lineitem"))),
@@ -919,6 +934,22 @@ object SparkEntry {
         "count(DISTINCT user_id) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events, " +
         "CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS BIGINT) AS total_duration_us, " +
         "max(n_events) AS max_session_events FROM sess GROUP BY 1"),
+    "session_percentiles" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM s GROUP BY 1, 2), " +
+        "d AS (SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day, " +
+        "epoch_us(session_end) - epoch_us(session_start) AS dur_us FROM sess) " +
+        "SELECT day, count(*) AS n_sessions, " +
+        "round(quantile_cont(dur_us, 0.5), 6) AS p50_us, " +
+        "round(quantile_cont(dur_us, 0.9), 6) AS p90_us, " +
+        "round(quantile_cont(dur_us, 0.99), 6) AS p99_us " +
+        "FROM d GROUP BY 1"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
@@ -1169,6 +1200,12 @@ object SparkEntry {
         "md5(text) AS content_md5, " +
         "substr(hex(encode(text)), 1, 16) AS payload_hex_prefix, " +
         "'text' AS modality FROM documents"),
+    "multimodal_framesample" ->
+      ("WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS duration_ms FROM documents), " +
+        "f AS (SELECT doc_id, duration_ms, least(duration_ms // 100 + 1, 8) AS n FROM m), " +
+        "x AS (SELECT doc_id, duration_ms, unnest(generate_series(0, n - 1)) AS frame_idx FROM f) " +
+        "SELECT doc_id, duration_ms, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+        "CAST(frame_idx * 100 AS BIGINT) AS frame_ts_ms FROM x"),
     "approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok " +
         "FROM events GROUP BY 1"),

@@ -28,6 +28,25 @@ object Multimodal {
       lit("text").as("modality"))
   }
 
+  /** Frame-sampling schedule for video-modality rows: one output row per
+    * frame to extract — uniform `everyMs` stride, capped at `maxFrames`
+    * per clip. This explode IS the real distributed planning step of
+    * video processing: it fans a clip corpus into per-frame decode work
+    * items that partition/shuffle like any other rows (the decode itself
+    * is the stubbed codec boundary, see decodeStub). Duration here
+    * derives from the payload length — the testbed stand-in for a real
+    * container-parsed duration column.
+    */
+  def frameSample(docs: DataFrame, everyMs: Long = 100, maxFrames: Int = 8): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("duration_ms"))
+      .withColumn("n_frames",
+        least(floor(col("duration_ms") / lit(everyMs)).cast("long") + 1L,
+          lit(maxFrames.toLong)))
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+      .select(col("doc_id"), col("duration_ms"), col("frame_idx"),
+        (col("frame_idx") * everyMs).as("frame_ts_ms"))
+
   /** Batched decode/feature-extract stub. Batch size 64 mirrors a
     * vectorized decode unit (what a GPU/SIMD codec would consume at once).
     * Replace the body of `fakeDecode` with a real codec in deployment.

@@ -88,6 +88,14 @@ object ScaleProbe {
       time(s"contamination_check x$k") {
         graft.ops.TextAnalysis.contaminationCheck(docs).count()
       }
+      time(s"dedup_substring x$k") {
+        graft.ops.Dedup.substringDedup(docs).count()
+      }
+      time(s"dedup_incremental x$k") {
+        graft.ops.Dedup.incrementalDedup(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0")).count()
+      }
       time(s"tfidf_topterms x$k") {
         graft.ops.TextAnalysis.tfidfTopTerms(docs).count()
       }
