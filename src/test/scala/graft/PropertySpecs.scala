@@ -54,6 +54,42 @@ class CandleAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("fromTrades candles always pass the consistency validator") {
+    // structural invariant: resampled candles can never violate the OHLC
+    // envelope, leave the timeframe grid, or carry non-positive volume —
+    // for ANY generated trade set
+    val tf = Timeframe.parse("5m")
+    cases(6).zipWithIndex.foreach { case (trades, i) =>
+      val v = graft.ohlcv.Analytics.validate(
+        Candles.fromTrades(df(trades), tf), tf.micros).collect()
+      v.foreach { r =>
+        assert(r.getAs[Long]("n_ohlc_violations") == 0L, s"case $i: envelope")
+        assert(r.getAs[Long]("n_off_grid") == 0L, s"case $i: grid")
+        assert(r.getAs[Long]("n_nonpos_volume") == 0L, s"case $i: volume")
+      }
+    }
+  }
+
+  test("substring dedup stats are partitioning-invariant and internally consistent") {
+    // clean_fp/dup_ratio must be pure functions of the corpus CONTENT:
+    // shuffling doc order / changing partitioning cannot move a hash
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i % 4 == 0) "shared boiler plate span here " + ("x y z " * (i % 3 + 1))
+      else s"unique text number $i with several more words attached " + i))
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.substringDedup(d, window = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("dup_ratio"), r.getAs[String]("clean_fp"))).toSet
+    val base = run(docs.toDF("doc_id", "text"))
+    assert(base == run(scala.util.Random.shuffle(docs).toDF("doc_id", "text")
+      .repartition(7)))
+    // n_repeated_spans never exceeds n_spans; ratio consistent
+    base.foreach { case (_, nSpans, nRep, ratio, _) =>
+      assert(nRep <= nSpans && math.abs(ratio - nRep.toDouble / nSpans) < 1e-6)
+    }
+  }
+
   test("merge is commutative and the empty set is an identity") {
     val tf = Timeframe.parse("5m")
     val Seq(t1, t2raw) = cases(2)
