@@ -131,16 +131,19 @@ object SparkEntry {
 
     "session_percentiles" -> ((s, dir) =>
       // session-duration distribution per day: exact interpolated
-      // percentiles over integer microsecond durations
+      // percentiles over integer microsecond durations, surfaced as
+      // WHOLE microseconds — durations are ~1e9 µs, where a 6-decimal
+      // round cannot absorb the interpolation's last-ulp engine
+      // difference, but integer µs rounding trivially does
       graft.ops.Sessionize.byUser(Tables.events(s, dir), 1800000000L)
         .select(date_trunc("day", col("session_start")).as("day"),
           (unix_micros(col("session_end")) - unix_micros(col("session_start")))
             .as("dur_us"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_sessions"),
-          round(expr("percentile(dur_us, 0.5)"), 6).as("p50_us"),
-          round(expr("percentile(dur_us, 0.9)"), 6).as("p90_us"),
-          round(expr("percentile(dur_us, 0.99)"), 6).as("p99_us"))),
+          round(expr("percentile(dur_us, 0.5)"), 0).cast("long").as("p50_us"),
+          round(expr("percentile(dur_us, 0.9)"), 0).cast("long").as("p90_us"),
+          round(expr("percentile(dur_us, 0.99)"), 0).cast("long").as("p99_us"))),
 
     // B. market analytics ----------------------------------------------------
     "vwap" -> ((s, dir) => Analytics.vwap(Tables.trades(s, dir))),
@@ -427,6 +430,25 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
           (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+    }),
+    "trimmed_mean" -> ((s, dir) => {
+      // robust per-group mean: drop values outside exact p01/p99 bounds,
+      // then a decimal-exact mean over the survivors — clip_outliers'
+      // sibling for when outliers should be EXCLUDED, not clamped. One
+      // percentile aggregation + broadcast + one exact aggregation.
+      val e = Tables.events(s, dir)
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.01)"), 6).as("lo"),
+          round(expr("percentile(value, 0.99)"), 6).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_trimmed"),
+          round(sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+            col("value").cast(DecimalType(18, 6)))).cast("double") /
+            sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+              .otherwise(0L)), 6).as("trimmed_mean"))
     }),
     "value_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -946,9 +968,9 @@ object SparkEntry {
         "d AS (SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day, " +
         "epoch_us(session_end) - epoch_us(session_start) AS dur_us FROM sess) " +
         "SELECT day, count(*) AS n_sessions, " +
-        "round(quantile_cont(dur_us, 0.5), 6) AS p50_us, " +
-        "round(quantile_cont(dur_us, 0.9), 6) AS p90_us, " +
-        "round(quantile_cont(dur_us, 0.99), 6) AS p99_us " +
+        "CAST(round(quantile_cont(dur_us, 0.5), 0) AS BIGINT) AS p50_us, " +
+        "CAST(round(quantile_cont(dur_us, 0.9), 0) AS BIGINT) AS p90_us, " +
+        "CAST(round(quantile_cont(dur_us, 0.99), 0) AS BIGINT) AS p99_us " +
         "FROM d GROUP BY 1"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -1087,6 +1109,14 @@ object SparkEntry {
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
         "round(quantile_cont(value, 0.9), 6) AS p90, " +
         "round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY 1"),
+    "trimmed_mean" ->
+      ("WITH b AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo, " +
+        "round(quantile_cont(value, 0.99), 6) AS hi FROM events GROUP BY 1) " +
+        "SELECT e.event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed, " +
+        "round(CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi THEN CAST(e.value AS DECIMAL(18,6)) END) AS DOUBLE) / " +
+        "sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi THEN 1 ELSE 0 END), 6) AS trimmed_mean " +
+        "FROM events e JOIN b ON e.event_type = b.event_type GROUP BY 1"),
     "value_histogram" ->
       ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n " +
         "FROM events GROUP BY 1, 2"),
