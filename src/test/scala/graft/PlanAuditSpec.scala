@@ -128,6 +128,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("mtf daily context and volume-profile bounds join as broadcasts") {
+    // both enrichment joins carry a dim-scale right side (per-day / per-
+    // symbol aggregates) — they must broadcast, never shuffle the facts
+    val pm = planOf("mtf_context")
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    val pv = planOf("volume_profile")
+    assert(pv.contains("BroadcastHashJoin"), pv)
+    assert(!pv.contains("SortMergeJoin"), pv)
+  }
+
+  test("3-stage funnel chains hash joins with interval residuals, no nested loops") {
+    val p = planOf("funnel_3stage")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pair correlation joins on the blocked key, not bucket_ts alone") {
     // the join keys must carry blk (whether the planner picks a shuffle or
     // a broadcast at this scale): that is what spreads each time bucket's
