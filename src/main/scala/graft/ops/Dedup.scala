@@ -237,7 +237,7 @@ object Dedup {
       transform(slice(sig, band * rows + 1, rows), v => v.cast("string"))))
 
   /** Estimated Jaccard from two minhash signatures: matching fraction. */
-  private def estJaccard(sig1: Column, sig2: Column, numPerm: Int): Column =
+  private[graft] def estJaccard(sig1: Column, sig2: Column, numPerm: Int): Column =
     size(filter(zip_with(sig1, sig2, (p, q) => p === q), m => m))
       .cast("double") / lit(numPerm.toDouble)
 

@@ -502,6 +502,41 @@ class StreamingNearDupSpec extends SparkSpec {
   }
 }
 
+class StreamingIncrementalDedupSpec extends SparkSpec {
+  test("streaming docs screen against a static corpus, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely different text about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingIncrementalDedup.run(
+      stream.toDF.toDF("doc_id", "ts", "text"), corpus)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("inc_dedup").start()
+    try {
+      stream.addData(
+        (1L, ts(T0), "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, ts(T0), "utterly novel content with no overlap whatsoever in any shingle window"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_id, est_jaccard FROM inc_dedup")
+        .as[(Long, Long, Double)].collect().toSet
+      // the exact copy matches corpus doc 100 at est 1.0; doc 2 is novel
+      assert(rows == Set((1L, 100L, 1.0)))
+      // a later batch matches independently (stateless join)
+      stream.addData((3L, ts(T0 + 100),
+        "completely different text about spark query engines and shuffles here"))
+      q.processAllAvailable()
+      val rows2 = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_id FROM inc_dedup WHERE doc_id = 3")
+        .as[(Long, Long)].collect().toSet
+      assert(rows2 == Set((3L, 101L)))
+    } finally q.stop()
+  }
+}
+
 class StreamingPatternsSpec extends SparkSpec {
   test("live pattern flags equal the batch operator over the same candles") {
     import spark.implicits._
