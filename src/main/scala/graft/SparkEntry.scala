@@ -47,6 +47,23 @@ object SparkEntry {
 
   private def withTrades(body: String): String = s"WITH t AS ($TradesSql) $body"
 
+  /** Shared by contamination_check (the report) and decontaminate (the
+    * transform): per-corpus-doc benchmark shingle containment.
+    */
+  private val contaminationSql: String =
+    "WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+      "shg AS (SELECT doc_id, source, list_distinct(list_transform(" +
+      "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
+      "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM shg WHERE source = 'src0'), " +
+      "corpus AS (SELECT doc_id, sh FROM shg WHERE source <> 'src0'), " +
+      "ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus), " +
+      "hits AS (SELECT e.doc_id, count(*) AS n_hit FROM ex e JOIN bsh b ON e.s = b.s GROUP BY 1), " +
+      "base AS (SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles, " +
+      "COALESCE(h.n_hit, 0) AS n_hit FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id) " +
+      "SELECT doc_id, n_shingles, n_hit, containment, containment >= 0.5 AS contaminated " +
+      "FROM (SELECT base.*, CASE WHEN n_shingles > 0 THEN " +
+      "round(CAST(n_hit AS DOUBLE) / n_shingles, 6) END AS containment FROM base) b2"
+
   /** Blocked symbol-pair generation shared by symbol_correlations and
     * rolling_corr. Keying the self-join on bucket_ts alone expands
     * |symbols|² rows under every time key; instead the right side is
@@ -327,6 +344,16 @@ object SparkEntry {
       Analytics.topVolume(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 3)),
     "candle_stats" -> ((s, dir) =>
       Analytics.stats(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "macd" -> ((s, dir) =>
+      Analytics.macd(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "stochastic" -> ((s, dir) =>
+      Analytics.stochastic(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "donchian" -> ((s, dir) =>
+      Analytics.donchian(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "event_transitions" -> ((s, dir) =>
+      graft.ops.Events.transitions(Tables.events(s, dir))),
+    "active_users_7d" -> ((s, dir) =>
+      graft.ops.Events.rollingActiveUsers(Tables.events(s, dir))),
 
     // C. general OLAP --------------------------------------------------------
     "q1_pricing" -> ((s, dir) => {
@@ -387,6 +414,17 @@ object SparkEntry {
     "distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))),
+    "spend_quartiles" -> ((s, dir) => {
+      // exact global NTILE without the single-partition window trap:
+      // range-partitioned rank + arithmetic bucketing (ops.Rank scaladoc)
+      val d = DecimalType(18, 2)
+      val spend = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice").cast(d)).cast("double").as("spend"))
+      graft.ops.Rank.withNtile(spend, 4,
+          Seq(col("spend").desc, col("custkey")), "quartile")
+        .withColumnRenamed("rank", "spend_rank")
+    }),
     "q6_selective" -> ((s, dir) => {
       // range-predicate showcase: every filter reaches the parquet scan
       val d = DecimalType(18, 2)
@@ -523,6 +561,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"))),
     "repetition_score" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionScore(Tables.table(s, dir, "documents"))),
+    "char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charEntropy(Tables.table(s, dir, "documents"))),
+    "decontaminate" -> ((s, dir) =>
+      graft.ops.TextAnalysis.decontaminate(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))),
     "quality_score" -> ((s, dir) =>
@@ -856,6 +898,59 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, round(CASE WHEN sum_loss = 0.0 THEN 100.0 " +
         "ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END, 6) AS rsi FROM f WHERE cnt = 14"),
+    "macd" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "l AS (SELECT symbol, bucket_ts, list(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS closes FROM c), " +
+        "m AS (SELECT symbol, bucket_ts, " +
+        "list_reduce(closes, (acc, x) -> (CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE)) * acc) - " +
+        "list_reduce(closes, (acc, x) -> (CAST(2 AS DOUBLE) / CAST(27 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(27 AS DOUBLE)) * acc) AS macd FROM l), " +
+        "g0 AS (SELECT symbol, bucket_ts, macd, list(macd) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS macds FROM m), " +
+        "g AS (SELECT symbol, bucket_ts, macd, " +
+        "list_reduce(macds, (acc, x) -> (CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE)) * acc) AS sig FROM g0) " +
+        "SELECT symbol, bucket_ts, round(macd, 6) AS macd, round(sig, 6) AS signal_line, " +
+        "round(macd - sig, 6) AS histogram FROM g"),
+    "stochastic" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts, close, max(high) OVER w AS hh, min(low) OVER w AS ll, " +
+        "count(*) OVER w AS cnt FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT symbol, bucket_ts, CASE WHEN hh <> ll THEN 100.0 * (close - ll) / (hh - ll) END AS k " +
+        "FROM f WHERE cnt = 14) " +
+        "SELECT symbol, bucket_ts, round(k, 6) AS pct_k, " +
+        "round(((k + lag(k, 1) OVER wo) + lag(k, 2) OVER wo) / 3.0, 6) AS pct_d FROM g " +
+        "WINDOW wo AS (PARTITION BY symbol ORDER BY bucket_ts)"),
+    "donchian" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts, close, max(high) OVER w AS upper_band, " +
+        "min(low) OVER w AS lower_band, count(*) OVER w AS cnt FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, close, upper_band, lower_band, " +
+        "round((upper_band + lower_band) / 2.0, 6) AS middle FROM f WHERE cnt = 20"),
+    "event_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "a AS (SELECT prev_type, event_type, count(*) AS n_transitions, " +
+        "count(DISTINCT user_id) AS n_users FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, event_type, n_transitions, n_users, " +
+        "round(CAST(n_transitions AS DOUBLE) / " +
+        "CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p FROM a"),
+    "active_users_7d" ->
+      ("WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events), " +
+        "mx AS (SELECT max(day) AS max_day FROM du), " +
+        "e AS (SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM du) " +
+        "SELECT e.day, count(DISTINCT e.user_id) AS n_active FROM e, mx " +
+        "WHERE e.day <= mx.max_day GROUP BY 1"),
+    "spend_quartiles" ->
+      ("WITH sp AS (SELECT o_custkey AS custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM orders GROUP BY 1) " +
+        "SELECT custkey, spend, " +
+        "row_number() OVER (ORDER BY spend DESC, custkey) AS spend_rank, " +
+        "CAST(ntile(4) OVER (ORDER BY spend DESC, custkey) AS BIGINT) AS quartile FROM sp"),
     "asof_join" ->
       ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
@@ -1033,19 +1128,24 @@ object SparkEntry {
         "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_trigrams FROM shg) " +
         "SELECT doc_id, n_trigrams, n_distinct_trigrams, CASE WHEN n_trigrams > 0 THEN " +
         "round(1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams, 6) END AS repetition FROM c"),
-    "contamination_check" ->
-      ("WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
-        "shg AS (SELECT doc_id, source, list_distinct(list_transform(" +
-        "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
-        "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM shg WHERE source = 'src0'), " +
-        "corpus AS (SELECT doc_id, sh FROM shg WHERE source <> 'src0'), " +
-        "ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus), " +
-        "hits AS (SELECT e.doc_id, count(*) AS n_hit FROM ex e JOIN bsh b ON e.s = b.s GROUP BY 1), " +
-        "base AS (SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles, " +
-        "COALESCE(h.n_hit, 0) AS n_hit FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id) " +
-        "SELECT doc_id, n_shingles, n_hit, containment, containment >= 0.5 AS contaminated " +
-        "FROM (SELECT base.*, CASE WHEN n_shingles > 0 THEN " +
-        "round(CAST(n_hit AS DOUBLE) / n_shingles, 6) END AS containment FROM base) b2"),
+    "contamination_check" -> contaminationSql,
+    "decontaminate" ->
+      (s"WITH cc AS ($contaminationSql) " +
+        "SELECT doc_id, n_shingles, n_hit, containment FROM cc " +
+        "WHERE NOT coalesce(contaminated, false)"),
+    "char_entropy" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) > 0), " +
+        "e AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d0), " +
+        "h AS (SELECT doc_id, ch, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), " +
+        "tm AS (SELECT h.doc_id, h.ch, -(CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * " +
+        "ln(CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE)) AS term FROM h JOIN t ON h.doc_id = t.doc_id), " +
+        "l AS (SELECT doc_id, list(term ORDER BY ch) AS terms FROM tm GROUP BY 1), " +
+        "dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars FROM h GROUP BY 1) " +
+        "SELECT l.doc_id, t.n AS n_chars, dd.n_distinct_chars, " +
+        "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms), (acc, x) -> acc + x) / " +
+        "ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits " +
+        "FROM l JOIN t ON l.doc_id = t.doc_id JOIN dd ON dd.doc_id = l.doc_id"),
     "tfidf_topterms" ->
       ("WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
         "wf AS (SELECT doc_id, term FROM w WHERE term <> ''), " +

@@ -244,6 +244,88 @@ object Analytics {
       .toDF("symbol", "bucket_ts", "close", "ema")
   }
 
+  /** MACD: fast/slow EMA difference plus a signal EMA of the MACD line
+    * and the histogram (macd - signal). All three EMAs fold in ONE
+    * inherently-sequential per-symbol sweep (same shape as `ema`: one
+    * shuffle, in-partition sort, O(n) scan, O(1) state) — the signal EMA
+    * consumes the UNROUNDED macd values so the recursion is bit-identical
+    * to the oracle's list_reduce replay; rounding happens at emission
+    * only. Seeding matches list_reduce semantics: the first close seeds
+    * both EMAs (macd starts at 0), the first macd seeds the signal.
+    */
+  def macd(candles: DataFrame, fast: Int = 12, slow: Int = 26,
+           signalN: Int = 9): DataFrame = {
+    val aF = 2.0 / (fast + 1); val bF = 1 - aF
+    val aS = 2.0 / (slow + 1); val bS = 1 - aS
+    val aG = 2.0 / (signalN + 1); val bG = 1 - aG
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var eF = 0.0; var eS = 0.0; var sig = 0.0
+        it.map { case (s, t, c) =>
+          if (s != cur) { cur = s; eF = c; eS = c; sig = eF - eS }
+          else {
+            eF = aF * c + bF * eF
+            eS = aS * c + bS * eS
+            sig = aG * (eF - eS) + bG * sig
+          }
+          (s, t, eF - eS, sig)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "macd_raw", "signal_raw")
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("macd_raw"), 6).as("macd"),
+        round(col("signal_raw"), 6).as("signal_line"),
+        round(col("macd_raw") - col("signal_raw"), 6).as("histogram"))
+  }
+
+  /** Stochastic oscillator: %K = 100·(close − lowest low)/(highest high −
+    * lowest low) over the trailing n buckets (full frames only; null when
+    * the range is degenerate), %D = 3-bucket SMA of %K spelled as an
+    * explicit lag chain so the summation order is fixed (a window AVG
+    * would sum in engine-chosen order). Two windows on the SAME symbol
+    * partitioning — one shuffle total, the second window reuses the sort.
+    */
+  def stochastic(candles: DataFrame, n: Int = 14): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .withColumn("hh", max(col("high")).over(wf))
+      .withColumn("ll", min(col("low")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .withColumn("k", when(col("hh") =!= col("ll"),
+        lit(100.0) * (col("close") - col("ll")) / (col("hh") - col("ll"))))
+      .withColumn("k1", lag(col("k"), 1).over(wl))
+      .withColumn("k2", lag(col("k"), 2).over(wl))
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("k"), 6).as("pct_k"),
+        round(((col("k") + col("k1")) + col("k2")) / 3.0, 6).as("pct_d"))
+  }
+
+  /** Donchian channel: highest high / lowest low over the trailing n
+    * buckets and their midpoint (full frames only). Min/max picks are
+    * exact; only the midpoint divides, rounded for engine stability. One
+    * bounded window per symbol.
+    */
+  def donchian(candles: DataFrame, n: Int = 20): DataFrame = {
+    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .withColumn("upper_band", max(col("high")).over(wf))
+      .withColumn("lower_band", min(col("low")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"), col("close"),
+        col("upper_band"), col("lower_band"),
+        round((col("upper_band") + col("lower_band")) / 2.0, 6).as("middle"))
+  }
+
   /** Heikin-Ashi smoothed candles: ha_close = (o+h+l+c)/4 per bar,
     * ha_open = midpoint of the previous HA bar (seeded with the first
     * bar's (o+c)/2), extremes stretched over both. The recursion is the

@@ -326,4 +326,43 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).cast("long").as("n_distinct_trigrams"))
       .withColumn("repetition", when(col("n_trigrams") > 0,
         round(lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"), 6)))
+
+  /** Per-doc character-distribution Shannon entropy in bits/char — the
+    * cheap gibberish/encoding-junk detector (natural prose sits ~4 bits;
+    * base64 blobs and single-char spam sit far off). Entirely map-only
+    * higher-order functions inside WholeStageCodegen: one split per row,
+    * then an `aggregate` fold over the SORTED distinct chars so the
+    * floating sum has one fixed association order the oracle replays
+    * exactly (ln-based terms, one ln(2) division at the end). Zero
+    * shuffle at any corpus scale.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) > 0)
+      // Java's split(pattern, -1) keeps a trailing empty match on an empty
+      // pattern; DuckDB's string_split doesn't — drop it on our side
+      .select(col("doc_id"),
+        filter(split(col("text"), ""), x => x =!= "").as("cs"))
+      .withColumn("n", size(col("cs")))
+      .withColumn("ent_nats",
+        aggregate(array_sort(array_distinct(col("cs"))), lit(0.0),
+          (acc, ch) => {
+            val p = size(filter(col("cs"), x => x === ch)).cast("double") /
+              col("n").cast("double")
+            acc - p * log(p)
+          }))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        size(array_distinct(col("cs"))).cast("long").as("n_distinct_chars"),
+        round(col("ent_nats") / log(lit(2.0)), 6).as("entropy_bits"))
+
+  /** Train/test decontamination as a TRANSFORM (contaminationCheck is the
+    * report): drops corpus docs whose benchmark shingle containment
+    * reaches `threshold`, keeping zero-hit and sub-shingle docs. Same
+    * broadcast-semi-join shape as the check — no corpus-sized shuffle —
+    * and the kept rows carry their evidence columns for lineage.
+    */
+  def decontaminate(docs: DataFrame, benchmarkSource: String = "src0",
+                    threshold: Double = 0.5): DataFrame =
+    contaminationCheck(docs, benchmarkSource, threshold)
+      .where(!coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("containment"))
 }

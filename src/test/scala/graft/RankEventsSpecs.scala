@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Specs for the distributed global rank/ntile operator and the event
+  * analytics family (transition matrix, rolling active users), plus the
+  * indicator additions (macd / stochastic / donchian / char entropy).
+  */
+class RankEventsSpecs extends SparkSpec {
+  import spark.implicits._
+
+  test("withNtile matches Spark's own ntile window on random frames") {
+    // the window form is the semantics oracle (single partition — fine at
+    // test scale, the thing the operator exists to avoid at 100 TB)
+    (0 until 4).foreach { seed =>
+      val n = Seq(1, 7, 40, 1000)(seed)
+      val vals = Gen.listOfN(n, Gen.chooseNum(0, 500))
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+        .toDF("id", "v")
+      for (k <- Seq(1, 3, 4, 7)) {
+        val got = graft.ops.Rank
+          .withNtile(df, k, Seq(col("v").desc, col("id")), "tile")
+          .select(col("id"), col("rank"), col("tile"))
+        val w = Window.orderBy(col("v").desc, col("id"))
+        val want = df.select(col("id"),
+          row_number().over(w).cast("long").as("rank"),
+          ntile(k).over(w).cast("long").as("tile"))
+        assert(got.except(want).isEmpty && want.except(got).isEmpty,
+          s"seed=$seed k=$k diverged")
+      }
+    }
+  }
+
+  test("global rank never plans a single-partition window") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val ranked = graft.ops.Rank.withNtile(df, 4, Seq(col("v").desc, col("id")))
+    ranked.count()
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "no window operator expected\n" + p)
+  }
+
+  test("rollingActiveUsers matches a naive per-day recount") {
+    val events = (0 until 300).map { i =>
+      (i.toLong, ts(T0 + (i % 17) * 86400L + i), (i % 23).toLong, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Events.rollingActiveUsers(events, 7)
+      .select(col("day"), col("n_active")).as[(java.sql.Timestamp, Long)]
+      .collect().toMap
+    // naive: for each day in the data's span, distinct users over [d-6, d]
+    val pairs = events.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Timestamp, Long)].collect()
+    val days = pairs.map(_._1.getTime).distinct.sorted
+    val maxDay = days.max
+    val naive = (days.min to maxDay by 86400000L).flatMap { d =>
+      val us = pairs.filter(p => p._1.getTime <= d &&
+        p._1.getTime >= d - 6L * 86400000L).map(_._2).distinct
+      if (us.nonEmpty) Some(new java.sql.Timestamp(d) -> us.length.toLong) else None
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("transition probabilities sum to 1 per prev_type") {
+    val t = graft.ops.Events.transitions(
+      graft.core.Tables.events(spark, Sf0001))
+    val sums = t.groupBy(col("prev_type")).agg(sum(col("p")).as("s"))
+      .select(col("s")).as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-4))
+  }
+
+  test("char entropy: known values, map-only plan") {
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+      .toDF("doc_id", "text")
+    val e = graft.ops.TextAnalysis.charEntropy(docs)
+    val got = e.select(col("doc_id"), col("entropy_bits"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.0)) // empty doc dropped
+    val p = e.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "char entropy must be map-only\n" + p)
+  }
+
+  test("macd recursion: hand-checked two-row series, one shuffle") {
+    val candles = Seq(
+      ("X", ts(T0), 10.0, 10.0, 10.0, 10.0, 1.0, 1L),
+      ("X", ts(T0 + 3600), 10.0, 13.0, 10.0, 13.0, 1.0, 1L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    val m = graft.ohlcv.Analytics.macd(candles)
+    val rows = m.orderBy("bucket_ts").collect()
+    assert(rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 0.0)
+    // eF = a12*13 + (1-a12)*10, eS = a26*13 + (1-a26)*10; macd = eF - eS
+    val aF = 2.0 / 13; val aS = 2.0 / 27; val aG = 2.0 / 10
+    val macd2 = (aF * 13 + (1 - aF) * 10) - (aS * 13 + (1 - aS) * 10)
+    assert(math.abs(rows(1).getDouble(2) - macd2) < 1e-6)
+    assert(math.abs(rows(1).getDouble(3) - aG * macd2) < 1e-6)
+    val p = m.queryExecution.executedPlan.toString
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      "macd sweep must shuffle exactly once\n" + p)
+  }
+
+  test("stochastic %K bounds and donchian envelope invariants") {
+    val candles = graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
+    val st = graft.ohlcv.Analytics.stochastic(candles).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val k = r.getDouble(2)
+        assert(k >= -1e-9 && k <= 100.0 + 1e-9, s"%K out of bounds: $k")
+      }
+    }
+    val d = graft.ohlcv.Analytics.donchian(candles)
+    assert(d.where(col("upper_band") < col("lower_band")).isEmpty)
+    assert(d.where(col("middle") > col("upper_band") ||
+      col("middle") < col("lower_band")).isEmpty)
+  }
+}
