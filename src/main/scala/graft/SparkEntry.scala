@@ -47,6 +47,21 @@ object SparkEntry {
 
   private def withTrades(body: String): String = s"WITH t AS ($TradesSql) $body"
 
+  /** Inactivity-gap sessionization CTE chain shared by the four session
+    * queries (sessionize / session_stats / session_percentiles /
+    * bounce_rate): `sess` = one row per (user, session) with bounds and
+    * event count.
+    */
+  private val sessionCtes: String =
+    "x AS (SELECT user_id, ts, event_id, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+      "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+      "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
+      "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
+      "sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+      "count(*) AS n_events FROM s GROUP BY 1, 2)"
+
   /** Shared by contamination_check (the report) and decontaminate (the
     * transform): per-corpus-doc benchmark shingle containment.
     */
@@ -350,10 +365,16 @@ object SparkEntry {
       Analytics.stochastic(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "donchian" -> ((s, dir) =>
       Analytics.donchian(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "keltner" -> ((s, dir) =>
+      Analytics.keltner(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "event_transitions" -> ((s, dir) =>
       graft.ops.Events.transitions(Tables.events(s, dir))),
     "active_users_7d" -> ((s, dir) =>
       graft.ops.Events.rollingActiveUsers(Tables.events(s, dir))),
+    "inter_event_times" -> ((s, dir) =>
+      graft.ops.Events.interEventTimes(Tables.events(s, dir))),
+    "bounce_rate" -> ((s, dir) =>
+      graft.ops.Events.bounceRate(Tables.events(s, dir))),
 
     // C. general OLAP --------------------------------------------------------
     "q1_pricing" -> ((s, dir) => {
@@ -424,6 +445,36 @@ object SparkEntry {
       graft.ops.Rank.withNtile(spend, 4,
           Seq(col("spend").desc, col("custkey")), "quartile")
         .withColumnRenamed("rank", "spend_rank")
+    }),
+    "gini_by_nation" -> ((s, dir) => {
+      // revenue-concentration (Gini) per nation over customer spend. The
+      // rank-weighted sum Σ(rank·spend) stays EXACT: rank as DECIMAL(10,0)
+      // × DECIMAL(18,2) spend sums without float drift, so the only
+      // doubles are the final closed-form ratio (one fixed association
+      // order, rounded). Per-nation row_number windows stream with O(1)
+      // state — the single-partition trap only applies to GLOBAL windows.
+      val d = DecimalType(18, 2)
+      val spend = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice").cast(d)).as("spend"))
+      val cust = Tables.table(s, dir, "customer")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("spend"), col("c_custkey"))
+      spend.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("c_custkey"), col("spend"))
+        .withColumn("rk", row_number().over(w).cast(DecimalType(10, 0)))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast("double").as("total_spend"),
+          // per-customer spend re-narrowed to DECIMAL(18,2) so the product
+          // stays inside exact decimal range on both engines
+          sum(col("rk") * col("spend").cast(d)).cast("double").as("s_ix"))
+        .select(col("n_name"), col("n_customers"),
+          col("total_spend"),
+          round(lit(2.0) * col("s_ix") / (col("n_customers") * col("total_spend")) -
+            (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
+            .as("gini"))
     }),
     "q6_selective" -> ((s, dir) => {
       // range-predicate showcase: every filter reaches the parquet scan
@@ -563,6 +614,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.repetitionScore(Tables.table(s, dir, "documents"))),
     "char_entropy" -> ((s, dir) =>
       graft.ops.TextAnalysis.charEntropy(Tables.table(s, dir, "documents"))),
+    "zipf_fit" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfFit(Tables.table(s, dir, "documents"))),
     "decontaminate" -> ((s, dir) =>
       graft.ops.TextAnalysis.decontaminate(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
@@ -931,6 +984,51 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, close, upper_band, lower_band, " +
         "round((upper_band + lower_band) / 2.0, 6) AS middle FROM f WHERE cnt = 20"),
+    "keltner" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "l AS (SELECT symbol, bucket_ts, list(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS closes FROM c), " +
+        "e AS (SELECT symbol, bucket_ts, " +
+        "list_reduce(closes, (acc, x) -> (CAST(2 AS DOUBLE) / CAST(21 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(21 AS DOUBLE)) * acc) AS ema FROM l), " +
+        "p AS (SELECT symbol, bucket_ts, high, low, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, greatest(" +
+        "CAST(high AS DECIMAL(18,2)) - CAST(low AS DECIMAL(18,2)), " +
+        "abs(CAST(high AS DECIMAL(18,2)) - CAST(prev_close AS DECIMAL(18,2))), " +
+        "abs(CAST(low AS DECIMAL(18,2)) - CAST(prev_close AS DECIMAL(18,2)))) AS tr " +
+        "FROM p WHERE prev_close IS NOT NULL), " +
+        "f AS (SELECT symbol, bucket_ts, CAST(sum(tr) OVER w AS DOUBLE) AS sum_tr, " +
+        "count(*) OVER w AS cnt FROM d " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT symbol, bucket_ts, round(sum_tr / CAST(cnt AS DOUBLE), 6) AS atr " +
+        "FROM f WHERE cnt = 10) " +
+        "SELECT e.symbol, e.bucket_ts, round(ema, 6) AS center, " +
+        "round(ema + 2.0 * atr, 6) AS upper_band, round(ema - 2.0 * atr, 6) AS lower_band " +
+        "FROM e JOIN g ON e.symbol = g.symbol AND e.bucket_ts = g.bucket_ts"),
+    "inter_event_times" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "g AS (SELECT event_type, epoch_us(ts) - epoch_us(prev_ts) AS gap_us FROM x " +
+        "WHERE prev_ts IS NOT NULL) " +
+        "SELECT event_type, count(*) AS n_gaps, " +
+        "CAST(round(CAST(sum(gap_us) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_gap_us, " +
+        "CAST(round(quantile_cont(gap_us, 0.5), 0) AS BIGINT) AS p50_gap_us, " +
+        "CAST(round(quantile_cont(gap_us, 0.9), 0) AS BIGINT) AS p90_gap_us " +
+        "FROM g GROUP BY 1"),
+    "gini_by_nation" ->
+      ("WITH sp AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend " +
+        "FROM orders GROUP BY 1), " +
+        "j AS (SELECT n.n_name, c.c_custkey, CAST(sp.spend AS DECIMAL(18,2)) AS spend " +
+        "FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey), " +
+        "r AS (SELECT n_name, c_custkey, spend, " +
+        "row_number() OVER (PARTITION BY n_name ORDER BY spend, c_custkey) AS rk FROM j), " +
+        "a AS (SELECT n_name, count(*) AS n_customers, CAST(sum(spend) AS DOUBLE) AS total_spend, " +
+        "CAST(sum(CAST(rk AS DECIMAL(10,0)) * spend) AS DOUBLE) AS s_ix FROM r GROUP BY 1) " +
+        "SELECT n_name, n_customers, total_spend, " +
+        "round(2.0 * s_ix / (n_customers * total_spend) - " +
+        "CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) AS gini FROM a"),
     "event_transitions" ->
       ("WITH p AS (SELECT user_id, event_type, lag(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
@@ -1030,36 +1128,22 @@ object SparkEntry {
         "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
         "CAST(sum(trades) AS BIGINT) AS trades FROM f GROUP BY 1, 2"),
     "sessionize" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, " +
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
-        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
-        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
-        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y) " +
-        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
-        "count(*) AS n_events FROM s GROUP BY 1, 2"),
+      (s"WITH $sessionCtes " +
+        "SELECT user_id, session_id, session_start, session_end, n_events FROM sess"),
     "session_stats" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, " +
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
-        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
-        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
-        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
-        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
-        "count(*) AS n_events FROM s GROUP BY 1, 2) " +
+      (s"WITH $sessionCtes " +
         "SELECT date_trunc('day', session_start) AS day, count(*) AS n_sessions, " +
         "count(DISTINCT user_id) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events, " +
         "CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS BIGINT) AS total_duration_us, " +
         "max(n_events) AS max_session_events FROM sess GROUP BY 1"),
+    "bounce_rate" ->
+      (s"WITH $sessionCtes " +
+        "SELECT date_trunc('day', session_start) AS day, count(*) AS n_sessions, " +
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces, " +
+        "round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate " +
+        "FROM sess GROUP BY 1"),
     "session_percentiles" ->
-      ("WITH x AS (SELECT user_id, ts, event_id, " +
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
-        "y AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
-        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
-        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
-        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end " +
-        "FROM s GROUP BY 1, 2), " +
+      (s"WITH $sessionCtes, " +
         "d AS (SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day, " +
         "epoch_us(session_end) - epoch_us(session_start) AS dur_us FROM sess) " +
         "SELECT day, count(*) AS n_sessions, " +
@@ -1146,6 +1230,25 @@ object SparkEntry {
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms), (acc, x) -> acc + x) / " +
         "ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits " +
         "FROM l JOIN t ON l.doc_id = t.doc_id JOIN dd ON dd.doc_id = l.doc_id"),
+    "zipf_fit" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+        "tc AS (SELECT term, count(*) AS freq FROM w WHERE term <> '' GROUP BY 1), " +
+        "top AS (SELECT term, freq FROM tc ORDER BY freq DESC, term LIMIT 100), " +
+        "r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rk FROM top), " +
+        "l AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
+        "list(ln(CAST(rk AS DOUBLE)) ORDER BY rk) AS xs, " +
+        "list(ln(CAST(freq AS DOUBLE)) ORDER BY rk) AS ys, " +
+        "list(ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY rk) AS xys, " +
+        "list(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) ORDER BY rk) AS x2s FROM r), " +
+        "sm AS (SELECT n_terms, CAST(n_terms AS DOUBLE) AS nd, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (a, x) -> a + x) AS sx, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, x) -> a + x) AS sy, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), xys), (a, x) -> a + x) AS sxy, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), x2s), (a, x) -> a + x) AS sx2 FROM l), " +
+        "f AS (SELECT n_terms, sx, sy, nd, " +
+        "(nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope_raw FROM sm) " +
+        "SELECT n_terms, round(slope_raw, 6) AS slope, " +
+        "round((sy - slope_raw * sx) / nd, 6) AS intercept FROM f"),
     "tfidf_topterms" ->
       ("WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
         "wf AS (SELECT doc_id, term FROM w WHERE term <> ''), " +

@@ -308,6 +308,24 @@ object Analytics {
         round(((col("k") + col("k1")) + col("k2")) / 3.0, 6).as("pct_d"))
   }
 
+  /** Keltner channel: EMA center band ± `mult`×ATR. Composes the two
+    * existing kernels — the sequential EMA sweep and the windowed ATR —
+    * over ONE materialized candle frame (both branches would otherwise
+    * recompute the upstream resample), joined on (symbol, bucket).
+    * Emits full-ATR-frame rows only.
+    */
+  def keltner(candles0: DataFrame, nEma: Int = 20, nAtr: Int = 10,
+              mult: Double = 2.0): DataFrame = {
+    val candles = graft.core.Materialize.once(candles0)
+    val e = ema(candles, nEma).select(col("symbol"), col("bucket_ts"), col("ema"))
+    val a = atr(candles, nAtr).select(col("symbol"), col("bucket_ts"), col("atr"))
+    e.join(a, Seq("symbol", "bucket_ts"))
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("ema"), 6).as("center"),
+        round(col("ema") + lit(mult) * col("atr"), 6).as("upper_band"),
+        round(col("ema") - lit(mult) * col("atr"), 6).as("lower_band"))
+  }
+
   /** Donchian channel: highest high / lowest low over the trailing n
     * buckets and their midpoint (full frames only). Min/max picks are
     * exact; only the midpoint divides, rounded for engine stability. One

@@ -32,6 +32,41 @@ object Events {
         sum(col("n_transitions")).over(wp).cast("double"), 6))
   }
 
+  /** Inter-event-time distribution per event type: for each consecutive
+    * event pair of a user (ts/event_id ordered), the gap in microseconds,
+    * rolled up by the LATER event's type — count, mean, p50/p90. All
+    * integer microsecond arithmetic until the final division/percentile
+    * interpolation, surfaced as whole microseconds (the
+    * session_percentiles rounding rule). One lag window + one
+    * low-cardinality aggregation.
+    */
+  def interEventTimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_gap_us"),
+        round(expr("percentile(gap_us, 0.5)"), 0).cast("long").as("p50_gap_us"),
+        round(expr("percentile(gap_us, 0.9)"), 0).cast("long").as("p90_gap_us"))
+  }
+
+  /** Per-day bounce rate over inactivity-gap sessions: fraction of
+    * sessions with exactly one event. Rides entirely on `Sessionize`
+    * output — one extra conditional aggregation.
+    */
+  def bounceRate(events: DataFrame, gapMicros: Long = 1800000000L): DataFrame =
+    Sessionize.byUser(events, gapMicros)
+      .groupBy(date_trunc("day", col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6))
+
   /** Rolling `windowDays`-day distinct active users per calendar day.
     * COUNT(DISTINCT) over a sliding time range can't partial-aggregate,
     * so instead each DISTINCT (day, user) pair is exploded to the days it

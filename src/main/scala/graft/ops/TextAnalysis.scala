@@ -354,6 +354,45 @@ object TextAnalysis {
         size(array_distinct(col("cs"))).cast("long").as("n_distinct_chars"),
         round(col("ent_nats") / log(lit(2.0)), 6).as("entropy_bits"))
 
+  /** Zipf's-law fit over the corpus's top-`topN` term frequencies:
+    * least-squares slope/intercept of ln(freq) on ln(rank) — the classic
+    * one-number naturalness check (natural language sits near slope −1;
+    * template/boilerplate corpora flatten, spam steepens). The heavy part
+    * is one (term) count shuffle + a TakeOrdered top-N (scale-safe, no
+    * global sort); the fit runs on the N-row frame via ONE collected
+    * sorted array and fixed-order `aggregate` folds — no unpartitioned
+    * window, and the float sums have one association order the oracle
+    * replays exactly.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topN)
+    val foldSum = (arr: Column) => aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    top
+      .agg(sort_array(collect_list(struct((-col("freq")).as("nf"), col("term"),
+        col("freq")))).as("arr"))
+      .select(size(col("arr")).cast("long").as("n_terms"),
+        transform(col("arr"), (e, i) => log((i + 1).cast("double"))).as("xs"),
+        transform(col("arr"), e => log(e.getField("freq").cast("double"))).as("ys"),
+        transform(col("arr"), (e, i) => log((i + 1).cast("double")) *
+          log(e.getField("freq").cast("double"))).as("xys"),
+        transform(col("arr"), (e, i) => log((i + 1).cast("double")) *
+          log((i + 1).cast("double"))).as("x2s"))
+      .select(col("n_terms"), col("n_terms").cast("double").as("nd"),
+        foldSum(col("xs")).as("sx"), foldSum(col("ys")).as("sy"),
+        foldSum(col("xys")).as("sxy"), foldSum(col("x2s")).as("sx2"))
+      .withColumn("slope_raw",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sx2") - col("sx") * col("sx")))
+      .select(col("n_terms"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("nd"), 6)
+          .as("intercept"))
+  }
+
   /** Train/test decontamination as a TRANSFORM (contaminationCheck is the
     * report): drops corpus docs whose benchmark shingle containment
     * reaches `threshold`, keeping zero-hit and sub-shingle docs. Same

@@ -99,6 +99,51 @@ class RankEventsSpecs extends SparkSpec {
       "macd sweep must shuffle exactly once\n" + p)
   }
 
+  test("gini: equal spends → 0, one-winner concentration → (n-1)/n") {
+    val mkOrders = (spends: Seq[Double]) => spends.zipWithIndex.map {
+      case (v, i) => (i.toLong, i.toLong, "O", v, ts(T0), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    def gini(spends: Seq[Double]): Double = {
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val sp = mkOrders(spends).groupBy(col("o_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast(d)).as("spend"))
+      val w = Window.orderBy(col("spend"), col("ck"))
+      val n = spends.length
+      sp.withColumn("rk", row_number().over(w).cast("long"))
+        .agg((lit(2.0) * sum(col("rk") * col("spend")).cast("double") /
+          (lit(n) * sum(col("spend")).cast("double")) -
+          lit((n + 1).toDouble / n)).as("g"))
+        .as[Double].head()
+    }
+    assert(math.abs(gini(Seq.fill(10)(5.0))) < 1e-9)
+    // one customer holds (almost) everything: gini → (n-1)/n
+    assert(math.abs(gini(Seq.fill(9)(0.01) ++ Seq(1e6)) - 0.9) < 0.01)
+    // the oracled per-nation query emits sane values on testdata
+    val q = SparkEntry.queries("gini_by_nation")(spark, Sf0001)
+      .select(col("gini")).as[Double].collect()
+    assert(q.nonEmpty && q.forall(g => g >= 0.0 && g < 1.0))
+  }
+
+  test("keltner bands bracket the center; bounce rate within [0,1]") {
+    val candles = graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
+    val k = graft.ohlcv.Analytics.keltner(candles)
+    assert(k.where(col("upper_band") < col("center") ||
+      col("lower_band") > col("center")).isEmpty)
+    val b = graft.ops.Events.bounceRate(graft.core.Tables.events(spark, Sf0001))
+      .select(col("bounce_rate")).as[Double].collect()
+    assert(b.nonEmpty && b.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("zipf fit: corpus slope is negative (frequency decays with rank)") {
+    val z = graft.ops.TextAnalysis.zipfFit(
+      graft.core.Tables.table(spark, Sf0001, "documents"))
+      .select(col("n_terms"), col("slope")).as[(Long, Double)].head()
+    // sf0.001's synthetic vocabulary is smaller than the top-100 cap
+    assert(z._1 > 0L && z._1 <= 100L && z._2 < 0.0)
+  }
+
   test("stochastic %K bounds and donchian envelope invariants") {
     val candles = graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
