@@ -290,6 +290,17 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", forward = true)
     }),
+    "asof_join_near" -> ((s, dir) => {
+      // nearest as-of: the click closest in time on EITHER side of each
+      // purchase (ties go backward) — sensor-alignment semantics, same
+      // native single-sweep operator
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", nearest = true)
+    }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "gap_fill_linear" -> ((s, dir) =>
@@ -420,6 +431,15 @@ object SparkEntry {
       val d = DecimalType(18, 2)
       Tables.table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(d)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    "cube_sales" -> ((s, dir) => {
+      // full CUBE: all four grouping-set combinations in one Expand-based
+      // aggregation pass (the rollup's lattice-complete sibling)
+      val d = DecimalType(18, 2)
+      Tables.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(d)).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
     }),
@@ -1067,6 +1087,22 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, p.ts, p.value, " +
         "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"),
+    "asof_join_near" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT p.event_id, c.user_id AS b_uid, c.ts AS b_ts, c.value AS b_val " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts), " +
+        "f AS (SELECT p.event_id, c.user_id AS f_uid, c.ts AS f_ts, c.value AS f_val " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts, p.value, b_uid, b_ts, b_val, f_uid, f_ts, f_val, " +
+        "(b_ts IS NOT NULL AND (f_ts IS NULL OR " +
+        "epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))) AS pick_b " +
+        "FROM p JOIN b ON b.event_id = p.event_id JOIN f ON f.event_id = p.event_id) " +
+        "SELECT event_id, user_id, ts, value, " +
+        "CASE WHEN pick_b THEN b_uid ELSE f_uid END AS click_user_id, " +
+        "CASE WHEN pick_b THEN b_ts ELSE f_ts END AS click_ts, " +
+        "CASE WHEN pick_b THEN b_val ELSE f_val END AS click_value " +
+        "FROM j WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL"),
     "gap_fill" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket_ts " +
@@ -1172,6 +1208,10 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "cube_sales" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
     "pivot_events" ->
       ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
         "count(*) FILTER (WHERE event_type = 'click') AS n_click, " +

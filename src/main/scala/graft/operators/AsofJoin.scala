@@ -36,10 +36,17 @@ object AsofJoin {
     * right.ts >= left.ts instead (next fill after the order, next
     * observation after the query point). Same co-sorted sweep; see
     * AsofJoinNode. Composes with `leftOuter`.
+    *
+    * `nearest = true` picks whichever side of the left timestamp is
+    * closer (ties go backward) — the sensor-alignment shape where the
+    * closest observation, not the preceding one, is wanted. Composes with
+    * `leftOuter`; mutually exclusive with `forward`.
     */
   def joinNative(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String, prefix: String = "r_",
-                 leftOuter: Boolean = false, forward: Boolean = false): DataFrame = {
+                 leftOuter: Boolean = false, forward: Boolean = false,
+                 nearest: Boolean = false): DataFrame = {
+    require(!(forward && nearest), "forward and nearest are mutually exclusive")
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
@@ -61,7 +68,7 @@ object AsofJoin {
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     Bridge.ofRows(spark,
       graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix,
-        leftOuter, forward))
+        leftOuter, forward, nearest))
   }
 
   /** Inner backward as-of join (composed formulation: tag-union both

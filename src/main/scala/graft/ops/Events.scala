@@ -76,9 +76,11 @@ object Events {
     * every day with ≥1 active user in its trailing window.
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val du = events
+    // the distinct pair frame feeds both the max-day bound and the explode
+    // branch: materialize it once instead of scanning events twice
+    val du = graft.core.Materialize.once(events
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+      .distinct())
     val mx = du.agg(max(col("day")).as("max_day"))
     du.select(col("user_id"),
         explode(sequence(col("day"),

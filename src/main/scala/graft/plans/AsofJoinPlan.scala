@@ -29,11 +29,20 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * strictly before the left timestamp and PEEKS the head instead of
   * consuming it (later lefts, having later timestamps, can still match
   * the same right). `leftOuter` composes with either direction.
+  *
+  * `nearest = true` matches whichever of the two candidates — latest
+  * at-or-before vs earliest after — sits closer in time (ties go
+  * backward, so an exact-timestamp match always wins). One sweep still:
+  * the backward candidate is carried like the backward join, the forward
+  * candidate is the peeked head. Requires an integer-backed timestamp
+  * (timestamps are epoch micros internally) because "closer" needs a
+  * distance, not just an ordering.
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         key: String, leftTs: String, rightTs: String,
                         prefix: String, leftOuter: Boolean = false,
-                        forward: Boolean = false) extends BinaryNode {
+                        forward: Boolean = false,
+                        nearest: Boolean = false) extends BinaryNode {
   // left-outer: right columns become nullable (unmatched lefts emit nulls)
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a =>
@@ -50,19 +59,19 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter, forward) =>
+    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter, forward, nearest) =>
       def attr(p: LogicalPlan, name: String): Attribute =
         p.output.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
       AsofJoinExec(attr(l, key), attr(l, lts), attr(r, key), attr(r, rts),
-        prefix, leftOuter, forward, planLater(l), planLater(r)) :: Nil
+        prefix, leftOuter, forward, nearest, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
                         rKey: Attribute, rTs: Attribute, prefix: String,
-                        leftOuter: Boolean, forward: Boolean,
+                        leftOuter: Boolean, forward: Boolean, nearest: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -104,6 +113,16 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
     val isLeftOuter = leftOuter
     val isForward = forward
+    val isNearest = nearest
+    // "nearest" needs a numeric time distance; timestamps are epoch-micros
+    // longs internally, so integer-backed types are exactly the orderable
+    // ones with a meaningful difference
+    def tsLong(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case other => throw new UnsupportedOperationException(
+        s"nearest as-of requires an integer-backed timestamp, got ${other.getClass}")
+    }
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -114,6 +133,7 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
         val rBuf = rIter.buffered
         var lastKey: Any = null
         var lastRight: InternalRow = null
+        var lastTs: Any = null
 
         lIter.flatMap { l =>
           val lk = l.get(lKeyIdx, keyType)
@@ -159,10 +179,29 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
                   rBuf.next()
                   lastKey = rk
                   lastRight = r.copy()
+                  lastTs = rt
                 } else advance = false
               }
             }
-            if (lastRight != null && lastKey != null && kOrd.compare(lastKey, lk) == 0)
+            val backOk = lastRight != null && lastKey != null &&
+              kOrd.compare(lastKey, lk) == 0
+            if (isNearest) {
+              // forward candidate = the peeked head (first right after lt),
+              // if it still carries the left's key
+              val fwdOk = rBuf.hasNext && {
+                val rk = rBuf.head.get(rKeyIdx, keyType)
+                rk != null && kOrd.compare(rk, lk) == 0
+              }
+              if (backOk && fwdOk) {
+                val db = tsLong(lt) - tsLong(lastTs)
+                val df = tsLong(rBuf.head.get(rTsIdx, tsType)) - tsLong(lt)
+                val r = if (db <= df) lastRight else rBuf.head
+                Iterator.single(proj(joined(l, r)))
+              } else if (backOk) Iterator.single(proj(joined(l, lastRight)))
+              else if (fwdOk) Iterator.single(proj(joined(l, rBuf.head)))
+              else if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
+              else Iterator.empty
+            } else if (backOk)
               Iterator.single(proj(joined(l, lastRight)))
             else if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
             else Iterator.empty

@@ -418,6 +418,48 @@ class AsofJoinSpec extends SparkSpec {
     assert(diff == 0 && native.count() == expected.count())
   }
 
+  test("nearest asof picks the closer side, ties go backward") {
+    import spark.implicits._
+    // left at T0+30: back candidate ts 10 (dist 20), fwd ts 40 (dist 10) → fwd
+    // left at T0+45: back 40 (5), fwd 100 (55) → back
+    // left at T0+40: exact match → dist 0 backward wins
+    // left at T0+200: only back exists; left at T0+5: only fwd exists
+    val l = Seq((1L, ts(T0 + 30), "a"), (1L, ts(T0 + 45), "b"),
+      (1L, ts(T0 + 40), "c"), (1L, ts(T0 + 200), "d"), (2L, ts(T0 + 5), "e"))
+      .toDF("user_id", "ts", "tag")
+    val r = Seq((1L, ts(T0 + 10), 1.0), (1L, ts(T0 + 40), 4.0),
+      (1L, ts(T0 + 100), 10.0), (2L, ts(T0 + 8), 8.0))
+      .toDF("user_id", "ts", "v")
+    (1 to 3).foreach { parts =>
+      val out = AsofJoin.joinNative(l, r.repartition(parts), "user_id", "ts", "ts",
+        nearest = true).collect()
+        .map(x => x.getAs[String]("tag") -> x.getAs[Double]("r_v")).toMap
+      assert(out == Map("a" -> 4.0, "b" -> 4.0, "c" -> 4.0,
+        "d" -> 10.0, "e" -> 8.0), s"parts=$parts")
+    }
+    // left-outer: a keyless left still emits (nulls)
+    val l2 = Seq((9L, ts(T0), "lone")).toDF("user_id", "ts", "tag")
+    val outer = AsofJoin.joinNative(l2, r, "user_id", "ts", "ts",
+      leftOuter = true, nearest = true).collect()
+    assert(outer.length == 1 && outer.head.isNullAt(4))
+    // cross-check vs composed truth on real data: min |Δts| click per purchase
+    val e = graft.core.Tables.events(spark, Sf0001)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val expected = p.join(c, col("user_id") === col("cu"))
+      .groupBy(col("event_id"))
+      .agg(min(abs(unix_micros(col("cts")) - unix_micros(col("ts")))).as("exp_d"))
+    val native = AsofJoin.joinNative(p, c.select(col("cu").as("user_id"),
+      col("cts").as("ts")), "user_id", "ts", "ts", "c_", nearest = true)
+      .select(col("event_id"),
+        abs(unix_micros(col("c_ts")) - unix_micros(col("ts"))).as("got_d"))
+    val diff = native.join(expected, "event_id")
+      .where(col("got_d") =!= col("exp_d")).count()
+    assert(diff == 0 && native.count() == expected.count())
+  }
+
   test("null keys never match (SQL join semantics)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("user_id", LongType, nullable = true),
