@@ -378,6 +378,10 @@ object SparkEntry {
       Analytics.donchian(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "keltner" -> ((s, dir) =>
       Analytics.keltner(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "acf" -> ((s, dir) =>
+      Analytics.autocorrelation(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "hourly_profile" -> ((s, dir) =>
+      Analytics.hourlyProfile(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "event_transitions" -> ((s, dir) =>
       graft.ops.Events.transitions(Tables.events(s, dir))),
     "active_users_7d" -> ((s, dir) =>
@@ -702,6 +706,8 @@ object SparkEntry {
     }),
     "label_confusion" -> ((s, dir) =>
       graft.ops.Ivf.labelConfusion(Tables.table(s, dir, "embeddings"))),
+    "pq_encode" -> ((s, dir) =>
+      graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -1026,6 +1032,27 @@ object SparkEntry {
         "SELECT e.symbol, e.bucket_ts, round(ema, 6) AS center, " +
         "round(ema + 2.0 * atr, 6) AS upper_band, round(ema - 2.0 * atr, 6) AS lower_band " +
         "FROM e JOIN g ON e.symbol = g.symbol AND e.bucket_ts = g.bucket_ts"),
+    "acf" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL), " +
+        "lg AS (SELECT symbol, ret, " +
+        (1 to 5).map(l =>
+          s"lag(ret, $l) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS l$l").mkString(", ") +
+        " FROM r), " +
+        "st AS (" +
+        (1 to 5).map(l =>
+          s"SELECT symbol, ret, CAST($l AS BIGINT) AS lag_n, l$l AS rlag FROM lg WHERE l$l IS NOT NULL")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT symbol, lag_n, count(*) AS n, round(corr(ret, rlag), 6) AS acf " +
+        "FROM st GROUP BY 1, 2"),
+    "hourly_profile" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, CAST(hour(bucket_ts) AS BIGINT) AS hour_of_day, count(*) AS n_buckets, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS total_volume, " +
+        "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_volume, " +
+        "CAST(sum(trades) AS BIGINT) AS total_trades FROM c GROUP BY 1, 2"),
     "inter_event_times" ->
       ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
@@ -1538,8 +1565,36 @@ object SparkEntry {
         "FROM e CROSS JOIN cents c) WHERE arn = 1) " +
         "SELECT label, CAST(cid AS BIGINT) AS pred_label, count(*) AS n " +
         "FROM assigned GROUP BY 1, 2"),
-    "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2)
+    "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2),
+    "pq_encode" -> pqEncodeOracleSql(m = 4, k = 16, dim = 64)
   )
+
+  /** DuckDB replay of Ivf.pqEncode: per-subspace codebooks from the k
+    * lowest vec_ids' slices (the Ivf seed contract), assignment = argmax
+    * of round(cosine, 6) with lowest-cid tiebreak per subspace, recon =
+    * the concatenated chosen centroids.
+    */
+  private def pqEncodeOracleSql(m: Int, k: Int, dim: Int): String = {
+    val sub = dim / m
+    val cbs = (0 until m).map(s =>
+      s"cb$s AS (SELECT cid, v[${s * sub + 1}:${(s + 1) * sub}] AS cvec FROM seeds)")
+      .mkString(", ")
+    val assigns = (0 until m).map(s =>
+      s"a$s AS (SELECT vec_id, cid AS code$s FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY round(list_cosine_similarity(e.v[${s * sub + 1}:${(s + 1) * sub}], c.cvec), 6) DESC, c.cid) AS rn " +
+        s"FROM e CROSS JOIN cb$s c) WHERE rn = 1)").mkString(", ")
+    val joins = (0 until m).map(s => s"JOIN a$s ON a$s.vec_id = e.vec_id").mkString(" ") +
+      " " + (0 until m).map(s => s"JOIN cb$s c$s ON c$s.cid = a$s.code$s").mkString(" ")
+    val recon = (0 until m).map(s => s"c$s.cvec").mkString(" || ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v " +
+      s"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)), " +
+      cbs + ", " + assigns + " " +
+      "SELECT e.vec_id, " +
+      (0 until m).map(s => s"CAST(a$s.code$s AS BIGINT) AS code$s").mkString(", ") +
+      s", round(list_cosine_similarity(e.v, $recon), 6) AS recon_cos FROM e $joins"
+  }
 
   /** DuckDB replay of Ivf.searchTopK with `iters` Lloyd rounds: each round
     * is argmax-assignment (rounded cosine, cid tiebreak) followed by

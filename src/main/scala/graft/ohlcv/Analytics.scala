@@ -495,6 +495,39 @@ object Analytics {
           (col("v") * col("v")) - lit(3.0), 6).as("kurtosis_ret"))
   }
 
+  /** Return autocorrelation function per symbol for lags 1..maxLag — the
+    * mean-reversion/momentum screen. One lag window computes all lags
+    * (bounded frame), an array explode stacks them, one co-moment
+    * aggregation per (symbol, lag). Correlations round to 6 decimals for
+    * engine stability (the symbol_correlations precedent).
+    */
+  def autocorrelation(candles: DataFrame, maxLag: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val withLags = returns(candles)
+      .select(Seq(col("symbol"), col("bucket_ts"), col("ret")) ++
+        (1 to maxLag).map(l => lag(col("ret"), l).over(w).as(s"l$l")): _*)
+    withLags
+      .select(col("symbol"), col("ret"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).cast("long").as("lag_n"), col(s"l$l").as("rlag"))): _*)).as("e"))
+      .select(col("symbol"), col("ret"), col("e.lag_n").as("lag_n"), col("e.rlag").as("rlag"))
+      .where(col("rlag").isNotNull)
+      .groupBy(col("symbol"), col("lag_n"))
+      .agg(count(lit(1)).as("n"), round(corr(col("ret"), col("rlag")), 6).as("acf"))
+  }
+
+  /** Time-of-day seasonality profile: per (symbol, hour-of-day) trading
+    * activity from hourly candles — decimal-exact volume sums, integer
+    * counts, one low-cardinality aggregation.
+    */
+  def hourlyProfile(candles: DataFrame): DataFrame =
+    candles.groupBy(col("symbol"), hour(col("bucket_ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("volume").cast(D)).cast("double").as("total_volume"),
+        (sum(col("volume").cast(D)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_volume"),
+        sum(col("trades")).as("total_trades"))
+
   /** Top-n buckets by volume per symbol (deterministic tiebreak on
     * bucket_ts).
     */

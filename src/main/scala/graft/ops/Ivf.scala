@@ -128,6 +128,43 @@ object Ivf {
     localize(spark.read.parquet(path)
       .select(col("cid").cast("int").as("cid"), col("cvec").cast("array<double>").as("cvec")))
 
+  /** Product quantization encode: each vector split into `m` subspaces,
+    * each subspace assigned to its nearest codebook centroid — the
+    * compression step that turns a 100 TB float vector store into
+    * m bytes/vector (here m codes + a reconstruction-quality column).
+    * Codebooks follow the Ivf seed contract (the k lowest vec_ids'
+    * subvectors), so the whole encode replays in SQL; assignment is the
+    * same fused map-side `nearest_cell` argmax per subspace — ZERO
+    * shuffle, the codebook matrix is an m×k driver-side model like
+    * `train`'s. `recon_cos` = cosine(v, concatenated chosen centroids),
+    * the per-vector quantization-quality signal (rounded).
+    */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    val e = vecs(emb)
+    val seeds = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val books = (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    // literal codebook arrays: element_at(codebook, code+1) reconstructs
+    // the chosen centroid without any join
+    val bookLit = (s: Int) => array(books(s).map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*)
+    val coded = (0 until m).foldLeft(e) { (df, s) =>
+      df.withColumn(s"code$s", graft.functions.nearest_cell(
+        slice(col("v"), s * sub + 1, sub), books(s).flatten, k, sub))
+    }
+    val recon = concat((0 until m).map(s =>
+      element_at(bookLit(s), col(s"code$s") + 1)): _*)
+    coded.select(Seq(col("vec_id")) ++
+      (0 until m).map(s => col(s"code$s").cast("long").as(s"code$s")) :+
+      round(graft.functions.cosine_sim(col("v"), recon), 6).as("recon_cos"): _*)
+  }
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.

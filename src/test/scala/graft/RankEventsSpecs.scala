@@ -144,6 +144,38 @@ class RankEventsSpecs extends SparkSpec {
     assert(z._1 > 0L && z._1 <= 100L && z._2 < 0.0)
   }
 
+  test("pq encode: map-only plan, valid codes, self-seeds reconstruct well") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val pq = graft.ops.Ivf.pqEncode(emb)
+    val p = pq.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "pq encode must be map-only after the driver-side seed collect\n" + p)
+    val rows = pq.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 16))
+      val rc = r.getDouble(5)
+      assert(rc >= -1.0 - 1e-9 && rc <= 1.0 + 1e-9)
+    }
+    // a seed vector's slices are themselves codebook entries: its
+    // reconstruction is exact (cosine 1) because each subspace argmax
+    // finds the identical centroid
+    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(16).as[Long].collect().toSet
+    val seedRecon = rows.filter(r => seedIds.contains(r.getLong(0)))
+      .map(_.getDouble(5))
+    assert(seedRecon.nonEmpty && seedRecon.forall(_ >= 0.999999))
+  }
+
+  test("acf values are valid correlations at every lag") {
+    val a = graft.ohlcv.Analytics.autocorrelation(
+      graft.ohlcv.Candles.fromTrades(graft.core.Tables.trades(spark, Sf0001),
+        graft.core.Timeframe.parse("1h")))
+      .select(col("lag_n"), col("acf")).as[(Long, Option[Double])].collect()
+    assert(a.map(_._1).toSet == (1L to 5L).toSet)
+    assert(a.flatMap(_._2).forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
   test("stochastic %K bounds and donchian envelope invariants") {
     val candles = graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
