@@ -708,6 +708,10 @@ object SparkEntry {
       graft.ops.Ivf.labelConfusion(Tables.table(s, dir, "embeddings"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
+    "pq_search" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.pqSearch(e, e.where(col("vec_id") < 10), 5)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -1566,15 +1570,16 @@ object SparkEntry {
         "SELECT label, CAST(cid AS BIGINT) AS pred_label, count(*) AS n " +
         "FROM assigned GROUP BY 1, 2"),
     "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2),
-    "pq_encode" -> pqEncodeOracleSql(m = 4, k = 16, dim = 64)
+    "pq_encode" -> pqEncodeOracleSql(m = 4, k = 16, dim = 64),
+    "pq_search" -> pqSearchOracleSql(m = 4, k = 16, dim = 64, topK = 5)
   )
 
-  /** DuckDB replay of Ivf.pqEncode: per-subspace codebooks from the k
-    * lowest vec_ids' slices (the Ivf seed contract), assignment = argmax
-    * of round(cosine, 6) with lowest-cid tiebreak per subspace, recon =
-    * the concatenated chosen centroids.
+  /** Shared DuckDB replay of Ivf.pqEncoded: per-subspace codebooks from
+    * the k lowest vec_ids' slices (the Ivf seed contract), assignment =
+    * argmax of round(cosine, 6) with lowest-cid tiebreak per subspace,
+    * recon (in CTE `r`) = the concatenated chosen centroids.
     */
-  private def pqEncodeOracleSql(m: Int, k: Int, dim: Int): String = {
+  private def pqCtes(m: Int, k: Int, dim: Int): String = {
     val sub = dim / m
     val cbs = (0 until m).map(s =>
       s"cb$s AS (SELECT cid, v[${s * sub + 1}:${(s + 1) * sub}] AS cvec FROM seeds)")
@@ -1587,14 +1592,29 @@ object SparkEntry {
     val joins = (0 until m).map(s => s"JOIN a$s ON a$s.vec_id = e.vec_id").mkString(" ") +
       " " + (0 until m).map(s => s"JOIN cb$s c$s ON c$s.cid = a$s.code$s").mkString(" ")
     val recon = (0 until m).map(s => s"c$s.cvec").mkString(" || ")
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v " +
       s"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)), " +
-      cbs + ", " + assigns + " " +
-      "SELECT e.vec_id, " +
+      cbs + ", " + assigns + ", " +
+      "r AS (SELECT e.vec_id, e.v, " +
       (0 until m).map(s => s"CAST(a$s.code$s AS BIGINT) AS code$s").mkString(", ") +
-      s", round(list_cosine_similarity(e.v, $recon), 6) AS recon_cos FROM e $joins"
+      s", ($recon) AS recon FROM e $joins)"
   }
+
+  private def pqEncodeOracleSql(m: Int, k: Int, dim: Int): String =
+    s"WITH ${pqCtes(m, k, dim)} " +
+      "SELECT vec_id, " + (0 until m).map(s => s"code$s").mkString(", ") +
+      ", round(list_cosine_similarity(v, recon), 6) AS recon_cos FROM r"
+
+  private def pqSearchOracleSql(m: Int, k: Int, dim: Int, topK: Int): String =
+    s"WITH ${pqCtes(m, k, dim)}, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "cand AS (SELECT q.qid, r.vec_id AS id2, " +
+      "round(list_cosine_similarity(q.qv, r.recon), 6) AS cos " +
+      "FROM r CROSS JOIN q WHERE r.vec_id <> q.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $topK"
 
   /** DuckDB replay of Ivf.searchTopK with `iters` Lloyd rounds: each round
     * is argmax-assignment (rounded cosine, cid tiebreak) followed by

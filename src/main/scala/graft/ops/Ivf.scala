@@ -139,7 +139,16 @@ object Ivf {
     * `train`'s. `recon_cos` = cosine(v, concatenated chosen centroids),
     * the per-vector quantization-quality signal (rounded).
     */
-  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
+    pqEncoded(emb, m, k).select(Seq(col("vec_id")) ++
+      (0 until m).map(s => col(s"code$s").cast("long").as(s"code$s")) :+
+      round(graft.functions.cosine_sim(col("v"), col("recon")), 6).as("recon_cos"): _*)
+
+  /** Shared encode frame: (vec_id, v, code0..m-1, recon) — recon is the
+    * concatenation of the chosen subspace centroids via literal-array
+    * lookup, no join.
+    */
+  private def pqEncoded(emb: DataFrame, m: Int, k: Int): DataFrame = {
     val e = vecs(emb)
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("long").as("vec_id"), col("v"))
@@ -158,11 +167,29 @@ object Ivf {
       df.withColumn(s"code$s", graft.functions.nearest_cell(
         slice(col("v"), s * sub + 1, sub), books(s).flatten, k, sub))
     }
-    val recon = concat((0 until m).map(s =>
-      element_at(bookLit(s), col(s"code$s") + 1)): _*)
-    coded.select(Seq(col("vec_id")) ++
-      (0 until m).map(s => col(s"code$s").cast("long").as(s"code$s")) :+
-      round(graft.functions.cosine_sim(col("v"), recon), 6).as("recon_cos"): _*)
+    coded.withColumn("recon", concat((0 until m).map(s =>
+      element_at(bookLit(s), col(s"code$s") + 1)): _*))
+  }
+
+  /** PQ-approximate top-k search over the COMPRESSED corpus: each
+    * candidate is scored as cosine(query, reconstructed candidate) — the
+    * value an ADC (asymmetric-distance) scan serves from per-subspace
+    * lookup tables without ever touching the original vectors; here the
+    * reconstruction is a literal-array lookup fused into the same
+    * codegen stage, so the corpus side stays map-only and the bounded-heap
+    * TopKByScore aggregate keeps the ranking shuffle at O(k) rows per
+    * query per task. The quality/throughput sibling of `ann_ivf`:
+    * ~m·log2(k) bytes of index state per vector instead of the full
+    * float array.
+    */
+  def pqSearch(emb: DataFrame, queries: DataFrame, k: Int,
+               m: Int = 4, kCode: Int = 16): DataFrame = {
+    val enc = pqEncoded(emb, m, kCode).select(col("vec_id"), col("recon"))
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.topK(enc.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos")), k)
   }
 
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.

@@ -167,6 +167,19 @@ class RankEventsSpecs extends SparkSpec {
     assert(seedRecon.nonEmpty && seedRecon.forall(_ >= 0.999999))
   }
 
+  test("pq search: compressed-domain top-k recalls a usable share of exact") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = graft.ops.Similarity.bruteForceTopK(spark, emb, q, 5)
+    val pq = graft.ops.Ivf.pqSearch(emb, q, 5)
+    val recall = graft.ops.Similarity.recallAtK(exact, pq)
+    // 16-entry seeded codebooks over 4 subspaces are a coarse quantizer;
+    // the spec pins "better than chance, worse than exact" territory and
+    // the exact row-count contract (k rows per query)
+    assert(recall > 0.1, s"recall=$recall")
+    assert(pq.count() == exact.count())
+  }
+
   test("acf values are valid correlations at every lag") {
     val a = graft.ohlcv.Analytics.autocorrelation(
       graft.ohlcv.Candles.fromTrades(graft.core.Tables.trades(spark, Sf0001),
