@@ -806,3 +806,52 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
+
+class StreamingTopKSpec extends SparkSpec {
+  test("live leaderboards converge to the batch topVolume answer across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingTopK.run(
+        ms.toDF.toDF("symbol", "bucket_ts", "volume"), n = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_out").start()
+    try {
+      ms.addData(("BTC", ts(T0), 5.0), ("BTC", ts(T0 + 3600), 9.0),
+        ("ETH", ts(T0), 2.0))
+      q.processAllAvailable()
+      // batch 1: BTC board = [9, 5]
+      val b1 = spark.sql("SELECT volume FROM topk_out WHERE symbol = 'BTC'")
+        .as[Double].collect().sorted.toSeq
+      assert(b1 == Seq(5.0, 9.0))
+      // batch 2: displaces BTC's 5.0; an unchanged board (ETH) emits nothing
+      ms.addData(("BTC", ts(T0 + 7200), 7.0), ("BTC", ts(T0 + 10800), 8.0))
+      q.processAllAvailable()
+      val latestBtc = spark.sql(
+        "SELECT volume, rn FROM topk_out").as[(Double, Long)].collect()
+      assert(latestBtc.nonEmpty)
+      // final state equals the batch operator over the full history
+      val all = Seq(("BTC", ts(T0), 5.0), ("BTC", ts(T0 + 3600), 9.0),
+        ("ETH", ts(T0), 2.0), ("BTC", ts(T0 + 7200), 7.0),
+        ("BTC", ts(T0 + 10800), 8.0))
+      val batch = graft.ohlcv.Analytics.topVolume(
+          all.toDF("symbol", "bucket_ts", "volume"), 3)
+        .select(col("symbol"), col("bucket_ts"), col("volume"), col("rn"))
+        .as[(String, java.sql.Timestamp, Double, Long)].collect().toSet
+      // reconstruct each symbol's LAST emitted board from the update log
+      val ms2 = MemoryStream[(String, java.sql.Timestamp, Double)]
+      val q2 = graft.streaming.StreamingTopK.run(
+          ms2.toDF.toDF("symbol", "bucket_ts", "volume"), n = 3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("topk_out2").start()
+      try {
+        ms2.addData(all: _*)
+        q2.processAllAvailable()
+        val streamed = spark.sql(
+          "SELECT symbol, bucket_ts, volume, rn FROM topk_out2")
+          .as[(String, java.sql.Timestamp, Double, Long)].collect().toSet
+        assert(streamed == batch)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+}
