@@ -382,6 +382,12 @@ object SparkEntry {
       Analytics.autocorrelation(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "hourly_profile" -> ((s, dir) =>
       Analytics.hourlyProfile(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "pivot_points" -> ((s, dir) =>
+      Analytics.pivotPoints(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "market_breadth" -> ((s, dir) =>
+      Analytics.marketBreadth(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "session_paths" -> ((s, dir) =>
+      graft.ops.Events.sessionPaths(Tables.events(s, dir))),
     "event_transitions" -> ((s, dir) =>
       graft.ops.Events.transitions(Tables.events(s, dir))),
     "active_users_7d" -> ((s, dir) =>
@@ -469,6 +475,29 @@ object SparkEntry {
       graft.ops.Rank.withNtile(spend, 4,
           Seq(col("spend").desc, col("custkey")), "quartile")
         .withColumnRenamed("rank", "spend_rank")
+    }),
+    "rfm_segments" -> ((s, dir) => {
+      // classic RFM segmentation: recency/frequency/monetary quartiles per
+      // customer — three exact global NTILEs via ops.Rank (range-partition
+      // sort + zipWithIndex each; no single-partition window anywhere)
+      val d = DecimalType(18, 2)
+      val b0 = graft.core.Materialize.once(Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(d)).cast("double").as("monetary")))
+      val mx = b0.agg(max(col("last_order")).as("max_date"))
+      val base = b0.crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          datediff(col("max_date"), col("last_order")).cast("long"))
+        .select(col("custkey"), col("recency_days"), col("frequency"), col("monetary"))
+      val withR = graft.ops.Rank.withNtile(base, 4,
+        Seq(col("recency_days"), col("custkey")), "r_q").drop("rank")
+      val withF = graft.ops.Rank.withNtile(withR, 4,
+        Seq(col("frequency").desc, col("custkey")), "f_q").drop("rank")
+      graft.ops.Rank.withNtile(withF, 4,
+          Seq(col("monetary").desc, col("custkey")), "m_q").drop("rank")
+        .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
     }),
     "gini_by_nation" -> ((s, dir) => {
       // revenue-concentration (Gini) per nation over customer spend. The
@@ -1057,6 +1086,55 @@ object SparkEntry {
         "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS total_volume, " +
         "CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_volume, " +
         "CAST(sum(trades) AS BIGINT) AS total_trades FROM c GROUP BY 1, 2"),
+    "pivot_points" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "d AS (SELECT symbol, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS day, " +
+        "max(high) AS h, min(low) AS l, max_by(close, bucket_ts) AS c FROM c GROUP BY 1, 2), " +
+        "p AS (SELECT symbol, day, lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc " +
+        "FROM d WINDOW w AS (PARTITION BY symbol ORDER BY day)), " +
+        "f AS (SELECT symbol, day, ph, pl, (ph + pl + pc) / 3.0 AS pv FROM p WHERE ph IS NOT NULL) " +
+        "SELECT symbol, day, round(pv, 6) AS pivot, " +
+        "round(2.0 * pv - pl, 6) AS r1, round(2.0 * pv - ph, 6) AS s1, " +
+        "round(pv + (ph - pl), 6) AS r2, round(pv - (ph - pl), 6) AS s2 FROM f"),
+    "market_breadth" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev FROM c) " +
+        "SELECT bucket_ts, " +
+        "CAST(sum(CASE WHEN close > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_up, " +
+        "CAST(sum(CASE WHEN close < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_down, " +
+        "CAST(sum(CASE WHEN close = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_flat, " +
+        "CASE WHEN sum(CASE WHEN close < prev THEN 1 ELSE 0 END) > 0 THEN " +
+        "round(CAST(sum(CASE WHEN close > prev THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "sum(CASE WHEN close < prev THEN 1 ELSE 0 END), 6) END AS ad_ratio " +
+        "FROM p WHERE prev IS NOT NULL GROUP BY 1"),
+    "session_paths" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "y AS (SELECT user_id, ts, event_id, event_type, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM x), " +
+        "s AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y), " +
+        "r AS (SELECT user_id, session_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS pos FROM s), " +
+        "pth AS (SELECT user_id, session_id, " +
+        "array_to_string(list(event_type ORDER BY pos), '>') AS path FROM r WHERE pos <= 3 GROUP BY 1, 2), " +
+        "agg AS (SELECT path, count(*) AS n_sessions FROM pth GROUP BY 1) " +
+        "SELECT path, n_sessions FROM agg ORDER BY n_sessions DESC, path LIMIT 20"),
+    "rfm_segments" ->
+      ("WITH base AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_order, " +
+        "count(*) AS frequency, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "mx AS (SELECT max(last_order) AS max_date FROM base), " +
+        "b2 AS (SELECT custkey, CAST(date_diff('day', last_order, max_date) AS BIGINT) AS recency_days, " +
+        "frequency, monetary FROM base, mx) " +
+        "SELECT custkey, recency_days, frequency, monetary, r_q, f_q, m_q, " +
+        "r_q * 100 + f_q * 10 + m_q AS rfm FROM (" +
+        "SELECT custkey, recency_days, frequency, monetary, " +
+        "CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_q, " +
+        "CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_q, " +
+        "CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_q FROM b2) x"),
     "inter_event_times" ->
       ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

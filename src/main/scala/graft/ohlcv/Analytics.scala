@@ -528,6 +528,49 @@ object Analytics {
           count(lit(1)).cast("double")).as("avg_volume"),
         sum(col("trades")).as("total_trades"))
 
+  /** Classic floor-trader pivot levels for each day from the PRIOR day's
+    * daily candle: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L), S2=P−(H−L).
+    * The daily frame derives from hourly candles (candle monoid — no
+    * second trades scan); one lag window per symbol over the dim-scale
+    * daily frame. Arithmetic order is fixed and rounded once at emission.
+    */
+  def pivotPoints(hourly: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val daily = hourly
+      .groupBy(col("symbol"), date_trunc("day", col("bucket_ts")).as("day"))
+      .agg(max(col("high")).as("h"), min(col("low")).as("l"),
+        max_by(col("close"), col("bucket_ts")).as("c"))
+    val p = (col("ph") + col("pl") + col("pc")) / 3.0
+    daily
+      .withColumn("ph", lag(col("h"), 1).over(wl))
+      .withColumn("pl", lag(col("l"), 1).over(wl))
+      .withColumn("pc", lag(col("c"), 1).over(wl))
+      .where(col("ph").isNotNull)
+      .select(col("symbol"), col("day"),
+        round(p, 6).as("pivot"),
+        round(lit(2.0) * p - col("pl"), 6).as("r1"),
+        round(lit(2.0) * p - col("ph"), 6).as("s1"),
+        round(p + (col("ph") - col("pl")), 6).as("r2"),
+        round(p - (col("ph") - col("pl")), 6).as("s2"))
+  }
+
+  /** Market breadth per bucket across the symbol universe: advancing /
+    * declining / flat counts and the advance-decline ratio. One lag
+    * window per symbol + one aggregation keyed by time.
+    */
+  def marketBreadth(candles: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(wl))
+      .where(col("prev").isNotNull)
+      .groupBy(col("bucket_ts"))
+      .agg(sum(when(col("close") > col("prev"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("close") < col("prev"), 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("close") === col("prev"), 1L).otherwise(0L)).as("n_flat"))
+      .withColumn("ad_ratio", when(col("n_down") > 0,
+        round(col("n_up").cast("double") / col("n_down"), 6)))
+  }
+
   /** Top-n buckets by volume per symbol (deterministic tiebreak on
     * bucket_ts).
     */

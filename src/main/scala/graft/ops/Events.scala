@@ -67,6 +67,28 @@ object Events {
       .withColumn("bounce_rate",
         round(col("n_bounces").cast("double") / col("n_sessions"), 6))
 
+  /** Most common session-opening journeys: each session's first `depth`
+    * event types joined into a path string, counted corpus-wide, top-N by
+    * frequency (path tiebreak). Rides on Sessionize.labeled — the path
+    * pick is ONE more window over the SAME (user_id) partitioning (no
+    * extra shuffle); the rollup keys on dim-scale path strings; top-N is
+    * a TakeOrdered global sort-limit, never a full sort.
+    */
+  def sessionPaths(events: DataFrame, gapMicros: Long = 1800000000L,
+                   depth: Int = 3, topN: Int = 20): DataFrame = {
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Sessionize.labeled(events, gapMicros, carry = Seq("event_type"))
+      .withColumn("pos", row_number().over(ws))
+      .where(col("pos") <= depth)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
+        col("event_type")))), s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topN)
+  }
+
   /** Rolling `windowDays`-day distinct active users per calendar day.
     * COUNT(DISTINCT) over a sliding time range can't partial-aggregate,
     * so instead each DISTINCT (day, user) pair is exploded to the days it

@@ -180,6 +180,45 @@ class RankEventsSpecs extends SparkSpec {
     assert(pq.count() == exact.count())
   }
 
+  test("pivot levels order s2<=s1<=pivot<=r1<=r2; breadth counts cover the universe") {
+    val candles = graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
+    val pp = graft.ohlcv.Analytics.pivotPoints(candles)
+    assert(pp.count() > 0)
+    assert(pp.where(col("s2") > col("s1") || col("s1") > col("pivot") ||
+      col("pivot") > col("r1") || col("r1") > col("r2")).isEmpty)
+    val mb = graft.ohlcv.Analytics.marketBreadth(candles)
+    // up+down+flat per bucket = symbols with a previous close that bucket
+    val tot = mb.select((col("n_up") + col("n_down") + col("n_flat")).as("t"))
+      .as[Long].collect()
+    assert(tot.nonEmpty && tot.forall(t => t >= 1 && t <= 5))
+  }
+
+  test("rfm quartiles are balanced and the plan stays window-free") {
+    val rfm = SparkEntry.queries("rfm_segments")(spark, Sf0001)
+    rfm.count()
+    assert(!rfm.queryExecution.executedPlan.toString.contains("Window"))
+    val n = rfm.count()
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val sizes = rfm.groupBy(col(c)).count()
+        .select(col(c), col("count")).as[(Long, Long)].collect().toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$c buckets: ${sizes.keySet}")
+      // SQL ntile: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c sizes: $sizes")
+      assert(sizes.values.sum == n)
+    }
+  }
+
+  test("session paths: bounded depth and top-N contract") {
+    val p = graft.ops.Events.sessionPaths(
+      graft.core.Tables.events(spark, Sf0001)).collect()
+    assert(p.nonEmpty && p.length <= 20)
+    p.foreach { r =>
+      assert(r.getString(0).split(">").length <= 3)
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("acf values are valid correlations at every lag") {
     val a = graft.ohlcv.Analytics.autocorrelation(
       graft.ohlcv.Candles.fromTrades(graft.core.Tables.trades(spark, Sf0001),
