@@ -643,6 +643,8 @@ object SparkEntry {
       graft.ops.Dedup.simhashNearDup(Tables.table(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccard(Tables.table(s, dir, "documents"))),
+    "containment_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(Tables.table(s, dir, "documents"))),
     "corpus_dedup" -> ((s, dir) =>
       graft.ops.Dedup.corpusDedup(Tables.table(s, dir, "documents"))),
     "dedup_incremental" -> ((s, dir) => {
@@ -1351,6 +1353,18 @@ object SparkEntry {
     "dedup_simhash" -> simhashNearDupSql(),
     "ngram_jaccard" ->
       s"WITH $jaccardCtes SELECT id1, id2, est_jaccard, jaccard FROM jac WHERE jaccard >= 0.5",
+    "containment_pairs" ->
+      (s"WITH ${minhashPairsCtes()}, " +
+        "shg AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
+        "cp AS (SELECT m.id1, m.id2, CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common, " +
+        "CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2 " +
+        "FROM mh m JOIN shg a ON a.doc_id = m.id1 JOIN shg b ON b.doc_id = m.id2), " +
+        "f AS (SELECT id1, id2, n_common, n1, n2, " +
+        "CASE WHEN n1 > 0 THEN round(CAST(n_common AS DOUBLE) / n1, 6) END AS containment_1in2, " +
+        "CASE WHEN n2 > 0 THEN round(CAST(n_common AS DOUBLE) / n2, 6) END AS containment_2in1 FROM cp) " +
+        "SELECT id1, id2, n_common, n1, n2, containment_1in2, containment_2in1 FROM f " +
+        "WHERE containment_1in2 >= 0.8 OR containment_2in1 >= 0.8"),
     "corpus_dedup" -> corpusDedupSql(0.8),
     "dedup_incremental" -> incrementalDedupSql(),
     "repetition_score" ->

@@ -347,6 +347,35 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT verification over LSH candidates — the
+    * quote/subset detector doc-level Jaccard misses: a short doc fully
+    * embedded in a long one has low Jaccard (small union ratio) but
+    * containment ≈ 1 in one direction. Same fused single text scan, same
+    * LSH candidate generation as `ngramJaccard`; emits |∩| and both
+    * directional containments, keeping pairs where either direction
+    * reaches `minContainment`. (LSH recall caveat: candidates are
+    * Jaccard-biased, so extreme length ratios may not band together —
+    * the standard MinHash-containment tradeoff, documented not hidden.)
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8): DataFrame = {
+    val base = cutLineageLazy(sigShingleScan(docs))
+    val sigs = base.where(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+    val sh = base.select(col("doc_id"), col("sh"))
+    minhashLshFromSigs(sigs)
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("n_common"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"))
+      .withColumn("containment_1in2", when(col("n1") > 0,
+        round(col("n_common").cast("double") / col("n1"), 6)))
+      .withColumn("containment_2in1", when(col("n2") > 0,
+        round(col("n_common").cast("double") / col("n2"), 6)))
+      .where(col("containment_1in2") >= minContainment ||
+        col("containment_2in1") >= minContainment)
+  }
+
   /** Connected components over near-dup pairs: every doc in a component
     * gets the component's minimum doc_id as `cluster_id`.
     *

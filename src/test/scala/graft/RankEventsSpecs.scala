@@ -219,6 +219,21 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("containment pairs: a strict prefix doc is fully contained") {
+    val words30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val doc2 = words30 + " " + (31 to 35).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words30), (2L, doc2)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containmentPairs(docs, 0.8)
+      .select(col("id1"), col("id2"), col("containment_1in2"), col("containment_2in1"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, c12, c21) = got.head
+    // doc 1's shingles are a subset of doc 2's: containment 1.0 one way
+    assert(Set(a, b) == Set(1L, 2L))
+    assert((if (a == 1L) c12 else c21) == 1.0)
+    assert((if (a == 1L) c21 else c12) < 1.0)
+  }
+
   test("acf values are valid correlations at every lag") {
     val a = graft.ohlcv.Analytics.autocorrelation(
       graft.ohlcv.Candles.fromTrades(graft.core.Tables.trades(spark, Sf0001),
