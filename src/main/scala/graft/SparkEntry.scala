@@ -384,6 +384,8 @@ object SparkEntry {
       Analytics.hourlyProfile(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "pivot_points" -> ((s, dir) =>
       Analytics.pivotPoints(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "cusum" -> ((s, dir) =>
+      Analytics.cusum(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "market_breadth" -> ((s, dir) =>
       Analytics.marketBreadth(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "session_paths" -> ((s, dir) =>
@@ -1098,6 +1100,27 @@ object SparkEntry {
         "SELECT symbol, day, round(pv, 6) AS pivot, " +
         "round(2.0 * pv - pl, 6) AS r1, round(2.0 * pv - ph, 6) AS s1, " +
         "round(pv + (ph - pl), 6) AS r2, round(pv - (ph - pl), 6) AS s2 FROM f"),
+    "cusum" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
+        "SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c) " +
+        "WHERE prev_close IS NOT NULL), " +
+        "st AS (SELECT symbol, count(ret) AS n, CAST(sum(CAST(ret AS DECIMAL(18,12))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(ret AS DECIMAL(18,12)) * CAST(ret AS DECIMAL(18,12)) AS DECIMAL(38,24))) AS DOUBLE) AS s2 " +
+        "FROM r GROUP BY 1), " +
+        "st2 AS (SELECT symbol, mu, variance FROM (" +
+        "SELECT symbol, n, mu, (s2 - n * mu * mu) / (n - 1) AS variance FROM (" +
+        "SELECT symbol, n, s1, s2, s1 / n AS mu FROM st) x1 WHERE n >= 2) x2 " +
+        "WHERE variance > 0), " +
+        "zl AS (SELECT r.symbol, r.bucket_ts, (r.ret - st2.mu) / sqrt(st2.variance) AS z " +
+        "FROM r JOIN st2 ON r.symbol = st2.symbol), " +
+        "zz AS (SELECT symbol, bucket_ts, z, list(z) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs FROM zl), " +
+        "ff AS (SELECT symbol, bucket_ts, z, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), zs), (acc, x) -> greatest(CAST(0 AS DOUBLE), acc + x - 0.5)) AS sp, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), zs), (acc, x) -> least(CAST(0 AS DOUBLE), acc + x + 0.5)) AS sn FROM zz) " +
+        "SELECT symbol, bucket_ts, round(z, 6) AS zscore, round(sp, 6) AS cusum_pos, " +
+        "round(sn, 6) AS cusum_neg, (sp > 4.0 OR sn < -4.0) AS breach FROM ff"),
     "market_breadth" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, close, " +

@@ -528,6 +528,54 @@ object Analytics {
           count(lit(1)).cast("double")).as("avg_volume"),
         sum(col("trades")).as("total_trades"))
 
+  /** CUSUM changepoint screen over standardized returns: the classic
+    * drift detector (persistent small shifts that a z-score screen
+    * misses). Per symbol: returns standardized against the symbol's FULL
+    * moments — decimal-exact sums, so z is engine-replayable — then the
+    * two one-sided recursions S⁺ = max(0, S⁺ + z − slack) and
+    * S⁻ = min(0, S⁻ + z + slack), flagged when either clears `h`. The
+    * recursion is the ema-style inherently-sequential per-symbol sweep
+    * (one shuffle, O(1) state); the oracle replays both folds via
+    * list_reduce with identical operation order.
+    */
+  def cusum(candles: DataFrame, slack: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val dr = DecimalType(18, 12)
+    val dr2 = DecimalType(38, 24)
+    val r = graft.core.Materialize.once(
+      returns(candles).select(col("symbol"), col("bucket_ts"), col("ret")))
+    val stats = r.groupBy(col("symbol")).agg(
+      count(col("ret")).as("n"),
+      sum(col("ret").cast(dr)).cast("double").as("s1"),
+      sum((col("ret").cast(dr) * col("ret").cast(dr)).cast(dr2)).cast("double").as("s2"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("n") * col("mu") * col("mu")) / (col("n") - 1))
+      .where(col("n") >= 2 && col("variance") > 0)
+      .select(col("symbol"), col("mu"), col("variance"))
+    val spark = candles.sparkSession
+    import spark.implicits._
+    r.join(broadcast(stats), "symbol")
+      .select(col("symbol"), col("bucket_ts"),
+        ((col("ret") - col("mu")) / sqrt(col("variance"))).as("z"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var sp = 0.0; var sn = 0.0
+        it.map { case (s, t, z) =>
+          if (s != cur) { cur = s; sp = 0.0; sn = 0.0 }
+          sp = math.max(0.0, sp + z - slack)
+          sn = math.min(0.0, sn + z + slack)
+          (s, t, z, sp, sn)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "z", "sp", "sn")
+      .select(col("symbol"), col("bucket_ts"), round(col("z"), 6).as("zscore"),
+        round(col("sp"), 6).as("cusum_pos"), round(col("sn"), 6).as("cusum_neg"),
+        (col("sp") > h || col("sn") < -h).as("breach"))
+  }
+
   /** Classic floor-trader pivot levels for each day from the PRIOR day's
     * daily candle: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L), S2=P−(H−L).
     * The daily frame derives from hourly candles (candle monoid — no

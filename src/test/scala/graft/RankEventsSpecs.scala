@@ -219,6 +219,27 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("cusum: one-sided sums keep their sign and breach flags are consistent") {
+    val c = graft.ohlcv.Analytics.cusum(graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h")))
+    val rows = c.select(col("cusum_pos"), col("cusum_neg"), col("breach"))
+      .as[(Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sp, sn, br) =>
+      assert(sp >= 0.0 && sn <= 0.0)
+      // rounded values: a clear breach implies the flag (boundary rows may
+      // round to exactly h without the unrounded value clearing it)
+      if (sp > 4.001 || sn < -4.001) assert(br)
+      if (!br) assert(sp <= 4.001 && sn >= -4.001)
+    }
+    // a deliberate level shift drives the positive side over the fence
+    val shifted = (0 until 60).map { i =>
+      val close = if (i < 30) 100.0 + (i % 2) else 100.0 + (i - 29) * 3.0
+      ("X", ts(T0 + i * 3600), close, close, close, close, 1.0, 1L)
+    }.toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    assert(graft.ohlcv.Analytics.cusum(shifted).where(col("breach")).count() > 0)
+  }
+
   test("containment pairs: a strict prefix doc is fully contained") {
     val words30 = (1 to 30).map(i => s"w$i").mkString(" ")
     val doc2 = words30 + " " + (31 to 35).map(i => s"w$i").mkString(" ")
