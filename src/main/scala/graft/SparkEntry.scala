@@ -93,7 +93,7 @@ object SparkEntry {
     * join at any B — the oracle replays the unblocked form.
     */
   private def blockedPairJoin(r: DataFrame): DataFrame = {
-    val n = r.agg(countDistinct(col("symbol"))).head.getLong(0)
+    val n = r.agg(countDistinct(col("symbol"))).head().getLong(0)
     val B = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
       .withColumn("blk", explode(array((0 until B).map(lit(_)): _*)))

@@ -855,3 +855,32 @@ class StreamingTopKSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingCusumSpec extends SparkSpec {
+  test("live drift sums persist across batches and a level shift breaches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingCusum.run(
+        ms.toDF.toDF("symbol", "bucket_ts", "close"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_out").start()
+    try {
+      // flat-ish regime first (alternating closes -> nonzero variance)
+      ms.addData((0 until 30).map(i =>
+        ("X", ts(T0 + i * 3600), 100.0 + (i % 2))): _*)
+      q.processAllAvailable()
+      val calm = spark.sql("SELECT breach FROM cusum_out").as[Boolean].collect()
+      assert(calm.nonEmpty && !calm.exists(identity))
+      // sustained upward drift in a later batch: state carried over, breach
+      ms.addData((30 until 60).map(i =>
+        ("X", ts(T0 + i * 3600), 100.0 + (i - 29) * 3.0)): _*)
+      q.processAllAvailable()
+      val after = spark.sql(
+        "SELECT cusum_pos, cusum_neg, breach FROM cusum_out")
+        .as[(Double, Double, Boolean)].collect()
+      assert(after.forall { case (sp, sn, _) => sp >= 0.0 && sn <= 0.0 })
+      assert(after.exists(_._3), "drift should breach the positive fence")
+    } finally q.stop()
+  }
+}
