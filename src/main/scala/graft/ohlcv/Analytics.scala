@@ -506,14 +506,23 @@ object Analytics {
     val withLags = returns(candles)
       .select(Seq(col("symbol"), col("bucket_ts"), col("ret")) ++
         (1 to maxLag).map(l => lag(col("ret"), l).over(w).as(s"l$l")): _*)
+    // all lags aggregate in ONE pass (corr skips null pairs, so each lag's
+    // co-moments see exactly its valid rows); the per-lag rows then unfold
+    // from the dim-scale per-symbol frame — no maxLag× row explosion of
+    // the full returns frame before the shuffle
     withLags
-      .select(col("symbol"), col("ret"),
+      .groupBy(col("symbol"))
+      .agg(count(col("l1")).as("cnt_l1"),
+        (2 to maxLag).map(l => count(col(s"l$l")).as(s"cnt_l$l")) ++
+          (1 to maxLag).map(l =>
+            round(corr(col("ret"), col(s"l$l")), 6).as(s"acf_l$l")): _*)
+      .select(col("symbol"),
         explode(array((1 to maxLag).map(l =>
-          struct(lit(l).cast("long").as("lag_n"), col(s"l$l").as("rlag"))): _*)).as("e"))
-      .select(col("symbol"), col("ret"), col("e.lag_n").as("lag_n"), col("e.rlag").as("rlag"))
-      .where(col("rlag").isNotNull)
-      .groupBy(col("symbol"), col("lag_n"))
-      .agg(count(lit(1)).as("n"), round(corr(col("ret"), col("rlag")), 6).as("acf"))
+          struct(lit(l).cast("long").as("lag_n"), col(s"cnt_l$l").as("n"),
+            col(s"acf_l$l").as("acf"))): _*)).as("e"))
+      .select(col("symbol"), col("e.lag_n").as("lag_n"), col("e.n").as("n"),
+        col("e.acf").as("acf"))
+      .where(col("n") > 0)
   }
 
   /** Time-of-day seasonality profile: per (symbol, hour-of-day) trading
