@@ -386,6 +386,13 @@ object SparkEntry {
       Analytics.pivotPoints(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "cusum" -> ((s, dir) =>
       Analytics.cusum(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "ichimoku" -> ((s, dir) =>
+      Analytics.ichimoku(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "stickiness" -> ((s, dir) =>
+      graft.ops.Events.stickiness(Tables.events(s, dir))),
+    "lang_confusion" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(Tables.table(s, dir, "documents"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))),
     "market_breadth" -> ((s, dir) =>
       Analytics.marketBreadth(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "session_paths" -> ((s, dir) =>
@@ -1121,6 +1128,34 @@ object SparkEntry {
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), zs), (acc, x) -> least(CAST(0 AS DOUBLE), acc + x + 0.5)) AS sn FROM zz) " +
         "SELECT symbol, bucket_ts, round(z, 6) AS zscore, round(sp, 6) AS cusum_pos, " +
         "round(sn, 6) AS cusum_neg, (sp > 4.0 OR sn < -4.0) AS breach FROM ff"),
+    "ichimoku" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts, close, " +
+        "(max(high) OVER w9 + min(low) OVER w9) / 2.0 AS conversion, " +
+        "(max(high) OVER w26 + min(low) OVER w26) / 2.0 AS base, " +
+        "(max(high) OVER w52 + min(low) OVER w52) / 2.0 AS span_b_now, " +
+        "count(*) OVER w26 AS cnt FROM c " +
+        "WINDOW w9 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), " +
+        "w26 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 25 PRECEDING AND CURRENT ROW), " +
+        "w52 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT symbol, bucket_ts, close, conversion, base, cnt, " +
+        "lag((conversion + base) / 2.0, 26) OVER wo AS span_a, " +
+        "lag(span_b_now, 26) OVER wo AS span_b, " +
+        "lead(close, 26) OVER wo AS lagging_close FROM f " +
+        "WINDOW wo AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
+        "SELECT symbol, bucket_ts, close, round(conversion, 6) AS conversion, " +
+        "round(base, 6) AS base, round(span_a, 6) AS span_a, " +
+        "round(span_b, 6) AS span_b, lagging_close FROM g WHERE cnt = 26"),
+    "stickiness" ->
+      ("WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events), " +
+        "mx AS (SELECT max(day) AS max_day FROM du), " +
+        "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1), " +
+        "e AS (SELECT user_id, unnest(generate_series(day, day + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS day FROM du), " +
+        "mau AS (SELECT e.day, count(DISTINCT user_id) AS mau FROM e, mx " +
+        "WHERE e.day <= mx.max_day GROUP BY 1) " +
+        "SELECT dau.day, dau.dau, mau.mau, " +
+        "round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness " +
+        "FROM dau JOIN mau ON dau.day = mau.day"),
     "market_breadth" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, close, " +
@@ -1519,19 +1554,10 @@ object SparkEntry {
     "value_corr" ->
       ("SELECT event_type, round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user " +
         "FROM events GROUP BY 1"),
-    "lang_id" ->
-      ("WITH s AS (SELECT doc_id, lang, " +
-        s"${markerSql("the','and','of','to")} AS s_en, " +
-        s"${markerSql("der','die','und','ist")} AS s_de, " +
-        s"${markerSql("le','la','et','les")} AS s_fr, " +
-        s"${markerSql("el','los','que','una")} AS s_es, " +
-        "CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh " +
-        "FROM documents) " +
-        "SELECT doc_id, lang, CASE " +
-        "WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en' " +
-        "WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de' " +
-        "WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr' " +
-        "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang FROM s"),
+    "lang_id" -> langIdSql,
+    "lang_confusion" ->
+      (s"WITH li AS ($langIdSql) " +
+        "SELECT lang, pred_lang, count(*) AS n FROM li GROUP BY 1, 2"),
     "quality_score" ->
       ("WITH f AS (SELECT doc_id, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
@@ -1889,6 +1915,23 @@ object SparkEntry {
 
   private def markerSql(quotedList: String): String =
     s"CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('$quotedList'))) AS BIGINT)"
+
+  /** Stopword-profile language classifier replay — shared by lang_id (the
+    * per-doc report) and lang_confusion (the evaluation matrix).
+    */
+  private lazy val langIdSql: String =
+    "WITH s AS (SELECT doc_id, lang, " +
+      s"${markerSql("the','and','of','to")} AS s_en, " +
+      s"${markerSql("der','die','und','ist")} AS s_de, " +
+      s"${markerSql("le','la','et','les")} AS s_fr, " +
+      s"${markerSql("el','los','que','una")} AS s_es, " +
+      "CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh " +
+      "FROM documents) " +
+      "SELECT doc_id, lang, CASE " +
+      "WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en' " +
+      "WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de' " +
+      "WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr' " +
+      "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang FROM s"
 
   private val RevenueSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

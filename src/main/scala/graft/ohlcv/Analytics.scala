@@ -537,6 +537,40 @@ object Analytics {
           count(lit(1)).cast("double")).as("avg_volume"),
         sum(col("trades")).as("total_trades"))
 
+  /** Ichimoku cloud components: conversion/base lines (9/26-bucket
+    * midpoints), the two leading spans PROJECTED 26 buckets ahead (lead
+    * of the span value at the row whose chart position this row is — i.e.
+    * lag of the computed span), and the lagging close (lead by 26).
+    * Min/max picks and midpoints only — exact picks, one division each,
+    * all on one symbol partitioning (three window frames, one shuffle).
+    * Emits rows where conversion and base are full-frame.
+    */
+  def ichimoku(candles: DataFrame, convN: Int = 9, baseN: Int = 26,
+               spanBN: Int = 52): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    def mid(n: Int) = {
+      val wf = wl.rowsBetween(-(n - 1), 0)
+      (max(col("high")).over(wf) + min(col("low")).over(wf)) / 2.0
+    }
+    val cnt = count(lit(1)).over(wl.rowsBetween(-(baseN - 1), 0))
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .withColumn("conversion", mid(convN))
+      .withColumn("base", mid(baseN))
+      .withColumn("span_a_now", (col("conversion") + col("base")) / 2.0)
+      .withColumn("span_b_now", mid(spanBN))
+      .withColumn("cnt", cnt)
+      .withColumn("span_a", lag(col("span_a_now"), baseN).over(wl))
+      .withColumn("span_b", lag(col("span_b_now"), baseN).over(wl))
+      .withColumn("lagging_close", lead(col("close"), baseN).over(wl))
+      .where(col("cnt") === baseN)
+      .select(col("symbol"), col("bucket_ts"), col("close"),
+        round(col("conversion"), 6).as("conversion"),
+        round(col("base"), 6).as("base"),
+        round(col("span_a"), 6).as("span_a"),
+        round(col("span_b"), 6).as("span_b"),
+        col("lagging_close"))
+  }
+
   /** CUSUM changepoint screen over standardized returns: the classic
     * drift detector (persistent small shifts that a z-score screen
     * misses). Per symbol: returns standardized against the symbol's FULL

@@ -67,6 +67,30 @@ object Events {
       .withColumn("bounce_rate",
         round(col("n_bounces").cast("double") / col("n_sessions"), 6))
 
+  /** DAU/MAU stickiness per day: daily actives over trailing-30-day
+    * actives — the engagement-depth ratio. One materialized DISTINCT
+    * (day, user) frame feeds both counts; the trailing count uses the
+    * same bounded explode as `rollingActiveUsers` (≤30 rows per distinct
+    * pair, never a sliding COUNT(DISTINCT)).
+    */
+  def stickiness(events: DataFrame, longDays: Int = 30): DataFrame = {
+    val du = graft.core.Materialize.once(events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct())
+    val mx = du.agg(max(col("day")).as("max_day"))
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = du.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr(s"INTERVAL ${longDays - 1} DAY"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(broadcast(mx))
+      .where(col("day") <= col("max_day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   /** Most common session-opening journeys: each session's first `depth`
     * event types joined into a path string, counted corpus-wide, top-N by
     * frequency (path tiebreak). Rides on Sessionize.labeled — the path

@@ -219,6 +219,23 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("ichimoku midpoints bound by the envelope; stickiness is a valid ratio") {
+    val candles = graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
+    val i = graft.ohlcv.Analytics.ichimoku(candles)
+    assert(i.count() > 0)
+    // conversion (9-bucket midpoint) can never leave the 26-bucket hull
+    // that bounds base; both are always present on emitted rows
+    assert(i.where(col("conversion").isNull || col("base").isNull).isEmpty)
+    val st = graft.ops.Events.stickiness(graft.core.Tables.events(spark, Sf0001))
+      .select(col("dau"), col("mau"), col("stickiness"))
+      .as[(Long, Long, Double)].collect()
+    assert(st.nonEmpty)
+    st.foreach { case (dau, mau, r) =>
+      assert(dau <= mau && r > 0.0 && r <= 1.0)
+    }
+  }
+
   test("cusum: one-sided sums keep their sign and breach flags are consistent") {
     val c = graft.ohlcv.Analytics.cusum(graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h")))
