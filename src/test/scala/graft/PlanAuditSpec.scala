@@ -64,6 +64,14 @@ class PlanAuditSpec extends SparkSpec {
       "corpus must not be re-scanned past the signature cut\n" + p)
   }
 
+  test("containment pairs read the one materialized signature scan") {
+    val p = planOf("containment_pairs")
+    assert(p.contains("Scan ExistingRDD"),
+      "materialized signature+shingle RDD expected in plan\n" + p)
+    assert(!p.contains("FileScan"),
+      "corpus must not be re-scanned past the signature cut\n" + p)
+  }
+
   test("contamination/anomaly stats broadcast and their base scans materialize once") {
     // benchmark shingle set and per-symbol moments are dim-scale: both
     // queries must broadcast them, and their shared base frame (shingle
