@@ -45,12 +45,87 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-4 second-pass families: distributed
+    * NTILE (ops.Rank), asymmetric containment, PQ encode/search, rolling
+    * distinct reach, session journeys. Run:
+    * `runMain graft.tools.ScaleProbe newops`.
+    */
+  private def newOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val orders = (0 until k).map { i =>
+        Tables.table(spark, dir, "orders").select(
+          (col("o_orderkey") + lit(i * 1000000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(i * 1000000L)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _).cache()
+      orders.count()
+      time(s"global_ntile x$k (${15000 * k} custs)") {
+        val spend = orders.groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("spend"))
+        graft.ops.Rank.withNtile(spend, 4,
+          Seq(col("spend").desc, col("custkey"))).count()
+      }
+      orders.unpersist()
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      docs.count()
+      time(s"containment_pairs x$k (${5000 * k} docs)") {
+        graft.ops.Dedup.containmentPairs(docs).count()
+      }
+      docs.unpersist()
+      val emb = (0 until k).map { i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).cache()
+      emb.count()
+      time(s"pq_encode x$k (${2000 * k} vecs)") {
+        graft.ops.Ivf.pqEncode(emb).count()
+      }
+      time(s"pq_search x$k") {
+        graft.ops.Ivf.pqSearch(emb, emb.where(col("vec_id") < 10), 5).count()
+      }
+      emb.unpersist()
+      val events = (0 until k).map { i =>
+        Tables.events(spark, dir).select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _).cache()
+      events.count()
+      time(s"active_users_7d x$k (${120000 * k} events)") {
+        graft.ops.Events.rollingActiveUsers(events).count()
+      }
+      time(s"session_paths x$k") {
+        graft.ops.Events.sessionPaths(events).count()
+      }
+      events.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // events.parquet stores TIMESTAMP(NANOS): same setting Verify/Bench use
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("recall")) { recallCurves(spark); spark.stop(); return }
+    if (args.contains("newops")) { newOpsCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
     def amplifyDocs(k: Int): DataFrame = {
