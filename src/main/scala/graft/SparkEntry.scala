@@ -680,6 +680,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.charEntropy(Tables.table(s, dir, "documents"))),
     "zipf_fit" -> ((s, dir) =>
       graft.ops.TextAnalysis.zipfFit(Tables.table(s, dir, "documents"))),
+    "heavy_hitters" -> ((s, dir) =>
+      graft.ops.TextAnalysis.heavyHitters(Tables.table(s, dir, "documents"))),
     "decontaminate" -> ((s, dir) =>
       graft.ops.TextAnalysis.decontaminate(Tables.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) =>
@@ -1451,6 +1453,13 @@ object SparkEntry {
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), terms), (acc, x) -> acc + x) / " +
         "ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits " +
         "FROM l JOIN t ON l.doc_id = t.doc_id JOIN dd ON dd.doc_id = l.doc_id"),
+    "heavy_hitters" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+        "wf AS (SELECT term FROM w WHERE term <> ''), " +
+        "tot AS (SELECT count(*) AS n FROM wf), " +
+        "ex AS (SELECT term, count(*) AS freq FROM wf GROUP BY 1) " +
+        "SELECT term, freq, TRUE AS found, TRUE AS bounds_ok FROM ex, tot " +
+        "WHERE freq > CAST(n AS DOUBLE) / 32"),
     "zipf_fit" ->
       ("WITH w AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
         "tc AS (SELECT term, count(*) AS freq FROM w WHERE term <> '' GROUP BY 1), " +

@@ -393,6 +393,38 @@ object TextAnalysis {
           .as("intercept"))
   }
 
+  /** Corpus heavy hitters via the MERGEABLE Misra–Gries sketch
+    * (functions.MisraGries): map tasks shrink their partitions to ≤ k−1
+    * counters before the shuffle — the sketch path for "top boilerplate
+    * tokens over 100 TB" where exact term counts would shuffle the whole
+    * vocabulary. Estimates are merge-order-dependent (inherent to MG), so
+    * the oracled surface is the GUARANTEE: for every term with true
+    * frequency > n/k, the sketch contains it (`found`) with
+    * true − n/k ≤ estimate ≤ true (`bounds_ok`) — both provably always
+    * true, checked per true-heavy term (the approx_distinct pattern).
+    * The exact side exists for the contract only; the operator a 100 TB
+    * job runs is the one-row sketch aggregation.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val terms = graft.core.Materialize.once(
+      docs.select(explode(words(col("text"))).as("term"))
+        .where(col("term") =!= ""))
+    val agg = udaf(new graft.functions.MisraGries(k), ExpressionEncoder[String]())
+    val sketch = terms.agg(agg(col("term")).as("mg"))
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val tot = terms.agg(count(lit(1)).as("n"))
+    val est = element_at(col("mg"), col("term"))
+    exact.crossJoin(broadcast(tot))
+      .where(col("freq") > col("n") / k)
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), col("freq"),
+        est.isNotNull.as("found"),
+        (coalesce(est, lit(0L)) <= col("freq") &&
+          coalesce(est, lit(0L)).cast("double") >=
+            col("freq") - col("n") / k).as("bounds_ok"))
+  }
+
   /** Train/test decontamination as a TRANSFORM (contaminationCheck is the
     * report): drops corpus docs whose benchmark shingle containment
     * reaches `threshold`, keeping zero-hit and sub-shingle docs. Same

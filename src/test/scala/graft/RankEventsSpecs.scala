@@ -236,6 +236,34 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("misra-gries guarantee holds on random skewed streams under any partitioning") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val k = 16
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish skew: low ids dominate — guarantees some true heavy hitters
+      val stream = (0 until 2000).map { _ =>
+        s"t${(math.sqrt(rnd.nextInt(400)).toInt)}"
+      }
+      val n = stream.length
+      val exact = stream.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val heavy = exact.filter(_._2 > n.toDouble / k)
+      assert(heavy.nonEmpty, "test stream must contain true heavy hitters")
+      for (parts <- Seq(1, 3, 7)) {
+        val df = stream.toDF("term").repartition(parts)
+        val agg = udaf(new graft.functions.MisraGries(k), ExpressionEncoder[String]())
+        val m = df.agg(agg(col("term")).as("mg"))
+          .head().getMap[String, Long](0)
+        heavy.foreach { case (t, f) =>
+          val est = m.get(t)
+          assert(est.isDefined, s"seed=$seed parts=$parts lost heavy hitter $t ($f)")
+          assert(est.get <= f && est.get >= f - n.toDouble / k,
+            s"seed=$seed parts=$parts bounds violated for $t: est=${est.get} true=$f")
+        }
+      }
+    }
+  }
+
   test("cusum: one-sided sums keep their sign and breach flags are consistent") {
     val c = graft.ohlcv.Analytics.cusum(graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h")))
