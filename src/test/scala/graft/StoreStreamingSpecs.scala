@@ -884,3 +884,33 @@ class StreamingCusumSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingHeavyHittersSpec extends SparkSpec {
+  test("stream-merged sketch keeps the n/k guarantee across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 16
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 3000).map(_ => s"t${math.sqrt(rnd.nextInt(400)).toInt}")
+    val ms = MemoryStream[String]
+    val (q, tracker) = graft.streaming.StreamingHeavyHitters.run(
+      ms.toDF.toDF("term"), k)
+    try {
+      // three uneven batch splits
+      ms.addData(stream.slice(0, 500): _*); q.processAllAvailable()
+      ms.addData(stream.slice(500, 2200): _*); q.processAllAvailable()
+      ms.addData(stream.slice(2200, 3000): _*); q.processAllAvailable()
+      val n = stream.length
+      assert(tracker.n == n)
+      val exact = stream.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val heavy = exact.filter(_._2 > n.toDouble / k)
+      assert(heavy.nonEmpty)
+      heavy.foreach { case (t, f) =>
+        val est = tracker.sketch.get(t)
+        assert(est.isDefined, s"lost heavy hitter $t ($f)")
+        assert(est.get <= f && est.get >= f - n.toDouble / k,
+          s"bounds violated for $t: est=${est.get} true=$f")
+      }
+    } finally q.stop()
+  }
+}
