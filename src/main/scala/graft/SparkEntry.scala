@@ -446,6 +446,29 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n"))
     }),
+    "supplier_nation_revenue" -> ((s, dir) => {
+      // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
+      // only for the final aggregation — q5's sibling covering the two
+      // otherwise-unused dimension tables
+      val li = Tables.table(s, dir, "lineitem")
+      li.join(broadcast(Tables.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+    }),
+    "brand_revenue" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      Tables.table(s, dir, "lineitem")
+        .join(broadcast(Tables.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(revenue.as("revenue"),
+          sum(col("l_quantity").cast(d)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
     "rollup_sales" -> ((s, dir) => {
       val d = DecimalType(18, 2)
       Tables.table(s, dir, "lineitem")
@@ -1375,6 +1398,15 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"),
+    "supplier_nation_revenue" ->
+      (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
+        "count(DISTINCT s_suppkey) AS n_suppliers " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1"),
+    "brand_revenue" ->
+      (s"SELECT p_brand, $RevenueSql AS revenue, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"),
     "rollup_sales" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
