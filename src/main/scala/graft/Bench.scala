@@ -35,7 +35,13 @@ object Bench {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Query boundary: drop this query's localCheckpoint blocks. Without
+        // this the 125-query session accumulates every query's materialized
+        // frames (MEMORY_AND_DISK) and late-alphabet queries run under
+        // eviction pressure — the round-4 dedup_minhash/simhash regression.
+        graft.core.Materialize.release(spark)
+        dt
       }
       System.err.println(f"[bench] $name%-20s ${times.map(t => f"$t%.2f").mkString(" ")} s")
       name -> times.last
@@ -55,6 +61,13 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // file copy is best-effort
     println(line)
+    // The driver's bounded stdout tail keeps the LAST line; the full line
+    // above leads with the total and grows left-truncated as the query map
+    // widens (BENCH_r04 lost the total + 39 queries). Emit a final compact
+    // summary — total + the 15 heaviest queries — that always survives.
+    val heavy = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top":$heavy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

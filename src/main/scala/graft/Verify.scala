@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Option.empty[Set[String]])
       case Array(a, b, f) => (a, b, Some(f.split(",").toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [onlyCsv]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -39,6 +42,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Query boundary: drop this query's localCheckpoint blocks so the
+      // 125-query session doesn't accumulate every pipeline's materialized
+      // frames (the round-4 dedup_minhash/simhash regression).
+      finally graft.core.Materialize.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
