@@ -268,6 +268,19 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_")
     }),
+    "asof_join_sql" -> ((s, dir) => {
+      // the SQL surface itself: the SAME statement the DuckDB oracle runs,
+      // parsed by GraftSqlParser and planned onto the native AsofJoinExec
+      // (requires a GraftExtensions session — Verify/Bench/GraftSession
+      // all build one)
+      Graft.registerViews(s, dir)
+      s.sql(
+        "WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+          "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+          "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+          "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+          "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+    }),
     "asof_join_left" -> ((s, dir) => {
       // ASOF LEFT JOIN: purchases with no prior click stay visible with
       // null click columns (the attribution shape where "no touchpoint
@@ -1264,6 +1277,12 @@ object SparkEntry {
         "row_number() OVER (ORDER BY spend DESC, custkey) AS spend_rank, " +
         "CAST(ntile(4) OVER (ORDER BY spend DESC, custkey) AS BIGINT) AS quartile FROM sp"),
     "asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "asof_join_sql" ->
       ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
         "SELECT p.event_id, p.user_id, p.ts, p.value, " +

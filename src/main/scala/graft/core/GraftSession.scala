@@ -10,6 +10,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native expressions, the as-of planner strategy, and the
+      // ASOF [LEFT] JOIN SQL syntax (parser + resolution rule)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => CanonicalizeCosine)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // ASOF [LEFT] JOIN SQL syntax (the form the DuckDB oracle itself
+    // writes): parser strips the keyword and plants a marker node, the
+    // resolution rule swaps it for the native AsofJoinNode
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => ResolveAsofJoin)
   }
 }

@@ -75,3 +75,89 @@ class TradeSourceSpec extends SparkSpec {
     assert(fromJson.where(col("symbol") === "BTC").head().getAs[Double]("price") == 100.5)
   }
 }
+
+/** The ASOF [LEFT] JOIN SQL syntax (round-5 verdict task #3): the exact
+  * statements the DuckDB oracle runs must parse in a GraftExtensions
+  * session, plan onto the native AsofJoinExec, and match the DataFrame
+  * API result row-for-row.
+  */
+class AsofSqlSpec extends SparkSpec {
+  import graft.operators.AsofJoin
+
+  private def purchases = {
+    val e = graft.core.Tables.events(spark, Sf0001)
+    e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+  }
+  private def clicks = {
+    val e = graft.core.Tables.events(spark, Sf0001)
+    e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+  }
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private val asofSql =
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value
+      |FROM p %s c ON p.user_id = c.user_id AND %s""".stripMargin
+
+  test("ASOF JOIN parses, plans onto AsofJoinExec, and matches joinNative") {
+    Graft.registerViews(spark, Sf0001)
+    val viaSql = spark.sql(asofSql.format("ASOF JOIN", "p.ts >= c.ts"))
+    viaSql.count()
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "SQL ASOF JOIN must plan onto the native operator")
+    val viaApi = AsofJoin.joinNative(purchases, clicks, "user_id", "ts", "ts", "click_")
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("ASOF LEFT JOIN preserves unmatched lefts; operand order may flip") {
+    Graft.registerViews(spark, Sf0001)
+    // c.ts <= p.ts is the same backward join written right-side-first
+    val viaSql = spark.sql(asofSql.format("ASOF LEFT JOIN", "c.ts <= p.ts"))
+    val viaApi = AsofJoin.joinNative(purchases, clicks, "user_id", "ts", "ts",
+      "click_", leftOuter = true)
+    assert(viaSql.count() == purchases.count())
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("forward direction from p.ts <= c.ts") {
+    Graft.registerViews(spark, Sf0001)
+    val viaSql = spark.sql(asofSql.format("ASOF JOIN", "p.ts <= c.ts"))
+    val viaApi = AsofJoin.joinNative(purchases, clicks, "user_id", "ts", "ts",
+      "click_", forward = true)
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("strict inequality and ambiguous statements are rejected loudly") {
+    Graft.registerViews(spark, Sf0001)
+    val strict = intercept[Exception] {
+      spark.sql(asofSql.format("ASOF JOIN", "p.ts > c.ts")).count()
+    }
+    assert(strict.getMessage.contains("strict"))
+    // an extra predicate breaks the one-eq + one-ineq shape => loud reject,
+    // not a silent plain-join fallback
+    val extra = intercept[Exception] {
+      spark.sql(asofSql.format("ASOF JOIN",
+        "p.ts >= c.ts AND p.value > 0")).count()
+    }
+    assert(extra.getMessage.contains("ASOF"))
+  }
+
+  test("non-ASOF SQL is untouched, including string literals saying ASOF JOIN") {
+    Graft.registerViews(spark, Sf0001)
+    // inequality join WITHOUT the keyword stays a plain join
+    val plain = spark.sql(
+      """SELECT count(*) AS n FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND a.ts >= b.ts
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'click'""".stripMargin)
+    assert(!plain.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    assert(plain.head().getLong(0) > 0)
+    // a literal containing the keyword is data, not syntax
+    val lit = spark.sql("SELECT 'ASOF JOIN c' AS s").head().getString(0)
+    assert(lit == "ASOF JOIN c")
+  }
+}
