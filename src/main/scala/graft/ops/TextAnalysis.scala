@@ -331,28 +331,54 @@ object TextAnalysis {
     * cheap gibberish/encoding-junk detector (natural prose sits ~4 bits;
     * base64 blobs and single-char spam sit far off). Entirely map-only
     * higher-order functions inside WholeStageCodegen: one split per row,
-    * then an `aggregate` fold over the SORTED distinct chars so the
-    * floating sum has one fixed association order the oracle replays
-    * exactly (ln-based terms, one ln(2) division at the end). Zero
+    * one array_sort, then ONE run-length-counting fold over the sorted
+    * chars — O(n log n) per doc (a 10 MB wide-alphabet doc is fine; the
+    * previous distinct×filter formulation was O(distinct · n)). Each
+    * run's term −p·ln(p) is accumulated when the run CLOSES, i.e. in
+    * sorted-distinct-char order — the same fixed association order as
+    * before, so the floating sum is bit-identical and the oracle replays
+    * it exactly (ln-based terms, one ln(2) division at the end). Zero
     * shuffle at any corpus scale.
     */
-  def charEntropy(docs: DataFrame): DataFrame =
+  def charEntropy(docs: DataFrame): DataFrame = {
+    // −p·ln(p) term for a closed run of `run` identical chars
+    def term(run: Column, n: Column) = {
+      val p = run.cast("double") / n.cast("double")
+      p * log(p)
+    }
     docs.where(length(col("text")) > 0)
       // Java's split(pattern, -1) keeps a trailing empty match on an empty
       // pattern; DuckDB's string_split doesn't — drop it on our side
       .select(col("doc_id"),
         filter(split(col("text"), ""), x => x =!= "").as("cs"))
       .withColumn("n", size(col("cs")))
-      .withColumn("ent_nats",
-        aggregate(array_sort(array_distinct(col("cs"))), lit(0.0),
-          (acc, ch) => {
-            val p = size(filter(col("cs"), x => x === ch)).cast("double") /
-              col("n").cast("double")
-            acc - p * log(p)
-          }))
+      .withColumn("st",
+        aggregate(array_sort(col("cs")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc"),
+            lit(0L).as("distinct")),
+          (st, ch) => {
+            val same = ch === st.getField("prev")
+            struct(
+              ch.as("prev"),
+              when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+              // close the previous run on a char change
+              when(same, st.getField("acc")).otherwise(
+                when(st.getField("run") > 0L,
+                  st.getField("acc") - term(st.getField("run"), col("n")))
+                  .otherwise(st.getField("acc"))).as("acc"),
+              when(same, st.getField("distinct"))
+                .otherwise(st.getField("distinct") + 1L).as("distinct"))
+          },
+          // close the final run
+          st => struct(
+            when(st.getField("run") > 0L,
+              st.getField("acc") - term(st.getField("run"), col("n")))
+              .otherwise(st.getField("acc")).as("ent_nats"),
+            st.getField("distinct").as("distinct"))))
       .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-        size(array_distinct(col("cs"))).cast("long").as("n_distinct_chars"),
-        round(col("ent_nats") / log(lit(2.0)), 6).as("entropy_bits"))
+        col("st.distinct").as("n_distinct_chars"),
+        round(col("st.ent_nats") / log(lit(2.0)), 6).as("entropy_bits"))
+  }
 
   /** Zipf's-law fit over the corpus's top-`topN` term frequencies:
     * least-squares slope/intercept of ln(freq) on ln(rank) — the classic
@@ -406,12 +432,10 @@ object TextAnalysis {
     * job runs is the one-row sketch aggregation.
     */
   def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val terms = graft.core.Materialize.once(
       docs.select(explode(words(col("text"))).as("term"))
         .where(col("term") =!= ""))
-    val agg = udaf(new graft.functions.MisraGries(k), ExpressionEncoder[String]())
-    val sketch = terms.agg(agg(col("term")).as("mg"))
+    val sketch = sketchOfTerms(terms, k)
     val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
     val tot = terms.agg(count(lit(1)).as("n"))
     val est = element_at(col("mg"), col("term"))
@@ -423,6 +447,24 @@ object TextAnalysis {
         (coalesce(est, lit(0L)) <= col("freq") &&
           coalesce(est, lit(0L)).cast("double") >=
             col("freq") - col("n") / k).as("bounds_ok"))
+  }
+
+  /** The sketch-only heavy-hitters entry point — what a 100 TB job calls.
+    * One row, one `mg` map column of ≤ k−1 (term → estimate) counters;
+    * shuffle volume is O(k · partitions) (each map task ships one ≤(k−1)-
+    * entry summary to a single reducer), NOT the full-vocabulary shuffle
+    * the exact side of [[heavyHitters]] pays. That oracled query remains
+    * the verification harness for this operator's guarantee.
+    */
+  def heavyHittersSketch(docs: DataFrame, k: Int = 32): DataFrame =
+    sketchOfTerms(
+      docs.select(explode(words(col("text"))).as("term"))
+        .where(col("term") =!= ""), k)
+
+  private def sketchOfTerms(terms: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = udaf(new graft.functions.MisraGries(k), ExpressionEncoder[String]())
+    terms.agg(agg(col("term")).as("mg"))
   }
 
   /** Train/test decontamination as a TRANSFORM (contaminationCheck is the

@@ -4,6 +4,7 @@ import graft.functions.MisraGries
 import org.apache.spark.sql.{DataFrame, Row, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import scala.collection.mutable
 
 /** Live corpus heavy hitters — the streaming sibling of
   * TextAnalysis.heavyHitters. Each micro-batch aggregates DISTRIBUTED
@@ -15,6 +16,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * after any number of batches, every term with total frequency > n/k is
   * present with total − n/k ≤ estimate ≤ total (guarantee spec-pinned
   * across batch splits).
+  *
+  * RECOVERY SEMANTICS: foreachBatch is at-least-once, so after a failure
+  * the last uncommitted micro-batch can replay — the tracker records the
+  * last absorbed batchId and skips replays, keeping absorption
+  * exactly-once WITHIN a tracker's lifetime. The tracker itself is
+  * driver-memory state: a checkpoint restart resumes the QUERY from the
+  * next unprocessed batch but the new Tracker starts EMPTY — the
+  * whole-stream n/k guarantee then covers only post-restart data. A
+  * deployment that must survive driver loss should persist
+  * `tracker.sketch`/`tracker.n` periodically and seed a new tracker via
+  * `absorbSnapshot` (sketches merge, so a saved sketch is a valid
+  * summary of everything before the save).
   */
 object StreamingHeavyHitters {
 
@@ -23,21 +36,46 @@ object StreamingHeavyHitters {
     */
   final class Tracker(k: Int) {
     private val mg = new MisraGries(k)
-    @volatile private var state: Map[String, Long] = Map.empty
+    private val state = mutable.HashMap.empty[String, Long]
+    @volatile private var snapshot: Map[String, Long] = Map.empty
     @volatile private var total: Long = 0L
+    @volatile private var lastBatchId: Long = -1L
 
-    private[streaming] def absorb(batchSketch: Map[String, Long], batchN: Long): Unit =
+    /** Merge one micro-batch summary; idempotent on batchId so an
+      * at-least-once replay of the same batch is absorbed once.
+      */
+    private[graft] def absorb(batchId: Long, batchSketch: Map[String, Long],
+                                  batchN: Long): Unit =
       synchronized {
-        state = mg.merge(state, batchSketch)
-        total += batchN
+        if (batchId > lastBatchId) {
+          lastBatchId = batchId
+          mg.merge(state, mutable.HashMap(batchSketch.toSeq: _*))
+          snapshot = state.toMap
+          total += batchN
+        }
       }
 
-    def sketch: Map[String, Long] = state
-    def n: Long = total
-    /** Terms whose estimate clears the n/k fence (superset of the true
-      * heavy hitters by the MG guarantee uses estimate+n/k ≥ true).
+    /** Seed from a persisted (sketch, n) snapshot — the recovery path for
+      * a restarted driver (see object scaladoc). Not batchId-guarded: a
+      * snapshot is not a micro-batch.
       */
-    def candidates: Seq[(String, Long)] = state.toSeq.sortBy { case (t, c) => (-c, t) }
+    def absorbSnapshot(savedSketch: Map[String, Long], savedN: Long): Unit =
+      synchronized {
+        mg.merge(state, mutable.HashMap(savedSketch.toSeq: _*))
+        snapshot = state.toMap
+        total += savedN
+      }
+
+    def sketch: Map[String, Long] = snapshot
+    def n: Long = total
+    /** The full sketch, sorted by estimate desc (then term). Every entry
+      * is a candidate: the MG bound est ≤ true ≤ est + n/k means any
+      * surviving counter could belong to a true heavy hitter, so no
+      * estimate-threshold filter is sound for pruning — callers wanting
+      * only CONFIRMED hitters must rescan with the exact counts.
+      */
+    def candidates: Seq[(String, Long)] =
+      snapshot.toSeq.sortBy { case (t, c) => (-c, t) }
   }
 
   /** `terms`: a streaming single-column ("term") frame. Returns the
@@ -46,11 +84,11 @@ object StreamingHeavyHitters {
   def run(terms: DataFrame, k: Int = 32,
           checkpoint: Option[String] = None): (StreamingQuery, Tracker) = {
     val tracker = new Tracker(k)
-    val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
+    val sink: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       val agg = udaf(new MisraGries(k), ExpressionEncoder[String]())
       val row = batch.agg(agg(col("term")).as("mg"), count(lit(1)).as("n")).head()
-      tracker.absorb(Map(row.getMap[String, Long](0).toSeq: _*), row.getLong(1))
+      tracker.absorb(batchId, Map(row.getMap[String, Long](0).toSeq: _*), row.getLong(1))
     }
     val w = terms.writeStream.outputMode("append").foreachBatch(sink)
     (checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start(), tracker)

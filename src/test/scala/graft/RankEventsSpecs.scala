@@ -81,6 +81,30 @@ class RankEventsSpecs extends SparkSpec {
     assert(!p.contains("Exchange"), "char entropy must be map-only\n" + p)
   }
 
+  test("char entropy: single linearithmic pass matches the reference fold on a long wide-alphabet doc") {
+    // 1 MB doc, ~1000-char alphabet — the shape that made the old
+    // distinct×filter formulation O(distinct·n) burn a core; the sorted
+    // run-length fold must both finish fast and stay bit-compatible with
+    // the oracle's fixed association order (sorted distinct chars)
+    val rnd = new scala.util.Random(7)
+    val alphabet = (0 until 1000).map(i => (0x4E00 + i).toChar) // CJK block: 1-char strings
+    val text = new String(Array.fill(1 << 20)(alphabet(rnd.nextInt(alphabet.length))))
+    val e = graft.ops.TextAnalysis.charEntropy(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+    // reference: the documented fold — sorted distinct chars, acc − p·ln p
+    val counts = text.groupBy(identity).map { case (c, xs) => (c.toString, xs.length) }
+    val n = text.length.toDouble
+    var acc = 0.0
+    counts.keys.toSeq.sorted.foreach { c =>
+      val p = counts(c) / n; acc = acc - p * math.log(p)
+    }
+    val expected = BigDecimal(acc / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(e.getAs[Long]("n_chars") == text.length.toLong)
+    assert(e.getAs[Long]("n_distinct_chars") == counts.size.toLong)
+    assert(e.getAs[Double]("entropy_bits") == expected)
+  }
+
   test("macd recursion: hand-checked two-row series, one shuffle") {
     val candles = Seq(
       ("X", ts(T0), 10.0, 10.0, 10.0, 10.0, 1.0, 1L),
@@ -261,6 +285,37 @@ class RankEventsSpecs extends SparkSpec {
             s"seed=$seed parts=$parts bounds violated for $t: est=${est.get} true=$f")
         }
       }
+    }
+  }
+
+  test("heavyHittersSketch: sketch-only path, O(k·partitions) shuffle, guarantee holds") {
+    import graft.ops.TextAnalysis
+    val k = 16
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val sketchDf = TextAnalysis.heavyHittersSketch(docs, k)
+    // plan: two-phase object-hash aggregation whose only exchange is the
+    // SinglePartition gather of ≤(k−1)-entry partial sketches — the exact
+    // side's full-vocabulary hashpartitioning shuffle must NOT appear
+    sketchDf.count()
+    val plan = sketchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial"), "map-side partial sketch expected\n" + plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "sketch-only path must not shuffle the vocabulary\n" + plan)
+    val m = sketchDf.head().getMap[String, Long](0)
+    assert(m.size <= k - 1, s"MG sketch must hold at most k-1 counters, got ${m.size}")
+    // the n/k guarantee vs exact counts (the contract the oracled
+    // heavy_hitters query checks at sf0.01 — re-asserted here on the
+    // sketch-only entry point)
+    val exact = docs.select(explode(split(col("text"), "\\s+")).as("term"))
+      .where(col("term") =!= "").groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.filter(_._2 > n.toDouble / k).foreach { case (t, f) =>
+      val est = m.get(t)
+      assert(est.isDefined, s"sketch lost true heavy hitter $t ($f)")
+      assert(est.get <= f && est.get >= f - n.toDouble / k,
+        s"bounds violated for $t: est=${est.get} true=$f n=$n")
     }
   }
 

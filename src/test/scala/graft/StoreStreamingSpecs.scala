@@ -913,4 +913,23 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("tracker absorbs an at-least-once batch replay exactly once; snapshot seeding adds") {
+    val tracker = new graft.streaming.StreamingHeavyHitters.Tracker(8)
+    tracker.absorb(0L, Map("a" -> 10L, "b" -> 3L), 13L)
+    val (sketch0, n0) = (tracker.sketch, tracker.n)
+    // foreachBatch replay after a failure re-delivers the SAME batchId —
+    // must be a no-op, preserving the whole-stream n/k guarantee
+    tracker.absorb(0L, Map("a" -> 10L, "b" -> 3L), 13L)
+    assert(tracker.sketch == sketch0 && tracker.n == n0)
+    tracker.absorb(1L, Map("a" -> 2L), 2L)
+    assert(tracker.sketch("a") == 12L && tracker.n == 15L)
+    // recovery path: a persisted (sketch, n) snapshot merges in
+    val seeded = new graft.streaming.StreamingHeavyHitters.Tracker(8)
+    seeded.absorbSnapshot(tracker.sketch, tracker.n)
+    seeded.absorb(0L, Map("c" -> 5L), 5L) // fresh query restarts batch ids
+    assert(seeded.n == 20L && seeded.sketch("c") == 5L)
+    // candidates: full sketch, estimate-desc then term
+    assert(seeded.candidates == seeded.sketch.toSeq.sortBy { case (t, c) => (-c, t) })
+  }
 }
