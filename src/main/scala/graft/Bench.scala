@@ -32,31 +32,63 @@ object Bench {
       spark.range(100).write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp).count()
     }
+    // Process-CPU clock: lets a reader separate wall-time inflation caused
+    // by EXTERNAL box load (wall grows, this process's CPU doesn't) from a
+    // real regression (both grow) — the BENCH_r05 adjudication, made
+    // self-serving. Sum over all threads of this JVM, in seconds.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSec: Double = osBean.getProcessCpuTime / 1e9
+    val cpu0 = cpuSec
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Query boundary: drop this query's localCheckpoint blocks. Without
-        // this the 125-query session accumulates every query's materialized
-        // frames (MEMORY_AND_DISK) and late-alphabet queries run under
-        // eviction pressure — the round-4 dedup_minhash/simhash regression.
-        graft.core.Materialize.release(spark)
-        dt
+        // Scope + BLOCKING release at the query boundary: this query's
+        // localCheckpoint blocks are fully dropped before the next query's
+        // timer starts (async removal would overlap into — and inflate —
+        // the next measurement). Without any release the 126-query session
+        // accumulates every query's materialized frames (MEMORY_AND_DISK)
+        // and late-alphabet queries run under eviction pressure — the
+        // round-4 dedup_minhash/simhash regression.
+        graft.core.Materialize.inScope { scope =>
+          val c0 = cpuSec
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          val dc = cpuSec - c0
+          scope.release(spark, blocking = true)
+          (dt, dc)
+        }
       }
-      System.err.println(f"[bench] $name%-20s ${times.map(t => f"$t%.2f").mkString(" ")} s")
-      name -> times.last
+      System.err.println(f"[bench] $name%-20s ${times.map(t => f"${t._1}%.2f").mkString(" ")} s" +
+        f" (cpu ${times.last._2}%.2f s)")
+      (name, times.last._1, times.last._2)
     }
     // 4-decimal times keep the closing JSON line compact (BENCH_r03's
     // full-precision doubles overflowed the driver's bounded output tail
     // and truncated the per-query map); the same line is also written to a
     // file so the artifact survives any stdout capture limit.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // per-query process-CPU seconds (file artifact only — the stdout tail
+    // is size-bounded): wall >> cpu/ncpu on a query that was flat in r-1
+    // means box load, not regression
+    val cpuQs = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCpu = cpuSec - cpu0
+    val totalWall = (System.nanoTime() - wall0) / 1e9
+    // load signal: process CPU vs wall over the whole benched region, the
+    // box's core count, and the OS load average at close. util ≈ how many
+    // cores THIS process actually ran on; sys_load >> util ⇒ contended box.
+    val load =
+      s"""{"cpu_sec":${fmt(totalCpu)},"wall_sec":${fmt(totalWall)},""" +
+        s""""ncpu":${Runtime.getRuntime.availableProcessors},""" +
+        s""""util_cores":${fmt(totalCpu / math.max(totalWall, 1e-9))},""" +
+        s""""sys_load_avg":${fmt(osBean.getSystemLoadAverage)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"load":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
@@ -65,10 +97,11 @@ object Bench {
     // The driver's bounded stdout tail keeps the LAST line; the full line
     // above leads with the total and grows left-truncated as the query map
     // widens (BENCH_r04 lost the total + 39 queries). Emit a final compact
-    // summary — total + the 15 heaviest queries — that always survives.
+    // summary — total + load signal + the 15 heaviest queries — that
+    // always survives.
     val heavy = results.sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top":$heavy,"sf":"$sfDir"}""")
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load":$load,"top":$heavy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -314,6 +314,19 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", nearest = true)
     }),
+    "asof_join_near_sql" -> ((s, dir) => {
+      // the NEAREST SQL surface: same native single-sweep operator as
+      // asof_join_near, reached through GraftSqlParser's `ASOF NEAREST
+      // JOIN` extension syntax (the inequality only names the two ts
+      // columns; NEAREST overrides the direction)
+      Graft.registerViews(s, dir)
+      s.sql(
+        "WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+          "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') " +
+          "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+          "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
+          "FROM p ASOF NEAREST JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+    }),
     "gap_fill" -> ((s, dir) =>
       Analytics.gapFill(Candles.fromTrades(Tables.trades(s, dir), Tf1h), Tf1h.micros)),
     "gap_fill_linear" -> ((s, dir) =>
@@ -1128,7 +1141,7 @@ object SparkEntry {
           s"SELECT symbol, ret, CAST($l AS BIGINT) AS lag_n, l$l AS rlag FROM lg WHERE l$l IS NOT NULL")
           .mkString(" UNION ALL ") + ") " +
         "SELECT symbol, lag_n, count(*) AS n, round(corr(ret, rlag), 6) AS acf " +
-        "FROM st GROUP BY 1, 2"),
+        "FROM st GROUP BY 1, 2 HAVING count(*) > 1"),
     "hourly_profile" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}) " +
         "SELECT symbol, CAST(hour(bucket_ts) AS BIGINT) AS hour_of_day, count(*) AS n_buckets, " +
@@ -1301,6 +1314,24 @@ object SparkEntry {
         "c.user_id AS click_user_id, c.ts AS click_ts, c.value AS click_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"),
     "asof_join_near" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT p.event_id, c.user_id AS b_uid, c.ts AS b_ts, c.value AS b_val " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts), " +
+        "f AS (SELECT p.event_id, c.user_id AS f_uid, c.ts AS f_ts, c.value AS f_val " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts, p.value, b_uid, b_ts, b_val, f_uid, f_ts, f_val, " +
+        "(b_ts IS NOT NULL AND (f_ts IS NULL OR " +
+        "epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))) AS pick_b " +
+        "FROM p JOIN b ON b.event_id = p.event_id JOIN f ON f.event_id = p.event_id) " +
+        "SELECT event_id, user_id, ts, value, " +
+        "CASE WHEN pick_b THEN b_uid ELSE f_uid END AS click_user_id, " +
+        "CASE WHEN pick_b THEN b_ts ELSE f_ts END AS click_ts, " +
+        "CASE WHEN pick_b THEN b_val ELSE f_val END AS click_value " +
+        "FROM j WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL"),
+    // DuckDB has no NEAREST variant, so the oracle replays nearest as the
+    // same two-directional ASOF LEFT JOIN distance pick as asof_join_near
+    "asof_join_near_sql" ->
       ("WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
         "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), " +
         "b AS (SELECT p.event_id, c.user_id AS b_uid, c.ts AS b_ts, c.value AS b_val " +

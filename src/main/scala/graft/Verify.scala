@@ -44,9 +44,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Query boundary: drop this query's localCheckpoint blocks so the
-      // 125-query session doesn't accumulate every pipeline's materialized
-      // frames (the round-4 dedup_minhash/simhash regression).
-      finally graft.core.Materialize.release(spark)
+      // 126-query session doesn't accumulate every pipeline's materialized
+      // frames (the round-4 dedup_minhash/simhash regression). releaseAll
+      // is safe here because this loop runs queries strictly serialized.
+      finally graft.core.Materialize.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

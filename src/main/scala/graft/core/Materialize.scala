@@ -3,6 +3,18 @@ package graft.core
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
+/** A release handle for the checkpoint blocks materialized by ONE query:
+  * every [[Materialize.once]]/[[Materialize.cut]] executed inside
+  * [[Materialize.inScope]] tags its block with the active scope, and
+  * `release` drops exactly that scope's blocks — concurrent queries in
+  * the same session never touch each other's in-flight materializations.
+  */
+final class MatScope private[core] (private[core] val id: Long) {
+  /** Unpersist this scope's tracked blocks (only — see class doc). */
+  def release(spark: SparkSession, blocking: Boolean = false): Unit =
+    Materialize.releaseScope(spark, this, blocking)
+}
+
 /** Lineage cuts for multi-branch / iterative reuse — the single source of
   * truth for the engine's materialization policy (see BENCH_NOTES round-3
   * ledger for the measured comparison vs DataFrame persist and eager
@@ -15,16 +27,25 @@ import org.apache.spark.sql.execution.LogicalRDD
   * checkpoints store raw UnsafeRows — unlike DataFrame persist, which
   * pays InMemoryRelation's columnar-compression CPU.
   *
-  * Every cut is recorded in a session-lifetime registry so callers can
-  * RELEASE the storage when the query that created it finishes:
-  * local-checkpoint blocks are MEMORY_AND_DISK-persisted RDDs, and a
-  * long-lived session (a notebook, a query service, the 125-query bench
-  * loop) that never unpersists them accumulates every pipeline's
+  * Every cut is recorded in a registry keyed by (applicationId, scope) so
+  * callers can RELEASE the storage when the query that created it
+  * finishes: local-checkpoint blocks are MEMORY_AND_DISK-persisted RDDs,
+  * and a long-lived session (a notebook, a query service, the 126-query
+  * bench loop) that never unpersists them accumulates every pipeline's
   * materialized frames until memory pressure evicts working sets to disk
-  * under unrelated queries. Call [[release]] at each query boundary.
+  * under unrelated queries.
   *
-  * CONTRACT: a localCheckpoint truncates lineage, so after `release()`
-  * the data of previously-returned materialized frames is gone for good —
+  * Concurrency contract: wrap each query in [[inScope]] and release its
+  * [[MatScope]] at that query's boundary — scoped release never drops
+  * another in-flight query's blocks. [[releaseAll]] (everything tracked)
+  * is ONLY safe when queries are strictly serialized, as in the bench /
+  * verify loops. Blocks are keyed by applicationId, so ids tracked under
+  * a stopped SparkContext can never unpersist an unrelated RDD that
+  * happens to reuse the id in a NEW context (stale entries are pruned on
+  * the next release against the live context).
+  *
+  * CONTRACT: a localCheckpoint truncates lineage, so after release the
+  * data of previously-returned materialized frames is gone for good —
   * any further action on one of them fails. Release only at a boundary
   * where the query's outputs have been fully consumed (collected /
   * written / counted). Reliable checkpoints (cluster mode) keep their
@@ -33,16 +54,38 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Materialize {
 
-  /** RDD ids of every checkpoint block this registry has handed out and
-    * not yet released. Ids only — holding the RDD objects themselves
-    * would be its own driver-side leak.
+  /** One tracked checkpoint block: the owning context's applicationId,
+    * the scope that cut it (0 = default/unscoped), and the RDD id. Ids
+    * only — holding the RDD objects themselves would be its own
+    * driver-side leak.
     */
-  private val trackedIds = scala.collection.mutable.LinkedHashSet[Int]()
+  private final case class Tracked(appId: String, scopeId: Long, rddId: Int)
+
+  private val tracked = scala.collection.mutable.LinkedHashSet[Tracked]()
+  private val nextScopeId = new java.util.concurrent.atomic.AtomicLong(1L)
+  // thread-local active scope: queries build their plans (and run their
+  // iterative driver loops) on the calling thread, so a dynamic variable
+  // scopes every once()/cut() a query executes without threading a token
+  // through the operator APIs
+  private val activeScope = new scala.util.DynamicVariable[Long](0L)
+
+  /** Run `body` with a fresh scope active: every once()/cut() it executes
+    * (directly or via any graft operator) tags its blocks with the scope,
+    * and `body` receives the [[MatScope]] handle to release them when the
+    * query's outputs are consumed.
+    */
+  def inScope[T](body: MatScope => T): T = {
+    val scope = new MatScope(nextScopeId.getAndIncrement())
+    activeScope.withValue(scope.id)(body(scope))
+  }
 
   private def track(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => trackedIds.synchronized { trackedIds += lr.rdd.id }
-      case _              => () // reliable checkpoint → no persisted block
+      case lr: LogicalRDD =>
+        val t = Tracked(df.sparkSession.sparkContext.applicationId,
+          activeScope.value, lr.rdd.id)
+        tracked.synchronized { tracked += t }
+      case _ => () // reliable checkpoint → no persisted block
     }
     df
   }
@@ -67,17 +110,51 @@ object Materialize {
     * the bench loop asserts this returns to zero between queries.
     */
   def liveBlockCount(spark: SparkSession): Int = {
+    val appId = spark.sparkContext.applicationId
     val persisted = spark.sparkContext.getPersistentRDDs
-    trackedIds.synchronized { trackedIds.count(persisted.contains) }
+    tracked.synchronized {
+      tracked.count(t => t.appId == appId && persisted.contains(t.rddId))
+    }
   }
 
-  /** Unpersist every tracked checkpoint block and clear the registry.
-    * Non-blocking by default — the BlockManager drops the blocks
-    * asynchronously, which is what a query boundary wants.
+  /** Live tracked blocks belonging to one scope. */
+  def liveBlockCount(spark: SparkSession, scope: MatScope): Int = {
+    val appId = spark.sparkContext.applicationId
+    val persisted = spark.sparkContext.getPersistentRDDs
+    tracked.synchronized {
+      tracked.count(t => t.appId == appId && t.scopeId == scope.id &&
+        persisted.contains(t.rddId))
+    }
+  }
+
+  /** Unpersist ONE scope's blocks (plus prune entries of stopped
+    * contexts). Safe with other queries in flight — their scopes' blocks
+    * stay live.
     */
-  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
-    val ids = trackedIds.synchronized {
-      val snapshot = trackedIds.toVector; trackedIds.clear(); snapshot
+  private[core] def releaseScope(spark: SparkSession, scope: MatScope,
+                                 blocking: Boolean): Unit =
+    releaseWhere(spark, _.scopeId == scope.id, blocking)
+
+  /** Unpersist EVERY tracked block of the live context and clear the
+    * registry. Only safe when queries are strictly serialized (bench /
+    * verify loops): with two queries in flight this destroys the other
+    * query's in-flight blocks, whose truncated lineage cannot recompute.
+    */
+  def releaseAll(spark: SparkSession, blocking: Boolean = false): Unit =
+    releaseWhere(spark, _ => true, blocking)
+
+  private def releaseWhere(spark: SparkSession, pred: Tracked => Boolean,
+                           blocking: Boolean): Unit = {
+    val appId = spark.sparkContext.applicationId
+    val ids = tracked.synchronized {
+      // a JVM runs at most one active SparkContext, so entries under any
+      // other appId belong to a stopped context: drop them (their blocks
+      // died with the context; unpersisting by id here could hit an
+      // unrelated RDD of the live context that reuses the id)
+      val live = tracked.filter(_.appId == appId)
+      val (mine, keep) = live.partition(pred)
+      tracked.clear(); tracked ++= keep
+      mine.toVector.map(_.rddId)
     }
     val persisted = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking)))

@@ -522,7 +522,10 @@ object Analytics {
             col(s"acf_l$l").as("acf"))): _*)).as("e"))
       .select(col("symbol"), col("e.lag_n").as("lag_n"), col("e.n").as("n"),
         col("e.acf").as("acf"))
-      .where(col("n") > 0)
+      // n > 1: a single lag pair has zero variance, where Spark's corr
+      // yields NaN but SQL engines yield NULL — a divergence waiting for a
+      // 2-return-row symbol. One pair carries no correlation signal anyway.
+      .where(col("n") > 1)
   }
 
   /** Time-of-day seasonality profile: per (symbol, hour-of-day) trading

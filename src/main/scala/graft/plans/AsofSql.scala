@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SQL surface for the native as-of join — the `ASOF JOIN` / `ASOF LEFT
   * JOIN` syntax DuckDB users write (and this repo's own oracle SQL uses,
-  * see SparkEntry.oracleSql "asof_join"), planned onto AsofJoinExec.
+  * see SparkEntry.oracleSql "asof_join"), planned onto AsofJoinExec. The
+  * extension syntax `ASOF NEAREST [LEFT] JOIN` plans onto the operator's
+  * nearest sweep (closest right row in EITHER direction, ties backward);
+  * a statement cannot mix plain and NEAREST variants (count-based
+  * attribution can't tell which token owns which join).
   *
   * Spark's ANTLR grammar is not extensible in-place, so the parser wraps
   * the session parser (injectParser) and does a SYNTAX-level pass only:
@@ -36,41 +40,81 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object AsofSql {
 
+  // NEAREST is matched by its own token (the plain token's lookahead does
+  // not accept it, so the two counts never overlap)
   private val AsofToken =
     """(?i)\bASOF\s+(?=(LEFT\s+(OUTER\s+)?|INNER\s+)?JOIN\b)""".r
+  private val AsofNearestToken =
+    """(?i)\bASOF\s+NEAREST\s+(?=(LEFT\s+(OUTER\s+)?|INNER\s+)?JOIN\b)""".r
 
-  def countAsof(sql: String): Int = {
-    var n = 0
-    mapOutsideLiterals(sql, seg => { n += AsofToken.findAllIn(seg).size; seg })
-    n
+  /** (plain ASOF tokens, ASOF NEAREST tokens) outside literals/comments. */
+  def countAsof(sql: String): (Int, Int) = {
+    var plain = 0
+    var near = 0
+    mapOutsideLiterals(sql, seg => {
+      near += AsofNearestToken.findAllIn(seg).size
+      plain += AsofToken.findAllIn(seg).size
+      seg
+    })
+    (plain, near)
   }
 
-  /** Strip ASOF keywords, leaving a statement the stock parser accepts. */
+  /** Strip ASOF [NEAREST] keywords, leaving a statement the stock parser
+    * accepts.
+    */
   def stripAsof(sql: String): String =
-    mapOutsideLiterals(sql, seg => AsofToken.replaceAllIn(seg, ""))
+    mapOutsideLiterals(sql, seg =>
+      AsofToken.replaceAllIn(AsofNearestToken.replaceAllIn(seg, ""), ""))
 
-  /** Apply `f` to every segment of `sql` outside '…'/"…"/`…` literals, so
-    * a string VALUE containing "ASOF JOIN" is never rewritten.
+  /** Apply `f` to every segment of `sql` outside '…'/"…"/`…` literals,
+    * `--` line comments, and (nested, as Spark's lexer allows) bracketed
+    * comments — so "ASOF JOIN" appearing as a string VALUE or inside a
+    * comment is never counted or rewritten. Literals track backslash
+    * escapes, so an escaped quote can't end the literal early. A token
+    * SPLIT by a comment (`ASOF /*x*/ JOIN`) is not recognized: the ASOF
+    * word survives the strip and the stock parser rejects it — loud, per
+    * the surface's failure contract.
     */
   private def mapOutsideLiterals(sql: String, f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
-    var quote: Char = 0
+    val n = sql.length
+    def flush(): Unit = { out.append(f(seg.toString)); seg.clear() }
     var i = 0
-    while (i < sql.length) {
+    while (i < n) {
       val ch = sql.charAt(i)
-      if (quote == 0) {
-        if (ch == '\'' || ch == '"' || ch == '`') {
-          out.append(f(seg.toString)); seg.clear(); quote = ch; out.append(ch)
-        } else seg.append(ch)
-      } else {
-        out.append(ch)
-        // a doubled quote ('') reads as close+reopen — harmless here
-        if (ch == quote) quote = 0
-      }
-      i += 1
+      if (ch == '\'' || ch == '"' || ch == '`') {
+        flush(); out.append(ch); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val c = sql.charAt(i)
+          if (c == '\\' && ch != '`' && i + 1 < n) {
+            // backslash escape inside a quoted literal: the next char
+            // (even a quote) is literal content
+            out.append(c).append(sql.charAt(i + 1)); i += 2
+          } else {
+            out.append(c); i += 1
+            // a doubled quote ('') reads as close+reopen — harmless here
+            if (c == ch) closed = true
+          }
+        }
+      } else if (ch == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        flush()
+        while (i < n && sql.charAt(i) != '\n') { out.append(sql.charAt(i)); i += 1 }
+      } else if (ch == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        flush()
+        out.append("/*"); i += 2
+        var depth = 1
+        while (i < n && depth > 0) {
+          if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+            out.append("/*"); depth += 1; i += 2
+          } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+            out.append("*/"); depth -= 1; i += 2
+          } else { out.append(sql.charAt(i)); i += 1 }
+        }
+      } else { seg.append(ch); i += 1 }
     }
-    out.append(f(seg.toString))
+    flush()
     out.toString
   }
 
@@ -107,24 +151,30 @@ object AsofSql {
     }
 
   /** Swap every as-of-shaped Join for the marker; the count must equal the
-    * number of ASOF tokens or the statement is ambiguous.
+    * number of ASOF tokens or the statement is ambiguous. `nearest` applies
+    * to every converted join (the parser rejects statements mixing plain
+    * ASOF and ASOF NEAREST, so the flag is statement-uniform).
     */
-  def convert(parsed: LogicalPlan, asofCount: Int, sql: String): LogicalPlan = {
+  def convert(parsed: LogicalPlan, asofCount: Int, nearest: Boolean,
+              sql: String): LogicalPlan = {
     var converted = 0
     val out = parsed.transformUp {
       case Join(l, r, jt, Some(cond), _)
           if (jt == Inner || jt == LeftOuter) && isAsofShape(cond) =>
         converted += 1
-        UnresolvedAsofJoin(l, r, cond, jt == LeftOuter)
+        UnresolvedAsofJoin(l, r, cond, jt == LeftOuter, nearest)
     }
     if (converted != asofCount)
       throw new IllegalArgumentException(
         s"""ASOF JOIN surface: found $asofCount ASOF token(s) but $converted
            |convertible join(s). Every join in a statement containing ASOF must
-           |be distinguishable: an ASOF join needs exactly one same-named key
+           |be distinguishable: an ASOF join needs exactly ONE same-named key
            |equality AND one timestamp inequality (l.ts >= r.ts backward,
-           |l.ts <= r.ts forward); a NON-asof join in the same statement must
-           |not have that exact shape. Statement: $sql""".stripMargin)
+           |l.ts <= r.ts forward) — multi-key conditions (k1 = … AND k2 = …)
+           |and key-less as-of joins are not supported by this surface (use
+           |the DataFrame API, graft.operators.AsofJoin.joinNative); a
+           |NON-asof join in the same statement must not have that exact
+           |shape. Statement: $sql""".stripMargin)
     out
   }
 }
@@ -135,7 +185,8 @@ object AsofSql {
   * instead of silently mis-planning.
   */
 case class UnresolvedAsofJoin(left: LogicalPlan, right: LogicalPlan,
-                              condition: Expression, leftOuter: Boolean)
+                              condition: Expression, leftOuter: Boolean,
+                              nearest: Boolean = false)
     extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -152,7 +203,7 @@ case class UnresolvedAsofJoin(left: LogicalPlan, right: LogicalPlan,
 object ResolveAsofJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case u @ UnresolvedAsofJoin(l, r, cond, leftOuter) if u.childrenResolved =>
+    case u @ UnresolvedAsofJoin(l, r, cond, leftOuter, nearest) if u.childrenResolved =>
       // locate a condition column: (attribute, cameFromLeft)
       def locate(e: Expression): Option[(Attribute, Boolean)] = e match {
         case a: AttributeReference =>
@@ -215,8 +266,12 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       // projections like `c.value` still resolve
       val rFresh = Project(
         r.output.map(a => Alias(a, a.name)(qualifier = a.qualifier)), r)
+      // NEAREST picks the closer of backward/forward candidates in ONE
+      // backward-shaped sweep (AsofJoinExec), so the inequality's direction
+      // only names the two ts columns — the sweep direction is fixed
       AsofJoinNode(l, rFresh, key, leftTs, rightTs, prefix = "",
-        leftOuter = leftOuter, forward = forward)
+        leftOuter = leftOuter, forward = if (nearest) false else forward,
+        nearest = nearest)
   }
 }
 
@@ -226,9 +281,17 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def withAsof(sql: String, parse: String => LogicalPlan): LogicalPlan = {
-    val n = AsofSql.countAsof(sql)
-    if (n == 0) parse(sql)
-    else AsofSql.convert(parse(AsofSql.stripAsof(sql)), n, sql)
+    val (plain, near) = AsofSql.countAsof(sql)
+    if (plain == 0 && near == 0) parse(sql)
+    else if (plain > 0 && near > 0)
+      // token→join attribution is count-based, so a statement mixing the
+      // two variants can't be disambiguated — reject rather than guess
+      throw new IllegalArgumentException(
+        "ASOF JOIN surface: a statement cannot mix plain ASOF JOIN and " +
+          s"ASOF NEAREST JOIN (found $plain plain + $near nearest). " +
+          s"Split the statement. Statement: $sql")
+    else AsofSql.convert(parse(AsofSql.stripAsof(sql)), plain + near,
+      nearest = near > 0, sql)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -42,14 +42,21 @@ object StreamingTopK {
         (sym: String, rows: Iterator[CandleVol], state: GroupState[Board]) => {
           val before = state.getOption.getOrElse(Board(Nil))
           var board = before.rows
+          // full micros (fromJavaTimestamp keeps the Timestamp's nanos
+          // field, where getTime*1000 truncated to milliseconds) —
+          // sub-millisecond buckets now round-trip exactly
+          def micros(t: java.sql.Timestamp): Long =
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
           // deterministic intra-batch order (replay-stable)
-          rows.toSeq.sortBy(c => (c.bucket_ts.getTime, c.volume)).foreach { c =>
-            board = insert(board, c.bucket_ts.getTime * 1000L, c.volume, n)
+          rows.toSeq.sortBy(c => (micros(c.bucket_ts), c.volume)).foreach { c =>
+            board = insert(board, micros(c.bucket_ts), c.volume, n)
           }
           state.update(Board(board))
           if (board == before.rows) Iterator.empty
           else board.iterator.zipWithIndex.map { case ((t, v), i) =>
-            Leader(sym, new java.sql.Timestamp(t / 1000L), v, i + 1L)
+            Leader(sym,
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(t),
+              v, i + 1L)
           }
         })
   }

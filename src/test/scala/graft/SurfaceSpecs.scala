@@ -147,6 +147,65 @@ class AsofSqlSpec extends SparkSpec {
     assert(extra.getMessage.contains("ASOF"))
   }
 
+  test("ASOF NEAREST JOIN plans onto the nearest sweep and matches joinNative") {
+    Graft.registerViews(spark, Sf0001)
+    val viaSql = spark.sql(asofSql.format("ASOF NEAREST JOIN", "p.ts >= c.ts"))
+    viaSql.count()
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "SQL ASOF NEAREST JOIN must plan onto the native operator")
+    val viaApi = AsofJoin.joinNative(purchases, clicks, "user_id", "ts", "ts",
+      "click_", nearest = true)
+    assert(rows(viaSql) == rows(viaApi))
+    // the inequality only names the ts columns under NEAREST — both
+    // directions produce the same nearest result
+    val flipped = spark.sql(asofSql.format("ASOF NEAREST JOIN", "p.ts <= c.ts"))
+    assert(rows(flipped) == rows(viaApi))
+  }
+
+  test("mixing plain ASOF and ASOF NEAREST in one statement is rejected") {
+    Graft.registerViews(spark, Sf0001)
+    val err = intercept[Exception] {
+      spark.sql(
+        """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+          |     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+          |     b AS (SELECT p.event_id, c.ts AS bts FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+          |SELECT p.event_id FROM p ASOF NEAREST JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+        .count()
+    }
+    assert(err.getMessage.contains("mix"))
+  }
+
+  test("SQL comments are skipped: 'ASOF JOIN' in a comment is not syntax") {
+    Graft.registerViews(spark, Sf0001)
+    // the ADVICE scenario: a comment mentions ASOF JOIN while the statement
+    // contains a plain as-of-SHAPED inequality join — without comment
+    // skipping the token count matches the join count and the plain join
+    // would be SILENTLY converted, changing results
+    val commented = spark.sql(
+      """-- consider rewriting this as an ASOF JOIN some day
+        |SELECT count(*) AS n FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND a.ts >= b.ts /* not an ASOF JOIN yet */
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'click'""".stripMargin)
+    assert(!commented.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "a commented-out ASOF keyword must not convert a plain join")
+    // same statement shape, REAL token: still converts with a comment after
+    val real = spark.sql(asofSql.format("ASOF JOIN -- as-of\n", "p.ts >= c.ts"))
+    assert(real.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    // nested bracketed comment (Spark's lexer allows nesting) containing the
+    // keyword — still data, and the statement still parses
+    val nested = spark.sql(
+      "SELECT 1 AS one /* outer /* ASOF JOIN inner */ still comment */")
+    assert(nested.head().getInt(0) == 1)
+  }
+
+  test("backslash-escaped quotes inside literals don't derail the scanner") {
+    Graft.registerViews(spark, Sf0001)
+    // the literal contains an escaped quote followed by ASOF JOIN text; a
+    // scanner that ended the literal at \' would see the token as syntax
+    val s = spark.sql("SELECT 'it\\'s ASOF JOIN text' AS s").head().getString(0)
+    assert(s == "it's ASOF JOIN text")
+  }
+
   test("non-ASOF SQL is untouched, including string literals saying ASOF JOIN") {
     Graft.registerViews(spark, Sf0001)
     // inequality join WITHOUT the keyword stays a plain join
