@@ -183,8 +183,23 @@ object Ivf {
     * float array.
     */
   def pqSearch(emb: DataFrame, queries: DataFrame, k: Int,
-               m: Int = 4, kCode: Int = 16): DataFrame = {
-    val enc = pqEncoded(emb, m, kCode).select(col("vec_id"), col("recon"))
+               m: Int = 4, kCode: Int = 16): DataFrame =
+    pqSearchWith(pqReconFrame(emb, m, kCode), queries, k)
+
+  /** The (vec_id, recon) compressed-corpus frame `pqSearch` scans — the
+    * serve-time half of encode-once/search-many: encode (and persist /
+    * cache) per corpus snapshot, then feed every search — batch
+    * [[pqSearchWith]] or streaming
+    * [[graft.streaming.StreamingAnnServe.servePq]] — the same frame
+    * instead of re-running the codebook encode per query set.
+    */
+  def pqReconFrame(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
+    pqEncoded(emb, m, k).select(col("vec_id"), col("recon"))
+
+  /** PQ top-k against an ALREADY-ENCODED corpus frame (from
+    * [[pqReconFrame]]) — skips codebook training + encode entirely.
+    */
+  def pqSearchWith(enc: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
     Similarity.topK(enc.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))

