@@ -314,6 +314,22 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"))
       AsofJoin.joinNative(p, c, "user_id", "ts", "ts", "click_", nearest = true)
     }),
+    "asof_join_multikey" -> ((s, dir) => {
+      // COMPOSITE-key as-of: latest prior click by the same user on the
+      // SAME CALENDAR DAY (within-day attribution) — the operator clusters
+      // on the (user_id, day) tuple and sweeps tuples lexicographically;
+      // exercised through the SQL surface so the multi-key condition walks
+      // GraftSqlParser → ResolveAsofJoin → AsofJoinExec
+      Graft.registerViews(s, dir)
+      s.sql(
+        "WITH p AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value " +
+          "FROM events WHERE event_type = 'click') " +
+          "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+          "c.ts AS click_ts, c.value AS click_value " +
+          "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts")
+    }),
     "asof_join_near_sql" -> ((s, dir) => {
       // the NEAREST SQL surface: same native single-sweep operator as
       // asof_join_near, reached through GraftSqlParser's `ASOF NEAREST
@@ -1329,6 +1345,14 @@ object SparkEntry {
         "CASE WHEN pick_b THEN b_ts ELSE f_ts END AS click_ts, " +
         "CASE WHEN pick_b THEN b_val ELSE f_val END AS click_value " +
         "FROM j WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL"),
+    "asof_join_multikey" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, " +
+        "c.ts AS click_ts, c.value AS click_value " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts"),
     // DuckDB has no NEAREST variant, so the oracle replays nearest as the
     // same two-directional ASOF LEFT JOIN distance pick as asof_join_near
     "asof_join_near_sql" ->

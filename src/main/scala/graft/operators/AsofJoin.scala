@@ -45,8 +45,21 @@ object AsofJoin {
   def joinNative(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String, prefix: String = "r_",
                  leftOuter: Boolean = false, forward: Boolean = false,
-                 nearest: Boolean = false): DataFrame = {
+                 nearest: Boolean = false): DataFrame =
+    joinNativeKeys(left, right, Seq(key), leftTs, rightTs, prefix,
+      leftOuter, forward, nearest)
+
+  /** COMPOSITE-key form (DuckDB's ASOF accepts several equality
+    * conditions next to the ts inequality): the operator clusters on the
+    * whole key tuple and sweeps tuples lexicographically — same plan
+    * shape, same O(n+m) sweep; a null in ANY key component never matches.
+    */
+  def joinNativeKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, prefix: String = "r_",
+                     leftOuter: Boolean = false, forward: Boolean = false,
+                     nearest: Boolean = false): DataFrame = {
     require(!(forward && nearest), "forward and nearest are mutually exclusive")
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
@@ -67,7 +80,7 @@ object AsofJoin {
     val rPlan0 = Bridge.analyzed(right)
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     Bridge.ofRows(spark,
-      graft.plans.AsofJoinNode(lPlan, rPlan, key, leftTs, rightTs, prefix,
+      graft.plans.AsofJoinNode(lPlan, rPlan, keys, leftTs, rightTs, prefix,
         leftOuter, forward, nearest))
   }
 

@@ -11,17 +11,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 /** Whole-operator as-of join as first-class Catalyst machinery: a logical
   * node, a planner strategy, and a physical operator that DECLARES its
   * distribution/ordering needs instead of hand-building them — Spark's
-  * EnsureRequirements then co-partitions both children on the key and
-  * sorts each by (key, ts), exactly like a SortMergeJoin, and can elide
+  * EnsureRequirements then co-partitions both children on the key(s) and
+  * sorts each by (keys…, ts), exactly like a SortMergeJoin, and can elide
   * either shuffle/sort when a child is already partitioned or bucketed
   * that way (something the RDD-style union+repartition formulation in
   * graft.operators.AsofJoin can never benefit from).
   *
   * Execution is a per-partition merge sweep: advance the right iterator
-  * while right.ts <= left.ts for the current key, carrying one buffered
-  * right row — O(n+m) per partition, state of a single row. Right rows
-  * tied on (key, ts) resolve by their trailing sort columns, so output is
-  * deterministic regardless of physical input order.
+  * while right.ts <= left.ts for the current key tuple, carrying one
+  * buffered right row — O(n+m) per partition, state of a single row.
+  * Right rows tied on (keys…, ts) resolve by their trailing sort columns,
+  * so output is deterministic regardless of physical input order.
+  *
+  * `keys` may be COMPOSITE (DuckDB's ASOF accepts several equality
+  * conditions next to the ts inequality): all key columns must share
+  * names between the sides; distribution clusters on the whole tuple and
+  * the sweep compares tuples lexicographically in the declared order.
+  * A null in ANY key component never matches (SQL equality semantics).
   *
   * `forward = true` flips the direction: each left matches the EARLIEST
   * right with right.ts >= left.ts (next quote after the event). Same
@@ -39,7 +45,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * distance, not just an ordering.
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
-                        key: String, leftTs: String, rightTs: String,
+                        keys: Seq[String], leftTs: String, rightTs: String,
                         prefix: String, leftOuter: Boolean = false,
                         forward: Boolean = false,
                         nearest: Boolean = false) extends BinaryNode {
@@ -59,36 +65,40 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, key, lts, rts, prefix, leftOuter, forward, nearest) =>
+    case AsofJoinNode(l, r, keys, lts, rts, prefix, leftOuter, forward, nearest) =>
       def attr(p: LogicalPlan, name: String): Attribute =
         p.output.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
-      AsofJoinExec(attr(l, key), attr(l, lts), attr(r, key), attr(r, rts),
+      AsofJoinExec(keys.map(attr(l, _)), attr(l, lts),
+        keys.map(attr(r, _)), attr(r, rts),
         prefix, leftOuter, forward, nearest, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
-                        rKey: Attribute, rTs: Attribute, prefix: String,
+case class AsofJoinExec(lKeys: Seq[Attribute], lTs: Attribute,
+                        rKeys: Seq[Attribute], rTs: Attribute, prefix: String,
                         leftOuter: Boolean, forward: Boolean, nearest: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  require(lKeys.nonEmpty && lKeys.size == rKeys.size,
+    s"as-of join needs matching non-empty key lists (got $lKeys vs $rKeys)")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a =>
       a.withName(prefix + a.name).withNullability(a.nullable || leftOuter))
 
-  // co-partition both children on the join key (EnsureRequirements makes
+  // co-partition both children on the key tuple (EnsureRequirements makes
   // the two hash partitionings compatible, or reuses existing ones)
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(lKey)), ClusteredDistribution(Seq(rKey)))
+    Seq(ClusteredDistribution(lKeys), ClusteredDistribution(rKeys))
 
-  // each child sorted by (key, ts); the right side additionally by its
-  // remaining columns so (key, ts) ties resolve deterministically
+  // each child sorted by (keys…, ts); the right side additionally by its
+  // remaining columns so (keys, ts) ties resolve deterministically
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(lKey, Ascending), SortOrder(lTs, Ascending)),
-    Seq(SortOrder(rKey, Ascending), SortOrder(rTs, Ascending)) ++
-      right.output.filterNot(a => a.exprId == rKey.exprId || a.exprId == rTs.exprId)
+    lKeys.map(SortOrder(_, Ascending)) :+ SortOrder(lTs, Ascending),
+    rKeys.map(SortOrder(_, Ascending)) ++ Seq(SortOrder(rTs, Ascending)) ++
+      right.output.filterNot(a => rKeys.exists(_.exprId == a.exprId) || a.exprId == rTs.exprId)
         .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(a.dataType))
         .map(SortOrder(_, Ascending)))
@@ -97,11 +107,12 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyIdx = left.output.indexWhere(_.exprId == lKey.exprId)
+    val lKeyIdxs = lKeys.map(k => left.output.indexWhere(_.exprId == k.exprId)).toArray
     val lTsIdx = left.output.indexWhere(_.exprId == lTs.exprId)
-    val rKeyIdx = right.output.indexWhere(_.exprId == rKey.exprId)
+    val rKeyIdxs = rKeys.map(k => right.output.indexWhere(_.exprId == k.exprId)).toArray
     val rTsIdx = right.output.indexWhere(_.exprId == rTs.exprId)
-    val keyType = lKey.dataType
+    val keyTypes = lKeys.map(_.dataType).toArray
+    val nKeys = keyTypes.length
     val tsType = lTs.dataType
     val outAttrs = output
     // under left-outer the projection's right-side inputs can be null even
@@ -126,17 +137,42 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
-        val kOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val kOrds: Array[Ordering[Any]] =
+          keyTypes.map(TypeUtils.getInterpretedOrdering)
         val tOrd = TypeUtils.getInterpretedOrdering(tsType)
         val proj = UnsafeProjection.create(outAttrs, inAttrs)
         val joined = new JoinedRow
         val rBuf = rIter.buffered
-        var lastKey: Any = null
+        var lastKey: Array[Any] = null
         var lastRight: InternalRow = null
         var lastTs: Any = null
 
+        // extract a key tuple; null if ANY component is null (never matches)
+        def keysOf(row: InternalRow, idxs: Array[Int]): Array[Any] = {
+          val out = new Array[Any](nKeys)
+          var i = 0
+          while (i < nKeys) {
+            val v = row.get(idxs(i), keyTypes(i))
+            if (v == null) return null
+            out(i) = v
+            i += 1
+          }
+          out
+        }
+        // lexicographic tuple compare in declared key order (matches the
+        // required child ordering, so the merge sweep stays aligned)
+        def keyCompare(a: Array[Any], b: Array[Any]): Int = {
+          var i = 0
+          while (i < nKeys) {
+            val c = kOrds(i).compare(a(i), b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+
         lIter.flatMap { l =>
-          val lk = l.get(lKeyIdx, keyType)
+          val lk = keysOf(l, lKeyIdxs)
           val lt = l.get(lTsIdx, tsType)
           if (lk == null || lt == null) {
             // nulls never match; left-outer still preserves the left row
@@ -149,18 +185,18 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
             var advance = true
             while (advance && rBuf.hasNext) {
               val r = rBuf.head
-              val rk = r.get(rKeyIdx, keyType)
+              val rk = keysOf(r, rKeyIdxs)
               val rt = r.get(rTsIdx, tsType)
               if (rk == null || rt == null) { rBuf.next() } // skip null rows
               else {
-                val c = kOrd.compare(rk, lk)
+                val c = keyCompare(rk, lk)
                 if (c < 0 || (c == 0 && tOrd.compare(rt, lt) < 0)) rBuf.next()
                 else advance = false
               }
             }
             val matched = rBuf.hasNext && {
-              val rk = rBuf.head.get(rKeyIdx, keyType)
-              rk != null && kOrd.compare(rk, lk) == 0
+              val rk = keysOf(rBuf.head, rKeyIdxs)
+              rk != null && keyCompare(rk, lk) == 0
             }
             if (matched) Iterator.single(proj(joined(l, rBuf.head)))
             else if (isLeftOuter) Iterator.single(proj(joined(l, nullRow)))
@@ -170,11 +206,11 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
             var advance = true
             while (advance && rBuf.hasNext) {
               val r = rBuf.head
-              val rk = r.get(rKeyIdx, keyType)
+              val rk = keysOf(r, rKeyIdxs)
               val rt = r.get(rTsIdx, tsType)
               if (rk == null || rt == null) { rBuf.next() } // skip null rows
               else {
-                val c = kOrd.compare(rk, lk)
+                val c = keyCompare(rk, lk)
                 if (c < 0 || (c == 0 && tOrd.compare(rt, lt) <= 0)) {
                   rBuf.next()
                   lastKey = rk
@@ -184,13 +220,13 @@ case class AsofJoinExec(lKey: Attribute, lTs: Attribute,
               }
             }
             val backOk = lastRight != null && lastKey != null &&
-              kOrd.compare(lastKey, lk) == 0
+              keyCompare(lastKey, lk) == 0
             if (isNearest) {
               // forward candidate = the peeked head (first right after lt),
               // if it still carries the left's key
               val fwdOk = rBuf.hasNext && {
-                val rk = rBuf.head.get(rKeyIdx, keyType)
-                rk != null && kOrd.compare(rk, lk) == 0
+                val rk = keysOf(rBuf.head, rKeyIdxs)
+                rk != null && keyCompare(rk, lk) == 0
               }
               if (backOk && fwdOk) {
                 val db = tsLong(lt) - tsLong(lastTs)

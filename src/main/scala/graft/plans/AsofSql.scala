@@ -28,15 +28,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[ResolveAsofJoin]] (injectResolutionRule). Both are wired by
   * GraftExtensions.
   *
-  * Supported condition shape (DuckDB's): exactly one key equality plus
-  * one non-strict timestamp inequality, `l.ts >= r.ts` (backward) or
-  * `l.ts <= r.ts` (forward), either operand order. Contract limits,
-  * enforced loudly: every as-of-shaped join in a query containing ASOF
-  * must come from an ASOF token (a plain inequality join mixed into the
-  * same statement is rejected rather than silently converted), key
-  * columns must share a name (the physical operator's contract), and
-  * strict `<`/`>` is rejected (the engine matches at-or-before /
-  * at-or-after).
+  * Supported condition shape (DuckDB's): ONE-OR-MORE key equalities plus
+  * exactly one non-strict timestamp inequality, `l.ts >= r.ts` (backward)
+  * or `l.ts <= r.ts` (forward), either operand order — composite keys
+  * plan onto the operator's key-tuple sweep. Contract limits, enforced
+  * loudly: every as-of-shaped join in a query containing ASOF must come
+  * from an ASOF token (a plain inequality join mixed into the same
+  * statement is rejected rather than silently converted), key columns
+  * must share names between the sides (the physical operator's
+  * contract), and strict `<`/`>` is rejected (the engine matches
+  * at-or-before / at-or-after).
   */
 object AsofSql {
 
@@ -129,26 +130,27 @@ object AsofSql {
     case _ => false
   }
 
-  /** One column equality + one column inequality — the only join shape the
-    * ASOF syntax can produce, used both to find the joins to convert and
-    * to reject ambiguous statements.
+  /** One-or-more column equalities + exactly one column inequality — the
+    * only join shape the ASOF syntax can produce (DuckDB allows several
+    * key equalities next to the ts inequality), used both to find the
+    * joins to convert and to reject ambiguous statements. Strict
+    * inequalities still match the SHAPE so the resolution rule can reject
+    * them loudly instead of leaving a half-stripped statement.
     */
-  private def isAsofShape(cond: Expression): Boolean =
-    conjuncts(cond) match {
-      case Seq(a, b) =>
-        val (eqs, ineqs) = (Seq(a, b).partition {
-          case EqualTo(x, y) => isColumn(x) && isColumn(y)
-          case _ => false
-        })
-        eqs.size == 1 && (ineqs.head match {
-          case GreaterThanOrEqual(x, y) => isColumn(x) && isColumn(y)
-          case LessThanOrEqual(x, y)    => isColumn(x) && isColumn(y)
-          case GreaterThan(x, y)        => isColumn(x) && isColumn(y)
-          case LessThan(x, y)           => isColumn(x) && isColumn(y)
-          case _ => false
-        })
+  private def isAsofShape(cond: Expression): Boolean = {
+    val cs = conjuncts(cond)
+    val (eqs, rest) = cs.partition {
+      case EqualTo(x, y) => isColumn(x) && isColumn(y)
       case _ => false
     }
+    eqs.nonEmpty && rest.size == 1 && (rest.head match {
+      case GreaterThanOrEqual(x, y) => isColumn(x) && isColumn(y)
+      case LessThanOrEqual(x, y)    => isColumn(x) && isColumn(y)
+      case GreaterThan(x, y)        => isColumn(x) && isColumn(y)
+      case LessThan(x, y)           => isColumn(x) && isColumn(y)
+      case _ => false
+    })
+  }
 
   /** Swap every as-of-shaped Join for the marker; the count must equal the
     * number of ASOF tokens or the statement is ambiguous. `nearest` applies
@@ -168,13 +170,12 @@ object AsofSql {
       throw new IllegalArgumentException(
         s"""ASOF JOIN surface: found $asofCount ASOF token(s) but $converted
            |convertible join(s). Every join in a statement containing ASOF must
-           |be distinguishable: an ASOF join needs exactly ONE same-named key
-           |equality AND one timestamp inequality (l.ts >= r.ts backward,
-           |l.ts <= r.ts forward) — multi-key conditions (k1 = … AND k2 = …)
-           |and key-less as-of joins are not supported by this surface (use
-           |the DataFrame API, graft.operators.AsofJoin.joinNative); a
-           |NON-asof join in the same statement must not have that exact
-           |shape. Statement: $sql""".stripMargin)
+           |be distinguishable: an ASOF join needs one-or-more same-named key
+           |equalities AND exactly one timestamp inequality (l.ts >= r.ts
+           |backward, l.ts <= r.ts forward) — key-less as-of joins are not
+           |supported by this surface (use the DataFrame API,
+           |graft.operators.AsofJoin.joinNative); a NON-asof join in the same
+           |statement must not have that exact shape. Statement: $sql""".stripMargin)
     out
   }
 }
@@ -220,7 +221,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"ASOF JOIN surface: $msg")
 
-      var key: String = null
+      val keys = scala.collection.mutable.ListBuffer[String]()
       var leftTs: String = null
       var rightTs: String = null
       var forward = false
@@ -235,7 +236,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         if (la.name != ra.name)
           fail(s"key columns must share a name (got ${la.name} = ${ra.name}); " +
             "alias one side")
-        key = la.name
+        keys += la.name
       }
       def classifyIneq(x: Expression, y: Expression, geq: Boolean): Unit =
         (locate(x), locate(y)) match {
@@ -259,7 +260,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         case other => fail(s"unsupported condition term $other")
       }
       walk(cond)
-      if (key == null || leftTs == null) fail(s"incomplete as-of condition $cond")
+      if (keys.isEmpty || leftTs == null) fail(s"incomplete as-of condition $cond")
 
       // fresh exprIds on the right (self-join safety — DeduplicateRelations
       // skips custom nodes), keeping names AND qualifiers so outer
@@ -269,7 +270,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       // NEAREST picks the closer of backward/forward candidates in ONE
       // backward-shaped sweep (AsofJoinExec), so the inequality's direction
       // only names the two ts columns — the sweep direction is fixed
-      AsofJoinNode(l, rFresh, key, leftTs, rightTs, prefix = "",
+      AsofJoinNode(l, rFresh, keys.toSeq, leftTs, rightTs, prefix = "",
         leftOuter = leftOuter, forward = if (nearest) false else forward,
         nearest = nearest)
   }

@@ -147,6 +147,38 @@ class AsofSqlSpec extends SparkSpec {
     assert(extra.getMessage.contains("ASOF"))
   }
 
+  test("multi-key ASOF JOIN: composite (user_id, day) tuple matches joinNativeKeys") {
+    Graft.registerViews(spark, Sf0001)
+    val viaSql = spark.sql(
+      """WITH p AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts""".stripMargin)
+    viaSql.count()
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "multi-key ASOF SQL must plan onto the native operator")
+    val day = (c: org.apache.spark.sql.Column) => date_trunc("day", c).cast("date")
+    val p = purchases.withColumn("day", day(col("ts")))
+    val c = clicks.withColumn("day", day(col("ts")))
+    val viaApi = AsofJoin.joinNativeKeys(p, c, Seq("user_id", "day"), "ts", "ts", "click_")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_ts"), col("click_value"))
+    assert(rows(viaSql) == rows(viaApi))
+    // semantic pin vs composed built-ins: max_by over the day-bounded
+    // inequality join gives the same (event_id → click_ts) mapping
+    val composed = p.as("a").join(c.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.ts") >= col("b.ts"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(max(col("b.ts")).as("click_ts"))
+    val expected = composed.collect().map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    val gotPairs = viaApi.select(col("event_id"), col("click_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(gotPairs == expected)
+  }
+
   test("ASOF NEAREST JOIN plans onto the nearest sweep and matches joinNative") {
     Graft.registerViews(spark, Sf0001)
     val viaSql = spark.sql(asofSql.format("ASOF NEAREST JOIN", "p.ts >= c.ts"))
