@@ -106,6 +106,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("multi-key asof join keeps the native ≤2-exchange tuple-clustered shape") {
+    val p = planOf("asof_join_multikey")
+    assert(p.contains("AsofJoin"), p)
+    // composite key still means ONE exchange per side, clustering on the
+    // whole (user_id, day) tuple — never a per-key-column exchange chain
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("exact pair search is equi-join blocked, never a nested-loop join") {
     val p = planOf("embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -106,6 +106,37 @@ class CandleStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("asof join on bucketed inputs plans with ZERO exchanges (the §4 elision claim)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("c_asof_bk_l", "c_asof_bk_r").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val store = new CandleStore("unused")
+      store.writeBucketedTable(candles, "c_asof_bk_l")
+      store.writeBucketedTable(candles, "c_asof_bk_r")
+      // AsofJoinExec only DECLARES ClusteredDistribution(key) — for
+      // bucketed children EnsureRequirements finds both sides already
+      // hash-partitioned on symbol and plans NO exchange at all, the
+      // property the hand-repartitioned formulation can never have
+      val joined = graft.operators.AsofJoin.joinNative(
+        spark.table("c_asof_bk_l"), spark.table("c_asof_bk_r"),
+        "symbol", "bucket_ts", "bucket_ts", "r_")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed as-of join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("csv export mirrors sqlite2csv") {
     val root = Files.createTempDirectory("graft_store3").toString
     val out = Files.createTempDirectory("graft_csv").toString + "/out"
