@@ -73,6 +73,12 @@ object Materialize {
     * (directly or via any graft operator) tags its blocks with the scope,
     * and `body` receives the [[MatScope]] handle to release them when the
     * query's outputs are consumed.
+    *
+    * Scope tagging is THREAD-LOCAL (queries build plans and run driver
+    * loops on the calling thread): a cut made on another thread — e.g.
+    * inside a foreachBatch callback, which runs on the stream-execution
+    * thread — lands in the default scope and is only dropped by
+    * [[releaseAll]].
     */
   def inScope[T](body: MatScope => T): T = {
     val scope = new MatScope(nextScopeId.getAndIncrement())

@@ -31,6 +31,11 @@ object StreamingAnnServe {
   /** Top-`nprobe` cell ids for a query vector, by (rounded cosine desc,
     * cid asc) — the batch probe-ranking contract (Ivf.searchTopKWith) as
     * one map-side expression over the literal centroid matrix.
+    *
+    * The expression embeds k·dim literals (the model), which is exactly
+    * the driver-side-model altitude the batch path uses — fine for the
+    * k ≤ a-few-hundred coarse quantizers IVF wants; a very large k would
+    * push codegen to its interpreted fallback (still correct, slower).
     */
   private def probeCids(qv: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
     val scored = array(cents.indices.map { i =>

@@ -118,6 +118,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
       .config("spark.sql.shuffle.partitions", 32)
       // events.parquet stores TIMESTAMP(NANOS): same setting Verify/Bench use
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
