@@ -813,6 +813,11 @@ object SparkEntry {
     }),
     "label_confusion" -> ((s, dir) =>
       graft.ops.Ivf.labelConfusion(Tables.table(s, dir, "embeddings"))),
+    "semantic_sample" -> ((s, dir) =>
+      // cluster-balanced deterministic subsample: every quantizer cell
+      // contributes up to perCell vectors picked by portable hash order —
+      // the diversity-preserving alternative to a uniform corpus sample
+      graft.ops.Ivf.semanticSample(Tables.table(s, dir, "embeddings"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1812,6 +1817,21 @@ object SparkEntry {
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),
+    // semanticSample replay: the ann_ivf seed/assignment CTEs + the
+    // portable md5-prefix hash pick per cell (h asc, vec_id asc)
+    "semantic_sample" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "h AS (SELECT CAST(cid AS BIGINT) AS cid, vec_id, " +
+        "CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT) AS h FROM assigned) " +
+        "SELECT cid, vec_id, CAST(rn AS BIGINT) AS rn FROM (" +
+        "SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS rn " +
+        "FROM h) WHERE rn <= 20"),
     "label_confusion" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cents AS (SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +

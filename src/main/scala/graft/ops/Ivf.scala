@@ -207,6 +207,40 @@ object Ivf {
         round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos")), k)
   }
 
+  /** Cluster-balanced deterministic corpus subsample — the
+    * diversity-preserving downsampling pass (SemDeDup-style motivation):
+    * instead of a uniform corpus sample, which follows the corpus's own
+    * density and over-represents its dominant modes, every quantizer cell
+    * contributes (up to) the same `perCell` budget, flattening the
+    * semantic distribution of the kept set. Emits (cid, vec_id, rn) for
+    * kept vectors.
+    *
+    * Scale design: cell assignment is the same fused map-side argmax as
+    * `searchTopK` (driver-side seed centroids, zero shuffle); the
+    * per-cell pick is the bounded TopKByScore heap — O(perCell) rows per
+    * cell per map task, NEVER a window over the k giant cell partitions.
+    * The pick order is a portable md5-prefix hash of the vec_id
+    * (deterministic "random", replayable in any engine), ties on vec_id.
+    */
+  def semanticSample(emb: DataFrame, numCells: Int = 16, perCell: Int = 20): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val e = vecs(emb)
+    val cents = train(emb, numCells, iters = 0) // seed quantizer (replayable)
+    val assigned = assign(e, cents)
+      .select(col("cid").cast("long").as("cid"), col("vec_id"),
+        graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8).as("h"))
+    val agg = udaf(new TopKByScore(perCell), ExpressionEncoder[ScoredId]())
+    assigned.groupBy(col("cid"))
+      // TopKByScore keeps (score desc, id asc); score = -h (h < 2^32 is
+      // exact in a double) makes that (h asc, vec_id asc) — smallest
+      // hashes win, the same total order the oracle replays
+      .agg(agg((-col("h")).cast("double"), col("vec_id")).as("top"))
+      .select(col("cid"), posexplode(col("top")))
+      .select(col("cid"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.

@@ -204,6 +204,26 @@ class RankEventsSpecs extends SparkSpec {
     assert(pq.count() == exact.count())
   }
 
+  test("semantic sample: per-cell budget respected, window-free, partitioning-invariant") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val s = graft.ops.Ivf.semanticSample(emb, numCells = 8, perCell = 5)
+    // the per-cell pick must be the bounded heap aggregate, never a window
+    // over the (giant at 100 TB) cell partitions
+    assert(!s.queryExecution.executedPlan.toString.contains("Window"),
+      "semanticSample must not plan a Window")
+    val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.values.forall(_.length <= 5), "per-cell budget exceeded")
+    assert(byCell.values.exists(_.length == 5), "populated cells must fill the budget")
+    // rn is 1..n within each cell
+    byCell.values.foreach(c => assert(c.map(_._3).sorted.toSeq == (1L to c.length).toSeq))
+    // deterministic under a different input partitioning (the hash order
+    // is content-based, not physical)
+    val s2 = graft.ops.Ivf.semanticSample(emb.repartition(13), numCells = 8, perCell = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == s2.toSet)
+  }
+
   test("pivot levels order s2<=s1<=pivot<=r1<=r2; breadth counts cover the universe") {
     val candles = graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
