@@ -818,6 +818,11 @@ object SparkEntry {
       // contributes up to perCell vectors picked by portable hash order —
       // the diversity-preserving alternative to a uniform corpus sample
       graft.ops.Ivf.semanticSample(Tables.table(s, dir, "embeddings"))),
+    "pack_plan" -> ((s, dir) =>
+      // GPT-style dense-packing layout: per-lang running token totals via
+      // the distributed two-pass Scan (never a per-stratum window), then
+      // pure integer sequence/offset arithmetic
+      graft.ops.TextAnalysis.packPlan(Tables.table(s, dir, "documents"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1694,6 +1699,19 @@ object SparkEntry {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    // packPlan replay: the same exclusive per-lang prefix sum as one
+    // window (fine at oracle scale; the engine uses the two-pass scan)
+    "pack_plan" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
+        "SELECT doc_id, lang, n_tokens, " +
+        "CAST(cb // 2048 AS BIGINT) AS seq_id, " +
+        "CAST(cb % 2048 AS BIGINT) AS seq_offset, " +
+        "CAST(CASE WHEN n_tokens > 0 THEN (cb % 2048 + n_tokens - 1) // 2048 + 1 " +
+        "ELSE 0 END AS BIGINT) AS n_seqs FROM c"),
     "mix_report" ->
       ("WITH f AS (SELECT lang, source, len(string_split_regex(text, '\\s+')) AS t, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +

@@ -315,6 +315,30 @@ object TextAnalysis {
           (col("windows_padded") * ctx), 6))
   }
 
+  /** Sequence-packing PLAN — packingStats' executable sibling: the actual
+    * GPT-style dense-packing layout. Documents concatenate per stratum in
+    * (lang, doc_id) order into `capacity`-token sequences that docs may
+    * straddle; each doc gets the sequence it starts in (`seq_id`), its
+    * token offset there (`seq_offset`), and how many sequences it touches
+    * (`n_seqs`) — the deterministic shard map a tokenizer fleet consumes.
+    *
+    * Scale design: the per-stratum running token total is the distributed
+    * two-pass [[Scan.withRunningTotal]] — a per-lang window would put
+    * each language in ONE task at 100 TB. Everything else is map-only
+    * integer arithmetic (exact in any engine).
+    */
+  def packPlan(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    Scan.withRunningTotal(toks, Seq("lang"), Seq("doc_id"), "n_tokens")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $capacity").as("seq_id"),
+        (col("cum_before") % capacity).as("seq_offset"))
+      .withColumn("n_seqs", when(col("n_tokens") > 0,
+        expr(s"(seq_offset + n_tokens - 1) div $capacity") + 1L)
+        .otherwise(0L))
+  }
+
   /** Repetition score — the classic repeated-n-gram quality filter
     * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
     * doc (null for docs under 3 words). Pure map-only codegen.

@@ -224,6 +224,36 @@ class RankEventsSpecs extends SparkSpec {
     assert(rows.toSet == s2.toSet)
   }
 
+  test("distributed scan: exclusive per-group prefix sums == window, groups span partitions") {
+    // groups deliberately BIGGER than any single partition: the range
+    // partitioning must split them and the two-pass offsets must stitch
+    // the running totals back exactly
+    val rows = (0 until 5000).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("g", "k", "v").repartition(17)
+    val got = graft.ops.Scan.withRunningTotal(df, Seq("g"), Seq("k"), "v")
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "the scan must not plan a per-group window")
+    val expected = rows.groupBy(_._1).values.flatMap { grp0 =>
+      val grp = grp0.sortBy(_._2)
+      var cum = 0L
+      grp.map { case (g, k, v) => val e = (g, k, v, cum); cum += v; e }
+    }.toSet
+    val gotSet = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSet == expected)
+    // the packing layout derived from it: sequences are dense — every
+    // sequence index up to a lang's last is touched by some doc
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val plan = graft.ops.TextAnalysis.packPlan(docs, capacity = 64).collect()
+    plan.groupBy(_.getString(1)).foreach { case (_, ds) =>
+      val touched = ds.flatMap(r =>
+        r.getLong(3) until (r.getLong(3) + math.max(r.getLong(5), 1L))).toSet
+      val last = ds.map(r => r.getLong(3) + r.getLong(5) - 1).max
+      assert((0L to last).forall(touched.contains),
+        "dense packing must leave no empty sequence before the last")
+    }
+  }
+
   test("pivot levels order s2<=s1<=pivot<=r1<=r2; breadth counts cover the universe") {
     val candles = graft.ohlcv.Candles.fromTrades(
       graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
