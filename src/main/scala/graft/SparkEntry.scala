@@ -823,6 +823,10 @@ object SparkEntry {
       // the distributed two-pass Scan (never a per-stratum window), then
       // pure integer sequence/offset arithmetic
       graft.ops.TextAnalysis.packPlan(Tables.table(s, dir, "documents"))),
+    "semantic_neardup" -> ((s, dir) =>
+      // SemDeDup pass: exact cosine pairs WITHIN quantizer cells — the
+      // cell join bounds pair generation at sum(|cell|^2), not n^2
+      graft.ops.Ivf.semanticNearDup(Tables.table(s, dir, "embeddings"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1835,6 +1839,20 @@ object SparkEntry {
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),
+    // semanticNearDup replay: the ann_ivf seed/assignment CTEs + a
+    // within-cell triangular self-join at the rounded-cosine threshold
+    "semantic_neardup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1) " +
+        "SELECT CAST(a.cid AS BIGINT) AS cid, a.vec_id AS id1, b.vec_id AS id2, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
     // semanticSample replay: the ann_ivf seed/assignment CTEs + the
     // portable md5-prefix hash pick per cell (h asc, vec_id asc)
     "semantic_sample" ->

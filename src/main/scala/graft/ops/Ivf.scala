@@ -241,6 +241,31 @@ object Ivf {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** Within-cell embedding near-dup pairs — the SemDeDup pass: prune the
+    * O(n²) pair space to pairs sharing a quantizer cell, then exact
+    * rounded cosine ≥ `threshold`. The cell join bounds pair generation
+    * at Σ|cell|² instead of n² (cells are the semantic analogue of LSH
+    * buckets); pairs split across cells are the recall price, tuned by
+    * `numCells` — the same explicit tradeoff the LSH cap documents.
+    * Emits (cid, id1, id2, cos).
+    */
+  def semanticNearDup(emb: DataFrame, numCells: Int = 16,
+                      threshold: Double = 0.4): DataFrame = {
+    val e = vecs(emb)
+    val cents = train(emb, numCells, iters = 0)
+    // one materialized argmax scan feeds BOTH join sides (same pattern as
+    // minhashLsh's signature barrier)
+    val cells = graft.core.Materialize.once(assign(e, cents)
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v")))
+    cells.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
+      .join(cells.select(col("cid"), col("vec_id").as("id2"), col("v").as("v2")),
+        Seq("cid"))
+      .where(col("id1") < col("id2"))
+      .select(col("cid"), col("id1"), col("id2"),
+        round(graft.functions.cosine_sim(col("v1"), col("v2")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.
