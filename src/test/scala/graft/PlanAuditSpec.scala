@@ -114,6 +114,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("semantic near-dup reads ONE materialized argmax frame for both join sides") {
+    val p = planOf("semantic_neardup")
+    assert(!p.contains("FileScan"),
+      "both pair sides must read the materialized cell frame, not re-scan embeddings\n" + p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semantic sample plans the bounded heap aggregate, no window") {
+    val p = planOf("semantic_sample")
+    assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)
+  }
+
   test("exact pair search is equi-join blocked, never a nested-loop join") {
     val p = planOf("embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
