@@ -222,11 +222,18 @@ object Ivf {
     * The pick order is a portable md5-prefix hash of the vec_id
     * (deterministic "random", replayable in any engine), ties on vec_id.
     */
-  def semanticSample(emb: DataFrame, numCells: Int = 16, perCell: Int = 20): DataFrame = {
+  def semanticSample(emb: DataFrame, numCells: Int = 16, perCell: Int = 20): DataFrame =
+    semanticSampleWith(emb, train(emb, numCells, iters = 0), perCell)
+
+  /** [[semanticSample]] against a PRE-TRAINED quantizer (e.g. from
+    * `loadModel`) — train once per corpus snapshot, sample many times
+    * with different budgets.
+    */
+  def semanticSampleWith(emb: DataFrame, cents: Array[Array[Double]],
+                         perCell: Int = 20): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val e = vecs(emb)
-    val cents = train(emb, numCells, iters = 0) // seed quantizer (replayable)
     val assigned = assign(e, cents)
       .select(col("cid").cast("long").as("cid"), col("vec_id"),
         graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8).as("h"))
@@ -250,9 +257,15 @@ object Ivf {
     * Emits (cid, id1, id2, cos).
     */
   def semanticNearDup(emb: DataFrame, numCells: Int = 16,
-                      threshold: Double = 0.4): DataFrame = {
+                      threshold: Double = 0.4): DataFrame =
+    semanticNearDupWith(emb, train(emb, numCells, iters = 0), threshold)
+
+  /** [[semanticNearDup]] against a PRE-TRAINED quantizer — the
+    * train-once/reuse sibling, like `searchTopKWith`.
+    */
+  def semanticNearDupWith(emb: DataFrame, cents: Array[Array[Double]],
+                          threshold: Double = 0.4): DataFrame = {
     val e = vecs(emb)
-    val cents = train(emb, numCells, iters = 0)
     // one materialized argmax scan feeds BOTH join sides (same pattern as
     // minhashLsh's signature barrier)
     val cells = graft.core.Materialize.once(assign(e, cents)

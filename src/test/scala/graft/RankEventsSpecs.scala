@@ -245,6 +245,25 @@ class RankEventsSpecs extends SparkSpec {
     assert(recall > 0.2, s"within-cell recall collapsed: $recall")
   }
 
+  test("semantic operators serve a persisted model identically to in-place training") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_model").toString
+    graft.ops.Ivf.saveModel(spark,
+      graft.ops.Ivf.train(emb, k = 8, iters = 0), dir)
+    val model = graft.ops.Ivf.loadModel(spark, dir)
+    val sampleInPlace = graft.ops.Ivf.semanticSample(emb, numCells = 8, perCell = 5)
+      .collect().map(_.toSeq).toSet
+    val sampleServed = graft.ops.Ivf.semanticSampleWith(emb, model, perCell = 5)
+      .collect().map(_.toSeq).toSet
+    assert(sampleServed == sampleInPlace)
+    val ndInPlace = graft.ops.Ivf.semanticNearDup(emb, numCells = 8)
+      .collect().map(_.toSeq).toSet
+    val ndServed = graft.ops.Ivf.semanticNearDupWith(emb, model)
+      .collect().map(_.toSeq).toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(ndServed == ndInPlace)
+  }
+
   test("distributed scan: exclusive per-group prefix sums == window, groups span partitions") {
     // groups deliberately BIGGER than any single partition: the range
     // partitioning must split them and the two-pass offsets must stitch

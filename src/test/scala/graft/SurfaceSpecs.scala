@@ -194,6 +194,15 @@ class AsofSqlSpec extends SparkSpec {
     assert(rows(flipped) == rows(viaApi))
   }
 
+  test("ASOF NEAREST LEFT JOIN composes: every left preserved, nearest semantics") {
+    Graft.registerViews(spark, Sf0001)
+    val viaSql = spark.sql(asofSql.format("ASOF NEAREST LEFT JOIN", "p.ts >= c.ts"))
+    val viaApi = AsofJoin.joinNative(purchases, clicks, "user_id", "ts", "ts",
+      "click_", leftOuter = true, nearest = true)
+    assert(viaSql.count() == purchases.count())
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
   test("mixing plain ASOF and ASOF NEAREST in one statement is rejected") {
     Graft.registerViews(spark, Sf0001)
     val err = intercept[Exception] {
