@@ -827,6 +827,10 @@ object SparkEntry {
       // SemDeDup pass: exact cosine pairs WITHIN quantizer cells — the
       // cell join bounds pair generation at sum(|cell|^2), not n^2
       graft.ops.Ivf.semanticNearDup(Tables.table(s, dir, "embeddings"))),
+    "mix_rebalance" -> ((s, dir) =>
+      // uniform-token-share rebalancing: derived per-lang rates + the
+      // deterministic hash keep decision (mix_report's executable sibling)
+      graft.ops.TextAnalysis.mixRebalance(Tables.table(s, dir, "documents"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1703,6 +1707,18 @@ object SparkEntry {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    // mixRebalance replay: derived rates from the same two aggregations;
+    // keep decision on UNROUNDED double quotients (IEEE-identical)
+    "mix_rebalance" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM t GROUP BY 1), " +
+        "mn AS (SELECT min(lang_tokens) AS min_tokens FROM bl) " +
+        "SELECT t.doc_id, t.lang, t.n_tokens, " +
+        "round(CAST(mn.min_tokens AS DOUBLE) / CAST(bl.lang_tokens AS DOUBLE), 6) AS rate, " +
+        "(CAST(CAST('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 " +
+        "< CAST(mn.min_tokens AS DOUBLE) / CAST(bl.lang_tokens AS DOUBLE)) AS keep " +
+        "FROM t JOIN bl ON t.lang = bl.lang CROSS JOIN mn"),
     // packPlan replay: the same exclusive per-lang prefix sum as one
     // window (fine at oracle scale; the engine uses the two-pass scan)
     "pack_plan" ->

@@ -339,6 +339,34 @@ object TextAnalysis {
         .otherwise(0L))
   }
 
+  /** Mix REBALANCING — mix_report's executable sibling: derive the
+    * per-language sampling rate that equalizes token shares (uniform
+    * target: every language capped at the smallest language's token
+    * mass, rate = min_lang_tokens / lang_tokens) and emit the
+    * deterministic per-doc keep decision via the portable content hash —
+    * reproducible across runs, engines, and partitionings, like
+    * `corpusSample` but with DERIVED rates instead of given ones.
+    *
+    * Scale design: two dim-scale aggregations broadcast back, decision
+    * map-only; the keep comparison uses unrounded IEEE doubles (both
+    * engines compute bit-identical quotients), the reported `rate` is
+    * rounded for display only.
+    */
+  def mixRebalance(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val byLang = toks.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+    val minTok = byLang.agg(min(col("lang_tokens")).as("min_tokens"))
+    val rate = col("min_tokens").cast("double") / col("lang_tokens").cast("double")
+    toks.join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(minTok))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(rate, 6).as("rate"),
+        (Dedup.hash32(col("doc_id").cast("string")).cast("double") /
+          lit(4294967296.0) < rate).as("keep"))
+  }
+
   /** Repetition score — the classic repeated-n-gram quality filter
     * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
     * doc (null for docs under 3 words). Pure map-only codegen.

@@ -245,6 +245,25 @@ class RankEventsSpecs extends SparkSpec {
     assert(recall > 0.2, s"within-cell recall collapsed: $recall")
   }
 
+  test("mix rebalance: smallest language kept whole, kept token shares equalize") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val got = graft.ops.TextAnalysis.mixRebalance(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val byLang = got.groupBy(_._1)
+    // the smallest language's rate is exactly 1.0 → every doc kept
+    val minLang = byLang.minBy(_._2.map(_._2).sum)._1
+    assert(byLang(minLang).forall(r => r._3 == 1.0 && r._4),
+      "the smallest language must be kept in full")
+    // kept token mass per language lands near the smallest language's
+    // total (hash sampling is stochastic per doc; wide tolerance)
+    val target = byLang(minLang).map(_._2).sum.toDouble
+    byLang.foreach { case (lang, rs) =>
+      val kept = rs.filter(_._4).map(_._2).sum.toDouble
+      assert(kept > 0.5 * target && kept < 1.7 * target,
+        s"$lang kept tokens $kept vs target $target — rebalancing failed")
+    }
+  }
+
   test("semantic operators serve a persisted model identically to in-place training") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_model").toString
