@@ -1061,3 +1061,39 @@ class StreamingAnnServeSpec extends SparkSpec {
     } finally { q.stop(); recon.unpersist() }
   }
 }
+
+class StreamingMixMonitorSpec extends SparkSpec {
+  test("live mix cells equal the batch rollup at stream end, across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "uno dos", "es", "web"),
+      (3L, "one two three four", "en", "books"),
+      (4L, "cinco seis siete", "es", "web"),
+      (5L, "five six", "en", "web"))
+    val stream = MemoryStream[(Long, String, String, String)]
+    val out = graft.streaming.StreamingMixMonitor.run(
+      stream.toDF.toDF("doc_id", "text", "lang", "source"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("mix_mon").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      // update mode re-emits refreshed cells: the LATEST row per cell is
+      // the monitor's state
+      val got = spark.sql(
+        """SELECT lang, source, n_docs, total_tokens FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY lang, source
+          |    ORDER BY n_docs DESC) AS rn FROM mix_mon) WHERE rn = 1""".stripMargin)
+        .as[(String, String, Long, Long)].collect().toSet
+      val expected = docs.groupBy(d => (d._3, d._4)).map { case ((l, s), ds) =>
+        (l, s, ds.size.toLong, ds.map(_._2.split("\\s+").length.toLong).sum)
+      }.toSet
+      assert(got == expected,
+        "stream-end mix cells must equal the batch rollup")
+    } finally q.stop()
+  }
+}
