@@ -116,6 +116,50 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-6 families: distributed prefix scan
+    * (pack_plan), mix rebalancing, semantic sample/near-dup. Run:
+    * `runMain graft.tools.ScaleProbe r6ops`.
+    */
+  private def r6OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      docs.count()
+      time(s"pack_plan x$k (${5000 * k} docs)") {
+        graft.ops.TextAnalysis.packPlan(docs).count()
+      }
+      time(s"mix_rebalance x$k") {
+        graft.ops.TextAnalysis.mixRebalance(docs).count()
+      }
+      docs.unpersist()
+      val emb = (0 until k).map { i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).cache()
+      emb.count()
+      time(s"semantic_sample x$k (${2000 * k} vecs)") {
+        graft.ops.Ivf.semanticSample(emb).count()
+      }
+      time(s"semantic_neardup x$k") {
+        val n = graft.ops.Ivf.semanticNearDup(emb).count()
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        n
+      }
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -127,6 +171,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("recall")) { recallCurves(spark); spark.stop(); return }
     if (args.contains("newops")) { newOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r6ops")) { r6OpsCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
     def amplifyDocs(k: Int): DataFrame = {
