@@ -1711,7 +1711,7 @@ object SparkEntry {
     // keep decision on UNROUNDED double quotients (IEEE-identical)
     "mix_rebalance" ->
       ("WITH t AS (SELECT doc_id, lang, " +
-        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens FROM documents), " +
         "bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM t GROUP BY 1), " +
         "mn AS (SELECT min(lang_tokens) AS min_tokens FROM bl) " +
         "SELECT t.doc_id, t.lang, t.n_tokens, " +
@@ -1723,7 +1723,7 @@ object SparkEntry {
     // window (fine at oracle scale; the engine uses the two-pass scan)
     "pack_plan" ->
       ("WITH t AS (SELECT doc_id, lang, " +
-        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, lang, n_tokens, " +
         "COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +

@@ -328,8 +328,10 @@ object TextAnalysis {
     * integer arithmetic (exact in any engine).
     */
   def packPlan(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    // null text → 0 tokens (the scan's value column must be non-null;
+    // a null would otherwise kill the job executor-side)
     val toks = docs.select(col("doc_id"), col("lang"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
+      coalesce(size(words(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
     Scan.withRunningTotal(toks, Seq("lang"), Seq("doc_id"), "n_tokens")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"cum_before div $capacity").as("seq_id"),
@@ -350,11 +352,13 @@ object TextAnalysis {
     * Scale design: two dim-scale aggregations broadcast back, decision
     * map-only; the keep comparison uses unrounded IEEE doubles (both
     * engines compute bit-identical quotients), the reported `rate` is
-    * rounded for display only.
+    * rounded for display only. Docs with a NULL lang have no stratum and
+    * are excluded (standard equi-join semantics, same in the oracle);
+    * null text counts 0 tokens.
     */
   def mixRebalance(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
+      coalesce(size(words(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
     val byLang = toks.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("lang_tokens"))
     val minTok = byLang.agg(min(col("lang_tokens")).as("min_tokens"))

@@ -245,6 +245,22 @@ class RankEventsSpecs extends SparkSpec {
     assert(recall > 0.2, s"within-cell recall collapsed: $recall")
   }
 
+  test("pack/mix null edges: null text counts 0 tokens, null lang has no stratum") {
+    val docs = Seq(
+      (1L, "one two three", "en"), (2L, null: String, "en"),
+      (3L, "uno dos", "es"), (4L, "stray", null: String))
+      .toDF("doc_id", "text", "lang")
+    val plan = graft.ops.TextAnalysis.packPlan(docs, capacity = 4).collect()
+    // the null-text doc packs as a 0-token doc (n_seqs 0), not a crash
+    val d2 = plan.find(_.getLong(0) == 2L).get
+    assert(d2.getLong(2) == 0L && d2.getLong(5) == 0L)
+    assert(plan.length == 4)
+    val mix = graft.ops.TextAnalysis.mixRebalance(docs).collect()
+    assert(!mix.exists(_.getLong(0) == 4L),
+      "a null-lang doc has no stratum and is excluded")
+    assert(mix.find(_.getLong(0) == 2L).exists(_.getLong(2) == 0L))
+  }
+
   test("mix rebalance: smallest language kept whole, kept token shares equalize") {
     val docs = graft.core.Tables.table(spark, Sf0001, "documents")
     val got = graft.ops.TextAnalysis.mixRebalance(docs).collect()
