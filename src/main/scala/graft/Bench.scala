@@ -53,7 +53,13 @@ object Bench {
         graft.core.Materialize.inScope { scope =>
           val c0 = cpuSec
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // a failing query must be VISIBLE in the log (its wall time alone
+          // reads as just-a-fast-query in the artifact)
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1L
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           val dc = cpuSec - c0
           scope.release(spark, blocking = true)
