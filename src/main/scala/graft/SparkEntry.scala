@@ -827,6 +827,10 @@ object SparkEntry {
       // SemDeDup pass: exact cosine pairs WITHIN quantizer cells — the
       // cell join bounds pair generation at sum(|cell|^2), not n^2
       graft.ops.Ivf.semanticNearDup(Tables.table(s, dir, "embeddings"))),
+    "semantic_dedup" -> ((s, dir) =>
+      // SemDeDup end-to-end: within-cell pairs -> connected components ->
+      // keeper = farthest-from-centroid member (the curation decision)
+      graft.ops.Ivf.semanticDedup(Tables.table(s, dir, "embeddings"))),
     "mix_rebalance" -> ((s, dir) =>
       // uniform-token-share rebalancing: derived per-lang rates + the
       // deterministic hash keep decision (mix_report's executable sibling)
@@ -1869,6 +1873,30 @@ object SparkEntry {
         "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
         "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
+    // semanticDedup replay: the semantic_neardup pair CTEs + recursive
+    // min-label reachability (the corpus_dedup CC mold) + the
+    // farthest-from-centroid keeper (ccos asc, vec_id asc)
+    "semantic_dedup" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
+        "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +
+        "UNION SELECT g.a AS vec_id, c.lbl FROM edges g JOIN comp c ON g.b = c.vec_id), " +
+        "labels AS (SELECT vec_id, min(lbl) AS cluster_id FROM comp GROUP BY 1), " +
+        "sc AS (SELECT a.vec_id, round(list_cosine_similarity(a.v, c.cvec), 6) AS ccos " +
+        "FROM assigned a JOIN cents c ON c.cid = a.cid) " +
+        "SELECT l.vec_id, l.cluster_id, " +
+        "(row_number() OVER (PARTITION BY l.cluster_id ORDER BY s.ccos, l.vec_id) = 1) AS keep " +
+        "FROM labels l JOIN sc s ON s.vec_id = l.vec_id"),
     // semanticSample replay: the ann_ivf seed/assignment CTEs + the
     // portable md5-prefix hash pick per cell (h asc, vec_id asc)
     "semantic_sample" ->

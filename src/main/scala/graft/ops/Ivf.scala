@@ -264,12 +264,20 @@ object Ivf {
     * train-once/reuse sibling, like `searchTopKWith`.
     */
   def semanticNearDupWith(emb: DataFrame, cents: Array[Array[Double]],
-                          threshold: Double = 0.4): DataFrame = {
-    val e = vecs(emb)
-    // one materialized argmax scan feeds BOTH join sides (same pattern as
-    // minhashLsh's signature barrier)
-    val cells = graft.core.Materialize.once(assign(e, cents)
+                          threshold: Double = 0.4): DataFrame =
+    cellPairs(assignedCells(vecs(emb), cents), threshold)
+
+  /** ONE materialized argmax-assignment scan — both sides of the
+    * within-cell pair join (and semanticDedup's keeper scoring) derive
+    * from it, so the corpus is embedded-and-assigned exactly once (same
+    * pattern as minhashLsh's signature barrier).
+    */
+  private def assignedCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    graft.core.Materialize.once(assign(e, cents)
       .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v")))
+
+  /** Within-cell (id1 < id2) pairs at the rounded-cosine threshold. */
+  private def cellPairs(cells: DataFrame, threshold: Double): DataFrame =
     cells.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
       .join(cells.select(col("cid"), col("vec_id").as("id2"), col("v").as("v2")),
         Seq("cid"))
@@ -277,6 +285,45 @@ object Ivf {
       .select(col("cid"), col("id1"), col("id2"),
         round(graft.functions.cosine_sim(col("v1"), col("v2")), 6).as("cos"))
       .where(col("cos") >= threshold)
+
+  /** SemDeDup end-to-end — [[semanticNearDup]]'s pairs turned into the
+    * actual curation decision, in the corpus_dedup mold: within-cell
+    * near-dup pairs → min-label connected components (Dedup.clusters'
+    * pointer-jumping loop, one job per round) → one keeper per cluster.
+    * The keeper is the member FARTHEST from its cell centroid (lowest
+    * rounded centroid cosine, ties on the lower vec_id) — SemDeDup's
+    * diversity-preserving choice: the most typical members of a semantic
+    * cluster are the redundant ones. Emits (vec_id, cluster_id, keep)
+    * for every clustered vector, exactly like corpusDedup's
+    * (doc_id, cluster_id, keep).
+    *
+    * Scale design: the ONE materialized assignment scan feeds both pair
+    * sides AND the keeper score (no re-assignment pass); pair generation
+    * stays bounded at Σ|cell|²; the keeper window partitions by
+    * cluster_id — near-dup clusters are small by construction, the same
+    * bounded-partition argument corpusDedup makes.
+    */
+  def semanticDedup(emb: DataFrame, numCells: Int = 16,
+                    threshold: Double = 0.4): DataFrame =
+    semanticDedupWith(emb, train(emb, numCells, iters = 0), threshold)
+
+  /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
+  def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
+                        threshold: Double = 0.4): DataFrame = {
+    val centLit = array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cells = assignedCells(vecs(emb), cents)
+    val comp = Dedup.clusters(cellPairs(cells, threshold).select(col("id1"), col("id2")))
+    // centroid-cosine keeper score via literal-array lookup (no join) over
+    // the SAME materialized cells frame the pairs came from
+    val scored = comp.join(
+      cells.select(col("vec_id").as("doc_id"),
+        round(graft.functions.cosine_sim(col("v"),
+          element_at(centLit, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+      "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
+    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
   }
 
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.

@@ -122,6 +122,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic dedup derives pairs AND keeper scores from the one cell frame") {
+    val p = planOf("semantic_dedup")
+    // pair sides, CC labels, and the centroid-cosine keeper join must all
+    // come off materialized frames — the corpus is assigned exactly once
+    assert(!p.contains("FileScan"),
+      "no branch may re-scan embeddings past the materialized assign\n" + p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semantic sample plans the bounded heap aggregate, no window") {
     val p = planOf("semantic_sample")
     assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)

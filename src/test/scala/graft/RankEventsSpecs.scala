@@ -245,6 +245,28 @@ class RankEventsSpecs extends SparkSpec {
     assert(recall > 0.2, s"within-cell recall collapsed: $recall")
   }
 
+  test("semantic dedup: clusters close the pair graph, one diversity keeper each") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = graft.ops.Ivf.train(emb, 8, iters = 0)
+    val pairs = graft.ops.Ivf.semanticNearDupWith(emb, cents, 0.4)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    val dd = graft.ops.Ivf.semanticDedupWith(emb, cents, 0.4)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val cluster = dd.map(r => r._1 -> r._2).toMap
+    // exactly the paired vectors are clustered, and every near-dup pair
+    // lands in one cluster (the CC closure did its job)
+    assert(cluster.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // min-label convention + exactly one keeper per cluster
+    dd.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not min-labeled")
+      assert(members.count(_._3) == 1, s"cluster $cid keeper count != 1")
+    }
+  }
+
   test("pack/mix null edges: null text counts 0 tokens, null lang has no stratum") {
     val docs = Seq(
       (1L, "one two three", "en"), (2L, null: String, "en"),
