@@ -841,6 +841,16 @@ object SparkEntry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.pqSearch(e, e.where(col("vec_id") < 10), 5)
     }),
+    "ivfpq_encode" -> ((s, dir) =>
+      // IVF-PQ residual index build: coarse cell id + PQ codes of the
+      // residual (v - centroid[cid]) in one fused map-only pass
+      graft.ops.Ivf.ivfPqEncode(Tables.table(s, dir, "embeddings"))),
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ serving scan: probe nprobe cells, ADC over the residual
+      // reconstruction — cell pruning x compressed scoring in one index
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.ivfPqSearch(e, e.where(col("vec_id") < 10), 5)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -1927,7 +1937,11 @@ object SparkEntry {
         "FROM assigned GROUP BY 1, 2"),
     "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2),
     "pq_encode" -> pqEncodeOracleSql(m = 4, k = 16, dim = 64),
-    "pq_search" -> pqSearchOracleSql(m = 4, k = 16, dim = 64, topK = 5)
+    "pq_search" -> pqSearchOracleSql(m = 4, k = 16, dim = 64, topK = 5),
+    "ivfpq_encode" -> ivfPqEncodeOracleSql(m = 4, k = 16, dim = 64,
+      numCells = 16, iters = 1),
+    "ann_ivfpq" -> ivfPqSearchOracleSql(m = 4, k = 16, dim = 64,
+      numCells = 16, iters = 1, nprobe = 4, topK = 5)
   )
 
   /** Shared DuckDB replay of Ivf.pqEncoded: per-subspace codebooks from
@@ -1968,6 +1982,103 @@ object SparkEntry {
       "cand AS (SELECT q.qid, r.vec_id AS id2, " +
       "round(list_cosine_similarity(q.qv, r.recon), 6) AS cos " +
       "FROM r CROSS JOIN q WHERE r.vec_id <> q.qid) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $topK"
+
+  /** Shared DuckDB replay of Ivf.ivfPqEncodedFrame: `iters` Lloyd rounds
+    * train the coarse quantizer (annIvfTrained's assign/mean CTEs),
+    * residuals v − centroid[cid] seed per-subspace codebooks from the k
+    * lowest vec_ids' residuals, ONE Lloyd round refines each codebook on
+    * the residual slices (decimal-exact means, present codes compacted —
+    * the localizePos contract), and recon (CTE `r`) = coarse centroid +
+    * concatenated chosen residual centroids. Subspace assignment guards
+    * NaN cosines (a zero residual carries no direction) as
+    * strictly-worse-than-any-real — mirroring NearestCell, where a NaN
+    * comparison is false and the candidate never wins.
+    */
+  private def ivfPqCtes(m: Int, k: Int, dim: Int, numCells: Int,
+                        iters: Int): String = {
+    val sub = dim / m
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        s"FROM e CROSS JOIN $cents c) WHERE arn = 1)"
+    def meanCte(name: String, from: String): String =
+      s"$name AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cid, cvec FROM (" +
+        "SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
+        "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
+        s"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $from) " +
+        "GROUP BY cid, pos) GROUP BY cid) x)"
+    // NaN-guarded per-subspace code pick against codebook `book`
+    def codePick(name: String, book: String, outCol: String, s: Int): String = {
+      val cs = s"round(list_cosine_similarity(r0.res[${s * sub + 1}:${(s + 1) * sub}], c.cvec), 6)"
+      s"$name AS (SELECT vec_id, scid AS $outCol FROM (" +
+        "SELECT r0.vec_id, c.scid, row_number() OVER (PARTITION BY r0.vec_id " +
+        s"ORDER BY (CASE WHEN isnan($cs) THEN -2 ELSE $cs END) DESC, c.scid) AS rn " +
+        s"FROM resid r0 CROSS JOIN $book c) WHERE rn = 1)"
+    }
+    val rounds = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"ta${i - 1}", s"cents${i - 1}"), meanCte(s"cents$i", s"ta${i - 1}"))
+    }.mkString(", ")
+    val fin = s"cents$iters"
+    // seed books → seed-code pick → one decimal-exact Lloyd round on the
+    // residual slices (mirrors ivfPqEncodedFrame's bookIters = 1 default)
+    val seedBooks = (0 until m).map(s =>
+      s"sb$s AS (SELECT scid, res[${s * sub + 1}:${(s + 1) * sub}] AS cvec FROM seeds)")
+      .mkString(", ")
+    val seedPicks = (0 until m).map(s => codePick(s"pb$s", s"sb$s", "cid", s))
+      .mkString(", ")
+    val cbs = (0 until m).map { s =>
+      s"cb$s AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS scid, cvec FROM (" +
+        "SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
+        "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
+        s"SELECT pb$s.cid, unnest(r1.res[${s * sub + 1}:${(s + 1) * sub}]) AS x, " +
+        s"generate_subscripts(r1.res[${s * sub + 1}:${(s + 1) * sub}], 1) AS pos " +
+        s"FROM pb$s JOIN resid r1 ON r1.vec_id = pb$s.vec_id) " +
+        "GROUP BY cid, pos) GROUP BY cid) x)"
+    }.mkString(", ")
+    val assigns = (0 until m).map(s => codePick(s"pa$s", s"cb$s", s"code$s", s))
+      .mkString(", ")
+    val joins = (0 until m).map(s => s"JOIN pa$s ON pa$s.vec_id = resid.vec_id").mkString(" ") +
+      " " + (0 until m).map(s => s"JOIN cb$s c$s ON c$s.scid = pa$s.code$s").mkString(" ")
+    val rr = (0 until m).map(s => s"c$s.cvec").mkString(" || ")
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
+      rounds + ", " +
+      assignCte("af", fin) + ", " +
+      s"resid AS (SELECT a.vec_id, a.v, a.cid, " +
+      s"list_transform(generate_series(1, $dim), i -> a.v[i] - c.cvec[i]) AS res " +
+      s"FROM af a JOIN $fin c ON c.cid = a.cid), " +
+      "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
+      s"FROM (SELECT vec_id, res FROM resid ORDER BY vec_id LIMIT $k)), " +
+      seedBooks + ", " + seedPicks + ", " + cbs + ", " + assigns + ", " +
+      "r AS (SELECT resid.vec_id, resid.v, resid.cid, " +
+      (0 until m).map(s => s"CAST(pa$s.code$s AS BIGINT) AS code$s").mkString(", ") +
+      s", list_transform(generate_series(1, $dim), i -> cc.cvec[i] + ($rr)[i]) AS recon " +
+      s"FROM resid $joins JOIN $fin cc ON cc.cid = resid.cid)"
+  }
+
+  private def ivfPqEncodeOracleSql(m: Int, k: Int, dim: Int, numCells: Int,
+                                   iters: Int): String =
+    s"WITH ${ivfPqCtes(m, k, dim, numCells, iters)} " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS cid, " +
+      (0 until m).map(s => s"code$s").mkString(", ") +
+      ", round(list_cosine_similarity(v, recon), 6) AS recon_cos FROM r"
+
+  private def ivfPqSearchOracleSql(m: Int, k: Int, dim: Int, numCells: Int,
+                                   iters: Int, nprobe: Int, topK: Int): String =
+    s"WITH ${ivfPqCtes(m, k, dim, numCells, iters)}, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, r.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, r.recon), 6) AS cos " +
+      "FROM r JOIN probes p ON r.cid = p.cid WHERE r.vec_id <> p.qid) " +
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM cand) WHERE rn <= $topK"

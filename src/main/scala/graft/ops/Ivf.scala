@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,30 @@ object Ivf {
   def assign(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     e.withColumn("cid", graft.functions.nearest_cell(
       col("v"), centroids.flatten, centroids.length, centroids.head.length))
+
+  /** The centroid matrix as a literal array-of-arrays column:
+    * `element_at(centLit(c), cid + 1)` looks a centroid up map-side with
+    * no join. Fine at coarse-quantizer k (k·dim literals — the documented
+    * codegen-fallback caveat from the ANN serving path applies).
+    */
+  private def centLit(cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+
+  /** Query-side probe ranking: each query's `nprobe` nearest cells —
+    * |q| × k rows, tiny by contract (row_number window is fine here).
+    */
+  private def probeFrame(queries: DataFrame, cents: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val wq = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(centroidsDf(spark, cents)))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(graft.functions.cosine_sim(col("qv"), col("cvec")), 6).as("c"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+  }
 
   /** The k-row centroid table as a local DataFrame (for query-side probe
     * ranking, where the query set is small).
@@ -207,6 +231,123 @@ object Ivf {
         round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos")), k)
   }
 
+  /** IVF-PQ residual index — the standard billion-vector serving layout,
+    * composing the coarse quantizer ([[train]]) with product quantization
+    * ([[pqEncode]]'s codebook machinery) the way FAISS's IVFPQ does: each
+    * vector stores its coarse cell id plus PQ codes of the RESIDUAL
+    * (v − centroid[cid]), so the fine codebooks only have to cover the
+    * (much tighter) within-cell displacement distribution instead of the
+    * whole embedding space — better reconstruction at equal code bytes
+    * than plain PQ, and search can skip unprobed cells entirely.
+    *
+    * Scale design: both quantizer models are driver-side arrays (coarse
+    * centroids from `train`, residual codebooks from the k-lowest-vec_ids
+    * seed contract applied to residuals); cell assignment, residual
+    * subtraction, per-subspace code assignment, and reconstruction are ONE
+    * fused map-only pass (literal-array lookups, zero shuffle, zero join).
+    * Emits (vec_id, cid, code0..m-1, recon_cos).
+    */
+  def ivfPqEncode(emb: DataFrame, numCells: Int = 16, iters: Int = 1,
+                  m: Int = 4, k: Int = 16): DataFrame =
+    ivfPqEncodeWith(emb, train(emb, numCells, iters), m, k)
+
+  /** [[ivfPqEncode]] against a PRE-TRAINED coarse quantizer. */
+  def ivfPqEncodeWith(emb: DataFrame, cents: Array[Array[Double]],
+                      m: Int = 4, k: Int = 16): DataFrame =
+    ivfPqEncodedFrame(vecs(emb), cents, m, k)
+      .select(Seq(col("vec_id"), col("cid").cast("long").as("cid")) ++
+        (0 until m).map(s => col(s"code$s").cast("long").as(s"code$s")) :+
+        round(graft.functions.cosine_sim(col("v"), col("recon")), 6).as("recon_cos"): _*)
+
+  /** Shared IVF-PQ encode frame: (vec_id, v, cid, code0..m-1, recon) with
+    * recon = centroid[cid] + concatenated chosen residual-codebook
+    * centroids. Residual codebooks start from the k lowest vec_ids'
+    * residuals (the Ivf seed contract, computed by the SAME fused
+    * assignment expression the corpus pass runs) and are refined by
+    * `bookIters` Lloyd rounds ON THE RESIDUALS — the FAISS-style step
+    * that matters here: residual variance is exactly what distinguishes
+    * within-cell neighbors, and raw seed slices quantize it too coarsely
+    * to rank them (measured: full-probe recall 0.14 untrained vs ≥ plain
+    * PQ trained). Means are decimal-exact like `train`'s, so the whole
+    * encode — both quantizer trainings included — replays in SQL.
+    */
+  private def ivfPqEncodedFrame(e: DataFrame, cents: Array[Array[Double]],
+                                m: Int, k: Int, bookIters: Int = 1): DataFrame = {
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val cl = centLit(cents)
+    def withRes(df: DataFrame) = assign(df, cents)
+      .withColumn("res", zip_with(col("v"),
+        element_at(cl, (col("cid") + 1).cast("int")), (a, b) => a - b))
+    val res = withRes(e)
+    val seeds = res.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long").as("vec_id"), col("res"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    var books = (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    val d = org.apache.spark.sql.types.DecimalType(30, 15)
+    (1 to bookIters).foreach { _ =>
+      // per-subspace Lloyd round: assign residual slices to the current
+      // book, decimal-exact per-component means (present codes compact,
+      // sorted — the localizePos contract, mirrored by the oracle)
+      books = (0 until m).map { s =>
+        val sl = slice(col("res"), s * sub + 1, sub)
+        localizePos(res
+          .select(graft.functions.nearest_cell(
+            sl, books(s).flatten, books(s).length, sub).as("cid"),
+            posexplode(sl))
+          .toDF("cid", "pos", "x")
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
+          .select(col("cid"), col("pos").cast("int").as("pos"), col("x")), sub)
+      }
+    }
+    val coded = (0 until m).foldLeft(res) { (df, s) =>
+      df.withColumn(s"code$s", graft.functions.nearest_cell(
+        slice(col("res"), s * sub + 1, sub), books(s).flatten,
+        books(s).length, sub))
+    }
+    coded.withColumn("recon", zip_with(
+      element_at(cl, (col("cid") + 1).cast("int")),
+      concat((0 until m).map(s =>
+        element_at(centLit(books(s)), col(s"code$s") + 1)): _*),
+      (a, b) => a + b))
+  }
+
+  /** IVF-PQ top-k search: probe the query's `nprobe` nearest cells and
+    * ADC-score ONLY those cells' members against the residual-reconstructed
+    * candidates — the memory-bound serving scan (`ann_ivf`'s cell pruning ×
+    * `pq_search`'s compressed scoring in one index). Self-contained form
+    * (trains in place, the oracle replays everything); for serving, train
+    * once and feed [[ivfPqSearchWith]] a persisted [[ivfPqReconFrame]].
+    */
+  def ivfPqSearch(emb: DataFrame, queries: DataFrame, k: Int,
+                  numCells: Int = 16, iters: Int = 1, m: Int = 4,
+                  kCode: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = train(emb, numCells, iters)
+    ivfPqSearchWith(ivfPqReconFrame(emb, cents, m, kCode), cents, queries, k, nprobe)
+  }
+
+  /** The (vec_id, cid, recon) compressed-corpus frame [[ivfPqSearchWith]]
+    * scans — encode once per corpus snapshot, search many times.
+    */
+  def ivfPqReconFrame(emb: DataFrame, cents: Array[Array[Double]],
+                      m: Int = 4, k: Int = 16): DataFrame =
+    ivfPqEncodedFrame(vecs(emb), cents, m, k)
+      .select(col("vec_id"), col("cid"), col("recon"))
+
+  /** IVF-PQ top-k against an ALREADY-ENCODED corpus frame. */
+  def ivfPqSearchWith(enc: DataFrame, cents: Array[Array[Double]],
+                      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = probeFrame(queries, cents, nprobe)
+    Similarity.topK(enc.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos")), k)
+  }
+
   /** Cluster-balanced deterministic corpus subsample — the
     * diversity-preserving downsampling pass (SemDeDup-style motivation):
     * instead of a uniform corpus sample, which follows the corpus's own
@@ -310,8 +451,7 @@ object Ivf {
   /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
   def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
                         threshold: Double = 0.4): DataFrame = {
-    val centLit = array(cents.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
     val comp = Dedup.clusters(cellPairs(cells, threshold).select(col("id1"), col("id2")))
     // centroid-cosine keeper score via literal-array lookup (no join) over
@@ -319,7 +459,7 @@ object Ivf {
     val scored = comp.join(
       cells.select(col("vec_id").as("doc_id"),
         round(graft.functions.cosine_sim(col("v"),
-          element_at(centLit, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
       "doc_id")
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
     scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
@@ -345,19 +485,8 @@ object Ivf {
     */
   def searchTopKWith(emb: DataFrame, queries: DataFrame, k: Int,
                      cents: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
     val cells = assign(vecs(emb), cents) // vec_id, v, cid
-
-    // query-side probe ranking: |q| × numCells rows — tiny by contract
-    val wq = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
-    val probes = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
-      .crossJoin(broadcast(centroidsDf(spark, cents)))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(graft.functions.cosine_sim(col("qv"), col("cvec")), 6).as("c"))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
-
+    val probes = probeFrame(queries, cents, nprobe)
     Similarity.topK(cells.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),

@@ -204,6 +204,42 @@ class RankEventsSpecs extends SparkSpec {
     assert(pq.count() == exact.count())
   }
 
+  test("ivfpq encode: map-only plan, valid cell/codes, residual recon beats plain pq") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val enc = graft.ops.Ivf.ivfPqEncode(emb)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "ivfpq encode must be map-only after the driver-side model jobs\n" + p)
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 16) // cid
+      (2 to 5).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 16))
+    }
+    // residual codebooks only cover within-cell displacement, so mean
+    // reconstruction quality must beat plain PQ at the same code bytes
+    // (m=4 subspaces x 16 entries) — the reason IVF-PQ exists
+    val meanRc = rows.map(_.getDouble(6)).sum / rows.length
+    val plainRc = graft.ops.Ivf.pqEncode(emb).collect()
+      .map(_.getDouble(5)).sum / rows.length
+    assert(meanRc > plainRc,
+      s"residual recon_cos $meanRc must beat plain PQ's $plainRc")
+  }
+
+  test("ivfpq search: at full probe width, recall >= plain pq at equal code bytes") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = graft.ops.Similarity.bruteForceTopK(spark, emb, q, 5)
+    // nprobe = numCells scans every cell: isolates quantization quality
+    // (residual PQ vs plain PQ) from the cell-pruning recall knob
+    val ivfpq = graft.ops.Ivf.ivfPqSearch(emb, q, 5, nprobe = 16)
+    val pq = graft.ops.Ivf.pqSearch(emb, q, 5)
+    val rIvfPq = graft.ops.Similarity.recallAtK(exact, ivfpq)
+    val rPq = graft.ops.Similarity.recallAtK(exact, pq)
+    assert(rIvfPq >= rPq, s"ivfpq recall $rIvfPq < plain pq recall $rPq")
+    assert(ivfpq.count() == exact.count())
+  }
+
   test("semantic sample: per-cell budget respected, window-free, partitioning-invariant") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val s = graft.ops.Ivf.semanticSample(emb, numCells = 8, perCell = 5)
