@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) travels as an
   * opaque `binary` column with typed metadata, partitioned like any other
-  * table. The decode step itself is STUBBED (no media libraries in this
-  * container) with a deterministic content-derived fake; the Spark-side
-  * contract — binary input column, batched per-partition decode, fixed
-  * typed output schema — is the real thing a cluster deployment swaps a
-  * codec into.
+  * table. IMAGE decode is REAL ([[decodeImage]] — the JDK's javax.imageio
+  * codecs, zero external dependencies); audio/video decode stays stubbed
+  * ([[decodeStub]], a deterministic content-derived fake, which also
+  * remains the engine-portable oracled query). Both share the same
+  * Spark-side contract — binary input column, batched per-partition
+  * decode, fixed typed output schema — so a cluster deployment swaps
+  * richer codecs into the identical boundary.
   */
 object Multimodal {
 
@@ -46,6 +48,55 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
       .select(col("doc_id"), col("duration_ms"), col("frame_idx"),
         (col("frame_idx") * everyMs).as("frame_ts_ms"))
+
+  /** REAL image decode via the JDK's built-in javax.imageio readers
+    * (PNG/JPEG/GIF/BMP — no external media libraries needed): decoded
+    * width/height/band count plus per-channel pixel means in [0, 1],
+    * batched per partition exactly like [[decodeStub]] (this is the codec
+    * swapped into that boundary). Rows no installed reader accepts come
+    * back `ok = false` with null metrics instead of failing the job — a
+    * 100 TB media crawl always contains junk bytes.
+    *
+    * Scale design: pure mapPartitions over the binary column — decode
+    * parallelism IS the table's partitioning, no shuffle, executor-local
+    * memory bounded by one 64-row batch of images at a time.
+    */
+  def decodeImage(media: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def decode(id: Long, bytes: Array[Byte]): (Long, Boolean, Option[Long],
+        Option[Long], Option[Long], Option[Double], Option[Double], Option[Double]) =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (id, false, None, None, None, None, None, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val bands = img.getRaster.getNumBands.toLong
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y) // sRGB view regardless of storage model
+              r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * 255L
+          (id, true, Some(w.toLong), Some(h.toLong), Some(bands),
+            Some(r.toDouble / n), Some(g.toDouble / n), Some(b.toDouble / n))
+        }
+      } catch { case _: Exception => (id, false, None, None, None, None, None, None) }
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+      }))
+      .toDF("doc_id", "ok", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b")
+  }
 
   /** Batched decode/feature-extract stub. Batch size 64 mirrors a
     * vectorized decode unit (what a GPU/SIMD codec would consume at once).

@@ -526,4 +526,55 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("width")).toMap
     assert(rows.forall(r => again(r.getAs[Long]("doc_id")) == r.getAs[Long]("width")))
   }
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real image decode: javax.imageio round-trips generated PNGs exactly") {
+    val red = png(8, 4)((_, _) => 0xFF0000)
+    // checkerboard: half white half blue → exact rational channel means
+    val check = png(2, 2)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x0000FF)
+    val jpg = { // decoded-but-lossy: only shape/ok asserted
+      val img = new java.awt.image.BufferedImage(
+        5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    // > 64 rows so the decode crosses its 64-row batch boundary
+    val fill = (10L until 80L).map(i => (i, png(3, 3)((_, _) => 0x808080)))
+    val rows = ((1L, red) +: (2L, check) +: (3L, jpg) +:
+      (4L, "not an image".getBytes("UTF-8")) +: fill)
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val got = Multimodal.decodeImage(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == rows.length)
+    val r1 = got(1L)
+    assert(r1.getBoolean(1) && r1.getLong(2) == 8 && r1.getLong(3) == 4 &&
+      r1.getLong(4) == 3)
+    assert(r1.getDouble(5) == 1.0 && r1.getDouble(6) == 0.0 &&
+      r1.getDouble(7) == 0.0)
+    val r2 = got(2L)
+    assert(r2.getLong(2) == 2 && r2.getLong(3) == 2)
+    assert(r2.getDouble(5) == 0.5 && r2.getDouble(6) == 0.5 &&
+      r2.getDouble(7) == 1.0)
+    val r3 = got(3L)
+    assert(r3.getBoolean(1) && r3.getLong(2) == 5 && r3.getLong(3) == 3)
+    // junk bytes: ok=false with null metrics, never a job failure
+    val r4 = got(4L)
+    assert(!r4.getBoolean(1) && r4.isNullAt(2) && r4.isNullAt(5))
+    fill.foreach { case (i, _) =>
+      assert(got(i).getBoolean(1) && got(i).getLong(2) == 3)
+    }
+    // partitioning-invariant (decode is pure per-row work)
+    val again = Multimodal.decodeImage(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.keySet.forall(k => again(k) == got(k).toSeq))
+  }
 }
