@@ -764,7 +764,7 @@ object SparkEntry {
       // one low-cardinality aggregation.
       val d = Tables.table(s, dir, "documents")
       d.select(col("lang"), col("source"),
-          size(split(col("text"), "\\s+")).cast("long").as("t"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("t"),
           graft.ops.TextAnalysis.scoreColumn(col("text")).as("score"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),

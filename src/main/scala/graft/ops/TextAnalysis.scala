@@ -14,6 +14,17 @@ object TextAnalysis {
   /** Whitespace word list. */
   private def words(text: Column): Column = split(text, "\\s+")
 
+  /** THE whitespace token count — the one null convention for the whole
+    * packing/mix family (pack_plan, packing_stats, mix_report,
+    * mix_rebalance, StreamingMixMonitor): null text counts 0 tokens.
+    * Aggregate totals are identical either way (sum skips nulls), but a
+    * single shared expression keeps per-row consumers (the pack scan's
+    * non-null value contract, ANSI-off sizeOfNull=-1 configs) from
+    * diverging per call site.
+    */
+  private[graft] def tokens(text: Column): Column =
+    coalesce(size(words(text)).cast("long"), lit(0L))
+
   /** Count of words from `text` that appear in `set`. */
   private def hitCount(text: Column, set: Seq[String]): Column =
     size(filter(words(text), w => w.isin(set.map(lit(_)): _*)))
@@ -299,10 +310,16 @@ object TextAnalysis {
     * the final waste ratio, so exact in any engine; one map pass + one
     * aggregation keyed by the (low-cardinality) stratum.
     */
-  def packingStats(docs: DataFrame, ctx: Int = 64): DataFrame = {
-    val t = size(words(col("text"))).cast("long")
+  def packingStats(docs: DataFrame, ctx: Int = 64): DataFrame =
+    packingStatsOn(docs.select(col("source"), tokens(col("text")).as("n_tokens")), ctx)
+
+  /** [[packingStats]] over a PRE-COMPUTED token frame (source, n_tokens)
+    * — the drop-in for real-tokenizer counts ([[Bpe.withTokens]]).
+    */
+  def packingStatsOn(toks: DataFrame, ctx: Int = 64): DataFrame = {
+    val t = col("n_tokens")
     val w = floor((t + lit(ctx - 1)) / lit(ctx)).cast("long")
-    docs.select(col("source"), t.as("t"), w.as("w"))
+    toks.select(col("source"), t.as("t"), w.as("w"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("t")).as("total_tokens"),
@@ -327,12 +344,20 @@ object TextAnalysis {
     * each language in ONE task at 100 TB. Everything else is map-only
     * integer arithmetic (exact in any engine).
     */
-  def packPlan(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+  def packPlan(docs: DataFrame, capacity: Int = 2048): DataFrame =
     // null text → 0 tokens (the scan's value column must be non-null;
     // a null would otherwise kill the job executor-side)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      coalesce(size(words(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
-    Scan.withRunningTotal(toks, Seq("lang"), Seq("doc_id"), "n_tokens")
+    packPlanOn(docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("n_tokens")), capacity)
+
+  /** [[packPlan]] over a PRE-COMPUTED token frame (doc_id, lang,
+    * n_tokens) — swap in [[Bpe.withTokens]]' real-tokenizer counts and
+    * the layout comes out in the tokenizer's own units.
+    */
+  def packPlanOn(toks: DataFrame, capacity: Int = 2048): DataFrame = {
+    Scan.withRunningTotal(
+      toks.select(col("doc_id"), col("lang"), col("n_tokens")),
+      Seq("lang"), Seq("doc_id"), "n_tokens")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"cum_before div $capacity").as("seq_id"),
         (col("cum_before") % capacity).as("seq_offset"))
@@ -356,9 +381,14 @@ object TextAnalysis {
     * are excluded (standard equi-join semantics, same in the oracle);
     * null text counts 0 tokens.
     */
-  def mixRebalance(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"),
-      coalesce(size(words(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
+  def mixRebalance(docs: DataFrame): DataFrame =
+    mixRebalanceOn(docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("n_tokens")))
+
+  /** [[mixRebalance]] over a PRE-COMPUTED token frame (doc_id, lang,
+    * n_tokens) — real-tokenizer token shares via [[Bpe.withTokens]].
+    */
+  def mixRebalanceOn(toks: DataFrame): DataFrame = {
     val byLang = toks.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("lang_tokens"))
     val minTok = byLang.agg(min(col("lang_tokens")).as("min_tokens"))

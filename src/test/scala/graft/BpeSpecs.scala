@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Bpe, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class BpeSpecs extends SparkSpec {
+  import spark.implicits._
+
+  // tiny in-repo merges vocab (public merges-file format: ranked pairs)
+  private val MergesLines = Seq(
+    "#version: test",
+    "",
+    "a b",   // rank 0
+    "ab c",  // rank 1
+    "c d",   // rank 2
+    "e e")   // rank 3
+
+  private val bpe = Bpe.fromMergesLines(MergesLines.iterator)
+
+  test("bpe encode: hand-computed fixtures, lowest rank first, leftmost on ties") {
+    // abcd: (a,b)=r0 -> [ab,c,d]; (ab,c)=r1 -> [abc,d]; no pair left
+    assert(bpe.encodeWord("abcd") == Vector("abc", "d"))
+    // cd merges by r2 even though r0/r1 don't apply
+    assert(bpe.encodeWord("cd") == Vector("cd"))
+    // eeee: (e,e)=r3 at indices 0/1/2 — LEFTMOST wins each round:
+    // [ee,e,e] -> [ee,ee]; (ee,ee) unlisted -> done
+    assert(bpe.encodeWord("eeee") == Vector("ee", "ee"))
+    // uncovered chars stay single-character tokens (no unk)
+    assert(bpe.encodeWord("xyz") == Vector("x", "y", "z"))
+    assert(bpe.encodeWord("x") == Vector("x"))
+    assert(bpe.encodeWord("") == Vector())
+  }
+
+  test("bpe count: whitespace pretokenization, memo, null -> 0") {
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    // "abcd cd xyz" -> 2 + 1 + 3
+    assert(bpe.countTokens("abcd  cd\txyz", memo) == 6L)
+    assert(memo("abcd") == 2 && memo("cd") == 1 && memo("xyz") == 3)
+    assert(bpe.countTokens(null, memo) == 0L)
+    assert(bpe.countTokens("   ", memo) == 0L)
+  }
+
+  test("withTokens: passthrough columns, counts match, no shuffle in plan") {
+    val docs = Seq(
+      (1L, "abcd cd", "en"), (2L, "eeee eeee eeee", "de"),
+      (3L, null: String, "en"), (4L, "xyz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Bpe.withTokens(docs, bpe)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "lang", "n_tokens"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      "BPE tokenization must be map-only")
+    val m = got.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m == Map(1L -> 3L, 2L -> 6L, 3L -> 0L, 4L -> 3L))
+  }
+
+  test("pack plan on bpe tokens: real-tokenizer layout, hand-checked") {
+    val docs = Seq(
+      (1L, "abcd abcd", "en"),  // 4 bpe tokens
+      (2L, "eeee", "en"),       // 2
+      (3L, "xyz", "en"),        // 3
+      (4L, "cd cd cd", "de"))   // 3
+      .toDF("doc_id", "text", "lang")
+    val toks = Bpe.withTokens(docs, bpe).select(col("doc_id"), col("lang"), col("n_tokens"))
+    val plan = TextAnalysis.packPlanOn(toks, capacity = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // en stream in doc_id order: doc1 tokens [0,4) = seq0 whole;
+    // doc2 [4,6) = seq1 offset 0; doc3 [6,9) straddles seq1->seq2
+    assert(plan(1L) == ((4L, 0L, 0L, 1L)))
+    assert(plan(2L) == ((2L, 1L, 0L, 1L)))
+    assert(plan(3L) == ((3L, 1L, 2L, 2L)))
+    // de stream independent: doc4 [0,3) = seq0
+    assert(plan(4L) == ((3L, 0L, 0L, 1L)))
+    // and the whitespace default remains the packPlan(docs) behavior:
+    // same layout arithmetic, different (estimate) units
+    val ws = TextAnalysis.packPlan(docs, capacity = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws(1L) == 2L && ws(4L) == 3L)
+  }
+
+  test("packing stats + mix rebalance accept the bpe token frame drop-in") {
+    val docs = Seq(
+      (1L, "abcd abcd", "src0", "en"), (2L, "eeee", "src0", "en"),
+      (3L, "xyz xyz xyz", "src1", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    val toks = Bpe.withTokens(docs, bpe)
+    val stats = TextAnalysis.packingStatsOn(
+      toks.select(col("source"), col("n_tokens")), ctx = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(stats == Map("src0" -> 6L, "src1" -> 9L))
+    val mix = TextAnalysis.mixRebalanceOn(
+      toks.select(col("doc_id"), col("lang"), col("n_tokens"))).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // en has 6 bpe tokens, de 9 -> de rate 6/9, en rate 1.0
+    assert(mix.filter(m => m._1 <= 2).forall(_._3 == 1.0))
+    assert(mix.find(_._1 == 3L).exists(m => math.abs(m._3 - 0.666667) < 1e-6))
+  }
+}
