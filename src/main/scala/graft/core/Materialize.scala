@@ -112,8 +112,11 @@ object Materialize {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else track(df.localCheckpoint())
 
-  /** Number of tracked checkpoint blocks still persisted in the context —
-    * the bench loop asserts this returns to zero between queries.
+  /** Number of tracked checkpoint blocks still persisted in the context.
+    * The bench loop CHECKS this returns to zero after each query's scoped
+    * release and falls back to [[releaseAll]] with a log line when it
+    * doesn't (an off-thread cut landing in the default scope — see
+    * [[inScope]]'s thread-locality note).
     */
   def liveBlockCount(spark: SparkSession): Int = {
     val appId = spark.sparkContext.applicationId

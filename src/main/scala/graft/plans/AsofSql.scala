@@ -71,10 +71,16 @@ object AsofSql {
     * `--` line comments, and (nested, as Spark's lexer allows) bracketed
     * comments — so "ASOF JOIN" appearing as a string VALUE or inside a
     * comment is never counted or rewritten. Literals track backslash
-    * escapes, so an escaped quote can't end the literal early. A token
-    * SPLIT by a comment (`ASOF /*x*/ JOIN`) is not recognized: the ASOF
-    * word survives the strip and the stock parser rejects it — loud, per
-    * the surface's failure contract.
+    * escapes UNCONDITIONALLY, matching Spark's ANTLR lexer: token-level
+    * escape handling in SqlBaseLexer does not depend on
+    * `spark.sql.parser.escapedStringLiterals` — that conf only changes
+    * how the AstBuilder UNESCAPES the token's value (verified empirically:
+    * `SELECT '\'` is a PARSE_SYNTAX_ERROR under both conf settings, spec
+    * "escapedStringLiterals conf..."), so literal BOUNDARIES — the only
+    * thing this scanner needs — are conf-independent. A token SPLIT by a
+    * comment (`ASOF /*x*/ JOIN`) is not recognized: the ASOF word
+    * survives the strip and the stock parser rejects it — loud, per the
+    * surface's failure contract.
     */
   private def mapOutsideLiterals(sql: String, f: String => String): String = {
     val out = new StringBuilder

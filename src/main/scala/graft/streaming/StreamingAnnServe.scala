@@ -84,6 +84,13 @@ object StreamingAnnServe {
     * ranking kernel). `sink` receives each batch's (qid, id2, cos, rn)
     * top-k frame; at stream end the union of emissions equals the batch
     * `Ivf.searchTopKWith` over the same queries.
+    *
+    * ASSUMES each qid arrives in exactly ONE micro-batch (like the
+    * no-watermark note below, this is the serving contract, not a checked
+    * invariant): a qid re-delivered across batches gets an independent
+    * top-k per batch and nothing here reconciles them. `sink` receives
+    * `batchId` precisely so a delivery-ambiguous source can key or
+    * deduplicate emissions per batch downstream.
     */
   def serve(queries: DataFrame, emb: DataFrame, cents: Array[Array[Double]],
             k: Int, nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): StreamingQuery =
@@ -98,7 +105,10 @@ object StreamingAnnServe {
     * pre-encoded (vec_id, recon) frame from `Ivf.pqReconFrame` — the
     * ADC-style serving path: the original float vectors never load at
     * serve time. Each micro-batch replays the batch `pqSearchWith`
-    * kernel, so stream results equal the batch answer by construction.
+    * kernel, so stream results equal the batch answer by construction —
+    * under [[serve]]'s same distinct-qid-per-stream assumption (a
+    * re-delivered qid re-ranks independently; key by `batchId` to
+    * deduplicate downstream).
     */
   def servePq(queries: DataFrame, recon: DataFrame, k: Int)
              (sink: (DataFrame, Long) => Unit): StreamingQuery =

@@ -179,6 +179,40 @@ class AsofSqlSpec extends SparkSpec {
     assert(gotPairs == expected)
   }
 
+  test("ASOF NEAREST x multi-key composes: tuple keys + nearest in one statement") {
+    Graft.registerViews(spark, Sf0001)
+    // the scanner accepts 1..n equalities and NEAREST is statement-uniform
+    // — their composition must plan onto AsofJoinExec with keys=[user_id,
+    // day] and nearest sweep semantics
+    val viaSql = spark.sql(
+      """WITH p AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF NEAREST JOIN c ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts""".stripMargin)
+    viaSql.count()
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "multi-key ASOF NEAREST SQL must plan onto the native operator")
+    val day = (c: org.apache.spark.sql.Column) => date_trunc("day", c).cast("date")
+    val p = purchases.withColumn("day", day(col("ts")))
+    val c = clicks.withColumn("day", day(col("ts")))
+    val viaApi = AsofJoin.joinNativeKeys(p, c, Seq("user_id", "day"), "ts", "ts",
+        "click_", nearest = true)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_ts"), col("click_value"))
+    assert(rows(viaSql) == rows(viaApi))
+    // nearest on a matched-but-later-only day still matches (backward-only
+    // would drop it), distinguishing the composition from plain multi-key
+    assert(rows(viaSql) != rows(spark.sql(
+      """WITH p AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts""".stripMargin)))
+  }
+
   test("ASOF NEAREST JOIN plans onto the nearest sweep and matches joinNative") {
     Graft.registerViews(spark, Sf0001)
     val viaSql = spark.sql(asofSql.format("ASOF NEAREST JOIN", "p.ts >= c.ts"))
@@ -245,6 +279,34 @@ class AsofSqlSpec extends SparkSpec {
     // scanner that ended the literal at \' would see the token as syntax
     val s = spark.sql("SELECT 'it\\'s ASOF JOIN text' AS s").head().getString(0)
     assert(s == "it's ASOF JOIN text")
+  }
+
+  test("escapedStringLiterals conf: literal boundaries are conf-independent") {
+    Graft.registerViews(spark, Sf0001)
+    // Spark's lexer handles token-level backslash escapes UNCONDITIONALLY;
+    // escapedStringLiterals only changes value UNESCAPING. Pin both halves
+    // so the scanner's unconditional escape tracking provably matches the
+    // lexer under either conf setting.
+    def rawBackslashRejected(): Boolean =
+      try { spark.sql("SELECT '\\' AS s").collect(); false }
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => true }
+    assert(rawBackslashRejected(), "lexer must reject '\\' with conf unset")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      assert(rawBackslashRejected(), "lexer must reject '\\' with conf set too")
+      // a \'-escaped literal containing ASOF JOIN text still scans as one
+      // token (ASOF stays data), a real ASOF JOIN still plans natively,
+      // and the VALUE keeps the backslash (the conf's actual effect)
+      val df = spark.sql(
+        """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+          |SELECT 'it\'s ASOF JOIN text' AS raw, p.event_id, c.ts AS click_ts
+          |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+      df.count()
+      assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
+      assert(df.head().getString(0) == "it\\'s ASOF JOIN text",
+        "conf must keep the backslash in the VALUE (no unescaping)")
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
   }
 
   test("non-ASOF SQL is untouched, including string literals saying ASOF JOIN") {
