@@ -289,19 +289,32 @@ object Ivf {
     var books = (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
     val d = org.apache.spark.sql.types.DecimalType(30, 15)
     (1 to bookIters).foreach { _ =>
-      // per-subspace Lloyd round: assign residual slices to the current
-      // book, decimal-exact per-component means (present codes compact,
-      // sorted — the localizePos contract, mirrored by the oracle)
+      // Lloyd round over ALL m subspace books in ONE job: each row
+      // explodes into its m (subspace, code, slice) assignments, then a
+      // single (s, cid, pos)-keyed decimal-exact mean — m·k·sub rows
+      // collect (dim-scale). Per-book semantics identical to m separate
+      // jobs (same groups, same exact sums); present codes compact,
+      // sorted — the localizePos contract, mirrored by the oracle.
+      val rows = res.select(explode(array((0 until m).map { s =>
+          val sl = slice(col("res"), s * sub + 1, sub)
+          struct(lit(s).as("s"),
+            graft.functions.nearest_cell(
+              sl, books(s).flatten, books(s).length, sub).as("cid"),
+            sl.as("sl"))
+        }: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.cid").as("cid"), posexplode(col("e.sl")))
+        .toDF("s", "cid", "pos", "x")
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
+        .collect()
       books = (0 until m).map { s =>
-        val sl = slice(col("res"), s * sub + 1, sub)
-        localizePos(res
-          .select(graft.functions.nearest_cell(
-            sl, books(s).flatten, books(s).length, sub).as("cid"),
-            posexplode(sl))
-          .toDF("cid", "pos", "x")
-          .groupBy(col("cid"), col("pos"))
-          .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
-          .select(col("cid"), col("pos").cast("int").as("pos"), col("x")), sub)
+        rows.filter(_.getInt(0) == s)
+          .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (_, rs) =>
+            val a = new Array[Double](sub)
+            rs.foreach(r => a(r.getInt(2)) = r.getDouble(3))
+            a
+          }.toArray
       }
     }
     val coded = (0 until m).foldLeft(res) { (df, s) =>
