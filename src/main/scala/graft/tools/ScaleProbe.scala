@@ -37,6 +37,16 @@ object ScaleProbe {
       Seq(1, 2, 4, 8, 16).foreach { p =>
         probe(s"ivf nprobe=$p/16")(Ivf.searchTopKWith(emb, q, k, model, p))
       }
+      // compressed-domain paths: plain PQ vs the residual IVF-PQ index at
+      // the same code bytes (m=4 x 16 entries), pruning knob swept
+      probe("pq m=4,k=16")(Ivf.pqSearch(emb, q, k))
+      val m1 = Ivf.train(emb, 16, 1)
+      val enc = Ivf.ivfPqReconFrame(emb, m1, 4, 16).cache()
+      enc.count()
+      Seq(4, 8, 16).foreach { p =>
+        probe(s"ivfpq nprobe=$p/16")(Ivf.ivfPqSearchWith(enc, m1, q, k, p))
+      }
+      enc.unpersist()
       Seq(1, 2, 4, 8).foreach { t =>
         probe(s"lsh_multi tables=$t")(
           Similarity.lshTopKMulti(spark, emb, q, k, numPlanes = 6, numTables = t))
@@ -160,6 +170,56 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-7 families: IVF-PQ residual
+    * encode/search (pure corpus growth — map-only encode, linear
+    * candidates), BPE tokenization (map-only, memo-cached), and
+    * semantic_dedup (on replicated vectors every copy set is a genuine
+    * duplicate cluster, so pair count — and with it runtime — tracks the
+    * TRUE answer size, the same output-bound caveat semantic_neardup's
+    * round-6 curve documents). Run: `runMain graft.tools.ScaleProbe r7ops`.
+    */
+  private def r7OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val bpe = graft.ops.Bpe.fromMergesLines(Seq("t h", "th e", "i n", "a n").iterator)
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      docs.count()
+      time(s"bpe_tokens x$k (${5000 * k} docs)") {
+        graft.ops.Bpe.withTokens(docs, bpe)
+          .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      }
+      docs.unpersist()
+      val emb = (0 until k).map { i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).cache()
+      emb.count()
+      time(s"ivfpq_encode x$k (${2000 * k} vecs)") {
+        graft.ops.Ivf.ivfPqEncode(emb).count()
+      }
+      time(s"ann_ivfpq x$k") {
+        graft.ops.Ivf.ivfPqSearch(emb, emb.where(col("vec_id") < 10), 5).count()
+      }
+      time(s"semantic_dedup x$k (output-bound)") {
+        val n = graft.ops.Ivf.semanticDedup(emb).count()
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        n
+      }
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -172,6 +232,7 @@ object ScaleProbe {
     if (args.contains("recall")) { recallCurves(spark); spark.stop(); return }
     if (args.contains("newops")) { newOpsCurves(spark); spark.stop(); return }
     if (args.contains("r6ops")) { r6OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r7ops")) { r7OpsCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
     def amplifyDocs(k: Int): DataFrame = {
