@@ -118,4 +118,32 @@ object StreamingAnnServe {
         sink(Ivf.pqSearchWith(recon, batch, k), batchId)
       }
       .start()
+
+  /** Serve IVF-PQ top-k per arriving query against a pre-encoded
+    * (vec_id, cid, recon) frame from `Ivf.ivfPqReconFrame` + the coarse
+    * centroid model — the full memory-bound serving path: map-only probe
+    * ranking (the [[probeCids]] literal-matrix contract), stateless
+    * stream-static join on the PROBED cell ids only, ADC scoring on the
+    * residual reconstruction, bounded top-k close per micro-batch. Same
+    * zero-state/no-watermark shape as [[serve]], same
+    * distinct-qid-per-stream assumption; stream results equal the batch
+    * `Ivf.ivfPqSearchWith` row-for-row (spec-pinned).
+    */
+  def serveIvfPq(queries: DataFrame, enc: DataFrame,
+                 cents: Array[Array[Double]], k: Int, nprobe: Int = 4)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nprobe)))
+      .join(enc, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.topK(batch, k), batchId)
+      }
+      .start()
 }

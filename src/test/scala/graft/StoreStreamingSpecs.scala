@@ -1060,6 +1060,37 @@ class StreamingAnnServeSpec extends SparkSpec {
         "stream-served PQ top-k must equal the batch pqSearch answer")
     } finally { q.stop(); recon.unpersist() }
   }
+
+  test("streamed IVF-PQ serving: probed-cells-only ADC equals batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    // index once per corpus snapshot: coarse model + residual-encoded frame
+    val model = Ivf.train(emb, k = 8, iters = 1)
+    val enc = Ivf.ivfPqReconFrame(emb, model).cache()
+    val batchTruth = Ivf.ivfPqSearchWith(
+      enc, model, emb.where(col("vec_id") < 5), 5, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.serveIvfPq(
+      stream.toDF.toDF("vec_id", "embedding"), enc, model, k = 5, nprobe = 3) {
+      (topk, _) =>
+        got.synchronized { got ++= topk.as[(Long, Long, Double, Long)].collect() }
+    }
+    try {
+      val qs = queryRows(5)
+      stream.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served IVF-PQ top-k must equal the batch ivfPqSearchWith answer")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "IVF-PQ serving must stay stateless")
+    } finally { q.stop(); enc.unpersist() }
+  }
 }
 
 class StreamingMixMonitorSpec extends SparkSpec {
