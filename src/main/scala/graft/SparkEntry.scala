@@ -835,6 +835,18 @@ object SparkEntry {
       // uniform-token-share rebalancing: derived per-lang rates + the
       // deterministic hash keep decision (mix_report's executable sibling)
       graft.ops.TextAnalysis.mixRebalance(Tables.table(s, dir, "documents"))),
+    "corpus_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment via the portable content
+      // hash — stable across runs/engines/partitionings, map-only
+      graft.ops.TextAnalysis.corpusSplit(Tables.table(s, dir, "documents"))),
+    "quality_prune" -> ((s, dir) =>
+      // per-language quality-quantile pruning: a global threshold would
+      // evict whole low-resource languages; thresholds broadcast back
+      graft.ops.TextAnalysis.qualityPrune(Tables.table(s, dir, "documents"))),
+    "budget_sample" -> ((s, dir) =>
+      // fixed token budget per language: deterministic hash shuffle + the
+      // distributed two-pass prefix scan (same primitive as pack_plan)
+      graft.ops.TextAnalysis.budgetSample(Tables.table(s, dir, "documents"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1733,6 +1745,42 @@ object SparkEntry {
         "(CAST(CAST('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 " +
         "< CAST(mn.min_tokens AS DOUBLE) / CAST(bl.lang_tokens AS DOUBLE)) AS keep " +
         "FROM t JOIN bl ON t.lang = bl.lang CROSS JOIN mn"),
+    // corpusSplit replay: hash32/2^32 is exact in a double (h < 2^32,
+    // division by a power of two), so the threshold compares are
+    // bit-identical; no representable u falls between 0.9 and Spark's
+    // computed 0.8+0.1 (gap ~1e-16 vs u granularity 2^-32)
+    "corpus_split" ->
+      ("SELECT doc_id, lang, CASE WHEN u < 0.8 THEN 'train' " +
+        "WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, lang, " +
+        "CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u " +
+        "FROM documents)"),
+    // qualityPrune replay: per-lang exact interpolated quantile
+    // (quantile_cont == Spark's percentile), scores and thresholds
+    // rounded to 6 before the keep compare; null scores stay null-keep
+    "quality_prune" ->
+      ("WITH f AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, lang, " +
+        "round(0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + 0.2 * least(nw / 100.0, 1.0), 6) AS score FROM f), " +
+        "th AS (SELECT lang, round(quantile_cont(score, 0.25), 6) AS lang_thr FROM sc GROUP BY 1) " +
+        "SELECT sc.doc_id, sc.lang, sc.score, th.lang_thr, " +
+        "sc.score >= th.lang_thr AS keep FROM sc JOIN th ON th.lang = sc.lang"),
+    // budgetSample replay: exclusive per-lang prefix sum over the
+    // deterministic (hash, doc_id) order — the scan's window equivalent
+    "budget_sample" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens, " +
+        "CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_tokens, " +
+        "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
+        "SELECT doc_id, lang, n_tokens, cum_before, cum_before < 20000 AS keep FROM c"),
     // packPlan replay: the same exclusive per-lang prefix sum as one
     // window (fine at oracle scale; the engine uses the two-pass scan)
     "pack_plan" ->

@@ -401,6 +401,66 @@ object TextAnalysis {
           lit(4294967296.0) < rate).as("keep"))
   }
 
+  /** Deterministic train/val/test corpus split via the portable content
+    * hash — reproducible across runs, engines, and partitionings (the
+    * property that keeps eval sets stable as the pipeline re-runs), and
+    * stratum-independent by construction: the hash ignores lang/source,
+    * so every stratum's split fractions concentrate at the global
+    * fractions without per-stratum bookkeeping (spec-measured). Map-only;
+    * `salt` rotates the assignment without touching the data (new split
+    * epoch = new salt).
+    */
+  def corpusSplit(docs: DataFrame, trainFrac: Double = 0.8,
+                  valFrac: Double = 0.1, salt: String = ""): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val u = Dedup.hash32(concat(col("doc_id").cast("string"), lit(salt)))
+      .cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("lang"),
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-stratum quality pruning at an exact per-language score quantile:
+    * keep docs scoring at or above their OWN language's q-quantile — a
+    * global threshold would evict entire low-resource languages whose
+    * score distribution sits lower (the same stratum-fairness argument
+    * mix_rebalance makes for token mass). Scores and thresholds are
+    * rounded to 6 decimals before the comparison so the kept set is
+    * engine-stable. One map pass + one dim-scale exact-percentile
+    * aggregation broadcast back; the keep decision is map-only.
+    */
+  def qualityPrune(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      round(scoreColumn(col("text")), 6).as("score"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(round(expr(s"percentile(score, $q)"), 6).as("lang_thr"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("score"), col("lang_thr"),
+        (col("score") >= col("lang_thr")).as("keep"))
+  }
+
+  /** Per-stratum token-BUDGET sample: docs shuffle deterministically by
+    * the portable content hash, then each language keeps the prefix whose
+    * tokens START inside its `budget` — "give me ~N tokens per language"
+    * (the fixed-budget cousin of mix_rebalance's rate balancing; the doc
+    * straddling the boundary is kept, like pack_plan's straddle rule).
+    *
+    * Scale design: the running total is the distributed two-pass
+    * [[Scan.withRunningTotal]] ordered by (hash, doc_id) — same primitive
+    * as pack_plan, so giant languages span partitions; everything else is
+    * map-only. Emits (doc_id, lang, n_tokens, cum_before, keep).
+    */
+  def budgetSample(docs: DataFrame, budget: Long = 20000): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("n_tokens"),
+      Dedup.hash32(col("doc_id").cast("string")).as("h"))
+    Scan.withRunningTotal(toks, Seq("lang"), Seq("h", "doc_id"), "n_tokens")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") < budget).as("keep"))
+  }
+
   /** Repetition score — the classic repeated-n-gram quality filter
     * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
     * doc (null for docs under 3 words). Pure map-only codegen.

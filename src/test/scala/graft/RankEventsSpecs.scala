@@ -319,6 +319,69 @@ class RankEventsSpecs extends SparkSpec {
     assert(mix.find(_.getLong(0) == 2L).exists(_.getLong(2) == 0L))
   }
 
+  test("corpus split: stable fractions per stratum, deterministic, salt rotates") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val got = graft.ops.TextAnalysis.corpusSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = got.length.toDouble
+    def frac(s: String) = got.count(_._3 == s) / n
+    assert(math.abs(frac("train") - 0.8) < 0.06 &&
+      math.abs(frac("val") - 0.1) < 0.05 && math.abs(frac("test") - 0.1) < 0.05)
+    // stratum-independence: every language's fractions track the global
+    // ones (the content hash ignores lang)
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      val f = rs.count(_._3 == "train").toDouble / rs.length
+      assert(f > 0.6 && f < 0.95, s"$lang train fraction $f drifted")
+    }
+    // deterministic under repartitioning; salt rotates assignments
+    val again = graft.ops.TextAnalysis.corpusSplit(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == again.toSet)
+    val salted = graft.ops.TextAnalysis.corpusSplit(docs, salt = "epoch2").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val moved = got.count { case (id, _, s) => salted(id) != s }
+    assert(moved > 0, "salt must rotate the assignment")
+  }
+
+  test("quality prune: per-language quantile keeps every language represented") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val got = graft.ops.TextAnalysis.qualityPrune(docs, q = 0.25).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    // keep iff score >= own language's threshold, by construction
+    got.foreach { case (_, s, t, k) => assert(k == (s >= t)) }
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val kept = rs.count(_._4).toDouble / rs.length
+      // ~75% survive per language (ties can push it up, never below)
+      assert(kept >= 0.70 && kept <= 0.95, s"$lang kept $kept")
+      // the per-lang threshold IS that language's quantile — languages
+      // with low score distributions are not evicted wholesale
+      assert(rs.exists(_._4), s"$lang fully evicted")
+    }
+  }
+
+  test("budget sample: straddle-kept prefix per language, window-free, deterministic") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val bs = graft.ops.TextAnalysis.budgetSample(docs, budget = 5000)
+    assert(!bs.queryExecution.executedPlan.toString.contains("Window"),
+      "budget sample must ride the two-pass scan, not a per-lang window")
+    val got = bs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      val kept = rs.filter(_._5)
+      val total = rs.map(_._3).sum
+      val keptTokens = kept.map(_._3).sum
+      if (total >= 5000)
+        // the straddling doc is kept, so kept tokens reach the budget
+        assert(keptTokens >= 5000, s"$lang kept only $keptTokens")
+      else assert(kept.length == rs.length, s"$lang under budget must keep all")
+      // keep decision is exactly "starts inside the budget"
+      rs.foreach { case (_, _, _, cb, k) => assert(k == (cb < 5000)) }
+    }
+    val again = graft.ops.TextAnalysis.budgetSample(docs.repartition(7), budget = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.forall(r => again(r._1) == r._4), "prefix sums must be partition-invariant")
+  }
+
   test("mix rebalance: smallest language kept whole, kept token shares equalize") {
     val docs = graft.core.Tables.table(spark, Sf0001, "documents")
     val got = graft.ops.TextAnalysis.mixRebalance(docs).collect()
