@@ -78,6 +78,41 @@ class BpeSpecs extends SparkSpec {
     assert(ws(1L) == 2L && ws(4L) == 3L)
   }
 
+  test("bpe properties: lossless segmentation, monotone counts, random vocabularies") {
+    import org.scalacheck.{Gen, rng}
+    val genChar = Gen.oneOf('a', 'b', 'c', 'd')
+    val genWord = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, genChar)
+    } yield cs.mkString
+    val genShort = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, genChar)
+    } yield cs.mkString
+    val genMerges = for {
+      n <- Gen.chooseNum(0, 12)
+      ls <- Gen.listOfN(n, genShort)
+      rs <- Gen.listOfN(n, genShort)
+    } yield ls.zip(rs)
+    (1 to 60).foreach { seed =>
+      val merges = genMerges.apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val b = new Bpe(merges)
+      (1 to 10).foreach { ws =>
+        val w = genWord.apply(Gen.Parameters.default, rng.Seed((seed * 100 + ws).toLong)).get
+        val toks = b.encodeWord(w)
+        // segmentation is LOSSLESS: tokens concatenate back to the word
+        assert(toks.mkString == w, s"lossy encode of '$w' with $merges")
+        // every merge shrinks by one: 1 <= |tokens| <= |word|
+        assert(toks.nonEmpty && toks.length <= w.length)
+        // no adjacent pair still mergeable (fixpoint reached)
+        val ranks = merges.zipWithIndex.toMap
+        toks.zip(toks.drop(1)).foreach { p =>
+          assert(!ranks.contains(p), s"unapplied merge $p in $toks")
+        }
+      }
+    }
+  }
+
   test("packing stats + mix rebalance accept the bpe token frame drop-in") {
     val docs = Seq(
       (1L, "abcd abcd", "src0", "en"), (2L, "eeee", "src0", "en"),

@@ -1093,6 +1093,55 @@ class StreamingAnnServeSpec extends SparkSpec {
   }
 }
 
+class StreamingBudgetSampleSpec extends SparkSpec {
+  test("single-batch stream == batch budgetSample; splits conserve running totals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsData = (1L to 40L).map(i =>
+      (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" "), if (i % 3 == 0) "de" else "en"))
+    val batchTruth = graft.ops.TextAnalysis.budgetSample(
+      docsData.toDF("doc_id", "text", "lang"), budget = 60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+
+    def serve(chunks: Seq[Seq[(Long, String, String)]]): Set[(Long, String, Long, Long, Boolean)] = {
+      val stream = MemoryStream[(Long, String, String)]
+      val got = scala.collection.mutable.Set[(Long, String, Long, Long, Boolean)]()
+      val q = graft.streaming.StreamingBudgetSample.run(
+        stream.toDF.toDF("doc_id", "text", "lang"), budget = 60)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("budget_adm").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+        got ++= spark.sql("SELECT * FROM budget_adm")
+          .as[(Long, String, Long, Long, Boolean)].collect()
+      } finally { q.stop(); spark.catalog.dropTempView("budget_adm") }
+      got.toSet
+    }
+
+    // ONE micro-batch: the stream sorts by (hash, doc_id) like the batch
+    // scan — outputs must be identical row-for-row
+    assert(serve(Seq(docsData)) == batchTruth)
+
+    // split arrival: per-language running totals carry across batches —
+    // cum_before stays monotone in arrival order and sums conserve
+    val split = serve(Seq(docsData.take(15), docsData.slice(15, 30), docsData.drop(30)))
+    assert(split.map(r => (r._1, r._3)) == batchTruth.map(r => (r._1, r._3)))
+    split.groupBy(_._2).foreach { case (lang, rs) =>
+      // the carried state makes per-language positions one exact chain of
+      // prefix sums: sorted by position, each doc starts where the
+      // previous ended, from zero
+      val chain = rs.toSeq.sortBy(_._4)
+      assert(chain.head._4 == 0L, s"$lang chain must start at 0")
+      chain.zip(chain.drop(1)).foreach { case (a, b) =>
+        assert(b._4 == a._4 + a._3, s"$lang prefix chain broken at ${b._1}")
+      }
+      // keep is exactly "starts inside the budget" against the CARRIED total
+      rs.foreach(r => assert(r._5 == (r._4 < 60)))
+    }
+  }
+}
+
 class StreamingMixMonitorSpec extends SparkSpec {
   test("live mix cells equal the batch rollup at stream end, across batch splits") {
     import spark.implicits._
