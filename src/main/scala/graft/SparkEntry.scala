@@ -847,6 +847,10 @@ object SparkEntry {
       // fixed token budget per language: deterministic hash shuffle + the
       // distributed two-pass prefix scan (same primitive as pack_plan)
       graft.ops.TextAnalysis.budgetSample(Tables.table(s, dir, "documents"))),
+    "split_leakage" -> ((s, dir) =>
+      // eval-hygiene audit: near-dup pairs straddling the train/val/test
+      // boundary — split recomputed as a pure expression on both pair ids
+      graft.ops.TextAnalysis.splitLeakage(Tables.table(s, dir, "documents"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1745,6 +1749,18 @@ object SparkEntry {
         "(CAST(CAST('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 " +
         "< CAST(mn.min_tokens AS DOUBLE) / CAST(bl.lang_tokens AS DOUBLE)) AS keep " +
         "FROM t JOIN bl ON t.lang = bl.lang CROSS JOIN mn"),
+    // splitLeakage replay: the dedup_minhash pair CTEs + the corpus_split
+    // hash CASE recomputed on both pair ids
+    "split_leakage" -> {
+      def sc(c: String) =
+        s"(CASE WHEN CAST(CAST('0x'||substr(md5(CAST($c AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.8 THEN 'train' " +
+          s"WHEN CAST(CAST('0x'||substr(md5(CAST($c AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.9 THEN 'val' " +
+          "ELSE 'test' END)"
+      s"WITH ${minhashPairsCtes()} SELECT * FROM (" +
+        "SELECT id1, id2, est_jaccard, " +
+        s"${sc("id1")} AS split1, ${sc("id2")} AS split2 " +
+        "FROM mh WHERE est_jaccard >= 0.5) WHERE split1 <> split2"
+    },
     // corpusSplit replay: hash32/2^32 is exact in a double (h < 2^32,
     // division by a power of two), so the threshold compares are
     // bit-identical; no representable u falls between 0.9 and Spark's

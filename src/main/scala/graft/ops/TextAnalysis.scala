@@ -411,16 +411,45 @@ object TextAnalysis {
     * epoch = new salt).
     */
   def corpusSplit(docs: DataFrame, trainFrac: Double = 0.8,
-                  valFrac: Double = 0.1, salt: String = ""): DataFrame = {
+                  valFrac: Double = 0.1, salt: String = ""): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      splitColumn(col("doc_id"), trainFrac, valFrac, salt).as("split"))
+
+  /** The split assignment as a pure COLUMN over the doc id — corpusSplit
+    * emits it, and anything holding doc ids (e.g. near-dup pairs in
+    * [[splitLeakage]]) can recompute a doc's split with no join.
+    */
+  private[graft] def splitColumn(id: Column, trainFrac: Double,
+                                 valFrac: Double, salt: String): Column = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       s"invalid split fractions ($trainFrac, $valFrac)")
-    val u = Dedup.hash32(concat(col("doc_id").cast("string"), lit(salt)))
+    val u = Dedup.hash32(concat(id.cast("string"), lit(salt)))
       .cast("double") / lit(4294967296.0)
-    docs.select(col("doc_id"), col("lang"),
-      when(u < trainFrac, "train")
-        .when(u < trainFrac + valFrac, "val")
-        .otherwise("test").as("split"))
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + valFrac, "val")
+      .otherwise("test")
   }
+
+  /** Train/eval LEAKAGE audit: near-duplicate pairs that STRADDLE a split
+    * boundary — the eval-hygiene failure `decontaminate` cannot see
+    * (that op screens against a named benchmark list; this one catches
+    * contamination the split itself created, where a doc's near-copy
+    * lands in a different split and eval leaks through the duplicate).
+    * Composes the banded MinHash candidate pairs with [[splitColumn]]
+    * recomputed on BOTH pair ids — a pure expression, so no join and no
+    * extra shuffle beyond the pair generation itself. Emits
+    * (id1, id2, est_jaccard, split1, split2) for straddling pairs at or
+    * above `minJaccard`.
+    */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                   salt: String = ""): DataFrame =
+    Dedup.minhashLsh(docs)
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("est_jaccard"),
+        splitColumn(col("id1"), trainFrac, valFrac, salt).as("split1"),
+        splitColumn(col("id2"), trainFrac, valFrac, salt).as("split2"))
+      .where(col("split1") =!= col("split2"))
 
   /** Per-stratum quality pruning at an exact per-language score quantile:
     * keep docs scoring at or above their OWN language's q-quantile — a

@@ -343,6 +343,28 @@ class RankEventsSpecs extends SparkSpec {
     assert(moved > 0, "salt must rotate the assignment")
   }
 
+  test("split leakage: straddling near-dup pairs, consistent with corpusSplit") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val leaks = graft.ops.TextAnalysis.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(leaks.nonEmpty, "synthetic corpus has near-dups; some must straddle")
+    val splitOf = graft.ops.TextAnalysis.corpusSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    leaks.foreach { case (a, b, j, s1, s2) =>
+      assert(s1 != s2, s"pair ($a,$b) does not straddle")
+      // the recomputed expression agrees with the corpusSplit assignment
+      assert(splitOf(a) == s1 && splitOf(b) == s2)
+      assert(j >= 0.5)
+    }
+    // leakage pairs are a subset of the candidate near-dup pairs
+    val pairs = graft.ops.Dedup.minhashLsh(docs)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(leaks.map(l => (l._1, l._2)).toSet.subsetOf(pairs))
+  }
+
   test("quality prune: per-language quantile keeps every language represented") {
     val docs = graft.core.Tables.table(spark, Sf0001, "documents")
     val got = graft.ops.TextAnalysis.qualityPrune(docs, q = 0.25).collect()
