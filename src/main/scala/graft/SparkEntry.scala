@@ -851,6 +851,10 @@ object SparkEntry {
       // eval-hygiene audit: near-dup pairs straddling the train/val/test
       // boundary — split recomputed as a pure expression on both pair ids
       graft.ops.TextAnalysis.splitLeakage(Tables.table(s, dir, "documents"))),
+    "chunk_plan" -> ((s, dir) =>
+      // RAG chunker layout: overlapped token windows per doc, map-only
+      // explode into per-chunk work items (framesample's text sibling)
+      graft.ops.TextAnalysis.chunkPlan(Tables.table(s, dir, "documents"))),
     "pq_encode" -> ((s, dir) =>
       graft.ops.Ivf.pqEncode(Tables.table(s, dir, "embeddings"))),
     "pq_search" -> ((s, dir) => {
@@ -1761,6 +1765,17 @@ object SparkEntry {
         s"${sc("id1")} AS split1, ${sc("id2")} AS split2 " +
         "FROM mh WHERE est_jaccard >= 0.5) WHERE split1 <> split2"
     },
+    // chunkPlan replay: pure integer window arithmetic + generate_series
+    "chunk_plan" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens FROM documents), " +
+        "n AS (SELECT doc_id, n_tokens, " +
+        "CASE WHEN n_tokens = 0 THEN 0 ELSE 1 + (greatest(n_tokens - 128, 0) + 95) // 96 END AS n_chunks FROM t) " +
+        "SELECT doc_id, n_tokens, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "CAST(ci * 96 AS BIGINT) AS tok_start, " +
+        "CAST(least(ci * 96 + 128, n_tokens) AS BIGINT) AS tok_end " +
+        "FROM n, unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(ci) " +
+        "WHERE n_chunks > 0"),
     // corpusSplit replay: hash32/2^32 is exact in a double (h < 2^32,
     // division by a power of two), so the threshold compares are
     // bit-identical; no representable u falls between 0.9 and Spark's

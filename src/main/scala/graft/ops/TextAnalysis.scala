@@ -490,6 +490,33 @@ object TextAnalysis {
         (col("cum_before") < budget).as("keep"))
   }
 
+  /** RAG-style chunking PLAN: each doc fans out into fixed-`size` token
+    * windows advancing by `size − overlap` (the standard overlapped
+    * retrieval chunker), the last window clamped to the doc end — one
+    * output row per chunk to cut: (doc_id, chunk_idx, tok_start,
+    * tok_end, n_tokens). The text counterpart of
+    * `multimodal_framesample`: the explode IS the distributed planning
+    * step that fans a corpus into per-chunk work items for an
+    * embedding/indexing fleet, partitioned like any other rows.
+    * Pure integer arithmetic (exact in any engine), map-only.
+    */
+  def chunkPlan(docs: DataFrame, size: Int = 128, overlap: Int = 32): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"invalid chunking ($size, $overlap)")
+    val stride = size - overlap
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"), t.as("n_tokens"))
+      .withColumn("n_chunks", when(col("n_tokens") === 0L, 0L)
+        .otherwise(lit(1L) +
+          expr(s"(greatest(n_tokens - $size, 0) + ${stride - 1}) div $stride")))
+      .where(col("n_chunks") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + size, col("n_tokens")).as("tok_end"))
+  }
+
   /** Repetition score — the classic repeated-n-gram quality filter
     * (boilerplate/spam detectors): 1 - distinct/total 3-gram ratio per
     * doc (null for docs under 3 words). Pure map-only codegen.

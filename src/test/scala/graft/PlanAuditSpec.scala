@@ -132,6 +132,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("split family: map-only split, broadcast prune threshold, window-free budget") {
+    // corpus_split: one projection over the scan — no exchange at all
+    val ps = planOf("corpus_split")
+    assert(!ps.contains("Exchange"), "corpus_split must be map-only\n" + ps)
+    // quality_prune: the dim-scale per-lang threshold joins back as a
+    // broadcast, never a shuffle of the corpus side
+    val pq = planOf("quality_prune")
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("SortMergeJoin"), "threshold join must broadcast\n" + pq)
+    // budget_sample: the running total rides the two-pass scan
+    val pb = planOf("budget_sample")
+    assert(!pb.contains("Window"), "budget_sample must not plan a window\n" + pb)
+  }
+
   test("semantic sample plans the bounded heap aggregate, no window") {
     val p = planOf("semantic_sample")
     assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)

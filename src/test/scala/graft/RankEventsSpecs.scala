@@ -343,6 +343,31 @@ class RankEventsSpecs extends SparkSpec {
     assert(moved > 0, "salt must rotate the assignment")
   }
 
+  test("chunk plan: overlapped windows cover every token exactly, hand-checked") {
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10)),   // one short chunk: [0,10)
+      (2L, mk(128)),  // exactly one full window: [0,128)
+      (3L, mk(129)),  // one extra token -> second, clamped window
+      (4L, mk(300)),  // full multi-chunk: starts 0,96,192 + tail 288
+      (5L, null: String)) // null text -> no chunks
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.chunkPlan(docs, size = 128, overlap = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(c => (c._3, c._4)).toSeq }
+    assert(got(1L) == Seq((0L, 10L)))
+    assert(got(2L) == Seq((0L, 128L)))
+    assert(got(3L) == Seq((0L, 128L), (96L, 129L)))
+    assert(got(4L) == Seq((0L, 128L), (96L, 224L), (192L, 300L)))
+    assert(!got.contains(5L))
+    // coverage invariant: consecutive windows overlap by exactly `overlap`
+    // except the clamped tail, and the last window ends at n_tokens
+    got(4L).zip(got(4L).drop(1)).foreach { case ((s1, e1), (s2, _)) =>
+      assert(s2 == s1 + 96 && s2 < e1)
+    }
+  }
+
   test("split leakage: straddling near-dup pairs, consistent with corpusSplit") {
     val docs = graft.core.Tables.table(spark, Sf0001, "documents")
     val leaks = graft.ops.TextAnalysis.splitLeakage(docs).collect()
