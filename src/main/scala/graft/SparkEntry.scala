@@ -1826,7 +1826,8 @@ object SparkEntry {
         "CAST(CASE WHEN n_tokens > 0 THEN (cb % 2048 + n_tokens - 1) // 2048 + 1 " +
         "ELSE 0 END AS BIGINT) AS n_seqs FROM c"),
     "mix_report" ->
-      ("WITH f AS (SELECT lang, source, len(string_split_regex(text, '\\s+')) AS t, " +
+      ("WITH f AS (SELECT lang, source, " +
+        "COALESCE(len(string_split_regex(text, '\\s+')), 0) AS t, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
         "CAST(length(text) AS DOUBLE) AS nc, " +
         "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
@@ -1839,7 +1840,8 @@ object SparkEntry {
         "round(CAST(sum(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / count(score), 6) AS mean_score " +
         "FROM g GROUP BY 1, 2"),
     "packing_stats" ->
-      ("WITH tc AS (SELECT source, len(string_split_regex(text, '\\s+')) AS t FROM documents) " +
+      ("WITH tc AS (SELECT source, " +
+        "COALESCE(len(string_split_regex(text, '\\s+')), 0) AS t FROM documents) " +
         "SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
         "CAST(max(t) AS BIGINT) AS max_tokens, " +
         "CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_ctx, " +

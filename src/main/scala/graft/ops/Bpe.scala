@@ -26,8 +26,10 @@ import org.apache.spark.sql.types.LongType
   */
 final class Bpe(merges: Seq[(String, String)]) extends Serializable {
 
+  // first occurrence of a duplicated pair wins (plain toMap would keep
+  // the LAST index — the opposite of merge-priority order)
   private val rank: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap // first occurrence of a duplicate pair wins
+    merges.zipWithIndex.reverseIterator.toMap
 
   /** BPE token sequence for one whitespace-free word. */
   def encodeWord(word: String): Vector[String] = {
@@ -63,6 +65,11 @@ final class Bpe(merges: Seq[(String, String)]) extends Serializable {
       val it = text.split("\\s+").iterator.filter(_.nonEmpty)
       while (it.hasNext) {
         val w = it.next()
+        // bound the memo like a real tokenizer cache: a high-entropy
+        // partition (base64 blobs, random ids) would otherwise grow it
+        // with every distinct word until the executor heap dies; clearing
+        // costs a re-encode of the hot set, never correctness
+        if (memo.size >= Bpe.MemoCap) memo.clear()
         n += memo.getOrElseUpdate(w, encodeWord(w).length)
       }
       n
@@ -70,6 +77,11 @@ final class Bpe(merges: Seq[(String, String)]) extends Serializable {
 }
 
 object Bpe {
+
+  /** Per-partition memo bound (entries). Zipfian text stays fully cached
+    * far below this; high-entropy junk triggers cheap epoch clears.
+    */
+  private[graft] val MemoCap = 1 << 16
 
   /** Parse the public merges-file format: one "left right" pair per
     * line, rank = line order; blank lines and `#...` headers skipped.

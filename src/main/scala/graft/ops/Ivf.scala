@@ -69,19 +69,28 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
 
+  /** THE compaction contract shared by every collected mean table:
+    * assemble per-id arrays from (id, pos, x) rows — present ids only,
+    * compacted, sorted; components filled by pos. Column positions are
+    * parameters so the fused multi-book rows (s, cid, pos, x) reuse it.
+    */
+  private def assembleByPos(rows: Seq[org.apache.spark.sql.Row], dim: Int,
+                            idAt: Int = 0, posAt: Int = 1,
+                            xAt: Int = 2): Array[Array[Double]] =
+    rows.groupBy(_.getInt(idAt)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        val a = new Array[Double](dim)
+        rs.foreach(r => a(r.getInt(posAt)) = r.getDouble(xAt))
+        a
+      }.toArray
+
   /** Assemble the centroid matrix from per-dimension rows (cid, pos, x) —
     * k·d rows collect straight off the single (cid, pos) aggregation, so
     * each Lloyd round skips a second shuffle + collect_list/array_sort
     * pass. Present cids only, sorted (same contract as `localize`).
     */
   private def localizePos(rows: DataFrame, dim: Int): Array[Array[Double]] =
-    rows.collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rs) =>
-        val a = new Array[Double](dim)
-        rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
-        a
-      }.toArray
+    assembleByPos(rows.collect().toIndexedSeq, dim)
 
   /** Train the coarse quantizer: k centroids as a driver-side matrix.
     * Centroid means go through exact DECIMAL(30,15) partial sums, so each
@@ -307,15 +316,9 @@ object Ivf {
         .groupBy(col("s"), col("cid"), col("pos"))
         .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
         .collect()
-      books = (0 until m).map { s =>
-        rows.filter(_.getInt(0) == s)
-          .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
-          .map { case (_, rs) =>
-            val a = new Array[Double](sub)
-            rs.foreach(r => a(r.getInt(2)) = r.getDouble(3))
-            a
-          }.toArray
-      }
+      books = (0 until m).map(s =>
+        assembleByPos(rows.filter(_.getInt(0) == s).toIndexedSeq, sub,
+          idAt = 1, posAt = 2, xAt = 3))
     }
     val coded = (0 until m).foldLeft(res) { (df, s) =>
       df.withColumn(s"code$s", graft.functions.nearest_cell(

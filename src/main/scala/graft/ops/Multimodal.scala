@@ -74,11 +74,17 @@ object Multimodal {
           val w = img.getWidth; val h = img.getHeight
           val bands = img.getRaster.getNumBands.toLong
           var r = 0L; var g = 0L; var b = 0L
+          // bulk row reads: one getRGB call per ROW into a reused buffer
+          // (identical sRGB conversion semantics to the per-pixel call,
+          // minus ~w virtual calls + bounds checks per row; full-image
+          // bulk would allocate w*h ints — 48 MB for a 12 MP frame)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val px = img.getRGB(x, y) // sRGB view regardless of storage model
+              val px = row(x)
               r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
               x += 1
             }

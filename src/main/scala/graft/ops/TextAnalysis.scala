@@ -16,14 +16,14 @@ object TextAnalysis {
 
   /** THE whitespace token count — the one null convention for the whole
     * packing/mix family (pack_plan, packing_stats, mix_report,
-    * mix_rebalance, StreamingMixMonitor): null text counts 0 tokens.
-    * Aggregate totals are identical either way (sum skips nulls), but a
-    * single shared expression keeps per-row consumers (the pack scan's
-    * non-null value contract, ANSI-off sizeOfNull=-1 configs) from
-    * diverging per call site.
+    * mix_rebalance, budget_sample, StreamingMixMonitor): null text counts
+    * 0 tokens. Guarded on the INPUT being null, not on size()'s result —
+    * under `spark.sql.legacy.sizeOfNull=true`, size(null) returns -1
+    * (non-null, so a coalesce never fires) and a -1 would silently walk
+    * running totals backwards; the isNull branch is conf-independent.
     */
   private[graft] def tokens(text: Column): Column =
-    coalesce(size(words(text)).cast("long"), lit(0L))
+    when(text.isNull, lit(0L)).otherwise(size(words(text)).cast("long"))
 
   /** Count of words from `text` that appear in `set`. */
   private def hitCount(text: Column, set: Seq[String]): Column =

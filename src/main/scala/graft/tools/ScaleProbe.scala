@@ -212,10 +212,11 @@ object ScaleProbe {
         graft.ops.Ivf.ivfPqSearch(emb, emb.where(col("vec_id") < 10), 5).count()
       }
       time(s"semantic_dedup x$k (output-bound)") {
-        val n = graft.ops.Ivf.semanticDedup(emb).count()
-        graft.core.Materialize.releaseAll(spark, blocking = true)
-        n
+        graft.ops.Ivf.semanticDedup(emb).count()
       }
+      // cleanup OUTSIDE the timed region — a blocking release grows with
+      // the materialized assignment and would inflate the curve
+      graft.core.Materialize.releaseAll(spark, blocking = true)
       emb.unpersist()
     }
   }

@@ -25,6 +25,10 @@ class BpeSpecs extends SparkSpec {
     // eeee: (e,e)=r3 at indices 0/1/2 — LEFTMOST wins each round:
     // [ee,e,e] -> [ee,ee]; (ee,ee) unlisted -> done
     assert(bpe.encodeWord("eeee") == Vector("ee", "ee"))
+    // a DUPLICATED merge pair keeps its FIRST (best) rank — plain toMap
+    // would keep the last index and invert the merge priority
+    val dup = new Bpe(Seq(("a", "b"), ("b", "c"), ("a", "b")))
+    assert(dup.encodeWord("abc") == Vector("ab", "c"))
     // uncovered chars stay single-character tokens (no unk)
     assert(bpe.encodeWord("xyz") == Vector("x", "y", "z"))
     assert(bpe.encodeWord("x") == Vector("x"))

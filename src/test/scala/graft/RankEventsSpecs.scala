@@ -317,6 +317,16 @@ class RankEventsSpecs extends SparkSpec {
     assert(!mix.exists(_.getLong(0) == 4L),
       "a null-lang doc has no stratum and is excluded")
     assert(mix.find(_.getLong(0) == 2L).exists(_.getLong(2) == 0L))
+    // legacy sizeOfNull=-1: size(split(null)) returns -1 (NON-null, so a
+    // coalesce guard never fires) — the shared tokens() must still count
+    // 0, not walk the running totals backwards
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val legacy = graft.ops.TextAnalysis.packPlan(docs, capacity = 4).collect()
+      val l2 = legacy.find(_.getLong(0) == 2L).get
+      assert(l2.getLong(2) == 0L, "null text must count 0 under legacy sizeOfNull")
+      assert(legacy.map(_.getLong(2)).forall(_ >= 0L))
+    } finally spark.conf.unset("spark.sql.legacy.sizeOfNull")
   }
 
   test("corpus split: stable fractions per stratum, deterministic, salt rotates") {
