@@ -2357,11 +2357,12 @@ object SparkEntry {
   }
 
   /** CTE chain ending in `mh(id1, id2, est_jaccard)`: the minhash-LSH
-    * candidate pairs, mirroring Dedup.minhashLsh (incl. oversized-bucket
-    * representative pairing).
+    * candidate pairs, mirroring Dedup.minhashLsh (incl. the
+    * oversized-bucket hash-sampled multi-representative + two-stride ring
+    * pairing).
     */
   private def minhashPairsCtes(numPerm: Int = 128, bands: Int = 16,
-                               maxBucket: Int = 100): String = {
+                               maxBucket: Int = 100, numReps: Int = 8): String = {
     val rows = numPerm / bands
     s"dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
       "dh AS (SELECT doc_id, list_transform(" +
@@ -2377,13 +2378,24 @@ object SparkEntry {
       s"small AS (SELECT * FROM tagged WHERE bucket_n <= $maxBucket), " +
       "smallpairs AS (SELECT x.doc_id AS id1, y.doc_id AS id2, x.sig AS sig1, y.sig AS sig2 " +
       "FROM small x JOIN small y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id), " +
-      "bigpairs AS (SELECT t.rep AS id1, t.doc_id AS id2, s1.sig AS sig1, t.sig AS sig2 " +
-      s"FROM tagged t JOIN sigs s1 ON s1.doc_id = t.rep WHERE t.bucket_n > $maxBucket AND t.doc_id <> t.rep), " +
-      "ringsrc AS (SELECT doc_id, sig, lead(doc_id) OVER (PARTITION BY band, bsig ORDER BY doc_id) AS next_id " +
+      "hrank AS (SELECT band, bsig, doc_id, row_number() OVER (PARTITION BY band, bsig " +
+      "ORDER BY CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT), doc_id) AS hr " +
+      s"FROM tagged WHERE bucket_n > $maxBucket), " +
+      s"reps AS (SELECT band, bsig, doc_id AS rid FROM hrank WHERE hr <= $numReps), " +
+      "bigpairs AS (SELECT least(t.doc_id, r.rid) AS id1, greatest(t.doc_id, r.rid) AS id2, " +
+      "s1.sig AS sig1, s2.sig AS sig2 " +
+      "FROM tagged t JOIN reps r ON r.band = t.band AND r.bsig = t.bsig " +
+      "JOIN sigs s1 ON s1.doc_id = least(t.doc_id, r.rid) " +
+      "JOIN sigs s2 ON s2.doc_id = greatest(t.doc_id, r.rid) " +
+      s"WHERE t.bucket_n > $maxBucket AND t.doc_id <> r.rid), " +
+      "ringsrc AS (SELECT doc_id, sig, lead(doc_id) OVER (PARTITION BY band, bsig ORDER BY doc_id) AS next_id, " +
+      "lead(doc_id, 2) OVER (PARTITION BY band, bsig ORDER BY doc_id) AS next2_id " +
       s"FROM tagged WHERE bucket_n > $maxBucket), " +
       "ringpairs AS (SELECT r.doc_id AS id1, r.next_id AS id2, r.sig AS sig1, s2.sig AS sig2 " +
       "FROM ringsrc r JOIN sigs s2 ON s2.doc_id = r.next_id WHERE r.next_id IS NOT NULL), " +
-      "allpairs AS (SELECT * FROM smallpairs UNION ALL SELECT * FROM bigpairs UNION ALL SELECT * FROM ringpairs), " +
+      "ringpairs2 AS (SELECT r.doc_id AS id1, r.next2_id AS id2, r.sig AS sig1, s3.sig AS sig2 " +
+      "FROM ringsrc r JOIN sigs s3 ON s3.doc_id = r.next2_id WHERE r.next2_id IS NOT NULL), " +
+      "allpairs AS (SELECT * FROM smallpairs UNION ALL SELECT * FROM bigpairs UNION ALL SELECT * FROM ringpairs UNION ALL SELECT * FROM ringpairs2), " +
       "mh AS (SELECT id1, id2, " +
       s"max(len(list_filter(generate_series(1, $numPerm), i -> sig1[i] = sig2[i])) / $numPerm.0) AS est_jaccard " +
       "FROM allpairs GROUP BY 1, 2)"

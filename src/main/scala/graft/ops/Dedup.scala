@@ -257,9 +257,9 @@ object Dedup {
     * the oversized buckets themselves.
     */
   def minhashLsh(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
-                 maxBucket: Int = 100): DataFrame =
+                 maxBucket: Int = 100, numReps: Int = 8): DataFrame =
     minhashLshFromSigs(cutLineageLazy(minhashSignatures(docs, numPerm)),
-      numPerm, bands, maxBucket)
+      numPerm, bands, maxBucket, numReps)
 
   /** LSH banding over an ALREADY-MATERIALIZED signature frame.
     *
@@ -276,7 +276,8 @@ object Dedup {
     * full ShingleMinHash passes with one.
     */
   private[graft] def minhashLshFromSigs(sigs: DataFrame, numPerm: Int = 128,
-                                        bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+                                        bands: Int = 16, maxBucket: Int = 100,
+                                        numReps: Int = 8): DataFrame = {
     val rows = numPerm / bands
     // banding rows are skinny (doc_id, band, bsig) — the 128-long signature
     // array never travels through the bucket-stats shuffles.
@@ -295,17 +296,41 @@ object Dedup {
         Seq("band", "bsig"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-    // oversized buckets: representative pairing + doc_id-ring pairing
+    // oversized buckets: HASH-SAMPLED multi-representative pairing +
+    // doc_id-ring pairing at strides 1 and 2 — still O(m) pairs per
+    // bucket (m·numReps + 2m). A single min-id representative had a
+    // measured adversarial hole: a bucket MIXING several clusters only
+    // recovered the representative's own cluster (id-interleaving also
+    // defeats any fixed ring stride). Representatives picked by the
+    // portable content-hash order are a uniform sample of the bucket an
+    // id-interleaving adversary cannot bias: a cluster holding fraction
+    // f of the bucket is missed by all numReps reps with probability
+    // (1−f)^numReps, and one same-cluster rep hub is enough for the
+    // verify + connected-components stage to reunite the whole cluster
+    // (LshRecallSpecs measures 1.0 cluster recall on the adversarial
+    // 3-way interleave that scored 0.33 under the single-rep scheme).
     val big = tagged.where(col("bucket_n") > maxBucket)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bsig")).orderBy(col("doc_id"))
-    val ringPairs = big
+    val ringSrc = big
       .withColumn("next_id", lead(col("doc_id"), 1).over(wb))
-      .where(col("next_id").isNotNull)
+      .withColumn("next2_id", lead(col("doc_id"), 2).over(wb))
+    val ringPairs = ringSrc.where(col("next_id").isNotNull)
       .select(col("doc_id").as("id1"), col("next_id").as("id2"))
-    val bigPairs = big.where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("doc_id").as("id2"))
-      .unionByName(ringPairs)
+      .unionByName(ringSrc.where(col("next2_id").isNotNull)
+        .select(col("doc_id").as("id1"), col("next2_id").as("id2")))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bsig"))
+      .orderBy(hash32(col("doc_id").cast("string")), col("doc_id"))
+    val reps = big
+      .withColumn("hrank", row_number().over(wh))
+      .where(col("hrank") <= numReps)
+      .select(col("band"), col("bsig"), col("doc_id").as("rid"))
+    val repPairs = big.join(reps, Seq("band", "bsig"))
+      .where(col("doc_id") =!= col("rid"))
+      .select(least(col("doc_id"), col("rid")).as("id1"),
+        greatest(col("doc_id"), col("rid")).as("id2"))
+    val bigPairs = repPairs.unionByName(ringPairs)
     // dedupe candidate pairs BEFORE scoring: est_jaccard depends only on
     // the two signatures, so one evaluation per distinct pair suffices
     val pairs = smallPairs.unionByName(bigPairs).distinct()

@@ -5,11 +5,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Quantified recall floor for the oversized-bucket LSH cap (r4 verdict
-  * task #6): when a bucket exceeds `maxBucket`, members pair only with
-  * the bucket representative (min doc_id) and their doc_id-successor
-  * (ring) — O(m) pairs instead of O(m²). This suite MEASURES what that
-  * costs in the adversarial case the Dedup scaladoc warns about: one
-  * oversized bucket MIXING several distinct near-dup clusters.
+  * task #6; scheme upgraded round 7): when a bucket exceeds `maxBucket`,
+  * members pair with `numReps` HASH-SAMPLED representatives plus their
+  * doc_id ring successors at strides 1 and 2 — O(m·numReps + 2m) pairs
+  * instead of O(m²). This suite MEASURES what that costs in the
+  * adversarial case the Dedup scaladoc warns about: one oversized
+  * bucket MIXING several distinct near-dup clusters. The content-hash
+  * rep sample is the load-bearing piece: an id-interleaving adversary
+  * (which defeats min-id reps and every fixed ring stride) cannot bias
+  * it, and one same-cluster rep hub reunites a whole cluster through
+  * verify + connected components. A cluster holding fraction f of the
+  * bucket is missed by all reps with probability (1−f)^numReps — the
+  * documented knob.
   *
   * Construction: synthetic 128-long signatures, 16 bands × 8 rows.
   * Band 0 is identical across ALL 30 docs (3 clusters × 10) — the mixed
@@ -18,16 +25,17 @@ import org.apache.spark.sql.functions._
   * 113/128 positions (est 0.8828 ≥ 0.8); cross-cluster on 8/128.
   *
   * Measured floors (asserted exactly — the construction is
-  * deterministic; recorded in SURVEY §4):
-  *  - ids CONTIGUOUS by cluster: candidate pair recall 35/135 ≈ 0.259,
-  *    but post-verify connected components recover ALL 135 truth pairs
-  *    (ring chains stay within clusters) — cluster recall 1.0.
-  *  - ids INTERLEAVED across clusters (worst case): candidate pair
-  *    recall 9/135 ≈ 0.067, and only the representative's own cluster
-  *    survives verification+clustering — 45/135 truth pairs recovered
-  *    (0.333). THIS is the explicit price of capping hot buckets; the
-  *    mitigation is raising maxBucket (all-pairs behavior returns below
-  *    the cap) or more bands.
+  * deterministic; recorded in SURVEY §4; previous single-rep scheme in
+  * parentheses):
+  *  - ids CONTIGUOUS by cluster: candidate pair recall 89/135 ≈ 0.66
+  *    (was 35/135), post-verify connected components recover ALL 135
+  *    truth pairs — cluster recall 1.0 (unchanged).
+  *  - ids INTERLEAVED across clusters (the case that broke single-rep):
+  *    candidate pair recall 61/135 ≈ 0.45 (was 9/135 ≈ 0.067), and the
+  *    hash-sampled reps cover ALL THREE clusters, so
+  *    verification+clustering recovers ALL 135 truth pairs — cluster
+  *    recall 1.0 (was 45/135 ≈ 0.333). Remaining knobs: numReps (miss
+  *    probability (1−f)^numReps), maxBucket, band count.
   */
 class LshRecallSpecs extends SparkSpec {
   import spark.implicits._
@@ -90,23 +98,24 @@ class LshRecallSpecs extends SparkSpec {
       s"unexpected est tier: ${est.distinct.mkString(",")}")
   }
 
-  test("contiguous ids: pair recall 35/135, but cluster-level recall 1.0") {
+  test("contiguous ids: pair recall 89/135, cluster-level recall 1.0") {
     val (truth, cand, recovered) = run(_ / PerCluster)
     assert(truth.size == 135)
     val hit = cand.intersect(truth)
-    assert(hit.size == 35, s"expected 35 true candidate pairs, got ${hit.size}")
+    assert(hit.size == 89, s"expected 89 true candidate pairs, got ${hit.size}")
     assert(recovered == truth,
       "connected components must reunite every cluster when rings stay within clusters")
   }
 
-  test("interleaved ids (adversarial): pair recall 9/135, cluster recall 45/135") {
+  test("interleaved ids (adversarial): hash-sampled reps restore cluster recall 1.0") {
     val (truth, cand, recovered) = run(_ % NClusters)
     assert(truth.size == 135)
     val hit = cand.intersect(truth)
-    assert(hit.size == 9, s"expected 9 true candidate pairs, got ${hit.size}")
-    // only the representative's cluster survives: C(10,2) = 45 pairs
-    assert(recovered.size == 45,
-      s"expected 45/135 truth pairs recovered, got ${recovered.size}")
+    assert(hit.size == 61, s"expected 61 true candidate pairs, got ${hit.size}")
+    // every cluster drew at least one hash-sampled rep hub -> CC
+    // reunites all three clusters completely
+    assert(recovered == truth,
+      s"expected full cluster recovery, got ${recovered.size}/135")
   }
 
   test("below the cap the same corpus gets full all-pairs recall") {

@@ -121,16 +121,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
-  test("oversized buckets pair via representative + ring, and still cluster") {
+  test("oversized buckets pair via hash-sampled reps + stride-1/2 ring, and still cluster") {
     // 150 identical docs land in one >maxBucket bucket in every band
     val d = (1L to 150L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
       .toDF("doc_id", "text")
     val pairs = Dedup.minhashLsh(d, maxBucket = 100)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
-    // rep pairing: (1, j); ring pairing: (j, j+1); nothing else
-    val rep = (2L to 150L).map(j => (1L, j)).toSet
-    val ring = (1L to 149L).map(j => (j, j + 1)).toSet
-    assert(pairs == (rep ++ ring))
+    // reps = first 8 ids in (md5-prefix(doc_id), doc_id) order — the
+    // content-hash sample (hash32 itself is pinned against the composed
+    // builtins form in a separate test); each member pairs with every
+    // rep, plus doc_id-ring pairing at strides 1 and 2; nothing else
+    val byHash = d.select(col("doc_id"),
+        Dedup.hash32(col("doc_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+    val reps = byHash.take(8).map(_._1).toSet
+    val rep = for { r <- reps; j <- 1L to 150L; if j != r }
+      yield (math.min(r, j), math.max(r, j))
+    val ring = (1L to 149L).map(j => (j, j + 1)).toSet ++
+      (1L to 148L).map(j => (j, j + 2)).toSet
+    assert(pairs == (rep.toSet ++ ring))
     // downstream clustering reunites the whole duplicate set
     val kept = Dedup.corpusDedup(d).where(col("keep")).count()
     assert(kept == 1)
