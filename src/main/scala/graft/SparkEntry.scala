@@ -831,6 +831,15 @@ object SparkEntry {
       // SemDeDup end-to-end: within-cell pairs -> connected components ->
       // keeper = farthest-from-centroid member (the curation decision)
       graft.ops.Ivf.semanticDedup(Tables.table(s, dir, "embeddings"))),
+    "semantic_incremental" -> ((s, dir) => {
+      // nightly-crawl screening on the embedding side: the vec_id%10==0
+      // batch vs the rest of the corpus — quantizer trained on the
+      // corpus, each cell contributes a hash-sampled <=maxCell screen
+      // set that BROADCASTS to the batch
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.incrementalSemantic(
+        e.where(col("vec_id") % 10 === 0), e.where(col("vec_id") % 10 =!= 0))
+    }),
     "mix_rebalance" -> ((s, dir) =>
       // uniform-token-share rebalancing: derived per-lang rates + the
       // deterministic hash keep decision (mix_report's executable sibling)
@@ -1988,6 +1997,39 @@ object SparkEntry {
         "SELECT l.vec_id, l.cluster_id, " +
         "(row_number() OVER (PARTITION BY l.cluster_id ORDER BY s.ccos, l.vec_id) = 1) AS keep " +
         "FROM labels l JOIN sc s ON s.vec_id = l.vec_id"),
+    // incrementalSemantic replay: corpus-trained seed centroids, both
+    // sides assigned, per-cell hash-order screen sample (<= maxCell),
+    // batch x screen cosine, best-match argmax (cos desc, cvid asc)
+    "semantic_incremental" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ne AS (SELECT * FROM e WHERE vec_id % 10 = 0), " +
+        "ce AS (SELECT * FROM e WHERE vec_id % 10 <> 0), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM ce ORDER BY vec_id LIMIT 16), " +
+        "cassigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT ce.vec_id, ce.v, c.cid, row_number() OVER (PARTITION BY ce.vec_id " +
+        "ORDER BY round(list_cosine_similarity(ce.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM ce CROSS JOIN cents c) WHERE arn = 1), " +
+        "nassigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT ne.vec_id, ne.v, c.cid, row_number() OVER (PARTITION BY ne.vec_id " +
+        "ORDER BY round(list_cosine_similarity(ne.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM ne CROSS JOIN cents c) WHERE arn = 1), " +
+        "screen AS (SELECT cid, vec_id, v FROM (" +
+        "SELECT cid, vec_id, v, row_number() OVER (PARTITION BY cid " +
+        "ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id) AS hr " +
+        "FROM cassigned) WHERE hr <= 64), " +
+        "scored AS (SELECT n.vec_id, s.vec_id AS cvid, " +
+        "round(list_cosine_similarity(n.v, s.v), 6) AS cos " +
+        "FROM nassigned n JOIN screen s ON s.cid = n.cid), " +
+        "rolled AS (SELECT vec_id, count(*) AS n_screened, max(cos) AS best_cos " +
+        "FROM scored GROUP BY 1), " +
+        "best AS (SELECT s.vec_id, min(s.cvid) AS best_match FROM scored s " +
+        "JOIN rolled r ON r.vec_id = s.vec_id AND s.cos = r.best_cos GROUP BY 1) " +
+        "SELECT d.vec_id, COALESCE(n_screened, 0) AS n_screened, best_match, best_cos, " +
+        "(best_cos IS NULL OR best_cos < 0.4) AS novel " +
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) d " +
+        "LEFT JOIN rolled ON rolled.vec_id = d.vec_id " +
+        "LEFT JOIN best ON best.vec_id = d.vec_id"),
     // semanticSample replay: the ann_ivf seed/assignment CTEs + the
     // portable md5-prefix hash pick per cell (h asc, vec_id asc)
     "semantic_sample" ->

@@ -482,6 +482,76 @@ object Ivf {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
   }
 
+  /** Incremental semantic screening — the embedding-side sibling of
+    * Dedup.incrementalDedup (the nightly-crawl pass): score each vector
+    * of a NEW batch against the EXISTING corpus, emitting per new vector
+    * the screened-comparison count, the best corpus match (highest
+    * rounded cosine, ties on the lower corpus vec_id) and a `novel`
+    * verdict (best cosine below `threshold`, or no comparison at all).
+    *
+    * Scale design: the quantizer trains on the CORPUS (seed = k lowest
+    * corpus vec_ids, deterministic); each corpus cell contributes at most
+    * `maxCell` members to the screen set, drawn by portable md5-prefix
+    * hash order via the bounded TopKByScore heap (never a window over a
+    * giant cell partition — a cell is n/numCells of the corpus by
+    * construction). The screen set is therefore ≤ numCells·maxCell rows
+    * and BROADCASTS to the batch side: screening is map-only on the new
+    * batch, |batch|·maxCell comparisons, no shuffle of the corpus. The
+    * hash sample is the explicit recall price (same contract as the LSH
+    * bucket cap): a corpus near-dup cluster of m members in a cell of M
+    * is missed by the whole sample with probability ≈ (1 − maxCell/M)^m,
+    * and `novel` is a screening verdict, not an exact-nearest claim —
+    * semanticNearDup/searchTopK are the exact in-corpus tools. Both the
+    * sample and the member fetch derive from ONE materialized assignment
+    * scan; `incrementalSemanticWith` reuses a pre-trained model and the
+    * screen set is the reusable nightly artifact.
+    */
+  def incrementalSemantic(newEmb: DataFrame, corpus: DataFrame,
+                          numCells: Int = 16, threshold: Double = 0.4,
+                          maxCell: Int = 64): DataFrame =
+    incrementalSemanticWith(newEmb, corpus, train(corpus, numCells, iters = 0),
+      threshold, maxCell)
+
+  /** [[incrementalSemantic]] against a PRE-TRAINED quantizer — train once
+    * per corpus snapshot, screen every nightly batch against it.
+    */
+  def incrementalSemanticWith(newEmb: DataFrame, corpus: DataFrame,
+                              cents: Array[Array[Double]],
+                              threshold: Double = 0.4,
+                              maxCell: Int = 64): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val cells = assignedCells(vecs(corpus), cents)
+    // hash-sampled screen ids per cell via the bounded heap (score = -h:
+    // h < 2^32 is exact in a double, so (h asc, vec_id asc) — the same
+    // portable total order semanticSample and the oracle replay)
+    val agg = udaf(new TopKByScore(maxCell), ExpressionEncoder[ScoredId]())
+    val sampleIds = cells
+      .select(col("cid"), col("vec_id"),
+        graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8).as("h"))
+      .groupBy(col("cid"))
+      .agg(agg((-col("h")).cast("double"), col("vec_id")).as("top"))
+      .select(col("cid"), explode(col("top")).as("s"))
+      .select(col("cid"), col("s.id").as("vec_id"))
+    val screen = sampleIds.join(cells, Seq("cid", "vec_id"))
+      .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"))
+    val scored = assign(vecs(newEmb), cents)
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"))
+      .join(broadcast(screen), Seq("cid"))
+      .select(col("vec_id"), col("cvid"),
+        round(graft.functions.cosine_sim(col("v"), col("cv")), 6).as("cos"))
+    val rolled = scored.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_screened"), max(col("cos")).as("best_cos"),
+        min_by(col("cvid"), array(negate(col("cos")), col("cvid").cast("double")))
+          .as("best_match"))
+    newEmb.select(col("vec_id"))
+      .join(rolled, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_screened"), lit(0L)).as("n_screened"),
+        col("best_match"), col("best_cos"),
+        (col("best_cos").isNull || col("best_cos") < threshold).as("novel"))
+  }
+
   /** Approximate top-k: scan only each query's `nprobe` nearest cells.
     * Each vector lives in exactly one cell and probes are distinct cells,
     * so candidates are never duplicated.

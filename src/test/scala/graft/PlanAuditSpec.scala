@@ -151,6 +151,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)
   }
 
+  test("semantic incremental broadcasts the screen set, heap-samples without a window") {
+    val p = planOf("semantic_incremental")
+    // the <= numCells*maxCell screen set must broadcast to the batch side
+    assert(p.contains("BroadcastHashJoin"), "screen set must broadcast\n" + p)
+    // per-cell sampling is the bounded TopKByScore heap, never a window
+    // over a giant cell partition
+    assert(!p.contains("Window"), "screen sampling must be the bounded heap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact pair search is equi-join blocked, never a nested-loop join") {
     val p = planOf("embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

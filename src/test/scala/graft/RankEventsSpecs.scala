@@ -458,6 +458,50 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("semantic incremental: screen-cap sampling, best-match consistency, novel verdicts") {
+    import graft.ops.Ivf
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val batch = emb.where(col("vec_id") % 10 === 0)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val out = Ivf.incrementalSemantic(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    // every batch vector gets exactly one verdict row
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == batchIds && out.length == batchIds.size)
+    out.foreach { case (id, n, bm, bc, novel) =>
+      // verdict is exactly the threshold test on the best screened cosine
+      assert(novel == bc.forall(_ < 0.4), s"vec $id verdict inconsistent")
+      assert((n == 0) == bm.isEmpty && bm.isEmpty == bc.isEmpty,
+        s"vec $id empty-screen fields inconsistent")
+    }
+    // best_cos really is the cosine to best_match (self-consistency)
+    val vb = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val (d, na, nb) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((x, y, z), i) =>
+        (x + a(i) * b(i), y + a(i) * a(i), z + b(i) * b(i)) }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (id, _, bm, bc, _) =>
+      bm.foreach(m => assert(math.abs(cos(vb(id), vb(m)) - bc.get) < 2e-6,
+        s"vec $id best_cos doesn't match its best_match"))
+    }
+    // synthetic one-cell corpus: the cap screens exactly maxCell members,
+    // drawn by the portable hash order (the LSH-cap contract)
+    val dim = 4
+    val cvecs = (1L to 150L).map(i => (i, Array.fill(dim)(0.1f + i * 1e-4f)))
+    val c1 = cvecs.toDF("vec_id", "embedding")
+    val b1 = Seq((1000L, Array.fill(dim)(0.1f))).toDF("vec_id", "embedding")
+    val capped = Ivf.incrementalSemantic(b1, c1, numCells = 1, maxCell = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(capped._2 == 20L, s"expected 20 screened, got ${capped._2}")
+  }
+
   test("semantic operators serve a persisted model identically to in-place training") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_model").toString
