@@ -1177,3 +1177,64 @@ class StreamingMixMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingSemanticNearDupSpec extends SparkSpec {
+  test("stream pair union == batch semanticNearDup across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = graft.ops.Ivf.train(emb, 8, iters = 0)
+    val truth = graft.ops.Ivf.semanticNearDupWith(emb, cents, 0.4)
+      .select(col("cid"), col("id1"), col("id2"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(truth.nonEmpty)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, ts(T0 + id), v.map(_.toDouble)) }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val pairs = graft.streaming.StreamingSemanticNearDup.run(
+      stream.toDF.toDF("vec_id", "ts", "embedding"), cents,
+      watermark = "1 hour")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("sem_nd_out").start()
+    try {
+      // three micro-batches: pairs straddle every split
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        stream.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT cid, id1, id2, cos FROM sem_nd_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // union of emissions is EXACTLY the batch answer, cosines included
+      assert(got == truth,
+        s"stream/batch mismatch: stream-only=${(got -- truth).take(3)} " +
+          s"batch-only=${(truth -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("cell cap: post-cap arrivals score against state but are not retained") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one cell (k=1); identical direction => cos 1.0 for every pair
+    val cents = Array(Array(1.0, 0.0))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val pairs = graft.streaming.StreamingSemanticNearDup.run(
+      stream.toDF.toDF("vec_id", "ts", "embedding"), cents,
+      maxCell = 2, watermark = "1 hour")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("sem_nd_cap").start()
+    try {
+      val v = Seq(2.0, 0.0)
+      stream.addData((1L, ts(T0 + 1), v), (2L, ts(T0 + 2), v))
+      q.processAllAvailable()
+      stream.addData((3L, ts(T0 + 3), v)) // cell full: scores, not retained
+      q.processAllAvailable()
+      stream.addData((4L, ts(T0 + 4), v)) // pairs with 1,2 only — never 3
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id1, id2 FROM sem_nd_cap")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    } finally q.stop()
+  }
+}
