@@ -2448,7 +2448,8 @@ object SparkEntry {
     * oversized-corpus-bucket representative rule, and best-match pick.
     */
   private def incrementalDedupSql(minJaccard: Double = 0.8, numPerm: Int = 128,
-                                  bands: Int = 16, maxBucket: Int = 100): String = {
+                                  bands: Int = 16, maxBucket: Int = 100,
+                                  numReps: Int = 8): String = {
     val rows = numPerm / bands
     s"WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
       "dh AS (SELECT doc_id, source, list_transform(" +
@@ -2464,11 +2465,20 @@ object SparkEntry {
       "cb AS (SELECT doc_id, band, " +
       s"CAST('0x' || substr(md5(array_to_string(sig[band*$rows+1 : band*$rows+$rows], ',')), 1, 15) AS BIGINT) AS bsig " +
       "FROM csig CROSS JOIN bx), " +
-      "cs AS (SELECT band, bsig, count(*) AS bucket_n, min(doc_id) AS rep FROM cb GROUP BY 1, 2), " +
+      "cs AS (SELECT band, bsig, count(*) AS bucket_n FROM cb GROUP BY 1, 2), " +
+      // oversized corpus buckets contribute numReps hash-sampled members
+      // (md5-prefix order), mirroring Dedup.incrementalDedup's screen set
+      "crep AS (SELECT band, bsig, doc_id FROM (" +
+      "SELECT c.band, c.bsig, c.doc_id, row_number() OVER (PARTITION BY c.band, c.bsig " +
+      "ORDER BY CAST('0x'||substr(md5(CAST(c.doc_id AS VARCHAR)),1,8) AS BIGINT), c.doc_id) AS hr " +
+      "FROM cb c JOIN cs s ON s.band = c.band AND s.bsig = c.bsig " +
+      s"WHERE s.bucket_n > $maxBucket) WHERE hr <= $numReps), " +
       "cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid FROM nb n " +
       "JOIN cb c ON n.band = c.band AND n.bsig = c.bsig " +
       "JOIN cs s ON s.band = n.band AND s.bsig = n.bsig " +
-      s"WHERE s.bucket_n <= $maxBucket OR c.doc_id = s.rep), " +
+      s"WHERE s.bucket_n <= $maxBucket " +
+      "UNION SELECT DISTINCT n.doc_id, r.doc_id FROM nb n " +
+      "JOIN crep r ON n.band = r.band AND n.bsig = r.bsig), " +
       "scored AS (SELECT nid, cid, " +
       s"len(list_filter(generate_series(1, $numPerm), i -> a.sig[i] = b.sig[i])) / $numPerm.0 AS est " +
       "FROM cand JOIN nsig a ON a.doc_id = nid JOIN csig b ON b.doc_id = cid), " +

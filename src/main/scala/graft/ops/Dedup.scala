@@ -171,14 +171,16 @@ object Dedup {
     * sides (the corpus side can be PRE-COMPUTED and reused across
     * batches); banding joins are skinny (doc_id, band, bsig) equi-joins;
     * oversized CORPUS buckets (boilerplate that matches everything)
-    * contribute only their representative per bucket, capping per-new-doc
-    * fan-out at O(bands) instead of O(bucket). The incoming batch is
+    * contribute numReps hash-sampled members per bucket, capping
+    * per-new-doc fan-out at O(bands·numReps) instead of O(bucket). The
+    * incoming batch is
     * dim-scale next to the corpus, so the candidate set stays bounded by
     * |batch| × bands.
     */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
                        minJaccard: Double = 0.8, numPerm: Int = 128,
-                       bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+                       bands: Int = 16, maxBucket: Int = 100,
+                       numReps: Int = 8): DataFrame = {
     val rows = numPerm / bands
     def band(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), posexplode(array((0 until bands).map(bnd =>
@@ -187,12 +189,26 @@ object Dedup {
     val cSigs = graft.core.Materialize.once(minhashSignatures(corpus, numPerm))
     val cBand = band(cSigs)
     val cStats = cBand.groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("bucket_n"), min(col("doc_id")).as("rep"))
+      .agg(count(lit(1)).as("bucket_n"))
+    // oversized corpus buckets contribute numReps HASH-SAMPLED members
+    // (portable md5-prefix order — the minhashLshFromSigs scheme: a
+    // single min-id rep missed every cluster but its own in a mixed
+    // boilerplate bucket; a content-hash sample covers a cluster holding
+    // fraction f of the bucket with probability 1 − (1−f)^numReps),
+    // keeping per-new-doc fan-out at O(bands·numReps)
+    val tagged = cBand.join(cStats, Seq("band", "bsig"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bsig"))
+      .orderBy(hash32(col("doc_id").cast("string")), col("doc_id"))
+    val screen = tagged.where(col("bucket_n") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bsig"))
+      .unionByName(tagged.where(col("bucket_n") > maxBucket)
+        .withColumn("hrank", row_number().over(wh))
+        .where(col("hrank") <= numReps)
+        .select(col("doc_id"), col("band"), col("bsig")))
     val cand = band(nSigs).select(col("doc_id").as("nid"), col("band"), col("bsig"))
-      .join(cBand.select(col("doc_id").as("cid"), col("band"), col("bsig")),
+      .join(screen.select(col("doc_id").as("cid"), col("band"), col("bsig")),
         Seq("band", "bsig"))
-      .join(cStats, Seq("band", "bsig"))
-      .where(col("bucket_n") <= maxBucket || col("cid") === col("rep"))
       .select(col("nid"), col("cid")).distinct()
     val scored = cand
       .join(nSigs.select(col("doc_id").as("nid"), col("sig").as("sig1")), "nid")

@@ -14,9 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale design: signatures are the same fused map-side ShingleMinHash
   * pass as batch; state is keyed by (band, bucket) and holds at most
-  * `maxBucket` signatures per bucket — once full, newcomers pair only
-  * against the bucket representative (min doc_id), exactly the batch
-  * skew-cap policy. `idleRetention` (event-time timeout) drops buckets
+  * `maxBucket` signatures per bucket — once full, newcomers pair against
+  * `numReps` HASH-SAMPLED retained members (portable md5-prefix order,
+  * exactly the batch skew-cap policy: a min-id representative misses
+  * every cluster but its own in a mixed boilerplate bucket, a content-
+  * hash sample covers a cluster holding fraction f of the bucket with
+  * probability 1 − (1−f)^numReps). `idleRetention` (event-time timeout)
+  * drops buckets
   * idle past the horizon, bounding total state for unbounded streams at
   * the documented cost of missing duplicates farther apart than the
   * horizon. A pair sharing several bands is emitted once per band
@@ -30,9 +34,20 @@ object StreamingNearDup {
   case class Bucket(docs: List[(Long, Seq[Long])])
   case class Pair(id1: Long, id2: Long, est_jaccard: Double)
 
+  /** JVM-side md5-prefix hash, value-identical to Dedup.hash32 on the
+    * decimal string (first 4 digest bytes as an unsigned int).
+    */
+  private[graft] def h32(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** `docs`: streaming (doc_id, ts, text). */
   def run(docs: DataFrame, numPerm: Int = 128, bands: Int = 16,
-          maxBucket: Int = 100, watermark: String = "10 minutes",
+          maxBucket: Int = 100, numReps: Int = 8,
+          watermark: String = "10 minutes",
           idleRetentionMs: Long = 3600000L): Dataset[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -64,7 +79,8 @@ object StreamingNearDup {
               maxTs = math.max(maxTs, e.ts.getTime)
               val peers =
                 if (bucket.docs.size >= maxBucket)
-                  bucket.docs.minByOption(_._1).toList // representative only
+                  // hash-sampled representatives (the batch cap policy)
+                  bucket.docs.sortBy(d => (h32(d._1), d._1)).take(numReps)
                 else bucket.docs
               peers.foreach { case (oid, osig) =>
                 if (oid != e.doc_id) {

@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(100L) && !out.contains(101L))
   }
 
+  test("incremental dedup: oversized corpus buckets screen via hash-sampled reps") {
+    // 150 identical corpus docs -> every band is one >maxBucket bucket;
+    // the new doc screens against the numReps=8 hash-sampled members
+    // (band-independent sample: each band draws the same 8 ids), never
+    // the whole bucket
+    val corpus = (1L to 150L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, maxBucket = 100).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_candidates") == 8L,
+      s"expected the 8-rep screen, got ${r.getAs[Long]("n_candidates")}")
+    assert(!r.getAs[Boolean]("novel") && r.getAs[Double]("best_est") == 1.0)
+    // best match = the lowest-id sampled rep (hash order, ties impossible)
+    val byHash = corpus.select(col("doc_id"),
+        Dedup.hash32(col("doc_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+    assert(r.getAs[Long]("best_match") == byHash.take(8).map(_._1).min)
+  }
+
   test("minhash LSH surfaces near-duplicate pairs with high est jaccard") {
     val pairs = Dedup.minhashLsh(docs).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("est_jaccard")))

@@ -497,6 +497,42 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full buckets pair newcomers against hash-sampled reps, JVM hash == column hash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // same text -> same signature -> one bucket per band; maxBucket=2,
+    // numReps=1: doc 3 arrives into full buckets and pairs ONLY against
+    // the single smallest-hash retained member (in every band)
+    val colHash = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), graft.ops.Dedup.hash32(col("id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // the JVM-side sampling hash is value-identical to the column hash
+    colHash.foreach { case (id, h) =>
+      assert(graft.streaming.StreamingNearDup.h32(id) == h,
+        s"JVM/column hash split for id $id")
+    }
+    val byHash = Seq(1L, 2L).sortBy(id => (colHash(id), id))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = graft.streaming.StreamingNearDup.run(
+      ms.toDF.toDF("doc_id", "ts", "text"),
+      maxBucket = 2, numReps = 1, watermark = "5 seconds")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cap_out").start()
+    try {
+      ms.addData((1L, ts(T0 + 10), base), (2L, ts(T0 + 20), base))
+      q.processAllAvailable()
+      ms.addData((3L, ts(T0 + 30), base))
+      q.processAllAvailable()
+      val withThree = spark.sql(
+        "SELECT DISTINCT id1, id2 FROM neardup_cap_out WHERE id1 = 3 OR id2 = 3")
+        .as[(Long, Long)].collect().toSet
+      val rep = byHash.head
+      assert(withThree == Set((math.min(rep, 3L), math.max(rep, 3L))),
+        s"doc 3 must pair only with the hash-sampled rep $rep, got $withThree")
+    } finally q.stop()
+  }
+
   test("degenerate idle horizon (retention 0) never crashes timeout registration") {
     // with idleRetention 0, a bucket's raw timeout target maxTs + retention
     // can collide with the watermark (Spark rejects timeouts <= watermark
