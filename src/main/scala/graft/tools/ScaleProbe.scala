@@ -214,6 +214,16 @@ object ScaleProbe {
       time(s"semantic_dedup x$k (output-bound)") {
         graft.ops.Ivf.semanticDedup(emb).count()
       }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      // fixed nightly batch, corpus grown k× — the screen cap must make
+      // this FLAT (each cell contributes <= maxCell members regardless
+      // of corpus size)
+      time(s"semantic_incremental x$k (fixed batch)") {
+        graft.ops.Ivf.incrementalSemantic(
+          Tables.table(spark, dir, "embeddings")
+            .where(col("vec_id") % 10 === 0),
+          emb.where(col("vec_id") % 10 =!= 0)).count()
+      }
       // cleanup OUTSIDE the timed region — a blocking release grows with
       // the materialized assignment and would inflate the curve
       graft.core.Materialize.releaseAll(spark, blocking = true)
