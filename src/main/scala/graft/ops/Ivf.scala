@@ -110,6 +110,7 @@ object Ivf {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
+    if (cents.isEmpty) return cents // empty corpus -> empty model
     val dim = cents.head.length
     (1 to iters).foreach { _ =>
       cents = localizePos(assign(e, cents)
@@ -519,6 +520,12 @@ object Ivf {
                               cents: Array[Array[Double]],
                               threshold: Double = 0.4,
                               maxCell: Int = 64): DataFrame = {
+    // empty corpus -> empty model: everything is trivially novel (the
+    // incrementalDedup empty-corpus contract, not a crash)
+    if (cents.isEmpty)
+      return newEmb.select(col("vec_id"), lit(0L).as("n_screened"),
+        lit(null).cast("long").as("best_match"),
+        lit(null).cast("double").as("best_cos"), lit(true).as("novel"))
     import graft.functions.{ScoredId, TopKByScore}
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val cells = assignedCells(vecs(corpus), cents)

@@ -104,6 +104,66 @@ object Multimodal {
         "mean_r", "mean_g", "mean_b")
   }
 
+  /** REAL audio decode via the JDK's built-in javax.sound.sampled WAV/
+    * AIFF/AU readers (no external media libraries): container-parsed
+    * sample rate / channel count / frame count / duration plus the RMS
+    * amplitude of 16-bit PCM payloads (normalized to [0, 1]; null for
+    * other sample sizes — metadata still real). Rows no installed reader
+    * accepts come back `ok = false` with null metrics instead of failing
+    * the job, exactly the [[decodeImage]] junk-bytes contract — this is
+    * the audio codec swapped into the same binary-column boundary.
+    *
+    * Scale design: pure mapPartitions over the binary column — decode
+    * parallelism IS the table's partitioning, no shuffle, one 64-row
+    * batch of clips in executor memory at a time.
+    */
+  def decodeAudio(media: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def decode(id: Long, bytes: Array[Byte]): (Long, Boolean, Option[Double],
+        Option[Long], Option[Long], Option[Double], Option[Double]) =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val nFrames = in.getFrameLength
+          val durMs =
+            if (nFrames >= 0 && fmt.getSampleRate > 0)
+              Some(nFrames * 1000.0 / fmt.getSampleRate)
+            else None
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 &&
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              val data = in.readAllBytes()
+              val n = data.length / 2
+              var acc = 0.0
+              var i = 0
+              while (i + 1 < data.length) {
+                val s =
+                  if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                  else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                val x = s / 32768.0
+                acc += x * x
+                i += 2
+              }
+              if (n > 0) Some(math.sqrt(acc / n)) else None
+            } else None
+          (id, true, Some(fmt.getSampleRate.toDouble),
+            Some(fmt.getChannels.toLong),
+            if (nFrames >= 0) Some(nFrames) else None, durMs, rms)
+        } finally in.close()
+      } catch { case _: Exception => (id, false, None, None, None, None, None) }
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+      }))
+      .toDF("doc_id", "ok", "sample_rate", "channels", "n_frames",
+        "duration_ms", "rms")
+  }
+
   /** Batched decode/feature-extract stub. Batch size 64 mirrors a
     * vectorized decode unit (what a GPU/SIMD codec would consume at once).
     * Replace the body of `fakeDecode` with a real codec in deployment.

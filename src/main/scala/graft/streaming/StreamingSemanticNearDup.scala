@@ -59,6 +59,8 @@ object StreamingSemanticNearDup {
           threshold: Double = 0.4, maxCell: Int = 1000,
           watermark: String = "10 minutes",
           idleRetentionMs: Long = 3600000L): Dataset[Pair] = {
+    require(cents.nonEmpty, "streaming semantic near-dup needs a non-empty " +
+      "pre-trained quantizer (Ivf.train on a corpus snapshot)")
     val spark = emb.sparkSession
     import spark.implicits._
     val assigned = emb.withWatermark("ts", watermark)

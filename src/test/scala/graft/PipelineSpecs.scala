@@ -609,4 +609,53 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.toSeq).toMap
     assert(got.keySet.forall(k => again(k) == got(k).toSeq))
   }
+
+  private def wav(rate: Float, nFrames: Int)(sample: Int => Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = sample(i)
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio decode: javax.sound round-trips generated WAVs exactly") {
+    // constant full-scale-half signal: RMS exactly 0.5
+    val const = wav(8000f, 800)(_ => 16384)
+    // alternating +/-: same RMS, exercises the signed little-endian path
+    val alt = wav(44100f, 4410)(i => if (i % 2 == 0) 16384 else -16384)
+    val silent = wav(16000f, 160)(_ => 0)
+    // > 64 rows to cross the decode batch boundary
+    val fill = (10L until 80L).map(i => (i, wav(8000f, 80)(_ => 16384)))
+    val rows = ((1L, const) +: (2L, alt) +: (3L, silent) +:
+      (4L, "not audio at all".getBytes("UTF-8")) +: fill)
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudio(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == rows.length)
+    val r1 = got(1L)
+    assert(r1.getBoolean(1) && r1.getDouble(2) == 8000.0 &&
+      r1.getLong(3) == 1 && r1.getLong(4) == 800)
+    assert(r1.getDouble(5) == 100.0) // 800 frames at 8 kHz = 100 ms
+    assert(r1.getDouble(6) == 0.5)   // 16384/32768 exactly
+    val r2 = got(2L)
+    assert(r2.getDouble(2) == 44100.0 && r2.getLong(4) == 4410 &&
+      r2.getDouble(6) == 0.5)
+    assert(got(3L).getBoolean(1) && got(3L).getDouble(6) == 0.0)
+    // junk bytes: ok=false with null metrics, never a job failure
+    val r4 = got(4L)
+    assert(!r4.getBoolean(1) && r4.isNullAt(2) && r4.isNullAt(6))
+    fill.foreach { case (i, _) => assert(got(i).getBoolean(1)) }
+    // partitioning-invariant (decode is pure per-row work)
+    val again = Multimodal.decodeAudio(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.keySet.forall(k => again(k) == got(k).toSeq))
+  }
 }

@@ -500,6 +500,10 @@ class RankEventsSpecs extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     graft.core.Materialize.releaseAll(spark, blocking = true)
     assert(capped._2 == 20L, s"expected 20 screened, got ${capped._2}")
+    // empty corpus -> empty model: trivially novel, never a crash
+    val none = Ivf.incrementalSemantic(b1, c1.where(col("vec_id") < 0))
+      .collect().head
+    assert(none.getLong(1) == 0L && none.isNullAt(2) && none.getBoolean(4))
   }
 
   test("semantic operators serve a persisted model identically to in-place training") {
