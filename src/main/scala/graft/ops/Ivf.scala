@@ -513,6 +513,32 @@ object Ivf {
     incrementalSemanticWith(newEmb, corpus, train(corpus, numCells, iters = 0),
       threshold, maxCell)
 
+  /** The ≤ numCells·maxCell hash-sampled screen set (cid, cvid, cv):
+    * each corpus cell's ≤ maxCell members drawn by portable md5-prefix
+    * order via the bounded TopKByScore heap (score = -h: h < 2^32 is
+    * exact in a double, so (h asc, vec_id asc) — the same portable total
+    * order semanticSample and the oracle replay), ids joined back to the
+    * ONE materialized assignment scan for their vectors. Dim-scale by
+    * construction — the broadcastable nightly screening artifact shared
+    * by [[incrementalSemanticWith]] and the streaming screen.
+    */
+  private[graft] def screenSet(corpus: DataFrame, cents: Array[Array[Double]],
+                               maxCell: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val cells = assignedCells(vecs(corpus), cents)
+    val agg = udaf(new TopKByScore(maxCell), ExpressionEncoder[ScoredId]())
+    cells
+      .select(col("cid"), col("vec_id"),
+        graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8).as("h"))
+      .groupBy(col("cid"))
+      .agg(agg((-col("h")).cast("double"), col("vec_id")).as("top"))
+      .select(col("cid"), explode(col("top")).as("s"))
+      .select(col("cid"), col("s.id").as("vec_id"))
+      .join(cells, Seq("cid", "vec_id"))
+      .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"))
+  }
+
   /** [[incrementalSemantic]] against a PRE-TRAINED quantizer — train once
     * per corpus snapshot, screen every nightly batch against it.
     */
@@ -526,22 +552,7 @@ object Ivf {
       return newEmb.select(col("vec_id"), lit(0L).as("n_screened"),
         lit(null).cast("long").as("best_match"),
         lit(null).cast("double").as("best_cos"), lit(true).as("novel"))
-    import graft.functions.{ScoredId, TopKByScore}
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val cells = assignedCells(vecs(corpus), cents)
-    // hash-sampled screen ids per cell via the bounded heap (score = -h:
-    // h < 2^32 is exact in a double, so (h asc, vec_id asc) — the same
-    // portable total order semanticSample and the oracle replay)
-    val agg = udaf(new TopKByScore(maxCell), ExpressionEncoder[ScoredId]())
-    val sampleIds = cells
-      .select(col("cid"), col("vec_id"),
-        graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8).as("h"))
-      .groupBy(col("cid"))
-      .agg(agg((-col("h")).cast("double"), col("vec_id")).as("top"))
-      .select(col("cid"), explode(col("top")).as("s"))
-      .select(col("cid"), col("s.id").as("vec_id"))
-    val screen = sampleIds.join(cells, Seq("cid", "vec_id"))
-      .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"))
+    val screen = screenSet(corpus, cents, maxCell)
     val scored = assign(vecs(newEmb), cents)
       .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"))
       .join(broadcast(screen), Seq("cid"))

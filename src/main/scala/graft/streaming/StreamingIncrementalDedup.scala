@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * append mode): the stream side computes fused map-side signatures per
   * micro-batch, the corpus side's banding+signature frame is fixed per
   * corpus snapshot and behaves like any dimension input. Oversized
-  * corpus buckets contribute only their representative (the batch
-  * skew-cap policy), bounding per-doc fan-out at O(bands). A match
+  * corpus buckets contribute numReps hash-sampled members (the unified
+  * batch skew-cap policy), bounding per-doc fan-out at
+  * O(bands·numReps). A match
   * surviving several bands emits once per band (at-least-once) — route
   * through dropDuplicatesWithinWatermark downstream if exactly-once
   * pairs matter.
@@ -25,7 +26,8 @@ import org.apache.spark.sql.functions._
 object StreamingIncrementalDedup {
 
   def run(docs: DataFrame, corpus: DataFrame, minJaccard: Double = 0.8,
-          numPerm: Int = 128, bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+          numPerm: Int = 128, bands: Int = 16, maxBucket: Int = 100,
+          numReps: Int = 8): DataFrame = {
     val rows = numPerm / bands
 
     // static side, computed once per corpus snapshot
@@ -35,10 +37,19 @@ object StreamingIncrementalDedup {
           Dedup.bandSig(col("sig"), b, rows)): _*)))
       .toDF("corpus_id", "csig", "band", "bsig")
     val cStats = cBand0.groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("bucket_n"), min(col("corpus_id")).as("rep"))
-    val cBand = cBand0.join(cStats, Seq("band", "bsig"))
-      .where(col("bucket_n") <= maxBucket || col("corpus_id") === col("rep"))
+      .agg(count(lit(1)).as("bucket_n"))
+    // oversized corpus buckets contribute numReps hash-sampled members —
+    // the unified skew-cap policy (see Dedup.minhashLshFromSigs)
+    val tagged = cBand0.join(cStats, Seq("band", "bsig"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bsig"))
+      .orderBy(Dedup.hash32(col("corpus_id").cast("string")), col("corpus_id"))
+    val cBand = tagged.where(col("bucket_n") <= maxBucket)
       .select(col("band"), col("bsig"), col("corpus_id"), col("csig"))
+      .unionByName(tagged.where(col("bucket_n") > maxBucket)
+        .withColumn("hrank", row_number().over(wh))
+        .where(col("hrank") <= numReps)
+        .select(col("band"), col("bsig"), col("corpus_id"), col("csig")))
 
     // streaming side: fused signatures + banding, then the static join
     docs.select(col("doc_id"), col("ts"),

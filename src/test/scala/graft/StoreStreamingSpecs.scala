@@ -1274,3 +1274,49 @@ class StreamingSemanticNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingSemanticScreenSpec extends SparkSpec {
+  test("stream-static semantic screening: emissions == batch screen hits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val batchSide = emb.where(col("vec_id") % 10 === 0)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val cents = graft.ops.Ivf.train(corpus, 16, iters = 0)
+    // batch truth: the same screen set, assign + join + rounded cosine
+    val screen = graft.ops.Ivf.screenSet(corpus, cents, 64)
+    val truth = graft.ops.Ivf.assign(
+        batchSide.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), cents)
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"))
+      .join(screen, Seq("cid"))
+      .select(col("vec_id"), col("cvid"),
+        round(graft.functions.cosine_sim(col("v"), col("cv")), 6).as("cos"))
+      .where(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(truth.nonEmpty)
+    val rows = batchSide.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, ts(T0 + id), v.map(_.toDouble)) }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val out = graft.streaming.StreamingSemanticScreen.run(
+      stream.toDF.toDF("vec_id", "ts", "embedding"), corpus, cents)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sem_screen_out").start()
+    try {
+      rows.grouped((rows.length + 1) / 2).foreach { g =>
+        stream.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT vec_id, corpus_id, cos FROM sem_screen_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == truth,
+        s"stream/batch mismatch: stream-only=${(got -- truth).take(3)} " +
+          s"batch-only=${(truth -- got).take(3)}")
+      // stateless contract: no state operators in the streaming progress
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+}
