@@ -163,3 +163,84 @@ class SqliteAlgebraSpec extends SparkSpec {
     }
   }
 }
+
+/** Differential oracle for the LSH banding + skew-cap pipeline: for random
+  * corpora (duplicate clusters, near-dup variants, noise, shuffled ids)
+  * the ENTIRE minhashLsh candidate output — pair set AND estimated
+  * jaccards — must equal an independent plain-Scala replay of the
+  * contract from the collected signatures: 60-bit md5 band buckets,
+  * all-pairs below `maxBucket`, hash-sampled numReps representatives +
+  * stride-1/2 rings above it. The fixed-construction adversarial floors
+  * live in LshRecallSpecs; this sweeps the formula across random shapes.
+  */
+class LshAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  private def expected(sigs: Map[Long, Seq[Long]], maxBucket: Int,
+                       numReps: Int): Map[(Long, Long), Double] = {
+    val pairs = scala.collection.mutable.Set[(Long, Long)]()
+    (0 until 16).foreach { b =>
+      sigs.toSeq
+        .groupBy { case (_, sig) => h60(sig.slice(b * 8, b * 8 + 8).mkString(",")) }
+        .values.foreach { bucket =>
+          val ids = bucket.map(_._1).sorted
+          if (ids.size <= maxBucket)
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              pairs += ((ids(i), ids(j)))
+          else {
+            val reps = ids.sortBy(id =>
+              (graft.streaming.StreamingNearDup.h32(id), id)).take(numReps)
+            for (id <- ids; r <- reps; if id != r)
+              pairs += ((math.min(id, r), math.max(id, r)))
+            for (i <- 0 until ids.size - 1) pairs += ((ids(i), ids(i + 1)))
+            for (i <- 0 until ids.size - 2) pairs += ((ids(i), ids(i + 2)))
+          }
+        }
+    }
+    pairs.map { case (a, b) =>
+      val (s1, s2) = (sigs(a), sigs(b))
+      (a, b) -> s1.indices.count(i => s1(i) == s2(i)) / 128.0
+    }.toMap
+  }
+
+  test("minhashLsh == plain-Scala banding/cap replay on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def text(): String =
+        Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until 2 + rnd.nextInt(3)).foreach { _ =>  // duplicate clusters
+        val t = text()
+        (0 until 2 + rnd.nextInt(10)).foreach(_ => docs += t)
+        docs += (t + " " + vocab(rnd.nextInt(vocab.size)))  // near-dup tail
+      }
+      (0 until 5 + rnd.nextInt(5)).foreach(_ => docs += text())  // noise
+      val ids = rnd.shuffle(docs.indices.map(_.toLong + 1).toVector)
+      val df = ids.zip(docs).toDF("doc_id", "text")
+      val maxBucket = 4
+      val sigs = graft.ops.Dedup.minhashSignatures(df)
+        .select(col("doc_id"), col("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val exp = expected(sigs, maxBucket, numReps = 8)
+      val got = graft.ops.Dedup.minhashLsh(df, maxBucket = maxBucket)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, e) => (a, b) -> e }.toMap
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      assert(got == exp,
+        s"seed $seed: ${got.keySet.diff(exp.keySet).take(3)} unexpected, " +
+          s"${exp.keySet.diff(got.keySet).take(3)} missing of ${exp.size}")
+      assert(exp.nonEmpty && exp.values.exists(_ == 1.0), s"seed $seed too weak")
+    }
+  }
+}
