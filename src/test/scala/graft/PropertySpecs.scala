@@ -244,3 +244,94 @@ class LshAlgebraSpec extends SparkSpec {
     }
   }
 }
+
+/** Same differential treatment for incrementalDedup's hash-sampled
+  * corpus-bucket screen: the batch rollup (candidate counts, best match,
+  * best estimate, novel verdicts) must equal a plain-Scala replay from
+  * the two collected signature sets.
+  */
+class IncrementalDedupAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  test("incrementalDedup == plain-Scala screen replay on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val (maxBucket, numReps, minJ) = (4, 8, 0.8)
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      def text(): String =
+        Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // corpus: duplicate clusters (oversized vs maxBucket=4) + noise
+      val cDocs = scala.collection.mutable.ArrayBuffer[String]()
+      val clusterTexts = Seq.fill(2 + rnd.nextInt(2))(text())
+      clusterTexts.foreach(t =>
+        (0 until 3 + rnd.nextInt(8)).foreach(_ => cDocs += t))
+      (0 until 4 + rnd.nextInt(4)).foreach(_ => cDocs += text())
+      // batch: copies of cluster texts, near-dups, novels, one too-short
+      val bDocs = clusterTexts.map(identity) ++
+        clusterTexts.take(1).map(_ + " " + vocab(rnd.nextInt(vocab.size))) ++
+        Seq.fill(3)(text()) ++ Seq("too short")
+      val corpus = rnd.shuffle(cDocs.indices.map(_.toLong + 100).toVector)
+        .zip(cDocs).toDF("doc_id", "text")
+      val batch = bDocs.indices.map(i => (i.toLong + 1, bDocs(i)))
+        .toDF("doc_id", "text")
+
+      def sigsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        graft.ops.Dedup.minhashSignatures(df)
+          .select(col("doc_id"), col("sig"))
+          .as[(Long, Seq[Long])].collect().toMap
+      val (nS, cS) = (sigsOf(batch), sigsOf(corpus))
+
+      def bands(sigs: Map[Long, Seq[Long]]): Seq[(Long, Int, Long)] =
+        sigs.toSeq.flatMap { case (id, sig) =>
+          (0 until 16).map(b =>
+            (id, b, h60(sig.slice(b * 8, b * 8 + 8).mkString(","))))
+        }
+      val cScreen = bands(cS).groupBy { case (_, b, h) => (b, h) }
+        .toSeq.flatMap { case ((b, h), members) =>
+          val ids = members.map(_._1)
+          val keep =
+            if (ids.size <= maxBucket) ids
+            else ids.sortBy(id =>
+              (graft.streaming.StreamingNearDup.h32(id), id)).take(numReps)
+          keep.map(id => (b, h) -> id)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val cand = bands(nS).flatMap { case (nid, b, h) =>
+        cScreen.getOrElse((b, h), Set.empty).map(cid => (nid, cid))
+      }.distinct
+      def est(a: Seq[Long], b: Seq[Long]): Double =
+        a.indices.count(i => a(i) == b(i)) / 128.0
+      val rolled = cand.groupBy(_._1).map { case (nid, ps) =>
+        val scored = ps.map { case (_, cid) => cid -> est(nS(nid), cS(cid)) }
+        val best = scored.map(_._2).max
+        nid -> (scored.size.toLong,
+          scored.filter(_._2 == best).map(_._1).min, best)
+      }
+      val expRows = batch.select("doc_id").as[Long].collect().toSet.map { id: Long =>
+        rolled.get(id) match {
+          case Some((n, bm, be)) =>
+            (id, n, Option(bm), Option(be), be < minJ)
+          case None => (id, 0L, None: Option[Long], None: Option[Double], true)
+        }
+      }
+      val got = graft.ops.Dedup.incrementalDedup(batch, corpus,
+          maxBucket = maxBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSet
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      assert(got == expRows,
+        s"seed $seed: ${(got -- expRows).take(2)} vs ${(expRows -- got).take(2)}")
+      // the sweep must exercise both the cap and a novel verdict
+      assert(expRows.exists(_._5) && expRows.exists(!_._5), s"seed $seed weak")
+    }
+  }
+}
