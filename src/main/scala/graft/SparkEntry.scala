@@ -488,6 +488,74 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n"))
     }),
+    "q7_nation_trade" -> ((s, dir) => {
+      // cross-border revenue flows by ship year: ONE fact-fact shuffle on
+      // the order key; both nation dim chains broadcast (supplier side and
+      // customer side resolve independently — never a second fact shuffle)
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val n = Tables.table(s, dir, "nation")
+      val suppN = Tables.table(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = Tables.table(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      // one supplier nation's share of a region's import revenue per
+      // order year: decimal-exact numerator/denominator in ONE aggregation
+      // pass (never two scans), region filter pushed into the broadcast
+      // customer chain
+      val d = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d))
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val suppN = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custAsia = Tables.table(s, dir, "customer")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_0", rev)
+              .otherwise(lit(0).cast(d))).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"),
+          sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q10_returned" -> ((s, dir) => {
+      // returned-item revenue per customer: selective returnflag filter
+      // pushed to the fact scan, customer->nation chain broadcast
+      val li = Tables.table(s, dir, "lineitem")
+      val o = Tables.table(s, dir, "orders")
+      val custN = Tables.table(s, dir, "customer")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      li.where(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1533,6 +1601,38 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"),
+    "q7_nation_trade" ->
+      (s"SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        s"$RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey) sn ON l_suppkey = sn.s_suppkey " +
+        "JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey) cn ON o_custkey = cn.c_custkey " +
+        "WHERE supp_nation <> cust_nation GROUP BY 1, 2, 3"),
+    "q8_market_share" -> {
+      val num = "CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+      s"SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        s"round($num / $RevenueSql, 6) AS mkt_share, " +
+        s"$RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN (SELECT c_custkey FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') ca " +
+        "ON o_custkey = ca.c_custkey " +
+        "JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey) sn ON l_suppkey = sn.s_suppkey " +
+        "GROUP BY 1"
+    },
+    "q10_returned" ->
+      (s"SELECT c_custkey, c_name, n_name, $RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' GROUP BY 1, 2, 3"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +

@@ -151,6 +151,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)
   }
 
+  test("q7/q8/q10 broadcast every dim chain; q10's returnflag reaches the scan") {
+    val p7 = planOf("q7_nation_trade")
+    // one fact-fact shuffle join; both nation chains broadcast
+    assert(countOccurrences(p7, "BroadcastHashJoin") >= 4, p7)
+    assert(!p7.contains("CartesianProduct"), p7)
+    val p8 = planOf("q8_market_share")
+    assert(countOccurrences(p8, "BroadcastHashJoin") >= 5, p8)
+    val p10 = planOf("q10_returned")
+    assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach the parquet scan\n" + p10)
+    assert(countOccurrences(p10, "BroadcastHashJoin") >= 2, p10)
+  }
+
   test("semantic incremental broadcasts the screen set, heap-samples without a window") {
     val p = planOf("semantic_incremental")
     // the <= numCells*maxCell screen set must broadcast to the batch side
