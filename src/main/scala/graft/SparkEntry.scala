@@ -416,6 +416,15 @@ object SparkEntry {
       Analytics.macd(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "stochastic" -> ((s, dir) =>
       Analytics.stochastic(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "williams_r" -> ((s, dir) =>
+      Analytics.williamsR(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "cci" -> ((s, dir) =>
+      // window tp list folded in frame order for BOTH sma and mean
+      // deviation (window-end sma in every term) — engine-reassociation-
+      // proof, the sliding-window version of the EMA fold oracle
+      Analytics.cci(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "mfi" -> ((s, dir) =>
+      Analytics.mfi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "donchian" -> ((s, dir) =>
       Analytics.donchian(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "keltner" -> ((s, dir) =>
@@ -1243,6 +1252,46 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, round(k, 6) AS pct_k, " +
         "round(((k + lag(k, 1) OVER wo) + lag(k, 2) OVER wo) / 3.0, 6) AS pct_d FROM g " +
         "WINDOW wo AS (PARTITION BY symbol ORDER BY bucket_ts)"),
+    "williams_r" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "f AS (SELECT symbol, bucket_ts, close, max(high) OVER w AS hh, min(low) OVER w AS ll, " +
+        "count(*) OVER w AS cnt FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(CASE WHEN hh <> ll THEN -100.0 * (hh - close) / (hh - ll) END, 6) + 0.0 AS wpr " +
+        "FROM f WHERE cnt = 14"),
+    "cci" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "t2 AS (SELECT symbol, bucket_ts, (high + low + close) / 3.0 AS tp FROM c), " +
+        "f AS (SELECT symbol, bucket_ts, tp, list(tp) OVER w AS tps, count(*) OVER w AS cnt FROM t2 " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        // both sma and mean deviation are in-order left folds over the
+        // window list (CAST keeps the 0.0 seed a DOUBLE), mirroring the
+        // Spark aggregate() lambdas term for term
+        "g AS (SELECT symbol, bucket_ts, tp, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), tps), (acc, x) -> acc + x) / 20 AS sma_tp, tps " +
+        "FROM f WHERE cnt = 20), " +
+        "h AS (SELECT symbol, bucket_ts, tp, sma_tp, " +
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(tps, x -> abs(x - sma_tp))), (acc, x) -> acc + x) / 20 AS md FROM g) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(CASE WHEN md <> 0.0 THEN (tp - sma_tp) / (0.015 * md) END, 6) AS cci FROM h"),
+    "mfi" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "t2 AS (SELECT symbol, bucket_ts, volume, (high + low + close) / 3.0 AS tp, " +
+        "lag((high + low + close) / 3.0, 1) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS tp_prev FROM c), " +
+        "f AS (SELECT symbol, bucket_ts, " +
+        "CASE WHEN tp > tp_prev THEN tp * volume ELSE 0.0 END AS pos_mf, " +
+        "CASE WHEN tp < tp_prev THEN tp * volume ELSE 0.0 END AS neg_mf " +
+        "FROM t2 WHERE tp_prev IS NOT NULL), " +
+        "g AS (SELECT symbol, bucket_ts, sum(pos_mf) OVER w AS pos_sum, " +
+        "sum(neg_mf) OVER w AS neg_sum, count(*) OVER w AS cnt FROM f " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(CASE WHEN neg_sum = 0.0 AND pos_sum = 0.0 THEN NULL " +
+        "WHEN neg_sum = 0.0 THEN 100.0 " +
+        "ELSE 100.0 - 100.0 / (1.0 + pos_sum / neg_sum) END, 6) AS mfi " +
+        "FROM g WHERE cnt = 14"),
     "donchian" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "f AS (SELECT symbol, bucket_ts, close, max(high) OVER w AS upper_band, " +

@@ -291,6 +291,85 @@ object Analytics {
     * would sum in engine-chosen order). Two windows on the SAME symbol
     * partitioning — one shuffle total, the second window reuses the sort.
     */
+  /** Williams %R over `n` candles: −100·(hh − close)/(hh − ll), the
+    * inverted stochastic %K — same full-window contract (rows with fewer
+    * than n candles of history are dropped; flat windows → null).
+    */
+  def williamsR(candles: DataFrame, n: Int = 14): DataFrame = {
+    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .withColumn("hh", max(col("high")).over(wf))
+      .withColumn("ll", min(col("low")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        // + 0.0 folds IEEE −0.0 (close == hh) to +0.0, matching any
+        // engine that computes 0/d with the opposite sign; null passes
+        (round(when(col("hh") =!= col("ll"),
+          lit(-100.0) * (col("hh") - col("close")) / (col("hh") - col("ll"))), 6)
+          + lit(0.0)).as("wpr"))
+  }
+
+  /** Commodity Channel Index over `n` candles: (tp − sma)/(0.015·md),
+    * tp = (high+low+close)/3, md = mean |tp_i − sma_now| over the window.
+    *
+    * Every term of md references the WINDOW-END sma, so md is not a plain
+    * windowed aggregate — the window's tp values are collected in frame
+    * order and BOTH sma and md are left-folds over that one list: the
+    * engine's windowed-sum algorithm (which may reassociate additions)
+    * never touches them, making the values bit-identical in any engine
+    * that folds a list in order (the EMA/MACD oracle technique, applied
+    * to a sliding window).
+    */
+  def cci(candles: DataFrame, n: Int = 20): DataFrame = {
+    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"),
+        ((col("high") + col("low") + col("close")) / 3.0).as("tp"))
+      .withColumn("tps", collect_list(col("tp")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .withColumn("sma_tp",
+        aggregate(col("tps"), lit(0.0), (acc, x) => acc + x) / n)
+      .withColumn("md",
+        aggregate(col("tps"), lit(0.0),
+          (acc, x) => acc + abs(x - col("sma_tp"))) / n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(when(col("md") =!= 0.0,
+          (col("tp") - col("sma_tp")) / (lit(0.015) * col("md"))), 6).as("cci"))
+  }
+
+  /** Money Flow Index over `n` candles: volume-weighted RSI. Typical
+    * price tp = (high+low+close)/3 and raw flow tp·volume classify as
+    * positive/negative by tp's direction vs the prior candle (flat ticks
+    * contribute neither); the first candle per symbol has no direction
+    * and is dropped before the n-row flow window (full windows only).
+    * All-negative windows → 0, all-positive → 100, no-flow windows
+    * (every tick flat) → null.
+    */
+  def mfi(candles: DataFrame, n: Int = 14): DataFrame = {
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    candles.select(col("symbol"), col("bucket_ts"), col("volume"),
+        ((col("high") + col("low") + col("close")) / 3.0).as("tp"))
+      .withColumn("tp_prev", lag(col("tp"), 1).over(wl))
+      .where(col("tp_prev").isNotNull)
+      .withColumn("pos_mf", when(col("tp") > col("tp_prev"),
+        col("tp") * col("volume")).otherwise(lit(0.0)))
+      .withColumn("neg_mf", when(col("tp") < col("tp_prev"),
+        col("tp") * col("volume")).otherwise(lit(0.0)))
+      .withColumn("pos_sum", sum(col("pos_mf")).over(wf))
+      .withColumn("neg_sum", sum(col("neg_mf")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(when(col("neg_sum") === 0.0 && col("pos_sum") === 0.0, lit(null))
+          .when(col("neg_sum") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("pos_sum") / col("neg_sum"))), 6).as("mfi"))
+  }
+
   def stochastic(candles: DataFrame, n: Int = 14): DataFrame = {
     val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
     val wf = wl.rowsBetween(-(n - 1), 0)

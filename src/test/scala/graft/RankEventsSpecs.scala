@@ -748,4 +748,34 @@ class RankEventsSpecs extends SparkSpec {
     assert(d.where(col("middle") > col("upper_band") ||
       col("middle") < col("lower_band")).isEmpty)
   }
+
+  test("williams %R, MFI bounds; %R mirrors stochastic %K; CCI flat-window null") {
+    import graft.ohlcv.Analytics
+    val candles = graft.ohlcv.Candles.fromTrades(
+      graft.core.Tables.trades(spark, Sf0001), graft.core.Timeframe.parse("1h"))
+    val wpr = Analytics.williamsR(candles).collect()
+    assert(wpr.nonEmpty)
+    wpr.foreach(r => if (!r.isNullAt(2))
+      assert(r.getDouble(2) >= -100.0 - 1e-9 && r.getDouble(2) <= 1e-9))
+    // %R = %K − 100 on the same window (both rounded after the identity)
+    val k = Analytics.stochastic(candles).collect()
+      .map(r => (r.getString(0), r.get(1)) -> r).toMap
+    wpr.foreach { r =>
+      val kr = k((r.getString(0), r.get(1)))
+      if (!r.isNullAt(2) && !kr.isNullAt(2))
+        assert(math.abs(r.getDouble(2) - (kr.getDouble(2) - 100.0)) < 2e-6,
+          s"%R must mirror %K at ${r.get(1)}")
+    }
+    val mfi = Analytics.mfi(candles).collect()
+    assert(mfi.nonEmpty)
+    mfi.foreach(r => if (!r.isNullAt(2))
+      assert(r.getDouble(2) >= -1e-9 && r.getDouble(2) <= 100.0 + 1e-9))
+    assert(Analytics.cci(candles).collect().nonEmpty)
+    // flat candles: CCI md == 0 -> null, MFI no-flow -> null
+    val flat = (1 to 30).map(i =>
+      ("X", i.toLong * 1000, 5.0, 5.0, 5.0, 1.0))
+      .toDF("symbol", "bucket_ts", "high", "low", "close", "volume")
+    assert(Analytics.cci(flat).where(col("cci").isNotNull).isEmpty)
+    assert(Analytics.mfi(flat).where(col("mfi").isNotNull).isEmpty)
+  }
 }
