@@ -418,6 +418,10 @@ object SparkEntry {
       Analytics.stochastic(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "williams_r" -> ((s, dir) =>
       Analytics.williamsR(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "adx" -> ((s, dir) =>
+      // double Wilder smoothing in one sequential per-symbol sweep;
+      // recursion bit-identical to the list_reduce prefix replay
+      Analytics.adx(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "cci" -> ((s, dir) =>
       // window tp list folded in frame order for BOTH sma and mean
       // deviation (window-end sma in every term) — engine-reassociation-
@@ -1260,6 +1264,36 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, " +
         "round(CASE WHEN hh <> ll THEN -100.0 * (hh - close) / (hh - ll) END, 6) + 0.0 AS wpr " +
         "FROM f WHERE cnt = 14"),
+    "adx" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, close, " +
+        "lag(high) OVER ws AS ph, lag(low) OVER ws AS pl, lag(close) OVER ws AS pc FROM c " +
+        "WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "greatest(high - low, abs(high - pc), abs(low - pc)) AS tr, " +
+        "CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0 THEN high - ph ELSE 0.0 END AS pdm, " +
+        "CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0 THEN pl - low ELSE 0.0 END AS ndm " +
+        "FROM x WHERE ph IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, list(tr) OVER wu AS trs, " +
+        "list(pdm) OVER wu AS pdms, list(ndm) OVER wu AS ndms FROM y " +
+        "WINDOW wu AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        // Wilder smoothing = the alpha = 1/14 EMA fold, seeded by
+        // list_reduce's first element; constants and operation order
+        // mirror the Spark sweep exactly
+        "w AS (SELECT symbol, bucket_ts, " +
+        "list_reduce(trs, (acc, v) -> (1.0/14.0) * v + (1 - 1.0/14.0) * acc) AS str, " +
+        "list_reduce(pdms, (acc, v) -> (1.0/14.0) * v + (1 - 1.0/14.0) * acc) AS sp, " +
+        "list_reduce(ndms, (acc, v) -> (1.0/14.0) * v + (1 - 1.0/14.0) * acc) AS sn FROM z), " +
+        "d AS (SELECT symbol, bucket_ts, " +
+        "CASE WHEN str <> 0 THEN 100.0 * sp / str END AS pdi, " +
+        "CASE WHEN str <> 0 THEN 100.0 * sn / str END AS ndi FROM w), " +
+        "e AS (SELECT symbol, bucket_ts, pdi, ndi, " +
+        "CASE WHEN pdi + ndi <> 0 THEN 100.0 * abs(pdi - ndi) / (pdi + ndi) END AS dx FROM d), " +
+        "g AS (SELECT symbol, bucket_ts, pdi, ndi, " +
+        "list_reduce(list(dx) OVER wu, (acc, v) -> (1.0/14.0) * v + (1 - 1.0/14.0) * acc) AS adx FROM e " +
+        "WINDOW wu AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(pdi, 6) AS plus_di, round(ndi, 6) AS minus_di, " +
+        "round(adx, 6) AS adx FROM g"),
     "cci" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "t2 AS (SELECT symbol, bucket_ts, (high + low + close) / 3.0 AS tp FROM c), " +

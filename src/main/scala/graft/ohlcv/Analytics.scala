@@ -291,6 +291,78 @@ object Analytics {
     * would sum in engine-chosen order). Two windows on the SAME symbol
     * partitioning — one shuffle total, the second window reuses the sort.
     */
+  /** ADX (average directional index) with ±DI, Wilder smoothing as the
+    * α = 1/n EMA form seeded at the first value. One inherently-
+    * sequential per-symbol sweep (the `ema`/`macd` shape: one shuffle,
+    * in-partition sort, O(n) scan, O(1) state) folds true range and
+    * ±directional movement, derives ±DI and DX per row, and folds DX
+    * again for ADX. The recursion is bit-identical to the oracle's
+    * list_reduce replay (identical constant expressions and operation
+    * order, rounding at emission only); a null DX (zero smoothed TR, or
+    * +DI + −DI = 0 on a degenerate flat stretch) poisons the ADX fold
+    * permanently — exactly list_reduce's null semantics, stated contract.
+    * First candle per symbol has no prior close and is dropped.
+    */
+  def adx(candles: DataFrame, n: Int = 14): DataFrame = {
+    val a = 1.0 / n
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var ph, pl, pc = 0.0
+        var has = false
+        var sTR, sP, sN = 0.0
+        var started = false
+        var adxStarted = false
+        var adxOpt: Option[Double] = None
+        it.flatMap { case (s, t, h, l, c) =>
+          if (s != cur) {
+            cur = s; has = false; started = false
+            adxStarted = false; adxOpt = None
+          }
+          val out =
+            if (!has) None
+            else {
+              val tr = math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+              val up = h - ph; val dn = pl - l
+              val pdm = if (up > dn && up > 0) up else 0.0
+              val ndm = if (dn > up && dn > 0) dn else 0.0
+              if (!started) { started = true; sTR = tr; sP = pdm; sN = ndm }
+              else {
+                sTR = a * tr + (1 - a) * sTR
+                sP = a * pdm + (1 - a) * sP
+                sN = a * ndm + (1 - a) * sN
+              }
+              val di =
+                if (sTR != 0.0) Some((100.0 * sP / sTR, 100.0 * sN / sTR))
+                else None
+              val dx = di.flatMap { case (p, m) =>
+                if (p + m != 0.0) Some(100.0 * math.abs(p - m) / (p + m))
+                else None
+              }
+              adxOpt =
+                if (!adxStarted) { adxStarted = true; dx }
+                else (adxOpt, dx) match {
+                  case (Some(prev), Some(d)) => Some(a * d + (1 - a) * prev)
+                  case _ => None // list_reduce null poisoning, replayed
+                }
+              Some((s, t, di.map(_._1), di.map(_._2), adxOpt))
+            }
+          ph = h; pl = l; pc = c; has = true
+          out
+        }
+      }
+      .toDF("symbol", "bucket_ts", "plus_di", "minus_di", "adx")
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("plus_di"), 6).as("plus_di"),
+        round(col("minus_di"), 6).as("minus_di"),
+        round(col("adx"), 6).as("adx"))
+  }
+
   /** Williams %R over `n` candles: −100·(hh − close)/(hh − ll), the
     * inverted stochastic %K — same full-window contract (rows with fewer
     * than n candles of history are dropped; flat windows → null).

@@ -771,11 +771,23 @@ class RankEventsSpecs extends SparkSpec {
     mfi.foreach(r => if (!r.isNullAt(2))
       assert(r.getDouble(2) >= -1e-9 && r.getDouble(2) <= 100.0 + 1e-9))
     assert(Analytics.cci(candles).collect().nonEmpty)
-    // flat candles: CCI md == 0 -> null, MFI no-flow -> null
+    // ADX and both DIs live in [0, 100]
+    val ax = Analytics.adx(candles).collect()
+    assert(ax.nonEmpty && ax.exists(!_.isNullAt(4)))
+    ax.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(r.getDouble(i) >= -1e-9 && r.getDouble(i) <= 100.0 + 1e-9,
+            s"adx col $i out of bounds: ${r.getDouble(i)}")
+      }
+    }
+    // flat candles: CCI md == 0 -> null, MFI no-flow -> null, ADX's
+    // zero smoothed TR -> null DIs (the documented degenerate contract)
     val flat = (1 to 30).map(i =>
       ("X", i.toLong * 1000, 5.0, 5.0, 5.0, 1.0))
       .toDF("symbol", "bucket_ts", "high", "low", "close", "volume")
     assert(Analytics.cci(flat).where(col("cci").isNotNull).isEmpty)
     assert(Analytics.mfi(flat).where(col("mfi").isNotNull).isEmpty)
+    assert(Analytics.adx(flat).where(col("adx").isNotNull).isEmpty)
   }
 }
