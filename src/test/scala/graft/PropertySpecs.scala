@@ -335,3 +335,65 @@ class IncrementalDedupAlgebraSpec extends SparkSpec {
     }
   }
 }
+
+/** Differential oracle for the pointer-jumping connected-components loop
+  * (the engine's riskiest distributed iterative code — corpus_dedup and
+  * semantic_dedup both stand on it): for random graphs spanning the
+  * shapes that stress it differently (long chains = many rounds, stars =
+  * wide fan-in, cycles, disjoint cliques, sparse noise), the emitted
+  * (doc_id, cluster_id) labeling must equal a plain-Scala union-find
+  * with min-id canonical labels.
+  */
+class ClustersAlgebraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical min-id labels (union-by-min keeps roots minimal)
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  test("clusters == union-find min-labels on random chain/star/cycle/clique graphs") {
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var base = 1L
+      // long chain (forces several pointer-jumping rounds)
+      val chain = (0 until 20 + rnd.nextInt(30)).map(i => base + i)
+      chain.sliding(2).foreach(p => edges += ((p(0), p(1))))
+      base += 100
+      // star with a high-id hub (min label must flow inward)
+      val hub = base + 50
+      (0 until 10 + rnd.nextInt(10)).foreach(i => edges += ((hub, base + i)))
+      base += 100
+      // cycle
+      val cyc = (0 until 5 + rnd.nextInt(10)).map(i => base + i)
+      cyc.indices.foreach(i => edges += ((cyc(i), cyc((i + 1) % cyc.size))))
+      base += 100
+      // random sparse pairs
+      (0 until 15).foreach { _ =>
+        val a = base + rnd.nextInt(40); val b = base + rnd.nextInt(40)
+        if (a != b) edges += ((a, b))
+      }
+      // shuffled orientation + duplicates (the operator must not care)
+      val messy = rnd.shuffle(edges.toVector.map { case (a, b) =>
+        if (rnd.nextBoolean()) (b, a) else (a, b)
+      } ++ edges.take(5))
+      val got = graft.ops.Dedup.clusters(messy.toDF("id1", "id2"))
+        .select(col("doc_id"), col("cluster_id"))
+        .as[(Long, Long)].collect().toMap
+      val exp = unionFind(messy)
+      assert(got == exp,
+        s"seed $seed: ${(got.toSet -- exp.toSet).take(3)} vs ${(exp.toSet -- got.toSet).take(3)}")
+    }
+  }
+}
