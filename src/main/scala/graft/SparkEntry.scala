@@ -422,6 +422,8 @@ object SparkEntry {
       // double Wilder smoothing in one sequential per-symbol sweep;
       // recursion bit-identical to the list_reduce prefix replay
       Analytics.adx(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "anchored_vwap" -> ((s, dir) =>
+      Analytics.anchoredVwap(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "cci" -> ((s, dir) =>
       // window tp list folded in frame order for BOTH sma and mean
       // deviation (window-end sma in every term) — engine-reassociation-
@@ -1264,6 +1266,16 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, " +
         "round(CASE WHEN hh <> ll THEN -100.0 * (hh - close) / (hh - ll) END, 6) + 0.0 AS wpr " +
         "FROM f WHERE cnt = 14"),
+    "anchored_vwap" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}) " +
+        "SELECT symbol, bucket_ts, round(cum_pv / cum_v, 6) AS avwap, " +
+        "round(cum_v, 6) AS cum_volume FROM (" +
+        "SELECT symbol, bucket_ts, " +
+        "sum(((high + low + close) / 3.0) * volume) OVER w AS cum_pv, " +
+        "sum(volume) OVER w AS cum_v FROM c " +
+        "WINDOW w AS (PARTITION BY symbol, date_trunc('day', bucket_ts) " +
+        "ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "WHERE cum_v > 0"),
     "adx" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "x AS (SELECT symbol, bucket_ts, high, low, close, " +

@@ -291,6 +291,28 @@ object Analytics {
     * would sum in engine-chosen order). Two windows on the SAME symbol
     * partitioning — one shuffle total, the second window reuses the sort.
     */
+  /** Anchored (session-cumulative) VWAP per (symbol, day): running
+    * Σ(typical price · volume) / Σvolume over the day's candles — the
+    * intraday execution benchmark, resetting at each day anchor (the
+    * daily-grouped [[vwap]] is its end-of-day scalar on raw trades).
+    * Cumulative ROWS UNBOUNDED PRECEDING sums stream in ascending
+    * bucket order in any engine; rounding at emission only.
+    */
+  def anchoredVwap(candles: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("symbol"), date_trunc("day", col("bucket_ts")))
+      .orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    candles.select(col("symbol"), col("bucket_ts"),
+        ((col("high") + col("low") + col("close")) / 3.0).as("tp"), col("volume"))
+      .withColumn("cum_pv", sum(col("tp") * col("volume")).over(w))
+      .withColumn("cum_v", sum(col("volume")).over(w))
+      .where(col("cum_v") > 0)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("cum_pv") / col("cum_v"), 6).as("avwap"),
+        round(col("cum_v"), 6).as("cum_volume"))
+  }
+
   /** ADX (average directional index) with ±DI, Wilder smoothing as the
     * α = 1/n EMA form seeded at the first value. One inherently-
     * sequential per-symbol sweep (the `ema`/`macd` shape: one shuffle,

@@ -781,6 +781,24 @@ class RankEventsSpecs extends SparkSpec {
             s"adx col $i out of bounds: ${r.getDouble(i)}")
       }
     }
+    // anchored VWAP: inside the symbol's price envelope, volume
+    // accumulates monotonically within each (symbol, day) session
+    val env = candles.groupBy(col("symbol"))
+      .agg(min(col("low")).as("lo"), max(col("high")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val av = Analytics.anchoredVwap(candles)
+      .withColumn("day", to_date(col("bucket_ts")))
+      .collect()
+    assert(av.nonEmpty)
+    av.foreach { r =>
+      val (lo, hi) = env(r.getString(0))
+      assert(r.getDouble(2) >= lo - 1e-9 && r.getDouble(2) <= hi + 1e-9,
+        s"avwap outside the price envelope: ${r.getDouble(2)}")
+    }
+    av.groupBy(r => (r.getString(0), r.get(4))).values.foreach { session =>
+      val vols = session.sortBy(_.get(1).toString).map(_.getDouble(3))
+      assert(vols.sameElements(vols.sorted), "cum_volume must be monotone")
+    }
     // flat candles: CCI md == 0 -> null, MFI no-flow -> null, ADX's
     // zero smoothed TR -> null DIs (the documented degenerate contract)
     val flat = (1 to 30).map(i =>
