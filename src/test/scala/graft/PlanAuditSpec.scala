@@ -151,6 +151,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-cell pick must be the TopKByScore aggregate\n" + p)
   }
 
+  test("indicator family: partitioned windows only, adx one symbol exchange") {
+    // williams_r/cci/mfi: per-symbol windows (bounded partitions),
+    // never an unpartitioned global window
+    Seq("williams_r", "cci", "mfi", "anchored_vwap").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+        s"$q must not plan an unpartitioned window\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // adx: the sequential sweep shuffles ONCE on symbol; no window at all
+    val pa = planOf("adx")
+    assert(!pa.contains("Window"), "adx is the sequential sweep, not a window\n" + pa)
+  }
+
   test("q7/q8/q10 broadcast every dim chain; q10's returnflag reaches the scan") {
     val p7 = planOf("q7_nation_trade")
     // one fact-fact shuffle join; both nation chains broadcast
