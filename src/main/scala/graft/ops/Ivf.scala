@@ -283,14 +283,27 @@ object Ivf {
     */
   private def ivfPqEncodedFrame(e: DataFrame, cents: Array[Array[Double]],
                                 m: Int, k: Int, bookIters: Int = 1): DataFrame = {
+    // empty model (empty corpus, or an explicitly empty quantizer) →
+    // empty frame with the full output schema — the
+    // incrementalSemanticWith empty-model contract, not a crash
+    if (cents.isEmpty)
+      return (0 until m).foldLeft(
+        e.limit(0).withColumn("cid", lit(0).cast("int"))
+          .withColumn("res", col("v"))) { (df, s) =>
+        df.withColumn(s"code$s", lit(0).cast("int"))
+      }.withColumn("recon", col("v"))
     val dim = cents.head.length
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
     val cl = centLit(cents)
-    def withRes(df: DataFrame) = assign(df, cents)
+    // ONE materialized assign+residual scan (the assignedCells pattern):
+    // the codebook seeds, every Lloyd round, and the final code/recon
+    // pass all derive from it — without the cut, each of those re-runs
+    // the full corpus scan + argmax (2 avoidable full-corpus reads per
+    // index build at 100 TB)
+    val res = graft.core.Materialize.once(assign(e, cents)
       .withColumn("res", zip_with(col("v"),
-        element_at(cl, (col("cid") + 1).cast("int")), (a, b) => a - b))
-    val res = withRes(e)
+        element_at(cl, (col("cid") + 1).cast("int")), (a, b) => a - b)))
     val seeds = res.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("long").as("vec_id"), col("res"))
       .collect()
@@ -423,7 +436,10 @@ object Ivf {
     */
   def semanticNearDupWith(emb: DataFrame, cents: Array[Array[Double]],
                           threshold: Double = 0.4): DataFrame =
-    cellPairs(assignedCells(vecs(emb), cents), threshold)
+    if (cents.isEmpty) // empty model → no cells → no pairs (not a crash)
+      emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
+        col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
+    else cellPairs(assignedCells(vecs(emb), cents), threshold)
 
   /** ONE materialized argmax-assignment scan — both sides of the
     * within-cell pair join (and semanticDedup's keeper scoring) derive
@@ -468,6 +484,10 @@ object Ivf {
   /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
   def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
                         threshold: Double = 0.4): DataFrame = {
+    // empty model → nothing clusters: empty frame, full output schema
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
+        lit(true).as("keep")).limit(0)
     val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
     val comp = Dedup.clusters(cellPairs(cells, threshold).select(col("id1"), col("id2")))
@@ -560,7 +580,10 @@ object Ivf {
         round(graft.functions.cosine_sim(col("v"), col("cv")), 6).as("cos"))
     val rolled = scored.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_screened"), max(col("cos")).as("best_cos"),
-        min_by(col("cvid"), array(negate(col("cos")), col("cvid").cast("double")))
+        // struct ordering compares the long field EXACTLY — an id above
+        // 2^53 would lose its low bits in a double cast and could break
+        // the lower-cvid tiebreak (and parity with the oracle's BIGINT min)
+        min_by(col("cvid"), struct(negate(col("cos")), col("cvid")))
           .as("best_match"))
     newEmb.select(col("vec_id"))
       .join(rolled, Seq("vec_id"), "left")

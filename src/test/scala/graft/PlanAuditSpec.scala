@@ -156,7 +156,11 @@ class PlanAuditSpec extends SparkSpec {
     // never an unpartitioned global window
     Seq("williams_r", "cci", "mfi", "anchored_vwap").foreach { q =>
       val p = planOf(q)
-      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      // every window spec in these plans must lead with the symbol
+      // partition column — a global window prints windowspecdefinition(
+      // <order cols...>) with no partition prefix
+      val unpartitioned = raw"windowspecdefinition\((?!symbol#)".r
+      assert(unpartitioned.findFirstIn(p).isEmpty,
         s"$q must not plan an unpartitioned window\n" + p)
       assert(!p.contains("CartesianProduct"), p)
     }
@@ -176,6 +180,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
       "returnflag filter must reach the parquet scan\n" + p10)
     assert(countOccurrences(p10, "BroadcastHashJoin") >= 2, p10)
+  }
+
+  test("ivf-pq encode reads ONE materialized assign+residual scan") {
+    // seeds, the Lloyd round, and the code/recon pass all derive from the
+    // materialized residual frame — the corpus parquet must not be
+    // re-scanned downstream of the cut
+    val pe = planOf("ivfpq_encode")
+    assert(pe.contains("Scan ExistingRDD"),
+      "materialized assign+residual RDD expected in plan\n" + pe)
+    assert(countOccurrences(pe, "FileScan") == 0,
+      "corpus must not be re-scanned past the residual cut\n" + pe)
+    // search: the compressed-corpus side reads the cut; the only FileScan
+    // allowed is the query frame itself (vec_id < 10 probe side)
+    val ps = planOf("ann_ivfpq")
+    assert(ps.contains("Scan ExistingRDD"), ps)
+    assert(countOccurrences(ps, "FileScan") <= 1,
+      "corpus side must read the materialized encode, not re-scan\n" + ps)
   }
 
   test("semantic incremental broadcasts the screen set, heap-samples without a window") {

@@ -506,6 +506,28 @@ class RankEventsSpecs extends SparkSpec {
     assert(none.getLong(1) == 0L && none.isNullAt(2) && none.getBoolean(4))
   }
 
+  test("empty model: every IVF-family operator returns its schema, never crashes") {
+    import graft.ops.Ivf
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val none = emb.where(col("vec_id") < 0) // empty corpus → empty model
+    val m = Ivf.train(none)
+    assert(m.isEmpty)
+    // encode against the empty model: empty frame, full output schema
+    val enc = Ivf.ivfPqEncodeWith(emb, m)
+    assert(enc.count() == 0)
+    assert(enc.columns.toSeq == Seq("vec_id", "cid", "code0", "code1",
+      "code2", "code3", "recon_cos"))
+    // search against an empty model: zero hits, no crash
+    assert(Ivf.ivfPqSearch(none, emb.where(col("vec_id") < 10), 5).count() == 0)
+    // dedup/near-dup against the empty model: empty, correctly schemed
+    val dd = Ivf.semanticDedupWith(emb, m)
+    assert(dd.count() == 0 &&
+      dd.columns.toSeq == Seq("vec_id", "cluster_id", "keep"))
+    val nd = Ivf.semanticNearDupWith(emb, m)
+    assert(nd.count() == 0 && nd.columns.toSeq == Seq("cid", "id1", "id2", "cos"))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+  }
+
   test("semantic operators serve a persisted model identically to in-place training") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_model").toString
