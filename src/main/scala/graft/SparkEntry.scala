@@ -963,6 +963,12 @@ object SparkEntry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.ivfPqSearch(e, e.where(col("vec_id") < 10), 5)
     }),
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      // ADC top-k' (k' = 4k) -> bounded raw-vector gather -> exact-cosine
+      // re-rank keeping top-k: the standard compressed-serving last mile
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.ivfPqSearchRerank(e, e.where(col("vec_id") < 10), 5)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
     "multimodal_decode" -> ((s, dir) =>
@@ -2259,7 +2265,9 @@ object SparkEntry {
     "ivfpq_encode" -> ivfPqEncodeOracleSql(m = 4, k = 16, dim = 64,
       numCells = 16, iters = 1),
     "ann_ivfpq" -> ivfPqSearchOracleSql(m = 4, k = 16, dim = 64,
-      numCells = 16, iters = 1, nprobe = 4, topK = 5)
+      numCells = 16, iters = 1, nprobe = 4, topK = 5),
+    "ann_ivfpq_rerank" -> ivfPqRerankOracleSql(m = 4, k = 16, dim = 64,
+      numCells = 16, iters = 1, nprobe = 4, topK = 5, kFactor = 4)
   )
 
   /** Shared DuckDB replay of Ivf.pqEncoded: per-subspace codebooks from
@@ -2400,6 +2408,33 @@ object SparkEntry {
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM cand) WHERE rn <= $topK"
+
+  /** DuckDB replay of Ivf.ivfPqSearchRerank: the ADC candidate CTEs from
+    * [[ivfPqSearchOracleSql]] cut at k′ = kFactor·topK, then each
+    * candidate's RAW vector re-joins for the exact rounded cosine and the
+    * final top-k row_number — the same order (cos DESC, id2) both stages.
+    */
+  private def ivfPqRerankOracleSql(m: Int, k: Int, dim: Int, numCells: Int,
+                                   iters: Int, nprobe: Int, topK: Int,
+                                   kFactor: Int): String =
+    s"WITH ${ivfPqCtes(m, k, dim, numCells, iters)}, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, r.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, r.recon), 6) AS cos " +
+      "FROM r JOIN probes p ON r.cid = p.cid WHERE r.vec_id <> p.qid), " +
+      "adc AS (SELECT qid, id2 FROM (" +
+      "SELECT qid, id2, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= ${topK * kFactor}), " +
+      "rer AS (SELECT a.qid, a.id2, " +
+      "round(list_cosine_similarity(q.qv, e2.v), 6) AS cos " +
+      "FROM adc a JOIN q ON q.qid = a.qid JOIN e e2 ON e2.vec_id = a.id2) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM rer) WHERE rn <= $topK"
 
   /** DuckDB replay of Ivf.searchTopK with `iters` Lloyd rounds: each round
     * is argmax-assignment (rounded cosine, cid tiebreak) followed by

@@ -46,6 +46,13 @@ object ScaleProbe {
       Seq(4, 8, 16).foreach { p =>
         probe(s"ivfpq nprobe=$p/16")(Ivf.ivfPqSearchWith(enc, m1, q, k, p))
       }
+      // exact re-rank of the ADC top-4k: recall must dominate plain ADC
+      // at every nprobe and be monotone again (candidate supersets +
+      // exact scores — the ADC overestimation artifact is gone)
+      Seq(4, 8, 16).foreach { p =>
+        probe(s"ivfpq_rerank nprobe=$p/16")(
+          Ivf.ivfPqRerankWith(enc, emb, m1, q, k, p))
+      }
       enc.unpersist()
       Seq(1, 2, 4, 8).foreach { t =>
         probe(s"lsh_multi tables=$t")(

@@ -240,6 +240,36 @@ class RankEventsSpecs extends SparkSpec {
     assert(ivfpq.count() == exact.count())
   }
 
+  test("ivfpq rerank: recall >= plain ADC at every nprobe, k rows per query") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = graft.ops.Similarity.bruteForceTopK(spark, emb, q, 5)
+    val cents = graft.ops.Ivf.train(emb, 16, 1)
+    val enc = graft.ops.Ivf.ivfPqReconFrame(emb, cents).cache()
+    enc.count()
+    Seq(4, 16).foreach { p =>
+      val adc = graft.ops.Ivf.ivfPqSearchWith(enc, cents, q, 5, p)
+      val rer = graft.ops.Ivf.ivfPqRerankWith(enc, emb, cents, q, 5, p)
+      val rAdc = graft.ops.Similarity.recallAtK(exact, adc)
+      val rRer = graft.ops.Similarity.recallAtK(exact, rer)
+      // exact scores inside the candidate set can only rank it better —
+      // the re-rank must dominate raw ADC ordering at the same nprobe
+      assert(rRer >= rAdc, s"nprobe=$p: rerank recall $rRer < adc $rAdc")
+      assert(rer.count() == exact.count(), "k rows per query")
+    }
+    // every re-ranked cosine is the EXACT rounded cosine (not the ADC
+    // reconstruction estimate): spot-check against brute-force scores
+    val exactScores = exact.select(col("qid"), col("id2"), col("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    graft.ops.Ivf.ivfPqRerankWith(enc, emb, cents, q, 5).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(c => assert(c == r.getDouble(2),
+        s"rerank cos for $key must equal the exact cosine"))
+    }
+    enc.unpersist()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+  }
+
   test("semantic sample: per-cell budget respected, window-free, partitioning-invariant") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val s = graft.ops.Ivf.semanticSample(emb, numCells = 8, perCell = 5)
