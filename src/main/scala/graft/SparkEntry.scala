@@ -1766,11 +1766,18 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "dedup_substring" ->
+      // grid spans stay the reporting unit; occurrence counts run against
+      // the stride-1 full-window shingle stream plus short tails — the
+      // alignment-invariant contract (Dedup.substringDedup scaladoc)
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents), " +
-        "sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+19)//20), " +
+        "sp AS (SELECT doc_id, len(ws) AS n, unnest(list_transform(generate_series(1, (len(ws)+19)//20), " +
         "i -> struct_pack(pos := i, span := array_to_string(ws[(i-1)*20+1:i*20], ' ')))) AS s FROM w), " +
-        "f AS (SELECT doc_id, s.pos AS pos, s.span AS span, md5(s.span) AS h FROM sp), " +
-        "c AS (SELECT h, count(*) AS cnt FROM f GROUP BY 1) " +
+        "f AS (SELECT doc_id, s.pos AS pos, s.span AS span, md5(s.span) AS h, " +
+        "s.pos * 20 <= n AS is_full FROM sp), " +
+        "pr AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 19, 0)), " +
+        "i -> md5(array_to_string(ws[i:i+19], ' ')))) AS h FROM w " +
+        "UNION ALL SELECT h FROM f WHERE NOT is_full), " +
+        "c AS (SELECT h, count(*) AS cnt FROM pr GROUP BY 1) " +
         "SELECT doc_id, count(*) AS n_spans, " +
         "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_spans, " +
         "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio, " +

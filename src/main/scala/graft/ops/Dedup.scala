@@ -52,32 +52,64 @@ object Dedup {
   /** Paragraph/window-level EXACT substring dedup — the standard
     * training-data pass doc-level dedup can't do: remove repeated
     * boilerplate spans *within* otherwise-distinct documents. Documents
-    * are cut into fixed non-overlapping `window`-word spans; a span is
-    * "repeated" when its md5 occurs more than once corpus-wide. Emits per
-    * doc: span counts, the repeated-span ratio, and `clean_fp` — the
-    * fingerprint of the doc with all repeated spans scrubbed (the same
-    * auditable shape as piiScrub's clean_fp).
+    * are cut into fixed non-overlapping `window`-word spans (the
+    * reporting/scrub unit); a span is "repeated" when its exact word
+    * sequence occurs more than once corpus-wide AT ANY WORD OFFSET —
+    * occurrences are counted against a stride-1 probe stream (every
+    * full-window shingle of every doc), so detection is
+    * ALIGNMENT-INVARIANT: a repeated paragraph is caught no matter how
+    * its offset differs between documents (the r7 grid only matched
+    * offsets congruent mod `window` — a 1-in-window alignment lottery
+    * cross-doc). Emits per doc: span counts, the repeated-span ratio,
+    * and `clean_fp` — the fingerprint of the doc with all repeated spans
+    * scrubbed (the same auditable shape as piiScrub's clean_fp).
     *
-    * Scale design: the span explode is map-only and bounded by corpus
-    * word count / window; the occurrence count is ONE hash aggregation on
-    * the span hash (map-side combined — hot boilerplate spans partially
-    * aggregate before the shuffle, they don't skew it); the count join is
-    * a co-partitioned equi-join on that same hash; the per-doc rollup is
-    * one more bounded aggregation. No pair joins anywhere — cost is
-    * O(spans), not O(docs²), at any corpus size. The span frame is
-    * materialized once and feeds both the counting and the join probe.
+    * Recall contract (explicit, like the LSH cap's): a shared region of
+    * ≥ 2·window−1 words is ALWAYS flagged in both docs (each doc's grid
+    * then contains a full span inside the region, and that span's word
+    * sequence appears in the other doc's probe stream at its own offset);
+    * between window and 2·window−2 words it is flagged iff a grid span
+    * happens to sit fully inside it; regions shorter than `window` words
+    * are invisible — window granularity is the knob. Short tail spans
+    * (< window words, the last span of a doc) only match identical
+    * short tails.
+    *
+    * Scale design: the probe explode is map-only and O(corpus words) —
+    * window× the grid-span volume, the explicit price of alignment
+    * robustness (hashes only; no span strings cross the shuffle); the
+    * occurrence count is ONE hash aggregation on the span hash (map-side
+    * combined — hot boilerplate spans partially aggregate before the
+    * shuffle, they don't skew it); the count join is a co-partitioned
+    * equi-join on that same hash; the per-doc rollup is one more bounded
+    * aggregation. No pair joins anywhere — cost is O(words), not
+    * O(docs²), at any corpus size. ONE materialized word-array scan
+    * feeds the grid explode and the probe stream; the grid-span frame is
+    * materialized once and feeds the short-tail union and the join probe.
     */
   def substringDedup(docs: DataFrame, window: Int = 20): DataFrame = {
     val nWin = ((size(col("ws")) + lit(window - 1)) / lit(window)).cast("int")
-    val spans = graft.core.Materialize.once(
+    val words = graft.core.Materialize.once(
       docs.withColumn("ws", wordsOf(col("text")))
         .where(size(col("ws")) >= 1) // null text drops; sequence stays ascending
-        .select(col("doc_id"), posexplode(transform(sequence(lit(1), nWin),
-          i => array_join(slice(col("ws"), (i - lit(1)) * window + lit(1), lit(window)), " "))))
-        .toDF("doc_id", "pos", "span")
+        .select(col("doc_id"), col("ws")))
+    val spans = graft.core.Materialize.once(
+      words.select(col("doc_id"), size(col("ws")).as("n"),
+          posexplode(transform(sequence(lit(1), nWin),
+            i => array_join(slice(col("ws"), (i - lit(1)) * window + lit(1), lit(window)), " "))))
+        .toDF("doc_id", "n", "pos", "span")
         .select(col("doc_id"), col("pos"), col("span"),
-          md5(col("span").cast("binary")).as("h")))
-    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+          md5(col("span").cast("binary")).as("h"),
+          ((col("pos") + 1) * window <= col("n")).as("is_full")))
+    // corpus-wide occurrence counts at EVERY word offset: the stride-1
+    // full-window shingle stream, plus the short tail spans (absent from
+    // the shingle stream by length — they keep the exact-tail semantics).
+    // Every full grid span IS one of the shingles at its own offset, so
+    // cnt >= 1 always and the count join stays inner.
+    val probes = words
+      .select(explode(shinglesFromWords(col("ws"), window)).as("sp"))
+      .select(md5(col("sp").cast("binary")).as("h"))
+      .union(spans.where(!col("is_full")).select(col("h")))
+    val counts = probes.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     spans.join(counts, "h")
       .groupBy(col("doc_id"))
       .agg(

@@ -46,6 +46,35 @@ class DedupSpec extends SparkSpec {
       solo.getAs[String]("clean_fp") == md5s("u v w"))
   }
 
+  test("substring dedup catches cross-doc repeats at ANY grid alignment") {
+    // the shared run "A B C D E" (2*window-1 words) sits at word offset 3
+    // in doc 0 and offset 2 in doc 1 — offsets differ by a non-multiple
+    // of the window, so the r7 non-overlapping grid hashed disjoint spans
+    // and missed it; the stride-1 probe stream must flag a full grid span
+    // inside the run in BOTH docs (the >= 2w-1 guarantee of the contract)
+    val d = Seq(
+      (0L, "p1 p2 A B C D E q1"), // grid: [p1 p2 A][B C D][E q1]
+      (1L, "r1 A B C D E s1 s2")) // grid: [r1 A B][C D E][s1 s2]
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, window = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5s(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc 0's "B C D" occurs in doc 1's shingles (and vice versa "C D E")
+    assert(out(0L).getAs[Long]("n_repeated_spans") == 1L,
+      "misaligned cross-doc repeat must be flagged in doc 0")
+    assert(out(1L).getAs[Long]("n_repeated_spans") == 1L,
+      "misaligned cross-doc repeat must be flagged in doc 1")
+    assert(out(0L).getAs[String]("clean_fp") == md5s("p1 p2 A E q1"))
+    assert(out(1L).getAs[String]("clean_fp") == md5s("r1 A B s1 s2"))
+    // sub-window shared content ("D E" inside distinct spans) alone must
+    // NOT flag anything: window granularity is the documented floor
+    val sub = Dedup.substringDedup(Seq(
+      (0L, "a b c D E"), (1L, "x D E y z")).toDF("doc_id", "text"), 3)
+      .collect()
+    assert(sub.forall(_.getAs[Long]("n_repeated_spans") == 0L))
+  }
+
   test("incremental dedup screens a new batch against the existing corpus only") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again today"),
