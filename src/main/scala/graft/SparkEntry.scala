@@ -927,6 +927,10 @@ object SparkEntry {
       // uniform-token-share rebalancing: derived per-lang rates + the
       // deterministic hash keep decision (mix_report's executable sibling)
       graft.ops.TextAnalysis.mixRebalance(Tables.table(s, dir, "documents"))),
+    "mix_temperature" -> ((s, dir) =>
+      // temperature mix sampling (shares ∝ share^(1/T), T=2): the smooth
+      // low-resource boost between proportional (T=1) and uniform (T=∞)
+      graft.ops.TextAnalysis.mixTemperature(Tables.table(s, dir, "documents"))),
     "corpus_split" -> ((s, dir) =>
       // deterministic train/val/test assignment via the portable content
       // hash — stable across runs/engines/partitionings, map-only
@@ -1970,6 +1974,20 @@ object SparkEntry {
         "(CAST(CAST('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 " +
         "< CAST(mn.min_tokens AS DOUBLE) / CAST(bl.lang_tokens AS DOUBLE)) AS keep " +
         "FROM t JOIN bl ON t.lang = bl.lang CROSS JOIN mn"),
+    // mixTemperature replay at T=2 (e = 0.5): caps = lang_tokens^e, rate
+    // = min_cap / cap ROUNDED to 6 before the keep compare (pow is not
+    // bit-portable across engines; the rounding makes the decision so)
+    "mix_temperature" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens FROM documents), " +
+        "bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM t GROUP BY 1), " +
+        "cp AS (SELECT lang, lang_tokens, pow(CAST(lang_tokens AS DOUBLE), 0.5) AS cap FROM bl), " +
+        "mn AS (SELECT min(cap) AS min_cap FROM cp) " +
+        "SELECT t.doc_id, t.lang, t.n_tokens, " +
+        "round(mn.min_cap / cp.cap, 6) AS rate, " +
+        "(CAST(CAST('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,8) AS BIGINT) AS DOUBLE) / 4294967296.0 " +
+        "< round(mn.min_cap / cp.cap, 6)) AS keep " +
+        "FROM t JOIN cp ON t.lang = cp.lang CROSS JOIN mn"),
     // splitLeakage replay: the dedup_minhash pair CTEs + the corpus_split
     // hash CASE recomputed on both pair ids
     "split_leakage" -> {

@@ -401,6 +401,47 @@ object TextAnalysis {
           lit(4294967296.0) < rate).as("keep"))
   }
 
+  /** TEMPERATURE mix sampling — the general form of [[mixRebalance]] and
+    * the multilingual-training standard: language sampling shares
+    * ∝ (token share)^(1/T), so low-resource languages are boosted
+    * smoothly instead of capped hard. Keep rates are the largest budget
+    * at which no language exceeds rate 1: with w_l = tokens_l^(1/T),
+    * rate_l = (w_l / tokens_l) · min_k(tokens_k / w_k), which collapses
+    * to rate_l = min_k(tokens_k^e) / tokens_l^e with e = 1 − 1/T.
+    * T = 1 (e = 0) keeps everything — the natural mix IS the
+    * proportional mix; T → ∞ (e → 1) recovers [[mixRebalance]]'s uniform
+    * cap min_tokens / tokens_l exactly (spec-pinned at both ends).
+    *
+    * Scale design: identical to mixRebalance — two dim-scale
+    * aggregations broadcast back, decision map-only. One portability
+    * difference, deliberate: the keep comparison uses the rate ROUNDED
+    * to 6 decimals (not the raw double) because pow() is not bit-portable
+    * across engines the way a single IEEE division is — a 1-ulp libm
+    * difference dies in the rounding, so the decision replays exactly.
+    */
+  def mixTemperature(docs: DataFrame, temperature: Double = 2.0): DataFrame =
+    mixTemperatureOn(docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("n_tokens")), temperature)
+
+  /** [[mixTemperature]] over a PRE-COMPUTED token frame (doc_id, lang,
+    * n_tokens) — real-tokenizer token shares via [[Bpe.withTokens]].
+    */
+  def mixTemperatureOn(toks: DataFrame, temperature: Double = 2.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val e = 1.0 - 1.0 / temperature
+    val byLang = toks.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .select(col("lang"), col("lang_tokens"),
+        pow(col("lang_tokens").cast("double"), lit(e)).as("cap"))
+    val minCap = byLang.agg(min(col("cap")).as("min_cap"))
+    val rate = round(col("min_cap") / col("cap"), 6)
+    toks.join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(minCap))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), rate.as("rate"),
+        (Dedup.hash32(col("doc_id").cast("string")).cast("double") /
+          lit(4294967296.0) < rate).as("keep"))
+  }
+
   /** Deterministic train/val/test corpus split via the portable content
     * hash — reproducible across runs, engines, and partitionings (the
     * property that keeps eval sets stable as the pipeline re-runs), and

@@ -488,6 +488,37 @@ class RankEventsSpecs extends SparkSpec {
     }
   }
 
+  test("mix temperature: T=1 proportional all-keep, T→∞ recovers the uniform cap") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    // T = 1 → e = 0: the natural mix is the T=1 mix — every rate 1.0,
+    // every doc kept (proportional sampling at the matching budget)
+    val t1 = graft.ops.TextAnalysis.mixTemperature(docs, temperature = 1.0)
+      .collect()
+    assert(t1.nonEmpty && t1.forall(r => r.getDouble(3) == 1.0 && r.getBoolean(4)))
+    // T → ∞ → e → 1: rates must equal mixRebalance's min_tokens /
+    // lang_tokens cap (compare at the oracle's 6-decimal grid — the
+    // rebalance rate is the exact division, temperature's goes via pow)
+    val rebal = graft.ops.TextAnalysis.mixRebalance(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val tInf = graft.ops.TextAnalysis.mixTemperature(docs, temperature = 1e9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tInf.keySet == rebal.keySet)
+    tInf.foreach { case (id, r) =>
+      assert(math.abs(r - rebal(id)) < 2e-6, s"doc $id: T=1e9 rate $r vs rebalance ${rebal(id)}")
+    }
+    // between the ends the boost is monotone: a smaller language's rate
+    // never drops below a bigger language's at the same T, and rates are
+    // monotone in T per language (T up → closer to uniform → bigger
+    // languages cut harder)
+    val t2 = graft.ops.TextAnalysis.mixTemperature(docs, temperature = 2.0)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    val rateByLang = t2.groupBy(_._1).map { case (l, rs) => l -> rs.head._3 }
+    val tokByLang = t2.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2).sum }
+    for (a <- rateByLang.keys; b <- rateByLang.keys if tokByLang(a) < tokByLang(b))
+      assert(rateByLang(a) >= rateByLang(b),
+        s"smaller language $a must not sample below bigger $b")
+  }
+
   test("semantic incremental: screen-cap sampling, best-match consistency, novel verdicts") {
     import graft.ops.Ivf
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
