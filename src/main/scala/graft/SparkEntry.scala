@@ -571,6 +571,51 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n"))
     }),
+    "q2_min_cost" -> ((s, dir) => {
+      // q2-style correlated scalar subquery, decorrelated: cheapest
+      // supplier(s) per part within a region (no partsupp table in this
+      // data model — lineitem prices play the supply-cost role). The
+      // per-part minimum is a window over the partkey partition (bounded:
+      // lineitems-per-part is a data-model constant at any SF — ONE fact
+      // shuffle; a min-agg + join-back would shuffle the fact twice, and
+      // the per-part min frame outgrows broadcast at scale), supplier and
+      // part dim chains broadcast. All min-achieving ties emitted, like
+      // TPC-H q2; decimal price equality is exact, so the row set is
+      // engine-stable.
+      val eur = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val offers = Tables.table(s, dir, "lineitem")
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("s_name"), col("n_name"),
+          col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_partkey"))
+      offers
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .where(col("l_extendedprice") === col("min_price"))
+        .join(broadcast(Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("min_price").cast("double").as("min_price"))
+    }),
+    "q13_order_dist" -> ((s, dir) => {
+      // q13-style left-outer count distribution: orders-per-customer
+      // histogram INCLUDING zero-order customers. Orders pre-aggregate to
+      // one skinny row per custkey BEFORE the outer join (never join raw
+      // facts), the join co-partitions on the same key, and the closing
+      // histogram aggregation is count-of-counts scale.
+      val oc = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      Tables.table(s, dir, "customer").select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1738,6 +1783,25 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE l_returnflag = 'R' GROUP BY 1, 2, 3"),
+    // q2 replay as the LITERAL correlated scalar subquery — DuckDB
+    // decorrelates it itself, proving the Spark window-min plan computes
+    // exactly the correlated semantics
+    "q2_min_cost" ->
+      ("WITH eur AS (SELECT s_suppkey, s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "o AS (SELECT l_partkey, s_name, n_name, l_extendedprice " +
+        "FROM lineitem JOIN eur ON l_suppkey = s_suppkey) " +
+        "SELECT p_partkey, p_brand, s_name, n_name, " +
+        "CAST(l_extendedprice AS DOUBLE) AS min_price " +
+        "FROM o JOIN part ON p_partkey = o.l_partkey " +
+        "WHERE l_extendedprice = (SELECT min(o2.l_extendedprice) FROM o o2 " +
+        "WHERE o2.l_partkey = o.l_partkey)"),
+    "q13_order_dist" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) GROUP BY c_count"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +

@@ -199,6 +199,33 @@ class PlanAuditSpec extends SparkSpec {
       "corpus side must read the materialized encode, not re-scan\n" + ps)
   }
 
+  test("q2 decorrelation: broadcast dims, partkey-partitioned window, no cartesian") {
+    val p = planOf("q2_min_cost")
+    // supplier->nation->region and part chains broadcast; the correlated
+    // min decorrelates to ONE partkey-partitioned window — never a
+    // cartesian or a second fact shuffle from an agg join-back
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val unpartitioned = raw"windowspecdefinition\((?!l_partkey#)".r
+    assert(unpartitioned.findFirstIn(p).isEmpty,
+      "q2 window must partition by l_partkey\n" + p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1,
+      "one fact shuffle only\n" + p)
+  }
+
+  test("q13 outer count distribution: orders pre-aggregate below the join") {
+    val p = planOf("q13_order_dist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the orders aggregation must sit BELOW the outer join (skinny one-
+    // row-per-custkey build side, never a raw-fact join) — i.e. at least
+    // one HashAggregate appears before the first join operator in the
+    // bottom-up plan string (plans print top-down: the join line appears
+    // before its child aggregate, so assert the aggregate exists and the
+    // join key is the custkey, not the orderkey)
+    assert(p.contains("LeftOuter"), "outer join must survive planning\n" + p)
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("c_custkey")), p)
+  }
+
   test("semantic incremental broadcasts the screen set, heap-samples without a window") {
     val p = planOf("semantic_incremental")
     // the <= numCells*maxCell screen set must broadcast to the batch side
