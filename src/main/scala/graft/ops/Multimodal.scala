@@ -115,7 +115,10 @@ object Multimodal {
     *
     * Scale design: pure mapPartitions over the binary column — decode
     * parallelism IS the table's partitioning, no shuffle, one 64-row
-    * batch of clips in executor memory at a time.
+    * batch of ENCODED clips in executor memory at a time; the decoded
+    * PCM never materializes — RMS accumulates Σx² over a fixed 64 KB
+    * read buffer (bit-identical to a whole-array pass, bounded memory
+    * for arbitrarily long clips).
     */
   def decodeAudio(media: DataFrame, idCol: String = "doc_id",
                   payloadCol: String = "payload"): DataFrame = {
@@ -136,17 +139,42 @@ object Multimodal {
           val rms =
             if (fmt.getSampleSizeInBits == 16 &&
                 fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
-              val data = in.readAllBytes()
-              val n = data.length / 2
+              // Σx² accumulates over a FIXED 64 KB read buffer, in stream
+              // order — bit-identical to a whole-array pass (same
+              // left-to-right double accumulation) but the decoded PCM is
+              // never materialized: an hour of 44.1 kHz stereo is ~600 MB
+              // decoded, which times 64 rows per batch would OOM the
+              // executor under readAllBytes. A sample straddling two reads
+              // is carried as the pending byte.
+              val buf = new Array[Byte](65536)
               var acc = 0.0
-              var i = 0
-              while (i + 1 < data.length) {
-                val s =
-                  if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
-                  else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
-                val x = s / 32768.0
-                acc += x * x
-                i += 2
+              var n = 0L
+              var pending: Byte = 0
+              var havePending = false
+              var read = in.read(buf)
+              while (read != -1) {
+                var i = 0
+                if (havePending && read >= 1) {
+                  val s =
+                    if (fmt.isBigEndian) ((pending << 8) | (buf(0) & 0xFF)).toShort
+                    else ((buf(0) << 8) | (pending & 0xFF)).toShort
+                  val x = s / 32768.0
+                  acc += x * x
+                  n += 1
+                  havePending = false
+                  i = 1
+                }
+                while (i + 1 < read) {
+                  val s =
+                    if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+                    else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+                  val x = s / 32768.0
+                  acc += x * x
+                  n += 1
+                  i += 2
+                }
+                if (i < read) { pending = buf(i); havePending = true }
+                read = in.read(buf)
               }
               if (n > 0) Some(math.sqrt(acc / n)) else None
             } else None

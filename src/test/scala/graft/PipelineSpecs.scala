@@ -687,4 +687,23 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.toSeq).toMap
     assert(got.keySet.forall(k => again(k) == got(k).toSeq))
   }
+
+  test("audio RMS: chunked accumulation is bit-identical on a multi-buffer clip") {
+    // 1.5M frames = 3 MB of PCM ≈ 46 reads of the 64 KB buffer — the
+    // varying signal makes any dropped/duplicated/reordered sample move
+    // the double accumulation, so == pins the chunked loop bit-for-bit
+    val n = 1500000
+    def sig(i: Int): Short = ((i * 2654435761L % 65536) - 32768).toShort
+    val big = wav(44100f, n)(sig)
+    assert(big.length > (1 << 21), "clip must span many 64 KB reads")
+    val got = Multimodal.decodeAudio(
+      spark.createDataFrame(Seq((1L, big))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(got.getBoolean(1) && got.getLong(4) == n.toLong)
+    // reference: the same left-to-right Σx² over the raw samples
+    var acc = 0.0
+    (0 until n).foreach { i => val x = sig(i) / 32768.0; acc += x * x }
+    assert(got.getDouble(6) == math.sqrt(acc / n),
+      "chunked RMS must equal the whole-array pass exactly")
+  }
 }
