@@ -82,6 +82,45 @@ class BpeSpecs extends SparkSpec {
     assert(ws(1L) == 2L && ws(4L) == 3L)
   }
 
+  test("byte-level bpe: bytes-to-unicode table, gpt2 pre-tok, hand-computed counts") {
+    import scala.collection.mutable
+    // the public table's two landmark mappings: space -> Ġ (U+0120),
+    // newline -> Ċ (U+010A); printable ascii maps to itself
+    assert(Bpe.toByteUnicode(" ") == "Ġ")
+    assert(Bpe.toByteUnicode("\n") == "Ċ")
+    assert(Bpe.toByteUnicode("the") == "the")
+    // é is two UTF-8 bytes, both self-mapped latin-1: Ã (0xC3) © (0xA9)
+    assert(Bpe.toByteUnicode("é") == "Ã©")
+    // Ġ-marked merges — the shape released byte-level files actually have
+    val lines = Seq("#version: test", "Ġ t", "Ġt h", "Ġth e")
+    val byteBpe = Bpe.fromMergesLines(lines.iterator, byteLevel = true)
+    val charBpe = Bpe.fromMergesLines(lines.iterator)
+    val memo = mutable.HashMap.empty[String, Int]
+    // "a the": pre-tokens [a][ the]; Ġthe merges to ONE token via the
+    // Ġ chain — 2 total. The char-BPE whitespace mode can never fire a
+    // Ġ merge: "the" stays 3 singles — 4 total (the documented
+    // divergence the byte mode exists to close)
+    assert(byteBpe.countTokens("a the", memo) == 2L)
+    assert(charBpe.countTokens("a the", mutable.HashMap.empty[String, Int]) == 4L)
+    // punctuation splits off its word: [the][,][ the] -> 3 + 1 + 1
+    assert(byteBpe.countTokens("the, the", memo) == 5L)
+    // contractions split: [don]['t] -> 3 + 2
+    assert(byteBpe.countTokens("don't", memo) == 5L)
+    // a multi-space run: [a][ ][ b] -> 1 + 1 + 2 (inner space becomes Ġ)
+    assert(byteBpe.countTokens("a  b", memo) == 4L)
+    // multi-byte char: é = 2 mapped symbols, no merge -> 2; with the
+    // "Ã ©" merge line -> 1
+    assert(byteBpe.countTokens("é", memo) == 2L)
+    val accented = Bpe.fromMergesLines(Seq("Ã ©").iterator, byteLevel = true)
+    assert(accented.countTokens("é", mutable.HashMap.empty[String, Int]) == 1L)
+    assert(byteBpe.countTokens(null, memo) == 0L)
+    // the mode travels with the instance through withTokens
+    val docs = Seq((1L, "a the"), (2L, "the, the")).toDF("doc_id", "text")
+    val got = Bpe.withTokens(docs, byteBpe).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 5L))
+  }
+
   test("bpe properties: lossless segmentation, monotone counts, random vocabularies") {
     import org.scalacheck.{Gen, rng}
     val genChar = Gen.oneOf('a', 'b', 'c', 'd')
