@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.GraftSession
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** CLI for the LLM-training-data side of the engine: run the curation
@@ -15,14 +16,12 @@ import org.apache.spark.sql.functions._
   *   outDir/corpus/      kept docs joined with pii-scrub stats
   */
 object Pipeline {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Pipeline <documentsParquet> <outDir> [minScore]")
-    val Array(docsPath, outDir) = args.take(2)
-    val minScore = args.lift(2).map(_.toDouble).getOrElse(0.42)
-    val spark = GraftSession.builder(
-      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** The job body, session-agnostic for reuse/testing: writes both
+    * outputs, returns (total docs, kept docs). `main` owns the session.
+    */
+  def run(spark: SparkSession, docsPath: String, outDir: String,
+          minScore: Double = 0.42): (Long, Long) = {
     val docs = spark.read.parquet(docsPath)
     val decisions = graft.ops.TextAnalysis.curate(docs, minScore)
     decisions.write.mode("overwrite").parquet(s"$outDir/decisions")
@@ -32,9 +31,17 @@ object Pipeline {
       .join(graft.ops.TextAnalysis.piiScrub(docs)
         .select("doc_id", "n_emails", "n_digit_runs"), "doc_id")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    (docs.count(), kept.count())
+  }
 
-    val total = docs.count()
-    val nKept = kept.count()
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Pipeline <documentsParquet> <outDir> [minScore]")
+    val Array(docsPath, outDir) = args.take(2)
+    val minScore = args.lift(2).map(_.toDouble).getOrElse(0.42)
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (total, nKept) = run(spark, docsPath, outDir, minScore)
     println(s"""{"docs":$total,"kept":$nKept,"filtered":${total - nKept},"min_score":$minScore}""")
     spark.stop()
   }

@@ -31,11 +31,14 @@ class LedgerSpec extends AnyFunSuite {
     """^\d+[a-z]?\.\s+`([A-Za-z0-9_/.]+)`(?:/`[A-Za-z0-9_/.]+`)*\s+\[(SQL|SPEC)\]""".r.unanchored
   private val Alias = """query name: `([a-z0-9_]+)`""".r.unanchored
 
-  private lazy val rows: Seq[(String, String)] =
+  private lazy val rowLines: Seq[(String, String, String)] =
     section2.linesIterator.collect {
       case line @ Row(name, tag) =>
-        (line match { case Alias(q) => q; case _ => name }, tag)
+        ((line match { case Alias(q) => q; case _ => name }, tag, line))
     }.toSeq
+
+  private lazy val rows: Seq[(String, String)] =
+    rowLines.map { case (n, t, _) => (n, t) }
 
   test("§2 [SQL] rows are exactly the SparkEntry.queries key set") {
     val sql = rows.collect { case (n, "SQL") => n }
@@ -53,6 +56,47 @@ class LedgerSpec extends AnyFunSuite {
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(noOracle.isEmpty, s"queries without oracleSql: ${noOracle.mkString(", ")}")
     assert(orphaned.isEmpty, s"oracleSql without queries: ${orphaned.mkString(", ")}")
+  }
+
+  test("every §2 [SPEC] row resolves to a referencing spec suite") {
+    // [SQL] rows are enforced exactly against the queries map; this
+    // closes the other half — a [SPEC] row must either use an identifier
+    // that actually appears in the test sources (raw or snake→Pascal,
+    // any `/`- or `.`-separated segment) or name its spec suite in the
+    // row text, and a named suite must be a REAL test class. A renamed
+    // component, deleted spec, or invented row now fails the build
+    // instead of going stale silently.
+    val dir = new java.io.File("src/test/scala/graft")
+    assert(dir.isDirectory, s"test sources not found at ${dir.getAbsolutePath}")
+    val corpus = dir.listFiles.filter(_.getName.endsWith(".scala")).map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString finally src.close()
+    }.mkString("\n")
+    val testClasses =
+      """class\s+([A-Za-z0-9_]+)\s+extends""".r
+        .findAllMatchIn(corpus).map(_.group(1)).toSet
+    def pascal(s: String) = s.split("_").map(_.capitalize).mkString
+    // compact matching bridges naming conventions: snake_case row names
+    // vs CamelCase classes and dotted calls (streaming_neardup ↔
+    // StreamingNearDup, multimodal_decode_image ↔ Multimodal.decodeImage)
+    val compactCorpus = corpus.toLowerCase.filter(_.isLetterOrDigit)
+    val SuiteRef = """([A-Za-z]+Specs?)\b""".r
+    val unresolved = rowLines.collect { case (name, "SPEC", line) =>
+      val segments = name.split("[/.]").filter(_.nonEmpty)
+      val byIdent = segments.flatMap(s => Seq(s, pascal(s)))
+        .exists(c => c.length >= 3 && corpus.contains(c))
+      val byCompact = segments.map(_.toLowerCase.filter(_.isLetterOrDigit))
+        .exists(c => c.length >= 6 && compactCorpus.contains(c))
+      val suiteRefs = SuiteRef.findAllMatchIn(line).map(_.group(1)).toSeq
+      val bySuite = suiteRefs.nonEmpty && suiteRefs.forall(testClasses)
+      (name, byIdent || byCompact || bySuite, suiteRefs.filterNot(testClasses))
+    }.filter(!_._2)
+    assert(unresolved.isEmpty,
+      "stale §2 [SPEC] rows (no referencing spec found, or a named suite " +
+        "that is not a test class): " +
+        unresolved.map { case (n, _, bad) =>
+          if (bad.nonEmpty) s"$n (bad suite refs: ${bad.mkString("/")})" else n
+        }.mkString(", "))
   }
 
   test("§2 header counts match the parsed rows (no stale closing numbers)") {

@@ -245,6 +245,29 @@ class SqliteTableExportSpec extends SparkSpec {
   }
 }
 
+class PipelineCliSpec extends SparkSpec {
+  test("Pipeline.run writes decisions + surviving corpus matching curate exactly") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val (total, nKept) = graft.Pipeline.run(
+      spark, s"$Sf0001/documents.parquet", outDir)
+    val docs = Tables.table(spark, Sf0001, "documents")
+    assert(total == docs.count() && nKept > 0 && nKept < total)
+    // the decision record IS curate's output, row for row
+    val decisions = spark.read.parquet(s"$outDir/decisions")
+    val expect = graft.ops.TextAnalysis.curate(docs, 0.42)
+    assert(decisions.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+    // the corpus carries exactly the kept docs, each with its pii stats
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    assert(corpus.count() == nKept)
+    val keptIds = expect.where(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet == keptIds)
+    assert(corpus.columns.contains("n_emails") &&
+      corpus.columns.contains("n_digit_runs") && corpus.columns.contains("text"))
+  }
+}
+
 class JdbcSinkSpec extends SparkSpec {
   test("jdbc roundtrip against embedded Derby preserves every candle") {
     val candles = Candles.fromTrades(Tables.trades(spark, Sf0001), Timeframe.parse("1h"))
