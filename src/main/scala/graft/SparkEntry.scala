@@ -616,6 +616,40 @@ object SparkEntry {
         .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
         .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
     }),
+    "q4_order_priority" -> ((s, dir) => {
+      // q4-style EXISTS correlated subquery, decorrelated to a LEFT SEMI
+      // join: orders with at least one returned line, counted by priority
+      // (no commit/receipt dates in this data model — the returnflag
+      // plays the late-line predicate's role). The semi join carries NO
+      // payload from the inner side and deduplicates by construction —
+      // one orderkey shuffle each side, then a 5-key count
+      val li = Tables.table(s, dir, "lineitem")
+      Tables.table(s, dir, "orders")
+        .join(li.where(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    "q18_large_orders" -> ((s, dir) => {
+      // q18-style HAVING-subquery shape: orders whose total line quantity
+      // exceeds the threshold, with their customer. The lineitem
+      // aggregation runs FIRST (one orderkey shuffle, map-side combined,
+      // exact decimal sums) and its selective result drives the joins —
+      // never a join of raw facts filtered afterwards; customer dim
+      // broadcast
+      val d = DecimalType(18, 2)
+      val big = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(d)).as("qty"))
+        .where(col("qty") > lit(150).cast(d))
+      Tables.table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("qty").cast("double").as("total_qty"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1802,6 +1836,20 @@ object SparkEntry {
         "SELECT c_custkey, count(o_orderkey) AS c_count " +
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY c_custkey) GROUP BY c_count"),
+    // q4 replay as the LITERAL EXISTS correlated subquery — DuckDB turns
+    // it into the same semi join the Spark side declares
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
+        "GROUP BY 1"),
+    "q18_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) " +
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, " +
+        "CAST(qty AS DOUBLE) AS total_qty " +
+        "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +

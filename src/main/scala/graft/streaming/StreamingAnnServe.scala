@@ -129,6 +129,27 @@ object StreamingAnnServe {
     * distinct-qid-per-stream assumption; stream results equal the batch
     * `Ivf.ivfPqSearchWith` row-for-row (spec-pinned).
     */
+  /** Serve IVF-PQ top-k WITH the exact re-rank stage — the quality
+    * serving path matching batch `Ivf.ivfPqRerankWith`: per micro-batch,
+    * the ADC scan surfaces top-k′ (kFactor·k) candidates from the
+    * compressed frame, only those |batch|·k′ rows gather raw vectors
+    * from `emb` (the bounded gather — the raw corpus is touched per
+    * candidate, never scanned into streaming state), exact rounded
+    * cosine keeps top-k. Zero state, no watermark; same
+    * distinct-qid-per-stream assumption as [[serve]]; stream results
+    * equal the batch `ivfPqRerankWith` row-for-row (spec-pinned).
+    */
+  def serveIvfPqRerank(queries: DataFrame, enc: DataFrame, emb: DataFrame,
+                       cents: Array[Array[Double]], k: Int, nprobe: Int = 4,
+                       kFactor: Int = 4)
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Ivf.ivfPqRerankWith(enc, emb, cents, batch, k, nprobe, kFactor), batchId)
+      }
+      .start()
+
   def serveIvfPq(queries: DataFrame, enc: DataFrame,
                  cents: Array[Array[Double]], k: Int, nprobe: Int = 4)
                 (sink: (DataFrame, Long) => Unit): StreamingQuery =

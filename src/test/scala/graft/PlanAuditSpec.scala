@@ -226,6 +226,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("c_custkey")), p)
   }
 
+  test("q4 exists decorrelates to a semi join; q18 aggregates below its joins") {
+    val p4 = planOf("q4_order_priority")
+    assert(p4.contains("LeftSemi"), "EXISTS must plan as a semi join\n" + p4)
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"), p4)
+    val p18 = planOf("q18_large_orders")
+    // the HAVING aggregation runs on lineitem BEFORE any join (selective
+    // build side), and the customer dim broadcasts
+    assert(p18.contains("BroadcastHashJoin"), p18)
+    assert(!p18.contains("CartesianProduct"), p18)
+    assert(p18.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey")), p18)
+  }
+
   test("semantic incremental broadcasts the screen set, heap-samples without a window") {
     val p = planOf("semantic_incremental")
     // the <= numCells*maxCell screen set must broadcast to the batch side

@@ -1127,6 +1127,36 @@ class StreamingAnnServeSpec extends SparkSpec {
         "IVF-PQ serving must stay stateless")
     } finally { q.stop(); enc.unpersist() }
   }
+
+  test("streamed IVF-PQ re-rank serving: exact-cosine stage equals batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    val model = Ivf.train(emb, k = 8, iters = 1)
+    val enc = Ivf.ivfPqReconFrame(emb, model).cache()
+    val batchTruth = Ivf.ivfPqRerankWith(
+      enc, emb, model, emb.where(col("vec_id") < 5), 5, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.serveIvfPqRerank(
+      stream.toDF.toDF("vec_id", "embedding"), enc, emb, model,
+      k = 5, nprobe = 3) { (topk, _) =>
+      got.synchronized { got ++= topk.as[(Long, Long, Double, Long)].collect() }
+    }
+    try {
+      val qs = queryRows(5)
+      stream.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served re-ranked top-k must equal the batch ivfPqRerankWith answer")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "re-rank serving must stay stateless")
+    } finally { q.stop(); enc.unpersist() }
+  }
 }
 
 class StreamingBudgetSampleSpec extends SparkSpec {
