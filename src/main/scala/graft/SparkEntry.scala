@@ -650,6 +650,52 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate"), col("qty").cast("double").as("total_qty"))
     }),
+    "q17_small_quantity" -> ((s, dir) => {
+      // q17-style correlated-AVG shape: revenue locked in line items
+      // below 20% of their part's average quantity, rolled up by brand.
+      // The correlated avg decorrelates to a partkey-partitioned window
+      // (ONE fact shuffle, bounded partitions — q2's plan argument);
+      // the mean goes through an exact DECIMAL sum / count so the window
+      // value is identical under any row order, and the 0.2× threshold
+      // compare replays bit-for-bit in the oracle's correlated form
+      val d = DecimalType(18, 2)
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.table(s, dir, "lineitem")
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast(d)).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .join(broadcast(Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice").cast(d)).cast("double") / 7.0, 2)
+          .as("avg_yearly"), count(lit(1)).as("n"))
+    }),
+    "q22_dormant_value" -> ((s, dir) => {
+      // q22-style anti-join + scalar-subquery shape: above-average-
+      // balance customers with NO orders since the cutoff (high-value
+      // dormant accounts) by nation. The global average is a 1-row
+      // broadcast (exact decimal sum / count), NOT EXISTS is a LEFT ANTI
+      // join against the date-filtered orders (filter scan-pushed),
+      // nation broadcast
+      val d = DecimalType(18, 2)
+      val c = Tables.table(s, dir, "customer")
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(d)).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("c_acctbal").cast(d)).cast("double").as("total_bal"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1850,6 +1896,28 @@ object SparkEntry {
         "CAST(qty AS DOUBLE) AS total_qty " +
         "FROM orders JOIN big ON o_orderkey = l_orderkey " +
         "JOIN customer ON o_custkey = c_custkey"),
+    // q17 replay as the LITERAL correlated-avg subquery (decimal-exact
+    // mean like the Spark window) — DuckDB decorrelates it itself
+    "q17_small_quantity" ->
+      ("SELECT p_brand, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly, " +
+        "count(*) AS n " +
+        "FROM lineitem l JOIN part ON p_partkey = l_partkey " +
+        "WHERE l_quantity < 0.2 * (" +
+        "SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
+        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) " +
+        "GROUP BY 1"),
+    // q22 replay: literal scalar subquery + NOT EXISTS anti join
+    "q22_dormant_value" ->
+      ("SELECT n_name, count(*) AS n_custs, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM customer c JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE c_acctbal > (" +
+        "SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
+        "FROM customer WHERE c_acctbal > 0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderdate >= DATE '2001-01-01') " +
+        "GROUP BY 1"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +

@@ -239,6 +239,24 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("HashAggregate") && l.contains("l_orderkey")), p18)
   }
 
+  test("q17 correlated avg is a partkey window; q22 anti-joins pushed-filter orders") {
+    val p17 = planOf("q17_small_quantity")
+    val unpartitioned = raw"windowspecdefinition\((?!l_partkey#)".r
+    assert(unpartitioned.findFirstIn(p17).isEmpty,
+      "q17 window must partition by l_partkey\n" + p17)
+    assert(p17.contains("BroadcastHashJoin"), p17)
+    assert(!p17.contains("CartesianProduct"), p17)
+    val p22 = planOf("q22_dormant_value")
+    assert(p22.contains("LeftAnti"), "NOT EXISTS must plan as an anti join\n" + p22)
+    // the dormancy cutoff must reach the orders parquet scan
+    assert(p22.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "date filter must push to the orders scan\n" + p22)
+    // (the 1-row avg broadcast legitimately plans as a broadcast nested
+    // loop — the engine's documented scalar-crossJoin pattern; only a
+    // true cartesian is forbidden)
+    assert(!p22.contains("CartesianProduct"), p22)
+  }
+
   test("semantic incremental broadcasts the screen set, heap-samples without a window") {
     val p = planOf("semantic_incremental")
     // the <= numCells*maxCell screen set must broadcast to the batch side
