@@ -129,6 +129,24 @@ object StreamingAnnServe {
     * distinct-qid-per-stream assumption; stream results equal the batch
     * `Ivf.ivfPqSearchWith` row-for-row (spec-pinned).
     */
+  def serveIvfPq(queries: DataFrame, enc: DataFrame,
+                 cents: Array[Array[Double]], k: Int, nprobe: Int = 4)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nprobe)))
+      .join(enc, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.topK(batch, k), batchId)
+      }
+      .start()
+
   /** Serve IVF-PQ top-k WITH the exact re-rank stage — the quality
     * serving path matching batch `Ivf.ivfPqRerankWith`: per micro-batch,
     * the ADC scan surfaces top-k′ (kFactor·k) candidates from the
@@ -147,24 +165,6 @@ object StreamingAnnServe {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(Ivf.ivfPqRerankWith(enc, emb, cents, batch, k, nprobe, kFactor), batchId)
-      }
-      .start()
-
-  def serveIvfPq(queries: DataFrame, enc: DataFrame,
-                 cents: Array[Array[Double]], k: Int, nprobe: Int = 4)
-                (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    queries
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qv"))
-      .withColumn("cid", explode(probeCids(col("qv"), cents, nprobe)))
-      .join(enc, Seq("cid"))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("id2"),
-        round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos"))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(Similarity.topK(batch, k), batchId)
       }
       .start()
 }

@@ -46,9 +46,11 @@ object ScaleProbe {
       Seq(4, 8, 16).foreach { p =>
         probe(s"ivfpq nprobe=$p/16")(Ivf.ivfPqSearchWith(enc, m1, q, k, p))
       }
-      // exact re-rank of the ADC top-4k: recall must dominate plain ADC
-      // at every nprobe and be monotone again (candidate supersets +
-      // exact scores — the ADC overestimation artifact is gone)
+      // exact re-rank of the ADC top-4k: recall dominates plain ADC at
+      // each nprobe, but is only NEAR-FLAT in nprobe, not strictly
+      // monotone — the k' cut is ADC-ordered, so candidate sets are not
+      // supersets as nprobe grows (measured ±0.01 dips; see
+      // ivfPqSearchRerank's scaladoc and SURVEY §34s)
       Seq(4, 8, 16).foreach { p =>
         probe(s"ivfpq_rerank nprobe=$p/16")(
           Ivf.ivfPqRerankWith(enc, emb, m1, q, k, p))
@@ -238,6 +240,84 @@ object ScaleProbe {
     }
   }
 
+  /** Round-8 growth curves: the alignment-invariant stride-1 substring
+    * dedup, mix_temperature, and the IVF-PQ exact re-rank stage, on
+    * 1/8/27× amplified sf0.1 corpora (same harness as the r6/r7 curves).
+    * Run: `runMain graft.tools.ScaleProbe r8ops`.
+    */
+  private def r8OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          // salted words: copies share no shingles — pure corpus-size
+          // growth for the stride-1 probe stream, constant true-dup rate
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      docs.count()
+      time(s"dedup_substring x$k (${5000 * k} docs)") {
+        graft.ops.Dedup.substringDedup(docs).count()
+      }
+      time(s"mix_temperature x$k") {
+        graft.ops.TextAnalysis.mixTemperature(docs).count()
+      }
+      docs.unpersist()
+      val emb = (0 until k).map { i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).cache()
+      emb.count()
+      val q = emb.where(col("vec_id") < 10)
+      time(s"ann_ivfpq_rerank x$k (${2000 * k} vecs)") {
+        graft.ops.Ivf.ivfPqSearchRerank(emb, q, 5).count()
+      }
+      emb.unpersist()
+    }
+  }
+
+  /** kFactor → recall curve for the exact re-rank stage: recall@10 of
+    * ivfpq_rerank at k′ = kFactor·k for kFactor ∈ {1,2,4,8}, each at
+    * nprobe 4/8/16, against plain ADC at the same nprobe, at both corpus
+    * scales — puts the measurement behind §4's "kFactor is the knob that
+    * always helps" claim (kFactor=1 re-scores the ADC top-k without
+    * widening it; larger k′ monotonically widens the exact-scored
+    * candidate pool at fixed nprobe, so recall in kFactor IS
+    * superset-monotone, unlike nprobe under an ADC-ordered cut).
+    * Run: `runMain graft.tools.ScaleProbe rerank`.
+    */
+  private def rerankKnobCurves(spark: SparkSession): Unit = {
+    import graft.ops.{Ivf, Similarity}
+    val k = 10
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val emb = Tables.table(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      val q = emb.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(spark, emb, q, k).cache()
+      exact.count()
+      val m1 = Ivf.train(emb, 16, 1)
+      val enc = Ivf.ivfPqReconFrame(emb, m1, 4, 16).cache()
+      enc.count()
+      Seq(4, 8, 16).foreach { p =>
+        val adc = Similarity.recallAtK(exact, Ivf.ivfPqSearchWith(enc, m1, q, k, p))
+        val line = Seq(1, 2, 4, 8).map { kf =>
+          val r = Similarity.recallAtK(
+            exact, Ivf.ivfPqRerankWith(enc, emb, m1, q, k, p, kf))
+          f"k'=${kf}k $r%.3f"
+        }.mkString("  ")
+        println(f"[rerank] $dir ($n vecs) nprobe=$p/16  adc $adc%.3f  $line")
+      }
+      enc.unpersist(); exact.unpersist(); emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -251,6 +331,8 @@ object ScaleProbe {
     if (args.contains("newops")) { newOpsCurves(spark); spark.stop(); return }
     if (args.contains("r6ops")) { r6OpsCurves(spark); spark.stop(); return }
     if (args.contains("r7ops")) { r7OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r8ops")) { r8OpsCurves(spark); spark.stop(); return }
+    if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
     def amplifyDocs(k: Int): DataFrame = {
