@@ -696,6 +696,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_custs"),
           sum(col("c_acctbal").cast(d)).cast("double").as("total_bal"))
     }),
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // q21-style MULTI-EXISTS self-join shape — the last classic
+      // correlated pattern: EXISTS + NOT EXISTS against the SAME fact
+      // under two aliases. Adapted like q4 (returnflag plays the
+      // late-delivery predicate): suppliers who were the SOLE returned-
+      // line supplier on a finished multi-supplier order. Decorrelation:
+      // EXISTS(other supplier's line) is a LEFT SEMI and NOT EXISTS
+      // (other supplier's RETURNED line) a LEFT ANTI on the same fact —
+      // both equi on orderkey with the suppkey inequality as the join
+      // residual, both sides projected to skinny (orderkey, suppkey)
+      // rows BEFORE the shuffle. The fact shuffles once per side at
+      // most; l1 arrives at the anti join already hash-partitioned on
+      // orderkey from the semi join, so the probe side reuses its
+      // partitioning. Orders (status-filtered, scan-pushed) and supplier
+      // dims broadcast after the self-joins have shrunk l1.
+      val li = Tables.table(s, dir, "lineitem")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables.table(s, dir, "orders")
+          .where(col("o_orderstatus") === "F").select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // q15-style AGGREGATE-OVER-AGGREGATE scalar: supplier(s) whose
+      // revenue equals the max over the grouped revenue view. The view is
+      // ONE fact shuffle (suppkey, map-side combined, exact decimal
+      // sums); the second aggregate runs over the DIM-SCALE view (one
+      // row per supplier) and its 1-row max broadcasts back via
+      // crossJoin. Revenue equality compares DECIMALs (exact,
+      // engine-stable) — only the output casts to double. All
+      // max-achieving ties emitted, like TPC-H q15.
+      val d = DecimalType(18, 2)
+      val rev = Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(d) *
+          (lit(1).cast(d) - col("l_discount").cast(d))).as("rev"))
+      val maxRev = rev.agg(max(col("rev")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .where(col("rev") === col("max_rev"))
+        .join(broadcast(Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("double").as("total_revenue"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1918,6 +1975,31 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_orderdate >= DATE '2001-01-01') " +
         "GROUP BY 1"),
+    // q21 replay as the LITERAL double-correlated subquery — EXISTS +
+    // NOT EXISTS on lineitem under two aliases; DuckDB decorrelates to
+    // the same semi + anti pair the Spark side declares
+    "q21_waiting_suppliers" ->
+      ("SELECT s_name, count(*) AS numwait " +
+        "FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+        "WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_returnflag = 'R') " +
+        "GROUP BY 1"),
+    // q15 replay: literal nested-aggregate scalar subquery (max over the
+    // same grouped revenue view), decimal-exact so the equality row set
+    // is engine-stable
+    "q15_top_supplier" ->
+      ("WITH revenue AS (SELECT l_suppkey, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue " +
+        "FROM revenue JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE rev = (SELECT max(rev) FROM revenue)"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +
