@@ -709,8 +709,13 @@ object SparkEntry {
       // rows BEFORE the shuffle. The fact shuffles once per side at
       // most; l1 arrives at the anti join already hash-partitioned on
       // orderkey from the semi join, so the probe side reuses its
-      // partitioning. Orders (status-filtered, scan-pushed) and supplier
-      // dims broadcast after the self-joins have shrunk l1.
+      // partitioning. The orders status filter is a LEFT SEMI with NO
+      // broadcast hint: ~50% of orders survive o_orderstatus='F', so a
+      // hint would force a fact-scale broadcast (driver hazard at
+      // 100 TB) — unhinted, AQE broadcasts only if the filtered side is
+      // actually small, else it shuffles on the orderkey partitioning
+      // l1 already has. Supplier dim broadcasts after the self-joins
+      // have shrunk l1.
       val li = Tables.table(s, dir, "lineitem")
       val l1 = li.where(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -721,9 +726,9 @@ object SparkEntry {
           col("l_suppkey") =!= col("s2"), "left_semi")
         .join(l3, col("l_orderkey") === col("o3") &&
           col("l_suppkey") =!= col("s3"), "left_anti")
-        .join(broadcast(Tables.table(s, dir, "orders")
-          .where(col("o_orderstatus") === "F").select(col("o_orderkey"))),
-          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.table(s, dir, "orders")
+          .where(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
         .join(broadcast(Tables.table(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
@@ -736,14 +741,22 @@ object SparkEntry {
       // ONE fact shuffle (suppkey, map-side combined, exact decimal
       // sums); the second aggregate runs over the DIM-SCALE view (one
       // row per supplier) and its 1-row max broadcasts back via
-      // crossJoin. Revenue equality compares DECIMALs (exact,
-      // engine-stable) — only the output casts to double. All
-      // max-achieving ties emitted, like TPC-H q15.
+      // crossJoin. `rev` feeds TWO branches (the equality probe and the
+      // max) — ReuseExchange does NOT dedupe them (measured: the probe
+      // branch gets an isnotnull(l_suppkey) filter pushed by the join
+      // that de-canonicalizes its subtree vs the max branch — exactly
+      // the case Materialize.once exists for), so the view is cut:
+      // lineitem is scanned+shuffled once, both branches read the
+      // dim-scale checkpoint. PlanAuditSpec pins exactly one lineitem
+      // scan. Revenue equality compares DECIMALs (exact, engine-stable)
+      // — only the output casts to double. All max-achieving ties
+      // emitted, like TPC-H q15.
       val d = DecimalType(18, 2)
-      val rev = Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice").cast(d) *
-          (lit(1).cast(d) - col("l_discount").cast(d))).as("rev"))
+      val rev = graft.core.Materialize.once(
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d))).as("rev")))
       val maxRev = rev.agg(max(col("rev")).as("max_rev"))
       rev.crossJoin(broadcast(maxRev))
         .where(col("rev") === col("max_rev"))
@@ -1125,6 +1138,14 @@ object SparkEntry {
       // fixed token budget per language: deterministic hash shuffle + the
       // distributed two-pass prefix scan (same primitive as pack_plan)
       graft.ops.TextAnalysis.budgetSample(Tables.table(s, dir, "documents"))),
+    "domain_cap" -> ((s, dir) =>
+      // C4/RefinedWeb-style per-domain doc cap: each source keeps its
+      // top-15 quality docs via the bounded per-source TopKByScore heap
+      graft.ops.TextAnalysis.domainCap(Tables.table(s, dir, "documents"))),
+    "domain_cap_tokens" -> ((s, dir) =>
+      // token-budget flavor: hash-ordered prefix per source through the
+      // distributed two-pass scan (budget_sample's stratum -> source)
+      graft.ops.TextAnalysis.domainCapTokens(Tables.table(s, dir, "documents"))),
     "split_leakage" -> ((s, dir) =>
       // eval-hygiene audit: near-dup pairs straddling the train/val/test
       // boundary — split recomputed as a pure expression on both pair ids
@@ -1154,6 +1175,28 @@ object SparkEntry {
       // re-rank keeping top-k: the standard compressed-serving last mile
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.ivfPqSearchRerank(e, e.where(col("vec_id") < 10), 5)
+    }),
+    "ann_filtered" -> ((s, dir) => {
+      // metadata-predicate ANN: top-k WHERE label = 7 with the predicate
+      // INSIDE the candidate scan (pushed to the corpus parquet read) and
+      // the rescue pass guaranteeing k rows wherever >= k survivors exist
+      // — post-filtering the unfiltered top-k would silently underfill.
+      // k=10 over ~50 survivors across 16 cells so the oracle exercises
+      // BOTH phases (some probes underfill, some don't)
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.searchTopKFiltered(e, e.where(col("vec_id") < 10), 10,
+        col("label") === 7, iters = 0)
+    }),
+    "ann_filtered_pq" -> ((s, dir) => {
+      // the compressed-index sibling: predicate filters the ENCODED frame
+      // (metadata joined onto the index rows — the WHERE-composable
+      // surface), probe + rescue both score ADC reconstructions
+      val e = Tables.table(s, dir, "embeddings")
+      val cents = graft.ops.Ivf.train(e, 16, 1)
+      val enc = graft.ops.Ivf.ivfPqReconFrame(e, cents)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      graft.ops.Ivf.ivfPqSearchFilteredWith(enc, cents,
+        e.where(col("vec_id") < 10), 10, col("label") === 7)
     }),
     "multimodal_meta" -> ((s, dir) =>
       graft.ops.Multimodal.meta(Tables.table(s, dir, "documents"))),
@@ -2309,6 +2352,33 @@ object SparkEntry {
         "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
         "SELECT doc_id, lang, n_tokens, cum_before, cum_before < 20000 AS keep FROM c"),
+    // domainCap replay: same quality score as quality_prune, per-SOURCE
+    // top-`cap` by (score DESC, doc_id) — the window is oracle-scale
+    // only; the engine uses the bounded TopKByScore heap
+    "domain_cap" ->
+      ("WITH f AS (SELECT doc_id, source, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+        "CAST(length(text) AS DOUBLE) AS nc, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, source, " +
+        "round(0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + 0.2 * least(nw / 100.0, 1.0), 6) AS score FROM f), " +
+        "rk AS (SELECT doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY score DESC, doc_id) AS rn FROM sc WHERE score IS NOT NULL) " +
+        "SELECT sc.doc_id, sc.source, sc.score, " +
+        "COALESCE(rk.rn <= 15, false) AS keep FROM sc LEFT JOIN rk ON rk.doc_id = sc.doc_id"),
+    // domainCapTokens replay: budget_sample's prefix scan with the
+    // stratum swapped from language to source
+    "domain_cap_tokens" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens, " +
+        "CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
+        "SELECT doc_id, source, n_tokens, cum_before, cum_before < 800 AS keep FROM c"),
     // packPlan replay: the same exclusive per-lang prefix sum as one
     // window (fine at oracle scale; the engine uses the two-pass scan)
     "pack_plan" ->
@@ -2554,7 +2624,11 @@ object SparkEntry {
     "ann_ivfpq" -> ivfPqSearchOracleSql(m = 4, k = 16, dim = 64,
       numCells = 16, iters = 1, nprobe = 4, topK = 5),
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql(m = 4, k = 16, dim = 64,
-      numCells = 16, iters = 1, nprobe = 4, topK = 5, kFactor = 4)
+      numCells = 16, iters = 1, nprobe = 4, topK = 5, kFactor = 4),
+    "ann_filtered" -> annIvfFilteredOracleSql(k = 10, numCells = 16,
+      nprobe = 4, label = 7),
+    "ann_filtered_pq" -> ivfPqFilteredOracleSql(m = 4, k = 16, dim = 64,
+      numCells = 16, iters = 1, nprobe = 4, topK = 10, label = 7)
   )
 
   /** Shared DuckDB replay of Ivf.pqEncoded: per-subspace codebooks from
@@ -2722,6 +2796,74 @@ object SparkEntry {
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM rer) WHERE rn <= $topK"
+
+  /** DuckDB replay of Ivf.searchTopKFiltered (iters=0 seed quantizer):
+    * survivors filtered BEFORE cell assignment, probed-cell candidates,
+    * then the rescue pass — queries whose probed cells hold < k survivors
+    * re-score exactly against ALL survivors (their probe candidates
+    * discarded, not mixed), replaying the k-guarantee contract.
+    */
+  private def annIvfFilteredOracleSql(k: Int, numCells: Int, nprobe: Int,
+                                      label: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
+      s"s AS (SELECT vec_id, v FROM e WHERE label = $label), " +
+      "assigned AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT s.vec_id, s.v, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+      "ORDER BY round(list_cosine_similarity(s.v, c.cvec), 6) DESC, c.cid) AS arn " +
+      "FROM s CROSS JOIN cents c) WHERE arn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, a.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, a.v), 6) AS cos " +
+      "FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid), " +
+      "cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY 1), " +
+      "under AS (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
+      s"WHERE coalesce(cnt.n, 0) < $k), " +
+      "resc AS (SELECT u.qid, s.vec_id AS id2, " +
+      "round(list_cosine_similarity(u.qv, s.v), 6) AS cos " +
+      "FROM s JOIN under u ON s.vec_id <> u.qid), " +
+      "fin AS (SELECT * FROM cand WHERE qid NOT IN (SELECT qid FROM under) " +
+      "UNION ALL SELECT * FROM resc) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM fin) WHERE rn <= $k"
+
+  /** DuckDB replay of Ivf.ivfPqSearchFilteredWith: the [[ivfPqCtes]]
+    * encode chain, index rows filtered by the metadata join, probe +
+    * rescue both scoring ADC reconstructions — the compressed-index
+    * sibling of [[annIvfFilteredOracleSql]].
+    */
+  private def ivfPqFilteredOracleSql(m: Int, k: Int, dim: Int, numCells: Int,
+                                     iters: Int, nprobe: Int, topK: Int,
+                                     label: Int): String =
+    s"WITH ${ivfPqCtes(m, k, dim, numCells, iters)}, " +
+      "lbl AS (SELECT vec_id, label FROM embeddings), " +
+      "rs AS (SELECT r.vec_id, r.cid, r.recon FROM r " +
+      s"JOIN lbl ON lbl.vec_id = r.vec_id WHERE lbl.label = $label), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe), " +
+      "cand AS (SELECT p.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, rs.recon), 6) AS cos " +
+      "FROM rs JOIN probes p ON rs.cid = p.cid WHERE rs.vec_id <> p.qid), " +
+      "cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY 1), " +
+      "under AS (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
+      s"WHERE coalesce(cnt.n, 0) < $topK), " +
+      "resc AS (SELECT u.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos " +
+      "FROM rs JOIN under u ON rs.vec_id <> u.qid), " +
+      "fin AS (SELECT * FROM cand WHERE qid NOT IN (SELECT qid FROM under) " +
+      "UNION ALL SELECT * FROM resc) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM fin) WHERE rn <= $topK"
 
   /** DuckDB replay of Ivf.searchTopK with `iters` Lloyd rounds: each round
     * is argmax-assignment (rounded cosine, cid tiebreak) followed by

@@ -34,18 +34,28 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` normalized to TimestampType. The file stores
-    * TIMESTAMP(NANOS); with `spark.sql.legacy.parquet.nanosAsLong` it
-    * arrives as Long nanos — integer `div 1000` truncates to micros exactly
-    * like DuckDB's read of the same file (no float division).
+  /** `events` with `ts` normalized to TimestampType, whatever flavor the
+    * file carries. Seen in the wild across driver regenerations:
+    *   - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+    *     arrives as Long nanos — integer `div 1000` truncates to micros
+    *     exactly like DuckDB's read of the same file (no float division);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType: the
+    *     session runs in UTC, so cast to TimestampType is the identity on
+    *     the underlying micros (wall time == instant);
+    *   - TIMESTAMP(MICROS, UTC) → TimestampType: pass through.
+    * Downstream bucketing (`unix_micros` in Timeframe/Sessionize/Events/
+    * IntervalJoin/Candles/Analytics) requires TimestampType; this reader is
+    * the single normalization boundary so those call sites stay simple.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** The reference's domain object is a trade/candle stream; `events` plays

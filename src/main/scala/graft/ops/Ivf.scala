@@ -665,4 +665,114 @@ object Ivf {
       .select(col("qid"), col("vec_id").as("id2"),
         round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos")), k)
   }
+
+  /** FILTERED approximate top-k — metadata-predicate ANN, the day-one
+    * vector-serving requirement plain [[searchTopK]] can't express:
+    * "nearest neighbors WHERE label = X". Post-filtering the unfiltered
+    * top-k silently returns < k rows (or zero, under a selective
+    * predicate); this path instead applies the predicate INSIDE the
+    * candidate scan and guarantees k results whenever ≥ k survivors
+    * exist (excluding self-matches).
+    *
+    * Two-phase plan:
+    *  1. PROBE — `pred` filters the corpus BEFORE cell assignment, so it
+    *     reaches the parquet scan (predicate pushdown — the survivors
+    *     frame never materializes non-matching vectors); probed-cell
+    *     candidates are scored as usual. The scored candidate set is cut
+    *     once ([[graft.core.Materialize.once]]) because it feeds both the
+    *     per-query counts and the final top-k.
+    *  2. RESCUE — queries whose probed cells held < k survivors re-score
+    *     against ALL survivors (exact over the filtered corpus, the
+    *     bruteForceTopK broadcast shape). Under a selective predicate the
+    *     survivor set is small by construction — the rescue is a
+    *     brute-force pass over exactly the rows the filter kept, for
+    *     exactly the queries the probe underfilled; rescued queries get
+    *     EXACT results (their probe candidates are discarded, not mixed).
+    *
+    * At 100 TB: phase 1 is the plain IVF scan cost over the filtered
+    * corpus; phase 2 is |underfilled queries| × |survivors| — nonzero
+    * only when the filter starves the probed cells, i.e. precisely when
+    * the survivor set is small enough to brute-force.
+    *
+    * `pred` is any Column over the corpus frame's own columns (label,
+    * vec_id, joined-in metadata) — WHERE-composable: pre-join metadata
+    * onto `emb` and reference it in `pred`.
+    */
+  def searchTopKFiltered(emb: DataFrame, queries: DataFrame, k: Int,
+                         pred: Column, numCells: Int = 16, nprobe: Int = 4,
+                         iters: Int = 2): DataFrame =
+    // the quantizer trains on the FULL corpus: the index is built once,
+    // unfiltered; predicates arrive per query at serving time
+    searchTopKFilteredWith(emb, queries, k, pred, train(emb, numCells, iters), nprobe)
+
+  /** [[searchTopKFiltered]] against a PRE-TRAINED quantizer (the serving
+    * path: train once per corpus snapshot, search under many predicates).
+    */
+  def searchTopKFilteredWith(emb: DataFrame, queries: DataFrame, k: Int,
+                             pred: Column, cents: Array[Array[Double]],
+                             nprobe: Int = 4): DataFrame = {
+    val survivors = vecs(emb.where(pred)) // pred pushed to the corpus scan
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    filteredTopK(assign(survivors, cents), q, cents, k, nprobe)
+  }
+
+  /** Shared probe+rescue kernel over an assigned survivor frame
+    * (vec_id, v|recon as `scoreCol`, cid). Guarantees k rows per query
+    * whenever ≥ k survivors exist.
+    */
+  private def filteredTopK(cells: DataFrame, q: DataFrame,
+                           cents: Array[Array[Double]], k: Int,
+                           nprobe: Int, scoreCol: String = "v"): DataFrame = {
+    val probes = probeFrame(q.select(col("qid").as("vec_id"),
+      col("qv").as("embedding")), cents, nprobe)
+    val cand = graft.core.Materialize.once(
+      cells.join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("id2"),
+          round(graft.functions.cosine_sim(col("qv"), col(scoreCol)), 6).as("cos")))
+    val under = q.join(
+        cand.groupBy(col("qid")).agg(count(lit(1)).as("n")), Seq("qid"), "left")
+      .where(coalesce(col("n"), lit(0L)) < k)
+      .select(col("qid"), col("qv"))
+    val rescue = cells.join(broadcast(under), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col(scoreCol)), 6).as("cos"))
+    Similarity.topK(
+      cand.join(broadcast(under.select(col("qid"))), Seq("qid"), "left_anti")
+        .unionByName(rescue), k)
+  }
+
+  /** FILTERED IVF-PQ top-k against an ALREADY-ENCODED corpus frame — the
+    * compressed-index sibling of [[searchTopKFilteredWith]]. `pred` is a
+    * Column over `enc`'s columns (vec_id, cid, recon, plus anything the
+    * caller joined on — metadata filters compose by joining the metadata
+    * table onto `enc` before the call). Probe scan and rescue scan both
+    * score ADC (reconstructed) cosines; the k-guarantee is in ADC terms.
+    */
+  def ivfPqSearchFilteredWith(enc: DataFrame, cents: Array[Array[Double]],
+                              queries: DataFrame, k: Int, pred: Column,
+                              nprobe: Int = 4): DataFrame = {
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    filteredTopK(enc.where(pred), q, cents, k, nprobe, scoreCol = "recon")
+  }
+
+  /** FILTERED IVF-PQ search with the exact re-rank last mile: the
+    * filtered ADC scan surfaces top-k′ (k′ = kFactor·k) survivors, then
+    * only those |q|·k′ rows gather raw vectors for the exact-cosine
+    * re-rank ([[ivfPqRerankWith]]'s bounded-gather shape — the gather ids
+    * already passed the filter, so no second predicate evaluation).
+    */
+  def ivfPqRerankFilteredWith(enc: DataFrame, emb: DataFrame,
+                              cents: Array[Array[Double]], queries: DataFrame,
+                              k: Int, pred: Column, nprobe: Int = 4,
+                              kFactor: Int = 4): DataFrame = {
+    val adc = ivfPqSearchFilteredWith(enc, cents, queries, k * kFactor, pred, nprobe)
+      .select(col("qid"), col("id2"))
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.topK(vecs(emb).select(col("vec_id").as("id2"), col("v"))
+      .join(broadcast(adc), Seq("id2"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos")), k)
+  }
 }

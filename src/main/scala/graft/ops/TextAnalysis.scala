@@ -531,6 +531,55 @@ object TextAnalysis {
         (col("cum_before") < budget).as("keep"))
   }
 
+  /** C4/RefinedWeb-style PER-DOMAIN DOCUMENT CAP: at most `cap` docs per
+    * source, keeping each source's HIGHEST-QUALITY docs (score ties break
+    * on the lower doc_id) — the guard against one dominant crawl domain
+    * swamping the training mix, which the language-mix family
+    * (mix_rebalance / budget_sample) cannot express because it balances
+    * languages, not sources. Emits (doc_id, source, score, keep) for
+    * EVERY doc, qualityPrune-style, so the decision composes with other
+    * keep columns.
+    *
+    * Scale design: the per-source selection is the bounded TopKByScore
+    * heap — every map task reduces its partition to ≤ cap rows per source
+    * BEFORE the shuffle (O(cap × partitions) shuffled rows per source,
+    * never a per-source row_number window that sorts a giant domain in
+    * one partition); the keeper set joins back by doc_id equi-join. Docs
+    * with a null quality score (no words) are keep=false and never enter
+    * the heap.
+    */
+  def domainCap(docs: DataFrame, cap: Int = 15): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = udaf(new TopKByScore(cap), ExpressionEncoder[ScoredId]())
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(scoreColumn(col("text")), 6).as("score"))
+    val kept = scored.where(col("score").isNotNull)
+      .groupBy(col("source"))
+      .agg(agg(col("score"), col("doc_id")).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("doc_id"), lit(true).as("k"))
+    scored.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("score"),
+        coalesce(col("k"), lit(false)).as("keep"))
+  }
+
+  /** The TOKEN-budget flavor of [[domainCap]]: each source keeps the
+    * deterministic-hash-ordered prefix of docs whose tokens START inside
+    * `budget` — "at most ~N tokens per domain" (budget_sample's stratum
+    * swapped from language to source; the straddling doc is kept, same
+    * rule). Same distributed two-pass [[Scan.withRunningTotal]] — giant
+    * domains span partitions, no per-source window.
+    */
+  def domainCapTokens(docs: DataFrame, budget: Long = 800): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("n_tokens"),
+      Dedup.hash32(col("doc_id").cast("string")).as("h"))
+    Scan.withRunningTotal(toks, Seq("source"), Seq("h", "doc_id"), "n_tokens")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") < budget).as("keep"))
+  }
+
   /** RAG-style chunking PLAN: each doc fans out into fixed-`size` token
     * windows advancing by `size − overlap` (the standard overlapped
     * retrieval chunker), the last window clamped to the doc end — one

