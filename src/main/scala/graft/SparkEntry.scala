@@ -999,6 +999,15 @@ object SparkEntry {
       graft.ops.Dedup.containmentPairs(Tables.table(s, dir, "documents"))),
     "corpus_dedup" -> ((s, dir) =>
       graft.ops.Dedup.corpusDedup(Tables.table(s, dir, "documents"))),
+    "corpus_dedup_stable" -> ((s, dir) => {
+      // nightly stable-id replay: prior labels from the even-doc_id half
+      // (yesterday's batch), today over the full corpus — surviving
+      // clusters keep yesterday's ids via the claim/award relabel
+      val d = Tables.table(s, dir, "documents")
+      val prior = graft.ops.Dedup.corpusDedup(d.where(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("cluster_id"))
+      graft.ops.Dedup.corpusDedupStable(d, prior)
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // nightly-crawl screening: the src0 batch against the rest of the
       // corpus — (new, corpus) candidates only, oversized corpus buckets
@@ -2110,6 +2119,7 @@ object SparkEntry {
         "SELECT id1, id2, n_common, n1, n2, containment_1in2, containment_2in1 FROM f " +
         "WHERE containment_1in2 >= 0.8 OR containment_2in1 >= 0.8"),
     "corpus_dedup" -> corpusDedupSql(0.8),
+    "corpus_dedup_stable" -> corpusDedupStableSql(0.8),
     "dedup_incremental" -> incrementalDedupSql(),
     "repetition_score" ->
       ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
@@ -3063,9 +3073,10 @@ object SparkEntry {
     * pairing).
     */
   private def minhashPairsCtes(numPerm: Int = 128, bands: Int = 16,
-                               maxBucket: Int = 100, numReps: Int = 8): String = {
+                               maxBucket: Int = 100, numReps: Int = 8,
+                               where: String = ""): String = {
     val rows = numPerm / bands
-    s"dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+    s"dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents$where), " +
       "dh AS (SELECT doc_id, list_transform(" +
       "list_transform(generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])), " +
       "s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes FROM dw WHERE len(ws) >= 3), " +
@@ -3156,14 +3167,65 @@ object SparkEntry {
   /** CTE chain extending minhash pairs with exact shingle-set Jaccard:
     * ends in `jac(id1, id2, est_jaccard, jaccard)` (unfiltered).
     */
-  private def jaccardCtes: String =
-    minhashPairsCtes() + ", " +
+  private def jaccardCtes: String = jaccardCtesWhere("")
+
+  /** [[jaccardCtes]] over a filtered document set (`where` is an SQL
+    * predicate suffix like " WHERE doc_id % 2 = 0") — lets the stable-id
+    * oracle replay the prior batch's pipeline on a subset.
+    */
+  private def jaccardCtesWhere(where: String): String =
+    minhashPairsCtes(where = where) + ", " +
       "shg AS (SELECT doc_id, list_distinct(list_transform(" +
       "generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh FROM dw), " +
       "jac AS (SELECT m.id1, m.id2, m.est_jaccard, " +
       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard " +
       "FROM mh m JOIN shg a ON a.doc_id = m.id1 JOIN shg b ON b.doc_id = m.id2)"
+
+  /** Min-label components over the near-dup graph of a (possibly
+    * filtered) document set, as a self-contained subquery — the building
+    * block [[corpusDedupStableSql]] instantiates twice (prior batch +
+    * today's corpus).
+    */
+  private def dedupLabelsSubquery(minJaccard: Double, where: String): String =
+    s"(WITH RECURSIVE ${jaccardCtesWhere(where)}, " +
+      s"edges0 AS (SELECT id1, id2 FROM jac WHERE jaccard >= $minJaccard), " +
+      "edges AS (SELECT id1 AS a, id2 AS b FROM edges0 UNION SELECT id2, id1 FROM edges0), " +
+      "nodes AS (SELECT DISTINCT a AS doc_id FROM edges), " +
+      "comp AS (SELECT doc_id, doc_id AS lbl FROM nodes " +
+      "UNION SELECT e.a AS doc_id, c.lbl FROM edges e JOIN comp c ON e.b = c.doc_id) " +
+      "SELECT doc_id, min(lbl) AS cluster_id FROM comp GROUP BY 1)"
+
+  /** DuckDB replay of Dedup.corpusDedupStable over a two-batch setup:
+    * prior labels from the even-doc_id half, today over the full corpus,
+    * then the claim/award relabel (rep-doc priority, min-fresh fallback)
+    * and the keeper window — mirrors clustersStable exactly.
+    */
+  private def corpusDedupStableSql(minJaccard: Double): String =
+    "WITH prior AS (SELECT * FROM " +
+      dedupLabelsSubquery(minJaccard, " WHERE doc_id % 2 = 0") + "), " +
+      "today AS (SELECT * FROM " + dedupLabelsSubquery(minJaccard, "") + "), " +
+      "claims AS (SELECT DISTINCT t.cluster_id, p.cluster_id AS p " +
+      "FROM today t JOIN prior p ON p.doc_id = t.doc_id), " +
+      "repc AS (SELECT t.doc_id AS p, t.cluster_id AS rep_comp FROM today t " +
+      "JOIN prior pr ON pr.doc_id = t.doc_id AND pr.cluster_id = pr.doc_id), " +
+      "award AS (SELECT c.p, COALESCE(min(r.rep_comp), min(c.cluster_id)) AS cluster_id " +
+      "FROM claims c LEFT JOIN repc r ON r.p = c.p GROUP BY c.p), " +
+      "stab AS (SELECT cluster_id, min(p) AS stable FROM award GROUP BY 1), " +
+      "lab AS (SELECT t.doc_id, COALESCE(s.stable, t.cluster_id) AS cluster_id " +
+      "FROM today t LEFT JOIN stab s ON s.cluster_id = t.cluster_id), " +
+      "qf AS (SELECT doc_id, " +
+      "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nw, " +
+      "CAST(length(text) AS DOUBLE) AS nc, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS np, " +
+      "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+      "w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) AS ns " +
+      "FROM documents), " +
+      "qual AS (SELECT doc_id, 0.5 * (ns / nw) + 0.3 * (1.0 - np / nc) + " +
+      "0.2 * least(nw / 100.0, 1.0) AS score FROM qf) " +
+      "SELECT l.doc_id, l.cluster_id, " +
+      "(row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.doc_id) = 1) AS keep " +
+      "FROM lab l JOIN qual q ON q.doc_id = l.doc_id"
 
   /** SimHash oracle: 60 bit-vote terms over portable 60-bit word hashes,
     * then pigeonhole chunk join — mirrors Dedup.simhashNearDup.

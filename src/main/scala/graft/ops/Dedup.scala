@@ -515,6 +515,81 @@ object Dedup {
     labels
   }
 
+  /** [[clusters]] with STABLE ids across incremental runs — the nightly
+    * pipeline contract a scratch relabel breaks: yesterday's `cluster_id`
+    * must survive today's run, or every downstream table keyed on it
+    * (dedup decisions, curation audits, provenance) churns nightly.
+    *
+    * `prior` is the previous run's (doc_id, cluster_id) frame. Today's
+    * components are computed fresh (the iterative kernel is UNCHANGED —
+    * pointer jumping needs labels that are node ids, so seeding happens
+    * AFTER convergence, in component-scale arithmetic). Each component
+    * CLAIMS every prior label its members carry; each prior label is
+    * AWARDED to one claimant — the component that contains the label's
+    * own representative doc when it is still clustered today (a doc's
+    * prior label is its old cluster's min doc_id, so the rep always
+    * claims its own label), else the claimant with the smallest fresh
+    * label; a component's stable id is the minimum label it won, or its
+    * fresh min-doc_id label if it won none. Consequences:
+    *  - a component that grew/shrank but kept prior members keeps its
+    *    prior id — growth never renames;
+    *  - prior clusters that MERGE keep the smallest involved prior id
+    *    (the rest retire — awarded to this component, used by none);
+    *  - a SPLIT prior cluster follows its representative doc; fragments
+    *    without it fall back to fresh labels. A fallback label is a min
+    *    doc_id that carries no prior label (if it did, its component
+    *    would have been awarded it), so awarded and fallback labels can
+    *    never collide — ids stay unique without a repair pass;
+    *  - brand-new components take their fresh label.
+    *
+    * Scale: claims/awards are component-scale aggregations + one
+    * dim-scale join back onto the label frame — noise next to the CC
+    * rounds themselves.
+    */
+  def clustersStable(pairs: DataFrame, prior: DataFrame,
+                     maxIters: Int = 15): DataFrame = {
+    val fresh = clusters(pairs, maxIters)
+    val claims = fresh
+      .join(prior.select(col("doc_id"), col("cluster_id").as("p")), "doc_id")
+      .select(col("cluster_id"), col("p")).distinct()
+    // component holding the label's representative doc today (if any) —
+    // counted ONLY when that doc's own prior label IS the label (a doc
+    // that migrated to another cluster in a past run must not drag the
+    // label to a component that never claimed it); under that guard the
+    // rep's component is always a claimant
+    val repComp = fresh
+      .join(prior.where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("p"), col("cluster_id").as("rep_comp"))
+    val award = claims.join(repComp, Seq("p"), "left")
+      .groupBy(col("p"))
+      .agg(coalesce(first(col("rep_comp"), ignoreNulls = true),
+        min(col("cluster_id"))).as("cluster_id"))
+    val stable = award.groupBy(col("cluster_id"))
+      .agg(min(col("p")).as("stable"))
+    fresh.join(stable, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("stable"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** [[corpusDedup]] with [[clustersStable]] ids — the incremental form:
+    * pass the previous run's (doc_id, cluster_id) and surviving clusters
+    * keep their ids. The keeper choice recomputes over today's members
+    * (quality can change); only the LABEL is pinned.
+    */
+  def corpusDedupStable(docs: DataFrame, prior: DataFrame,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val base = cutLineageLazy(sigShingleScan(docs,
+      TextAnalysis.scoreColumn(col("text")).as("score")))
+    val comp = clustersStable(ngramJaccardFrom(base, minJaccard), prior)
+    val scored = comp.join(base.select(col("doc_id"), col("score")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+  }
+
   /** End-to-end corpus dedup: LSH candidates → exact-Jaccard verify →
     * components → keep the highest-quality doc per cluster (ties: lowest
     * doc_id). Returns (doc_id, cluster_id, keep) for every clustered doc.

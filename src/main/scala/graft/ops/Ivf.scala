@@ -549,6 +549,39 @@ object Ivf {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
   }
 
+  /** [[semanticDedup]] with STABLE cluster ids across incremental runs
+    * (Dedup.clustersStable's award semantics — growth never renames,
+    * merges keep the smaller id, splits follow the representative): pass
+    * the previous run's (vec_id, cluster_id) frame; the keeper choice
+    * recomputes over today's members, only the LABEL is pinned.
+    */
+  def semanticDedupStable(emb: DataFrame, prior: DataFrame,
+                          numCells: Int = 16,
+                          threshold: Double = 0.4): DataFrame =
+    semanticDedupStableWith(emb, prior, train(emb, numCells, iters = 0), threshold)
+
+  /** [[semanticDedupStable]] against a PRE-TRAINED quantizer. */
+  def semanticDedupStableWith(emb: DataFrame, prior: DataFrame,
+                              cents: Array[Array[Double]],
+                              threshold: Double = 0.4): DataFrame = {
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
+        lit(true).as("keep")).limit(0)
+    val cl = centLit(cents)
+    val cells = assignedCells(vecs(emb), cents)
+    val comp = Dedup.clustersStable(
+      cellPairs(cells, threshold).select(col("id1"), col("id2")),
+      prior.select(col("vec_id").as("doc_id"), col("cluster_id")))
+    val scored = comp.join(
+      cells.select(col("vec_id").as("doc_id"),
+        round(graft.functions.cosine_sim(col("v"),
+          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+      "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
+    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+  }
+
   /** Incremental semantic screening — the embedding-side sibling of
     * Dedup.incrementalDedup (the nightly-crawl pass): score each vector
     * of a NEW batch against the EXISTING corpus, emitting per new vector
