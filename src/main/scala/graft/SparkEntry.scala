@@ -766,6 +766,101 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           col("rev").cast("double").as("total_revenue"))
     }),
+    "q14_promo_share" -> ((s, dir) => {
+      // q14 pattern — the CONDITIONAL-RATIO shape: promo revenue share of
+      // one ship-month; numerator and denominator computed in ONE
+      // aggregation pass (conditional sum, never two scans); the month
+      // range is a plain timestamp range pushed to the fact scan
+      // (plan-pinned), part dim broadcast
+      val d = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d))
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-03-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .join(broadcast(Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(d))).cast("double") * 100.0 /
+            sum(rev).cast("double"), 6).as("promo_share"),
+          sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q19_disjunctive" -> ((s, dir) => {
+      // q19 pattern — the DISJUNCTIVE-PREDICATE shape: revenue from an OR
+      // of three (brand, quantity-range, size-range) conjunctions. The
+      // shared p_partkey equi-key keeps this a broadcast HASH join with
+      // the disjunction as the residual condition (never a nested loop),
+      // and the quantity bound common to every branch is hoisted so it
+      // pushes to the parquet scan — the classic OR-factoring test
+      val d = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d))
+      val li = Tables.table(s, dir, "lineitem")
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      val p = broadcast(Tables.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" &&
+            col("l_quantity") <= 11 && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("l_quantity") >= 20 && col("p_size").between(1, 15))))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+    }),
+    "q12_late_lines" -> ((s, dir) => {
+      // q12 pattern — the FACT-FACT CONDITIONAL-COUNT shape: shipping
+      // delay classes (days from order date to ship date — this data
+      // model's commit/receipt stand-in) × order-priority mix; both sides
+      // project skinny BEFORE the one orderkey shuffle, the priority
+      // split is a conditional sum in a single pass (no second scan)
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(when(delay <= 30, "fast").when(delay <= 90, "normal")
+            .otherwise("slow").as("ship_class"),
+          col("o_orderpriority"))
+        .groupBy(col("ship_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+    "q9_profit" -> ((s, dir) => {
+      // q9 pattern — the PROFIT ROLLUP shape: amount = revenue − cost
+      // proxy (p_retailprice·l_quantity plays partsupp supplycost's role
+      // in this data model) by supplier nation × order year; ONE
+      // fact-fact orderkey shuffle with both sides skinny-projected,
+      // supplier→nation chain and the name-filtered part dim broadcast
+      val d = DecimalType(18, 2)
+      val amount = col("l_extendedprice").cast(d) *
+        (lit(1).cast(d) - col("l_discount").cast(d)) -
+        col("p_retailprice").cast(d) * col("l_quantity").cast(d)
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val suppN = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val pWidget = Tables.table(s, dir, "part")
+        .where(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      li.join(broadcast(pWidget), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"), count(lit(1)).as("n"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -2052,6 +2147,41 @@ object SparkEntry {
         "SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue " +
         "FROM revenue JOIN supplier ON s_suppkey = l_suppkey " +
         "WHERE rev = (SELECT max(rev) FROM revenue)"),
+    "q14_promo_share" ->
+      ("SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 / " +
+        s"$RevenueSql, 6) AS promo_share, $RevenueSql AS revenue, " +
+        "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-04-01'"),
+    "q19_disjunctive" ->
+      (s"SELECT $RevenueSql AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_quantity >= 1 AND l_quantity <= 30 AND (" +
+        "(p_brand = 'Brand#1' AND l_quantity <= 11 AND p_size BETWEEN 1 AND 5) OR " +
+        "(p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR " +
+        "(p_brand = 'Brand#3' AND l_quantity >= 20 AND p_size BETWEEN 1 AND 15))"),
+    "q12_late_lines" ->
+      ("SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) <= 30 THEN 'fast' " +
+        "WHEN date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) <= 90 THEN 'normal' ELSE 'slow' END AS ship_class, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+    "q9_profit" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS profit, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%widget%' GROUP BY 1, 2"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +

@@ -349,6 +349,27 @@ class PlanAuditSpec extends SparkSpec {
       "q15's revenue view lost its cut — lineitem scanned twice\n" + p15)
   }
 
+  test("q14/q19/q12/q9: pushed ranges, disjunctive residual stays a hash join, broadcast dims") {
+    val p14 = planOf("q14_promo_share")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate") &&
+      p14.contains("LessThan(l_shipdate"),
+      "q14's ship-month range must reach the parquet scan\n" + p14)
+    assert(p14.contains("BroadcastHashJoin"), p14)
+    val p19 = planOf("q19_disjunctive")
+    assert(p19.contains("BroadcastHashJoin"),
+      "q19 must plan the shared equi-key as a hash join\n" + p19)
+    assert(!p19.contains("BroadcastNestedLoopJoin") && !p19.contains("CartesianProduct"), p19)
+    assert(p19.contains("GreaterThanOrEqual(l_quantity") &&
+      p19.contains("LessThanOrEqual(l_quantity"),
+      "q19's hoisted quantity bound must reach the scan\n" + p19)
+    val p12 = planOf("q12_late_lines")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("BroadcastNestedLoopJoin"), p12)
+    val p9 = planOf("q9_profit")
+    assert(countOccurrences(p9, "BroadcastHashJoin") >= 2,
+      "q9's part and supplier-nation dims must broadcast\n" + p9)
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"), p9)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
