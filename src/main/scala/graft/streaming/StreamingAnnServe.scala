@@ -147,6 +147,30 @@ object StreamingAnnServe {
       }
       .start()
 
+  /** Serve FILTERED top-k per arriving query — the metadata-predicate
+    * serving path matching batch `Ivf.searchTopKFilteredWith`: the
+    * predicate applies INSIDE the candidate scan (pushed to the static
+    * corpus read) and underfilled queries take the exact rescue pass, so
+    * every arriving query gets k results whenever ≥ k survivors exist.
+    * Each micro-batch replays the batch kernel via foreachBatch (the
+    * rescue's per-batch candidate counting cannot be expressed as a
+    * stateless stream-static join), so stream results equal the batch
+    * answer by construction — same zero-state shape and
+    * distinct-qid-per-stream assumption as [[serve]]. The kernel's
+    * internal Materialize.once cut runs on the stream-execution thread
+    * (default scope): long-lived serving jobs should release via
+    * `Materialize.releaseAll` at corpus-snapshot boundaries.
+    */
+  def serveFiltered(queries: DataFrame, emb: DataFrame,
+                    cents: Array[Array[Double]], k: Int, pred: Column,
+                    nprobe: Int = 4)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Ivf.searchTopKFilteredWith(emb, batch, k, pred, cents, nprobe), batchId)
+      }
+      .start()
+
   /** Serve IVF-PQ top-k WITH the exact re-rank stage — the quality
     * serving path matching batch `Ivf.ivfPqRerankWith`: per micro-batch,
     * the ADC scan surfaces top-k′ (kFactor·k) candidates from the

@@ -1097,6 +1097,38 @@ class StreamingAnnServeSpec extends SparkSpec {
     } finally { q.stop(); recon.unpersist() }
   }
 
+  test("streamed FILTERED serving equals batch searchTopKFilteredWith incl. rescue") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    val model = Ivf.train(emb, k = 16, iters = 0)
+    val pred = col("label") === 7
+    // k above the per-cell survivor density so SOME queries rescue
+    val batchTruth = Ivf.searchTopKFilteredWith(
+      emb, emb.where(col("vec_id") < 6), 10, pred, model, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.serveFiltered(
+      stream.toDF.toDF("vec_id", "embedding"), emb, model, k = 10, pred,
+      nprobe = 4) { (topk, _) =>
+      got.synchronized { got ++= topk.as[(Long, Long, Double, Long)].collect() }
+    }
+    try {
+      val qs = queryRows(6)
+      stream.addData(qs.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(3): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served filtered top-k must equal the batch filtered answer")
+      // the k-guarantee holds per arriving query
+      assert(got.groupBy(_._1).values.forall(_.size == 10),
+        "every streamed query must get exactly k filtered results")
+    } finally { q.stop(); graft.core.Materialize.releaseAll(spark) }
+  }
+
   test("streamed IVF-PQ serving: probed-cells-only ADC equals batch, stateless") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
