@@ -861,6 +861,55 @@ object SparkEntry {
         .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(sum(amount).cast("double").as("profit"), count(lit(1)).as("n"))
     }),
+    "q16_supplier_parts" -> ((s, dir) => {
+      // q16 pattern — the NOT-IN + COUNT-DISTINCT shape: distinct
+      // suppliers serving each (brand, size) part segment, excluding one
+      // brand and excluding "complaint" suppliers (negative account
+      // balance — the supplier-table predicate playing q16's
+      // '%Customer%Complaints%' comment regex). NOT IN decorrelates to a
+      // LEFT ANTI against the dim-scale offender set, which BROADCASTS —
+      // the fact never shuffles for the exclusion; the distinct supplier
+      // count shuffles once on the group keys
+      val li = Tables.table(s, dir, "lineitem")
+      val complaints = Tables.table(s, dir, "supplier")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val p = Tables.table(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(complaints), Seq("l_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      // q20 pattern — the NESTED-AGGREGATE SEMI-CHAIN shape: suppliers
+      // that DOMINATE (>50% of shipped 1997 quantity) at least one widget
+      // part (availqty-vs-half-demand's role in this data model). The
+      // per-(part,supplier) aggregate is ONE fact shuffle; the per-part
+      // total rides a partkey-partitioned window over that dim-scale
+      // frame (bounded partitions — suppliers-per-part is a data-model
+      // constant; the q2/q17 argument), dominance compares exact
+      // DECIMALs, supplier names broadcast at the end
+      val d = DecimalType(18, 2)
+      val li = Tables.table(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1997)
+        .join(broadcast(Tables.table(s, dir, "part")
+          .where(col("p_name").contains("widget")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(d)).as("qty"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      ps.withColumn("total", sum(col("qty")).over(w))
+        .where(col("qty") * 2 > col("total"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"))
+        .join(broadcast(Tables.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -2171,6 +2220,23 @@ object SparkEntry {
         "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
         "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+    "q16_supplier_parts" ->
+      ("SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN (" +
+        "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2"),
+    "q20_dominant_suppliers" ->
+      ("WITH li AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE '%widget%' AND year(l_shipdate) = 1997), " +
+        "ps AS (SELECT l_partkey, l_suppkey, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM li GROUP BY 1, 2), " +
+        "tot AS (SELECT l_partkey, sum(qty) AS total FROM ps GROUP BY 1), " +
+        "dom AS (SELECT ps.l_suppkey FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey " +
+        "WHERE ps.qty * 2 > tot.total) " +
+        "SELECT s_suppkey, s_name, count(*) AS n_dominated " +
+        "FROM dom JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1, 2"),
     "q9_profit" ->
       ("SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -3131,8 +3197,9 @@ object SparkEntry {
       ("l_quantity", "double", "num"), ("l_extendedprice", "double", "num"),
       ("l_discount", "double", "num"), ("l_tax", "double", "num"),
       ("l_returnflag", "string", "str"), ("l_linestatus", "string", "str"),
-      // Spark reads the parquet TIMESTAMP (isAdjustedToUTC=false) as NTZ
-      ("l_shipdate", "timestamp_ntz", "other"))
+      // timestamp flavors collapse to "timestamp" (Profile mirrors this):
+      // the flavor is an environment fact that flips with writer settings
+      ("l_shipdate", "timestamp", "other"))
     cols.map { case (n, t, kind) =>
       val num = kind == "num"
       val str = kind == "str"

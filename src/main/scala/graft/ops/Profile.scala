@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, NumericType, StringType}
+import org.apache.spark.sql.types.{DecimalType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Single-pass column profiler — the data-quality sweep a training-data
   * pipeline runs before ingest. One aggregation job produces one row per
@@ -48,7 +48,14 @@ object Profile {
       val stringy = f.dataType == StringType
       struct(
         lit(f.name).as("column"),
-        lit(f.dataType.simpleString).as("dtype"),
+        // timestamp flavors collapse to one label: which flavor a parquet
+        // file carries is an ENVIRONMENT fact (isAdjustedToUTC flips with
+        // writer settings — the r9 testdata drift), not a data-quality
+        // fact, and a profile pinned to the flavor breaks on regeneration
+        lit(f.dataType match {
+          case TimestampNTZType | TimestampType => "timestamp"
+          case dt => dt.simpleString
+        }).as("dtype"),
         col("_nrows").as("n_rows"),
         col(s"_null$i").as("n_null"),
         col(s"_dist$i").as("n_distinct"),

@@ -368,6 +368,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p9, "BroadcastHashJoin") >= 2,
       "q9's part and supplier-nation dims must broadcast\n" + p9)
     assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"), p9)
+    // q16: the NOT-IN offender set must broadcast into a LEFT ANTI (the
+    // fact never shuffles for the exclusion); q20's per-part total is a
+    // partkey-partitioned window (no unpartitioned window, no cartesian)
+    val p16 = planOf("q16_supplier_parts")
+    assert(p16.contains("LeftAnti") && p16.contains("BroadcastHashJoin"), p16)
+    assert(!p16.contains("CartesianProduct") && !p16.contains("BroadcastNestedLoopJoin"), p16)
+    val p20 = planOf("q20_dominant_suppliers")
+    val unpart20 = raw"windowspecdefinition\((?!l_partkey#)".r
+    assert(unpart20.findFirstIn(p20).isEmpty,
+      "q20's total must ride a partkey-partitioned window\n" + p20)
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"), p20)
   }
 
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
