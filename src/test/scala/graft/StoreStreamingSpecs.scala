@@ -1240,6 +1240,52 @@ class StreamingBudgetSampleSpec extends SparkSpec {
   }
 }
 
+class StreamingDomainCapSpec extends SparkSpec {
+  test("uncapped single batch == batch domainCapTokens; caps enforce across splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsData = (1L to 40L).map(i =>
+      (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" "),
+        if (i % 3 == 0) "srcA" else "srcB"))
+
+    def serve(chunks: Seq[Seq[(Long, String, String)]], cap: Long,
+              budget: Long): Set[(Long, String, Long, Long, Long, Boolean)] = {
+      val stream = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingDomainCap.run(
+        stream.toDF.toDF("doc_id", "text", "source"), cap, budget)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dom_adm").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+        spark.sql("SELECT * FROM dom_adm")
+          .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+      } finally { q.stop(); spark.catalog.dropTempView("dom_adm") }
+    }
+
+    // cap = infinity: the token flavor must equal batch domainCapTokens
+    // row-for-row on a single batch (same (hash, doc_id) order)
+    val batchTruth = graft.ops.TextAnalysis.domainCapTokens(
+      docsData.toDF("doc_id", "text", "source"), budget = 60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val uncapped = serve(Seq(docsData), Long.MaxValue, 60L)
+    assert(uncapped.map(r => (r._1, r._2, r._3, r._5, r._6)) == batchTruth,
+      "uncapped stream must replay the batch token straddle rule")
+
+    // doc cap enforced exactly, even when arrivals split across batches
+    val capped = serve(
+      Seq(docsData.take(15), docsData.slice(15, 30), docsData.drop(30)),
+      cap = 5, budget = Long.MaxValue)
+    val perSource = capped.groupBy(_._2)
+    assert(perSource.keySet == Set("srcA", "srcB"))
+    perSource.foreach { case (src, rs) =>
+      assert(rs.count(_._6) == 5L, s"$src must admit exactly cap docs")
+      // n_before counts only ADMITTED docs and never reaches cap on a keep
+      rs.filter(_._6).foreach(r => assert(r._4 < 5L))
+    }
+  }
+}
+
 class StreamingMixMonitorSpec extends SparkSpec {
   test("live mix cells equal the batch rollup at stream end, across batch splits") {
     import spark.implicits._
