@@ -381,6 +381,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"), p20)
   }
 
+  test("filtered ANN pushes the predicate into the corpus parquet scan") {
+    // the central scale claim of ann_filtered: non-matching vectors never
+    // materialize — the label predicate must reach PushedFilters on the
+    // embeddings scan (both the probe branch and the rescue re-scan)
+    val p = planOf("ann_filtered")
+    assert(p.contains("EqualTo(label,7)"),
+      "label predicate must be pushed to the embeddings scan\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
