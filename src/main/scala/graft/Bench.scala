@@ -79,23 +79,32 @@ object Bench {
         }
       }
       val best = times.minBy(_._1)
+      // spread = max−min across the repeat draws: the per-query contention
+      // signal the r8 adjudication wanted IN the artifact — a large spread
+      // on a flat-cpu query is box noise, not a regression
+      val spread = times.map(_._1).max - times.map(_._1).min
       System.err.println(f"[bench] $name%-20s ${times.map(t => f"${t._1}%.2f").mkString(" ")} s" +
         f" -> min ${best._1}%.2f (cpu ${best._2}%.2f s)")
-      (name, best._1, best._2)
+      (name, best._1, best._2, spread)
     }
     // 4-decimal times keep the closing JSON line compact (BENCH_r03's
     // full-precision doubles overflowed the driver's bounded output tail
     // and truncated the per-query map); the same line is also written to a
     // file so the artifact survives any stdout capture limit.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query process-CPU seconds (file artifact only — the stdout tail
     // is size-bounded): wall >> cpu/ncpu on a query that was flat in r-1
     // means box load, not regression
-    val cpuQs = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }
+    val cpuQs = results.map { case (k, _, c, _) => s"\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    // per-query max−min over the repeat draws (file artifact): reads as
+    // "how contended was THIS query's measurement" next to the min
+    val spreadQs = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + fmt(sp) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val spreadSum = results.map(_._4).sum
     val totalCpu = cpuSec - cpu0
     val totalWall = (System.nanoTime() - wall0) / 1e9
     // load signal: process CPU vs wall over the whole benched region, the
@@ -109,9 +118,12 @@ object Bench {
         s""""repeat":$repeat,""" +
         s""""ncpu":${Runtime.getRuntime.availableProcessors},""" +
         s""""util_cores":${fmt(totalCpu / math.max(totalWall, 1e-9))},""" +
+        // Σ per-query (max−min): the one-number contention verdict for the
+        // whole run — near zero on an idle box, grows with interference
+        s""""spread_sum":${fmt(spreadSum)},""" +
         s""""sys_load_avg":${fmt(osBean.getSystemLoadAverage)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"load":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spreadQs,"load":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
@@ -123,7 +135,7 @@ object Bench {
     // summary — total + load signal + the 15 heaviest queries — that
     // always survives.
     val heavy = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load":$load,"top":$heavy,"sf":"$sfDir"}""")
     spark.stop()
   }

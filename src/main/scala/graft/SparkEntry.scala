@@ -910,6 +910,45 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
     }),
+    "q11_value_concentration" -> ((s, dir) => {
+      // q11 pattern — the HAVING-ABOVE-GLOBAL-FRACTION shape (the last
+      // classic TPC-H plan family not yet covered): per-part value within
+      // one trade bloc's supplier flow, keeping parts whose value exceeds
+      // a fixed fraction of the bloc total. Adapted to this star (no
+      // partsupp table): value = extendedprice·(1−discount) over lines
+      // supplied by bloc suppliers (nationkey ≡ 0 mod 5 — a deterministic
+      // 5-of-25-nation slice that survives any testdata regeneration,
+      // where a single literal nation can be supplier-empty at tiny SF).
+      // Decorrelation: the bloc restriction is a BROADCAST SEMI on the
+      // supplier dim (the fact never shuffles for it); per-part value is
+      // ONE fact shuffle on partkey; the scalar bloc total aggregates the
+      // DIM-SCALE per-part view and broadcasts back as a 1-row crossJoin
+      // (q15's idiom). HAVING compares exact DECIMALs; only output casts.
+      val d = DecimalType(18, 2)
+      val bloc = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")
+          .where(col("n_nationkey") % 5 === 0).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey").as("l_suppkey"))
+      val perPart = Tables.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d))).as("v"))
+        .join(broadcast(bloc), Seq("l_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("value"))
+      val total = perPart.agg(sum(col("value")).as("bloc_total"),
+        count(lit(1)).as("n_parts"))
+      // SCALE-INVARIANT concentration bar — "above 2× the mean part
+      // value", compared as value·n > 2·total: decimal×integer is exact
+      // in every engine (a fixed fraction like q11's 0.0001/SF empties
+      // at larger part counts; a double fraction rounds differently per
+      // engine at the boundary)
+      perPart.crossJoin(broadcast(total))
+        .where(col("value") * col("n_parts") > col("bloc_total") * lit(2))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value").cast("double").as("value"))
+    }),
     "supplier_nation_revenue" -> ((s, dir) => {
       // supplier-side dim chain (supplier→nation) broadcast, fact shuffles
       // only for the final aggregation — q5's sibling covering the two
@@ -1160,6 +1199,19 @@ object SparkEntry {
       graft.ops.Dedup.incrementalDedup(
         d.where(col("source") === "src0"), d.where(col("source") =!= "src0"))
     }),
+    "dedup_bloom" -> ((s, dir) => {
+      // Bloom-screened exact incremental dedup: the src0 batch vs the
+      // rest — bounded-bits screen (no key collect), exact verify join
+      // for positives only; result is exact (no false negatives)
+      val d = Tables.table(s, dir, "documents")
+      graft.ops.Dedup.bloomScreenDedup(
+        d.where(col("source") === "src0"), d.where(col("source") =!= "src0"))
+        .drop("screened") // screened is filter-seed-dependent; spec-pinned
+    }),
+    "corpus_shuffle" -> ((s, dir) =>
+      // deterministic global training order: two-pass distributed global
+      // rank over the portable epoch hash — no single-task window
+      graft.ops.TextAnalysis.corpusShuffle(Tables.table(s, dir, "documents"))),
     "contamination_check" -> ((s, dir) =>
       graft.ops.TextAnalysis.contaminationCheck(Tables.table(s, dir, "documents"))),
     "tfidf_topterms" -> ((s, dir) =>
@@ -1262,6 +1314,10 @@ object SparkEntry {
       // SemDeDup end-to-end: within-cell pairs -> connected components ->
       // keeper = farthest-from-centroid member (the curation decision)
       graft.ops.Ivf.semanticDedup(Tables.table(s, dir, "embeddings"))),
+    "knn_graph" -> ((s, dir) =>
+      // approximate k-NN graph: every vector's top-5 within its quantizer
+      // cell — candidates cell-bounded, selection via the bounded heap
+      graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))),
     "semantic_incremental" -> ((s, dir) => {
       // nightly-crawl screening on the embedding side: the vec_id%10==0
       // batch vs the rest of the corpus — quantizer trained on the
@@ -2248,6 +2304,16 @@ object SparkEntry {
         "JOIN nation ON s_nationkey = n_nationkey " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE p_name LIKE '%widget%' GROUP BY 1, 2"),
+    "q11_value_concentration" ->
+      ("WITH bloc AS (SELECT s_suppkey FROM supplier JOIN nation " +
+        "ON s_nationkey = n_nationkey WHERE n_nationkey % 5 = 0), " +
+        "pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM bloc) " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT sum(value) AS bloc_total, count(*) AS n_parts FROM pp) " +
+        "SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value " +
+        "FROM pp, tot WHERE value * n_parts > bloc_total * 2"),
     "supplier_nation_revenue" ->
       (s"SELECT n_name, $RevenueSql AS revenue, count(*) AS n, " +
         "count(DISTINCT s_suppkey) AS n_suppliers " +
@@ -2317,6 +2383,19 @@ object SparkEntry {
     "corpus_dedup" -> corpusDedupSql(0.8),
     "corpus_dedup_stable" -> corpusDedupStableSql(0.8),
     "dedup_incremental" -> incrementalDedupSql(),
+    "dedup_bloom" ->
+      // exact by construction: the Bloom screen only routes rows; every
+      // positive is verified, negatives are guaranteed-new
+      ("WITH ch AS (SELECT DISTINCT CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h " +
+        "FROM documents WHERE source <> 'src0') " +
+        "SELECT doc_id, CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h, " +
+        "CAST('0x'||substr(md5(text),1,15) AS BIGINT) IN (SELECT h FROM ch) AS is_dup " +
+        "FROM documents WHERE source = 'src0'"),
+    "corpus_shuffle" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':epoch0'),1,8) AS BIGINT) AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos FROM k"),
     "repetition_score" ->
       ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
         "shg AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2), " +
@@ -2737,6 +2816,23 @@ object SparkEntry {
         "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
         "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
+    // knnGraph replay: the semantic_neardup assignment CTEs + a full
+    // within-cell join ranked per vector (cos desc, neighbor asc) ≤ k
+    "knn_graph" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, neighbor_id, cos, rn FROM (" +
+        "SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn " +
+        "FROM p) WHERE rn <= 5"),
     // semanticDedup replay: the semantic_neardup pair CTEs + recursive
     // min-label reachability (the corpus_dedup CC mold) + the
     // farthest-from-centroid keeper (ccos asc, vec_id asc)

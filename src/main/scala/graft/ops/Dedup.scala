@@ -259,6 +259,53 @@ object Dedup {
         (col("best_est").isNull || col("best_est") < minJaccard).as("novel"))
   }
 
+  /** Bloom-screened EXACT incremental dedup — the bounded-memory cousin of
+    * the broadcast screen SET used by [[incrementalDedup]]'s semantic
+    * sibling: "is this new doc's content hash already in the corpus?"
+    * answered by a Bloom filter built over the corpus hashes
+    * (`df.stat.bloomFilter` — a treeAggregate of fixed-size bit arrays,
+    * never a key collect) plus an exact verification join for the
+    * filter's positives. The RESULT is exact: Bloom filters have no
+    * false negatives, so every true duplicate is a candidate, and false
+    * positives (rate `fpp`) are struck by the verify join. One row per
+    * batch doc: (doc_id, h, screened, is_dup), where `screened` is the
+    * Bloom candidate bit — `is_dup ⇒ screened` is the no-false-negative
+    * invariant BloomScreenSpec pins.
+    *
+    * Scale design: an exact broadcast screen set costs ≥8 bytes/key; the
+    * Bloom screen costs ~1.2 bytes/key at fpp=1% regardless of key width
+    * — 10⁹ corpus docs ≈ 1.2 GB executor-resident where the exact set
+    * is 8+ GB. The (1−fpp) majority of genuinely-new batch rows are
+    * settled MAP-ONLY and never shuffle; only candidates (true dups +
+    * ~fpp·|batch| strays) enter the verify equi-join against the skinny
+    * distinct corpus-hash column. Past single-executor filter sizes the
+    * same plumbing shards the filter by hash prefix into a Bloom forest;
+    * this is the single-filter case. The membership probe itself is the
+    * one non-codegen step (a Long→Boolean closure over the broadcast
+    * bits — no Catalyst builtin expresses it); it guards the shuffle,
+    * it is not on a shuffle path.
+    */
+  def bloomScreenDedup(newDocs: DataFrame, corpus: DataFrame,
+                       fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val cH = corpus.select(hash60(col("text")).as("h"))
+    // skinny single-column count: sizes the filter to the corpus
+    val n = math.max(cH.count(), 1L)
+    val bf = cH.stat.bloomFilter("h", n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    val batch = newDocs.select(col("doc_id"), hash60(col("text")).as("h"))
+      .withColumn("screened", might(col("h")))
+    val verified = batch.where(col("screened"))
+      .join(cH.distinct().withColumn("dup", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("h"), col("screened"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+    batch.where(!col("screened"))
+      .select(col("doc_id"), col("h"), col("screened"),
+        lit(false).as("is_dup"))
+      .unionByName(verified)
+  }
+
   /** docs + `hashes` column: hashed 3-shingles, built via materialized
     * intermediates (see minhashSignatures scaladoc).
     */

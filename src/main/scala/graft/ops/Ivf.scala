@@ -506,6 +506,50 @@ object Ivf {
         round(graft.functions.cosine_sim(col("v1"), col("v2")), 6).as("cos"))
       .where(col("cos") >= threshold)
 
+  /** Approximate k-NN GRAPH over the whole corpus — the rung between
+    * point search (`ann_*`: k neighbors of a few queries) and the pair
+    * threshold (`semantic_neardup`: all pairs above a cosine): EVERY
+    * vector's top-k nearest neighbors among its own quantizer cell
+    * (single-probe). The graph is what graph-based curation consumes —
+    * diversity sampling, cluster-connectivity audits, SemDeDup variants
+    * that weight by neighborhood density. Cross-cell true neighbors are
+    * the recall price, tuned by `numCells` (the IVF nprobe tradeoff,
+    * graph-sided). Emits (vec_id, neighbor_id, cos, rn), rn 1-based by
+    * (cos desc, neighbor_id asc).
+    *
+    * Scale design: candidates bounded at Σ|cell|² by the cell equi-join
+    * (semanticNearDup's argument) off ONE materialized assignment scan;
+    * the per-vector selection is the bounded TopKByScore heap — map
+    * tasks reduce to ≤k rows per vector BEFORE the shuffle, never a
+    * row_number window sorting a giant candidate partition.
+    */
+  def knnGraph(emb: DataFrame, numCells: Int = 16, k: Int = 5): DataFrame =
+    knnGraphWith(emb, train(emb, numCells, iters = 0), k)
+
+  /** [[knnGraph]] against a PRE-TRAINED quantizer (train-once/reuse). */
+  def knnGraphWith(emb: DataFrame, cents: Array[Array[Double]],
+                   k: Int = 5): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    if (cents.isEmpty) // empty model → no cells → empty graph (not a crash)
+      return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+        lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+    val cells = assignedCells(vecs(emb), cents)
+    val agg = udaf(new TopKByScore(k), ExpressionEncoder[ScoredId]())
+    cells.select(col("cid"), col("vec_id"), col("v"))
+      .join(cells.select(col("cid"), col("vec_id").as("nid"),
+        col("v").as("nv")), Seq("cid"))
+      .where(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"),
+        round(graft.functions.cosine_sim(col("v"), col("nv")), 6).as("cos"),
+        col("nid"))
+      .groupBy(col("vec_id"))
+      .agg(agg(col("cos"), col("nid")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** SemDeDup end-to-end — [[semanticNearDup]]'s pairs turned into the
     * actual curation decision, in the corpus_dedup mold: within-cell
     * near-dup pairs → min-label connected components (Dedup.clusters'

@@ -580,6 +580,30 @@ object TextAnalysis {
         (col("cum_before") < budget).as("keep"))
   }
 
+  /** Deterministic GLOBAL training-order shuffle: the reproducible
+    * permutation a trainer consumes the corpus in — "shuffle the corpus
+    * for epoch k" as a pure function of the data. Position = rank of the
+    * portable hash h32(doc_id ‖ ':' ‖ seed) (ties → doc_id), so changing
+    * `seed` reshuffles every epoch while the same (corpus, seed) yields
+    * the SAME order on any engine or partitioning — the property
+    * `rand()`-based shuffles lose the moment a partition moves.
+    *
+    * Scale design: the global rank is the distributed two-pass
+    * [[Scan.withRunningTotal]] with value 1 and NO group — a global
+    * row_number whose sort is a range shuffle across ALL partitions,
+    * never the single-task `row_number() OVER (ORDER BY …)` window that
+    * serializes a corpus-scale sort onto one executor. Emits
+    * (doc_id, h, shuffle_pos) with shuffle_pos 0-based.
+    */
+  def corpusShuffle(docs: DataFrame, seed: String = "epoch0"): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      Dedup.hash32(concat(col("doc_id").cast("string"), lit(":" + seed)))
+        .as("h"),
+      lit(1L).as("one"))
+    Scan.withRunningTotal(keyed, Seq(), Seq("h", "doc_id"), "one", "shuffle_pos")
+      .select(col("doc_id"), col("h"), col("shuffle_pos"))
+  }
+
   /** RAG-style chunking PLAN: each doc fans out into fixed-`size` token
     * windows advancing by `size − overlap` (the standard overlapped
     * retrieval chunker), the last window clamped to the doc end — one
