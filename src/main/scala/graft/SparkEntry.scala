@@ -930,13 +930,18 @@ object SparkEntry {
           .where(col("n_nationkey") % 5 === 0).select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"), "left_semi")
         .select(col("s_suppkey").as("l_suppkey"))
-      val perPart = Tables.table(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice").cast(d) *
-            (lit(1).cast(d) - col("l_discount").cast(d))).as("v"))
-        .join(broadcast(bloc), Seq("l_suppkey"), "left_semi")
-        .groupBy(col("l_partkey"))
-        .agg(sum(col("v")).as("value"))
+      // perPart feeds BOTH the probe branch and the scalar total — cut it
+      // (q15's lesson: ReuseExchange measurably does not dedupe the two
+      // branches, so without the cut the fact is scanned+shuffled twice;
+      // plan-pinned to one lineitem scan)
+      val perPart = graft.core.Materialize.once(
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice").cast(d) *
+              (lit(1).cast(d) - col("l_discount").cast(d))).as("v"))
+          .join(broadcast(bloc), Seq("l_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("v")).as("value")))
       val total = perPart.agg(sum(col("value")).as("bloc_total"),
         count(lit(1)).as("n_parts"))
       // SCALE-INVARIANT concentration bar — "above 2× the mean part

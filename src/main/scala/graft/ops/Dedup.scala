@@ -284,6 +284,12 @@ object Dedup {
     * one non-codegen step (a Long→Boolean closure over the broadcast
     * bits — no Catalyst builtin expresses it); it guards the shuffle,
     * it is not on a shuffle path.
+    *
+    * The corpus's skinny hash column is deliberately NOT cached between
+    * the sizing count, the filter build, and the verify join: the count
+    * collapses to parquet metadata under column pruning, and at corpus
+    * scale re-reading one pruned column twice is cheaper than pinning
+    * an 8-bytes/doc frame in cluster storage just to save the re-scan.
     */
   def bloomScreenDedup(newDocs: DataFrame, corpus: DataFrame,
                        fpp: Double = 0.01): DataFrame = {

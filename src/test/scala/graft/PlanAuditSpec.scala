@@ -391,6 +391,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q11 scans the fact once; bloom screen joins only candidates; shuffle-free corpus shuffle") {
+    // q11: the per-part view feeds both the probe and the scalar total —
+    // the Materialize cut must leave exactly ONE lineitem scan (q15's
+    // ReuseExchange lesson); the only nested loop is the 1-row total
+    // (≤1 like q15: the cut job scans the fact; the reported plan reads
+    // the checkpointed RDD, so the fact appears at most once — twice
+    // would mean the cut was lost)
+    val p11 = planOf("q11_value_concentration")
+    assert(countOccurrences(p11, "lineitem.parquet") <= 1,
+      "q11's per-part view lost its cut — lineitem scanned twice\n" + p11)
+    assert(countOccurrences(p11, "BroadcastNestedLoopJoin") <= 1, p11)
+    // dedup_bloom: the verify side is an equi hash join on the hash —
+    // never a nested loop; no window anywhere
+    val pb = planOf("dedup_bloom")
+    assert(pb.contains("BroadcastHashJoin") || pb.contains("SortMergeJoin"), pb)
+    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"), pb)
+    // corpus_shuffle: the global rank is the two-pass scan — NO window,
+    // no single-partition exchange in the executed plan
+    val ps = planOf("corpus_shuffle")
+    assert(!ps.contains("Window"), "global row_number window regressed\n" + ps)
+    assert(!ps.contains("SinglePartition"), ps)
+    // knn_graph: bounded heap selection, never a per-vector window
+    val pk = planOf("knn_graph")
+    assert(pk.toLowerCase.contains("topkbyscore"), pk)
+    assert(!pk.contains("Window"), pk)
+  }
+
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
     val pTop = planOf("ann_topk")
     assert(!pTop.contains("Window"), "full-scored-set window top-k regressed\n" + pTop)
