@@ -604,6 +604,68 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class StreamingBloomDedupSpec extends SparkSpec {
+  test("streamed bloom screen equals the batch operator across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .where(col("source") =!= "src0")
+    val batchDocs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .where(col("source") === "src0")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingBloomDedup.run(
+      stream.toDF.toDF("doc_id", "ts", "text"), corpus)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bloom_out").start()
+    try {
+      // split the batch arbitrarily across micro-batches: verdicts are
+      // per-doc pure functions of (content, snapshot) — stateless
+      val (a, b) = batchDocs.splitAt(batchDocs.length / 3)
+      stream.addData(a.map { case (id, t) => (id, ts(T0), t) }.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.map { case (id, t) => (id, ts(T0 + 60), t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val live = spark.sql("SELECT doc_id, h, is_dup FROM bloom_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val ref = graft.ops.Dedup.bloomScreenDedup(
+        spark.read.parquet(s"$Sf0001/documents.parquet")
+          .where(col("source") === "src0"), corpus)
+        .select(col("doc_id"), col("h"), col("is_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(live == ref, "stream face diverged from the batch operator")
+      // the no-false-negative law carries through the stream face
+      assert(spark.sql(
+        "SELECT count(*) FROM bloom_out WHERE is_dup AND NOT screened")
+        .head().getLong(0) == 0L)
+    } finally q.stop()
+  }
+
+  test("a planted corpus copy is flagged mid-stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingBloomDedup.run(
+      stream.toDF.toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_plant").start()
+    try {
+      stream.addData(
+        (1L, ts(T0), "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, ts(T0), "genuinely novel content that matches nothing at all"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, is_dup FROM bloom_plant")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(rows == Set((1L, true), (2L, false)))
+    } finally q.stop()
+  }
+}
+
 class StreamingPatternsSpec extends SparkSpec {
   test("live pattern flags equal the batch operator over the same candles") {
     import spark.implicits._
