@@ -1323,6 +1323,37 @@ object SparkEntry {
       // approximate k-NN graph: every vector's top-5 within its quantizer
       // cell — candidates cell-bounded, selection via the bounded heap
       graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))),
+    "embedding_covariance" -> ((s, dir) => {
+      // upper-triangular covariance of the embedding dims over values
+      // QUANTIZED to 1e-6 by floor — every intermediate is an exact
+      // integer, so any engine replays bit-identically (the
+      // oracle-replayable face of Pca.train; the treeAggregate
+      // accumulator there is the 100 TB path — this explode+self-join
+      // shuffles n·d(d+1)/2 skinny rows and exists for replayability;
+      // PcaSpec pins the two against each other). Per (i,j) group,
+      // sum(xq) IS Σᵥx_{v,i} (each vector contributes once), so the
+      // means come from the same aggregation — no second pass.
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")))
+        .toDF("vec_id", "i", "x")
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          floor(col("x") * lit(1000000)).cast("long").as("xq"))
+      e.join(e.select(col("vec_id"), col("i").as("j"), col("xq").as("yq")),
+          Seq("vec_id"))
+        .where(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xq") * col("yq")).as("sp"),
+          sum(col("xq")).as("si"), sum(col("yq")).as("sj"),
+          count(lit(1)).as("n"))
+        .select(col("i"), col("j"),
+          // + 0.0 folds IEEE −0.0 (a possible rounding output) to +0.0,
+          // same normalization on the oracle side
+          (round((col("sp").cast("double") / col("n") -
+            (col("si").cast("double") / col("n")) *
+            (col("sj").cast("double") / col("n"))) / lit(1000000000000.0), 6)
+            + lit(0.0)).as("cov"))
+    }),
     "semantic_incremental" -> ((s, dir) => {
       // nightly-crawl screening on the embedding side: the vec_id%10==0
       // batch vs the rest of the corpus — quantizer trained on the
@@ -2821,6 +2852,17 @@ object SparkEntry {
         "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
         "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
+    "embedding_covariance" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS i, " +
+        "CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS xq " +
+        "FROM embeddings) " +
+        "SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j, " +
+        "round((CAST(sum(a.xq * b.xq) AS DOUBLE) / count(*) - " +
+        "(CAST(sum(a.xq) AS DOUBLE) / count(*)) * " +
+        "(CAST(sum(b.xq) AS DOUBLE) / count(*))) / 1000000000000.0, 6) + 0.0 AS cov " +
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i " +
+        "GROUP BY 1, 2"),
     // knnGraph replay: the semantic_neardup assignment CTEs + a full
     // within-cell join ranked per vector (cos desc, neighbor asc) ≤ k
     "knn_graph" ->
