@@ -1323,6 +1323,31 @@ object SparkEntry {
       // approximate k-NN graph: every vector's top-5 within its quantizer
       // cell — candidates cell-bounded, selection via the bounded heap
       graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))),
+    "knn_components" -> ((s, dir) =>
+      // mutual-kNN clustering: edges kept only when BOTH endpoints rank
+      // each other top-k (hub pruning), then pointer-jumping CC
+      graft.ops.Ivf.knnComponents(Tables.table(s, dir, "embeddings"))),
+    "mad_outliers" -> ((s, dir) => {
+      // robust per-type outlier flags: |x − median| > 3·MAD — the
+      // z-score family (clip_outliers) breaks under fat tails;
+      // median/MAD have a 50% breakdown point. TWO dim-scale grouped
+      // EXACT percentiles (Spark `percentile` == DuckDB `quantile_cont`,
+      // the quality_prune parity), each broadcast back; the flag itself
+      // is map-only. At unbounded distinct-value scale swap in
+      // `approx_percentile` (value_percentiles' path) — the oracle pins
+      // the exact form. Rounded to 6 before every compare.
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+      val withMed = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", round(abs(col("value") - col("med")), 6))
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), (col("adev") > col("mad") * 3).as("outlier"))
+    }),
     "embedding_covariance" -> ((s, dir) => {
       // upper-triangular covariance of the embedding dims over values
       // QUANTIZED to 1e-6 by floor — every intermediate is an exact
@@ -2852,6 +2877,40 @@ object SparkEntry {
         "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
         "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"),
+    // knnComponents replay: the knn_graph CTEs + the mutual filter + the
+    // recursive min-label CC mold
+    "knn_components" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "p0 AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+        "p AS (SELECT vec_id, neighbor_id FROM (" +
+        "SELECT vec_id, neighbor_id, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM p0) " +
+        "WHERE rn <= 5), " +
+        "mut AS (SELECT a.vec_id AS id1, a.neighbor_id AS id2 FROM p a " +
+        "JOIN p b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id " +
+        "WHERE a.vec_id < a.neighbor_id), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM mut UNION SELECT id2, id1 FROM mut), " +
+        "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
+        "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +
+        "UNION SELECT g.a AS vec_id, c.lbl FROM edges g JOIN comp c ON g.b = c.vec_id) " +
+        "SELECT vec_id, min(lbl) AS cluster_id FROM comp GROUP BY 1"),
+    "mad_outliers" ->
+      ("WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT e.event_id, e.event_type, e.value, m.med, " +
+        "round(abs(e.value - m.med), 6) AS adev FROM events e JOIN m USING (event_type)), " +
+        "d AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad " +
+        "FROM a GROUP BY 1) " +
+        "SELECT a.event_id, a.event_type, a.value, a.med, d.mad, " +
+        "a.adev > d.mad * 3 AS outlier FROM a JOIN d USING (event_type)"),
     "embedding_covariance" ->
       ("WITH e AS (SELECT vec_id, " +
         "generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS i, " +

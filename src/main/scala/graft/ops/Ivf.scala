@@ -550,6 +550,32 @@ object Ivf {
         col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** Mutual-kNN clustering — [[knnGraph]] turned into a curation
+    * grouping: an edge survives only if EACH endpoint ranks the other in
+    * its own top-k (mutuality prunes hub vertices — the classic density
+    * trick against one popular vector chaining everything together),
+    * then min-label connected components over the surviving symmetric
+    * core (the corpus_dedup pointer-jumping kernel — one job per round,
+    * no driver accumulation). Vectors with no mutual edge are absent:
+    * unclustered by definition. Emits (vec_id, cluster_id).
+    *
+    * Scale design: the graph frame is materialized ONCE and probed for
+    * both direction checks (a skinny k·n edge list); the mutual filter
+    * is a self left-semi equi-join on (a, b); CC inherits clusters'
+    * bounded-round guarantees.
+    */
+  def knnComponents(emb: DataFrame, numCells: Int = 16, k: Int = 5): DataFrame = {
+    val g = graft.core.Materialize.once(
+      knnGraph(emb, numCells, k)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b")))
+    val mutual = g
+      .join(g.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .where(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"))
+    Dedup.clusters(mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
   /** SemDeDup end-to-end — [[semanticNearDup]]'s pairs turned into the
     * actual curation decision, in the corpus_dedup mold: within-cell
     * near-dup pairs → min-label connected components (Dedup.clusters'
