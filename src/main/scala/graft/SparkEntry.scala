@@ -258,6 +258,11 @@ object SparkEntry {
       Analytics.drawdownCurve(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "volume_profile" -> ((s, dir) =>
       Analytics.volumeProfile(Tables.trades(s, dir))),
+    "range_vol" -> ((s, dir) =>
+      // Parkinson + Garman–Klass range volatility per symbol: the
+      // OHLC-native sigma estimates (5-7x more efficient than
+      // close-to-close stddev); exact decimal partial sums
+      Analytics.rangeVolatility(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
@@ -1327,6 +1332,21 @@ object SparkEntry {
       // mutual-kNN clustering: edges kept only when BOTH endpoints rank
       // each other top-k (hub pruning), then pointer-jumping CC
       graft.ops.Ivf.knnComponents(Tables.table(s, dir, "embeddings"))),
+    "knn_pagerank" -> ((s, dir) =>
+      // integer-scaled fixed-iteration PageRank over the kNN graph —
+      // centrality for density-weighted curation; every intermediate an
+      // exact BIGINT so any engine/partitioning replays bit-identically
+      graft.ops.Graph.pageRank(
+        graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+        .select(col("v").as("vec_id"), col("pr"))),
+    "ann_sq8" -> ((s, dir) => {
+      // scalar-quantized (1 byte/dim) asymmetric search: raw query vs
+      // SQ8-reconstructed corpus — the 8x working-set cut between the
+      // flat index and PQ; codec = 2·d corpus min/max stats
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Sq.searchTopK(e, e.where(col("vec_id") < 10), 5)
+    }),
     "mad_outliers" -> ((s, dir) => {
       // robust per-type outlier flags: |x − median| > 3·MAD — the
       // z-score family (clip_outliers) breaks under fat tails;
@@ -1416,6 +1436,17 @@ object SparkEntry {
       // token-budget flavor: hash-ordered prefix per source through the
       // distributed two-pass scan (budget_sample's stratum -> source)
       graft.ops.TextAnalysis.domainCapTokens(Tables.table(s, dir, "documents"))),
+    "lm_perplexity" -> ((s, dir) =>
+      // CCNet-style reference-LM quality filter: add-one bigram LM
+      // trained on the src0 slice, every doc scored by cross-entropy
+      // under it (OOV folded to <unk>); counts stay in frames — two
+      // token-key joins, never a broadcast model
+      graft.ops.LmScore.lmPerplexity(Tables.table(s, dir, "documents"))),
+    "vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget curve: fraction of corpus tokens covered by the
+      // top-V types for a ladder of V — one term shuffle + a TakeOrdered,
+      // exact integer folds over one collected sorted array
+      graft.ops.TextAnalysis.vocabCoverage(Tables.table(s, dir, "documents"))),
     "split_leakage" -> ((s, dir) =>
       // eval-hygiene audit: near-dup pairs straddling the train/val/test
       // boundary — split recomputed as a pure expression on both pair ids
@@ -1652,6 +1683,23 @@ object SparkEntry {
         "round((close - max(close) OVER w) / (CASE WHEN max(close) OVER w <> 0 THEN max(close) OVER w END), 6) AS drawdown, " +
         "close < max(close) OVER w AS underwater FROM c " +
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    // rangeVolatility replay: rounded log terms squared in exact
+    // DECIMAL(18,12) sums; literal 4*ln2 / 2*ln2-1 constants so no
+    // engine's libm ln(2) enters the compare
+    "range_vol" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "xy AS (SELECT symbol, " +
+        "CAST(round(ln(high / low), 6) AS DECIMAL(9,6)) AS x, " +
+        "CAST(round(ln(close / open), 6) AS DECIMAL(9,6)) AS y " +
+        "FROM c WHERE high > 0 AND low > 0 AND close > 0 AND open > 0), " +
+        "agg AS (SELECT symbol, count(*) AS n, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS sx2, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(18,12))) AS DOUBLE) AS sy2 " +
+        "FROM xy GROUP BY 1) " +
+        "SELECT symbol, n, " +
+        "round(sqrt(sx2 / n / 2.772588722239781), 6) AS parkinson, " +
+        "round(sqrt(greatest(0.5 * (sx2 / n) - 0.3862943611198906 * (sy2 / n), 0.0)), 6) AS garman_klass " +
+        "FROM agg"),
     "volume_profile" -> withTrades(
       ", rng AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM t GROUP BY 1), " +
         "b AS (SELECT t.symbol, qty, CASE WHEN hi = lo THEN 0 " +
@@ -2725,6 +2773,53 @@ object SparkEntry {
         "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
         "SELECT doc_id, source, n_tokens, cum_before, cum_before < 800 AS keep FROM c"),
+    // lmPerplexity replay: add-one bigram LM trained on the src0 slice,
+    // OOV folded to <unk>, P = (c12+1)/(c1+V) — a ratio of small exact
+    // integers, so both engines take ln of the identical double; ppl
+    // exponentiates the ALREADY-rounded log avg
+    "lm_perplexity" ->
+      ("WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "tr AS (SELECT ws FROM dw WHERE source = 'src0'), " +
+        "vocab AS (SELECT DISTINCT unnest(ws) AS w FROM tr), " +
+        "vocab2 AS (SELECT w FROM vocab WHERE w <> ''), " +
+        "vn AS (SELECT count(*) + 1 AS V FROM vocab2), " +
+        "trb0 AS (SELECT unnest(generate_series(1, len(ws)-1)) AS i, ws FROM tr WHERE len(ws) >= 2), " +
+        "trb AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM trb0), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1), " +
+        "db0 AS (SELECT doc_id, unnest(generate_series(1, len(ws)-1)) AS i, ws FROM dw WHERE len(ws) >= 2), " +
+        "db AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0), " +
+        "dm AS (SELECT doc_id, " +
+        "CASE WHEN v1.w IS NULL THEN '<unk>' ELSE db.w1 END AS w1m, " +
+        "CASE WHEN v2.w IS NULL THEN '<unk>' ELSE db.w2 END AS w2m, " +
+        "(v1.w IS NULL OR v2.w IS NULL) AS oov " +
+        "FROM db LEFT JOIN vocab2 v1 ON v1.w = db.w1 LEFT JOIN vocab2 v2 ON v2.w = db.w2), " +
+        "sc AS (SELECT doc_id, oov, " +
+        "-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + vn.V AS DOUBLE)) AS nll " +
+        "FROM dm LEFT JOIN c12 ON c12.w1 = dm.w1m AND c12.w2 = dm.w2m " +
+        "LEFT JOIN c1 ON c1.w1 = dm.w1m CROSS JOIN vn) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams, " +
+        "round(avg(nll), 6) AS log_ppl, " +
+        "round(exp(round(avg(nll), 6)), 6) AS ppl " +
+        "FROM sc GROUP BY 1"),
+    // vocabCoverage replay: term counts, rank by (freq DESC, term), and
+    // each budget's covered-token sum — all exact integers until the
+    // final rounded ratio
+    "vocab_coverage" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+        "tt AS (SELECT term FROM t WHERE term <> ''), " +
+        "tot AS (SELECT count(*) AS total_tokens FROM tt), " +
+        "f AS (SELECT term, count(*) AS freq FROM tt GROUP BY 1), " +
+        "rk AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS r FROM f), " +
+        "top AS (SELECT * FROM rk WHERE r <= 1024), " +
+        "b AS (SELECT unnest([16, 64, 256, 1024]) AS v), " +
+        "cov AS (SELECT b.v, count(*) AS n_types, CAST(sum(top.freq) AS BIGINT) AS covered_tokens " +
+        "FROM b JOIN top ON top.r <= b.v GROUP BY 1) " +
+        "SELECT CAST(cov.v AS BIGINT) AS v, CAST(cov.n_types AS BIGINT) AS n_types, " +
+        "cov.covered_tokens, tot.total_tokens, " +
+        "round(CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens, 6) AS coverage " +
+        "FROM cov CROSS JOIN tot"),
     // packPlan replay: the same exclusive per-lang prefix sum as one
     // window (fine at oracle scale; the engine uses the two-pass scan)
     "pack_plan" ->
@@ -2939,6 +3034,62 @@ object SparkEntry {
         "SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (" +
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn " +
         "FROM p) WHERE rn <= 5"),
+    // pageRank replay: the knn_graph CTEs as the edge list, then THREE
+    // unrolled integer-scaled iterations — every intermediate BIGINT
+    // (pr in 1e-9 units, contributions pr // outdeg, damping
+    // (85*s) // 100), so the replay is bit-exact by construction
+    "knn_pagerank" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+        "g AS (SELECT vec_id AS src, neighbor_id AS dst FROM (" +
+        "SELECT vec_id, neighbor_id, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn " +
+        "FROM p) WHERE rn <= 5), " +
+        "nodes AS (SELECT src AS nv FROM g UNION SELECT dst FROM g), " +
+        "outd AS (SELECT src, count(*) AS d FROM g GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "p0 AS (SELECT nv, CAST(1000000000 // n AS BIGINT) AS pr FROM nodes CROSS JOIN nn), " +
+        "s1 AS (SELECT g.dst AS nv, CAST(sum(p0.pr // o.d) AS BIGINT) AS s " +
+        "FROM g JOIN p0 ON p0.nv = g.src JOIN outd o ON o.src = g.src GROUP BY 1), " +
+        "p1 AS (SELECT nodes.nv, CAST((150000000 // nn.n) + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.nv = nodes.nv), " +
+        "s2 AS (SELECT g.dst AS nv, CAST(sum(p1.pr // o.d) AS BIGINT) AS s " +
+        "FROM g JOIN p1 ON p1.nv = g.src JOIN outd o ON o.src = g.src GROUP BY 1), " +
+        "p2 AS (SELECT nodes.nv, CAST((150000000 // nn.n) + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.nv = nodes.nv), " +
+        "s3 AS (SELECT g.dst AS nv, CAST(sum(p2.pr // o.d) AS BIGINT) AS s " +
+        "FROM g JOIN p2 ON p2.nv = g.src JOIN outd o ON o.src = g.src GROUP BY 1), " +
+        "p3 AS (SELECT nodes.nv, CAST((150000000 // nn.n) + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.nv = nodes.nv) " +
+        "SELECT nv AS vec_id, pr FROM p3"),
+    // SQ8 replay: per-dim min/max, round-to-nearest byte codes, midpoint
+    // decode, asymmetric cosine (raw query x reconstructed corpus) —
+    // identical IEEE arithmetic on both sides
+    "ann_sq8" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "x AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e), " +
+        "mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1), " +
+        "r AS (SELECT x.vec_id, x.i, CASE WHEN mm.mx = mm.mn THEN mm.mn " +
+        "ELSE mm.mn + LEAST(GREATEST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / 255.0) + 0.5), 0.0), 255.0) " +
+        "* ((mm.mx - mm.mn) / 255.0) END AS rx " +
+        "FROM x JOIN mm ON mm.i = x.i), " +
+        "rv AS (SELECT vec_id, list(rx ORDER BY i) AS rvec FROM r GROUP BY 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        "sc AS (SELECT q.qid, rv.vec_id AS id2, " +
+        "round(list_cosine_similarity(q.qv, rv.rvec), 6) AS cos " +
+        "FROM q JOIN rv ON rv.vec_id <> q.qid) " +
+        "SELECT qid, id2, cos, rn FROM (" +
+        "SELECT qid, id2, cos, CAST(row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, id2) AS BIGINT) AS rn " +
+        "FROM sc) WHERE rn <= 5"),
     // semanticDedup replay: the semantic_neardup pair CTEs + recursive
     // min-label reachability (the corpus_dedup CC mold) + the
     // farthest-from-centroid keeper (ccos asc, vec_id asc)

@@ -641,6 +641,40 @@ object Analytics {
     * only the final moment formulas are double (identical op order in
     * the oracle), rounded for engine stability. One aggregation.
     */
+  /** Range-based volatility estimators per symbol — Parkinson (high/low
+    * range) and Garman–Klass (range + open/close) over the candle frame:
+    * the OHLC-native σ estimates that are 5–7× more statistically
+    * efficient than close-to-close stddev at the same candle count (the
+    * classic 1980 results), i.e. the volatility a candle store can
+    * answer WITHOUT tick data. Per-candle log terms are rounded to 6 and
+    * squared in exact DECIMAL(18,12) partial sums (order-insensitive —
+    * the returnMoments determinism recipe); only the final formulas are
+    * double with literal constants (4·ln2, 2·ln2−1) so no engine's libm
+    * ln(2) enters the compare. One aggregation, map-side combined; GK's
+    * variance clamps at 0 (it is not positive per-candle). Cites the
+    * reference's candle model (ccxt-ohlcv-fetch.py:35-51) — this is a
+    * query over its stored OHLCV rows.
+    */
+  def rangeVolatility(candles: DataFrame): DataFrame = {
+    val x = when(col("high") > 0 && col("low") > 0,
+      round(log(col("high") / col("low")), 6)).cast(DecimalType(9, 6))
+    val y = when(col("close") > 0 && col("open") > 0,
+      round(log(col("close") / col("open")), 6)).cast(DecimalType(9, 6))
+    candles.select(col("symbol"), x.as("x"), y.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") * col("x")).cast(DecimalType(18, 12))).cast("double").as("sx2"),
+        sum((col("y") * col("y")).cast(DecimalType(18, 12))).cast("double").as("sy2"))
+      .withColumn("nd", col("n").cast("double"))
+      .select(col("symbol"), col("n"),
+        round(sqrt(col("sx2") / col("nd") / lit(2.772588722239781)), 6)
+          .as("parkinson"),
+        round(sqrt(greatest(lit(0.5) * (col("sx2") / col("nd")) -
+          lit(0.3862943611198906) * (col("sy2") / col("nd")), lit(0.0))), 6)
+          .as("garman_klass"))
+  }
+
   def returnMoments(candles: DataFrame): DataFrame = {
     val r = when(col("close") > 0 && col("prev_close") > 0,
       round(log(col("close") / col("prev_close")), 6)).cast(DecimalType(9, 6))

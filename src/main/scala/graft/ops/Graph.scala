@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality over an edge frame — the curation signal a
+  * k-NN graph feeds (density/importance weighting for diversity sampling,
+  * hub detection before mutual-kNN pruning, influence-weighted dedup
+  * keepers).
+  *
+  * PageRank here is FIXED-ITERATION and INTEGER-SCALED: ranks live in
+  * units of 1e-9 (BIGINT), per-edge contributions are integer divisions
+  * `pr div outdeg`, and the damping step is `(85 * s) div 100`. Every
+  * intermediate is an exact 64-bit integer, so ANY engine — Spark at
+  * 1000 executors or the single-node oracle — replays the result
+  * bit-identically regardless of partitioning or summation order (the
+  * embedding_covariance quantization argument applied to an iterative
+  * kernel; float PageRank would drift per-partition in the 15th digit and
+  * hash-mismatch). The ~1e-9 quantization error per iteration is far
+  * below any ranking use of the score.
+  *
+  * Scale shape: each iteration is ONE shuffle — join ranks onto edges by
+  * src (both sides partitioned by the join key; AQE broadcasts the rank
+  * frame only if it is genuinely small) and re-aggregate by dst. The edge
+  * frame and out-degrees are computed once and reused across iterations
+  * ([[graft.core.Materialize.once]] cuts the common subtree so the edge
+  * source is scanned once, not 3× per rank join). Dangling mass (nodes
+  * with no out-edges) is dropped, not redistributed — totals sum < 1 but
+  * ranking is unaffected; documented so the oracle replays the same
+  * convention.
+  */
+object Graph {
+
+  /** (node, pr) after `iters` damped iterations; `pr` is the rank in
+    * units of 1e-9 as an exact BIGINT. Expects an edge frame with
+    * columns (`src`, `dst`); multi-edges count multiply (a k-NN graph
+    * emits each directed edge once).
+    */
+  def pageRank(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = graft.core.Materialize.once(
+      edges0.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = graft.core.Materialize.once(
+      edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct())
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+
+    // pr0 = floor(1e9 / N); base = floor(0.15e9 / N)
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("v"), expr("1000000000L div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .join(outd, Seq("src"))
+        .select(col("dst").as("v"), expr("pr div d").as("c"))
+      val s = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = nodes.crossJoin(broadcast(nn))
+        .join(s, Seq("v"), "left")
+        .select(col("v"),
+          (expr("150000000L div n") +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("pr"))
+    }
+    pr
+  }
+}

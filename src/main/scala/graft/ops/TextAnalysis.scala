@@ -735,6 +735,40 @@ object TextAnalysis {
           .as("intercept"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget question asked
+    * before fixing a vocab size: what fraction of all corpus tokens do
+    * the top-V types cover, for a ladder of candidate V? (The BPE cousin
+    * of zipf_fit's naturalness check; OOV rate at budget V is
+    * 1 − coverage.) One term-count shuffle + a TakeOrdered over the
+    * largest budget (scale-safe: the candidate frame is max(vs) rows, no
+    * global sort, no unpartitioned window) — then each budget's covered
+    * count is a fixed-order integer fold over ONE collected sorted array
+    * (the zipf_fit idiom), so every number is an exact BIGINT any engine
+    * replays. Ties at the cut rank break by term asc, pinned by the same
+    * sort both engines run.
+    */
+  def vocabCoverage(docs: DataFrame, vs: Seq[Int] = Seq(16, 64, 256, 1024)): DataFrame = {
+    val terms = graft.core.Materialize.once(
+      docs.select(explode(words(col("text"))).as("term"))
+        .where(col("term") =!= ""))
+    val total = terms.agg(count(lit(1)).as("total_tokens"))
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vs.max)
+    val arr = top.agg(sort_array(collect_list(
+      struct((-col("freq")).as("nf"), col("term"), col("freq")))).as("arr"))
+    val budgets = docs.sparkSession.createDataFrame(
+      vs.sorted.map(v => Tuple1(v.toLong))).toDF("v")
+    budgets.crossJoin(broadcast(arr)).crossJoin(broadcast(total))
+      .select(col("v"),
+        least(col("v"), size(col("arr")).cast("long")).as("n_types"),
+        aggregate(slice(col("arr"), lit(1),
+          least(col("v"), size(col("arr")).cast("long")).cast("int")),
+          lit(0L), (acc, e) => acc + e.getField("freq")).as("covered_tokens"),
+        col("total_tokens"))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   /** Corpus heavy hitters via the MERGEABLE Misra–Gries sketch
     * (functions.MisraGries): map tasks shrink their partitions to ≤ k−1
     * counters before the shuffle — the sketch path for "top boilerplate
