@@ -1436,6 +1436,12 @@ object SparkEntry {
       // token-budget flavor: hash-ordered prefix per source through the
       // distributed two-pass scan (budget_sample's stratum -> source)
       graft.ops.TextAnalysis.domainCapTokens(Tables.table(s, dir, "documents"))),
+    "bm25_search" -> ((s, dir) =>
+      // BM25 ranked retrieval (contamination sweeps / targeted sourcing):
+      // broadcast query-term postings, dim-scale df/N/avgdl, exact
+      // decimal per-doc score sums, TakeOrdered top-k
+      graft.ops.Bm25.search(Tables.table(s, dir, "documents"),
+        Seq("spark", "join", "data"))),
     "lm_perplexity" -> ((s, dir) =>
       // CCNet-style reference-LM quality filter: add-one bigram LM
       // trained on the src0 slice, every doc scored by cross-entropy
@@ -2773,6 +2779,25 @@ object SparkEntry {
         "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
         "SELECT doc_id, source, n_tokens, cum_before, cum_before < 800 AS keep FROM c"),
+    // bm25 replay: Lucene-style idf, per-term contributions rounded to 6
+    // and summed in exact DECIMAL(18,6) (association-order-free), same
+    // left-assoc double expression shapes as the Spark side
+    "bm25_search" ->
+      ("WITH lens AS (SELECT doc_id, " +
+        "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS dl FROM documents), " +
+        "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens), " +
+        "q AS (SELECT unnest(['spark', 'join', 'data']) AS term), " +
+        "toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, toks.term, count(*) AS tf FROM toks JOIN q ON q.term = toks.term GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+        "contrib AS (SELECT tf.doc_id, " +
+        "CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(tot AS DOUBLE) / n))), 6) AS DECIMAL(18,6)) AS c " +
+        "FROM tf JOIN df ON df.term = tf.term JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN stats) " +
+        "SELECT doc_id, score FROM (" +
+        "SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score, " +
+        "row_number() OVER (ORDER BY CAST(sum(c) AS DOUBLE) DESC, doc_id) AS rn " +
+        "FROM contrib GROUP BY 1) WHERE rn <= 20"),
     // lmPerplexity replay: add-one bigram LM trained on the src0 slice,
     // OOV folded to <unk>, P = (c12+1)/(c1+V) — a ratio of small exact
     // integers, so both engines take ln of the identical double; ppl

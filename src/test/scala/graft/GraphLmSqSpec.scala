@@ -172,6 +172,40 @@ class GraphLmSqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- BM25 ----
+
+  test("bm25: hand-computed score on a toy corpus, ranking order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "cat dog cat", "en", "s0", 11L), // tf(cat)=2 in a 3-token doc
+      (2L, "cat fish", "en", "s0", 8L),
+      (3L, "bird fish tree", "en", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ops.Bm25.search(d, Seq("cat"), k = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // only docs containing "cat" rank
+    assert(r.keySet == Set(1L, 2L))
+    // hand BM25: N=3, df=2, idf=ln((3-2+0.5)/(2+0.5)+1); avgdl=8/3
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def sc(tf: Long, dl: Long) = {
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (8.0 / 3)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(r(1L) - sc(2, 3)) < 1e-9, s"${r(1L)} != ${sc(2, 3)}")
+    assert(math.abs(r(2L) - sc(1, 2)) < 1e-9)
+    assert(r(1L) > r(2L), "higher tf must outrank at comparable length")
+  }
+
+  test("bm25: returns k docs and deterministic order on sf0.001") {
+    val a = graft.ops.Bm25.search(docs, Seq("spark", "join", "data"), 20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.size == 20)
+    val b = graft.ops.Bm25.search(docs.repartition(17, col("doc_id")),
+      Seq("spark", "join", "data"), 20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a == b, "BM25 ranking changed with partitioning")
+  }
+
   // ---- range volatility ----
 
   test("rangeVolatility: hand-computed Parkinson/GK on a toy candle frame") {
