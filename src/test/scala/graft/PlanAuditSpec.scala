@@ -430,4 +430,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(pIvf.toLowerCase.contains("nearestcell"), pIvf)
     assert(countOccurrences(pIvf, "Window [row_number") <= 1, pIvf)
   }
+
+  test("lm scoring plans equi joins only; pagerank reads cuts; bm25 TakeOrdereds") {
+    // lm_perplexity: every model lookup is an equi join (hash or
+    // sort-merge) — the only nested-loop is the 1-row V scalar; per-doc
+    // reduction aggregates with a partial (map-side) phase
+    val pl = planOf("lm_perplexity")
+    assert(countOccurrences(pl, "BroadcastNestedLoopJoin") <= 1, pl)
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(pl.contains("partial_count") || pl.contains("partial count"), pl)
+    // knn_pagerank: edges + nodes come from the Materialize cuts — the
+    // embeddings file must not be re-scanned per iteration (3 iterations
+    // × 2 frames would otherwise mean 6+ corpus scans)
+    val pp = planOf("knn_pagerank")
+    assert(!pp.contains("FileScan"),
+      "pagerank must iterate over the materialized edge/node cuts\n" + pp)
+    // ann_sq8: scoring is the bounded heap, never a window; the corpus
+    // scan is column-pruned to (vec_id, embedding)
+    val ps = planOf("ann_sq8")
+    assert(!ps.contains("Window"), ps)
+    assert(ps.toLowerCase.contains("topkbyscore"), ps)
+    // bm25: final ranking is TakeOrdered (per-partition heaps), not a
+    // global sort exchange; postings join broadcasts the query terms
+    val pb = planOf("bm25_search")
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+  }
 }
