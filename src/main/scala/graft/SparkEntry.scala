@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Tables, Timeframe}
-import graft.ohlcv.{Analytics, Candles}
+import graft.ohlcv.{Analytics, Candles, Microstructure}
 import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -263,6 +263,25 @@ object SparkEntry {
       // OHLC-native sigma estimates (5-7x more efficient than
       // close-to-close stddev); exact decimal partial sums
       Analytics.rangeVolatility(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "tick_rule" -> ((s, dir) =>
+      // Lee-Ready tick-test trade classification -> hourly order-flow
+      // imbalance: one per-symbol window shuffle reused by the bucket agg
+      Microstructure.tickRuleImbalance(Tables.trades(s, dir), Tf1h.micros)),
+    "roll_spread" -> ((s, dir) =>
+      // Roll (1984) effective spread from close-change autocovariance:
+      // exact decimal co-moment sums, clamped at 0 for trending samples
+      Microstructure.rollSpread(
+        Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "amihud" -> ((s, dir) =>
+      // Amihud (2002) illiquidity: mean |ret| per dollar volume over daily
+      // candles, x1e6; exact DECIMAL(28,12) partial sums
+      Microstructure.amihud(
+        Candles.fromTrades(Tables.trades(s, dir), Timeframe.parse("1d")))),
+    "rolling_beta" -> ((s, dir) =>
+      // 24h trailing beta vs the equal-weight market return (dim-scale
+      // aggregate broadcast back); full frames only
+      Microstructure.rollingBeta(
+        Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
@@ -1226,6 +1245,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.contaminationCheck(Tables.table(s, dir, "documents"))),
     "tfidf_topterms" -> ((s, dir) =>
       graft.ops.TextAnalysis.tfidfTopTerms(Tables.table(s, dir, "documents"))),
+    "bigram_pmi" -> ((s, dir) =>
+      // PMI collocations: two hash aggs + dim-scale vocab joins, 1-row
+      // broadcast totals; never a corpus pair join
+      graft.ops.TextAnalysis.bigramPmi(Tables.table(s, dir, "documents"))),
     "volume_anomaly" -> ((s, dir) =>
       Analytics.volumeAnomaly(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "candle_patterns" -> ((s, dir) =>
@@ -1514,6 +1537,23 @@ object SparkEntry {
     "profile_lineitem" -> ((s, dir) =>
       // single-pass data-quality profile (rows-only: HLL estimates inside)
       graft.ops.Profile.profile(Tables.table(s, dir, "lineitem"))),
+    "dq_check" -> ((s, dir) => {
+      // declarative constraint suite in ONE aggregation pass (Deequ idea):
+      // integer-counter verdicts, one double division per metric. The
+      // uniqueness check is a REAL violation in this corpus - the report
+      // proves the suite detects, not just rubber-stamps.
+      import graft.ops.Dq
+      Dq.check(Tables.table(s, dir, "lineitem"), Seq(
+        Dq.minRows(1L),
+        Dq.complete("l_shipdate"),
+        Dq.unique(Seq("l_orderkey", "l_linenumber")),
+        Dq.inRange("l_quantity", 1.0, 50.0),
+        Dq.inRange("l_discount", 0.0, 0.1),
+        Dq.inRange("l_tax", 0.0, 0.08),
+        Dq.inRange("l_extendedprice", 1.0, 100000000.0),
+        Dq.inSet("l_returnflag", Seq("A", "N", "R")),
+        Dq.inSet("l_linestatus", Seq("O", "F"))))
+    }),
     "profile_approx" -> ((s, dir) => {
       // the HLL-sketch profile path (the 100 TB default — fixed-size
       // sketches instead of the Expand row multiplication) surfaced as its
@@ -1706,6 +1746,65 @@ object SparkEntry {
         "round(sqrt(sx2 / n / 2.772588722239781), 6) AS parkinson, " +
         "round(sqrt(greatest(0.5 * (sx2 / n) - 0.3862943611198906 * (sy2 / n), 0.0)), 6) AS garman_klass " +
         "FROM agg"),
+    // tick-rule replay: lag -> tick sign -> IGNORE NULLS carry-forward ->
+    // bucketed exact-decimal volume sums; the imbalance ratio is one double
+    // division on those exact sums
+    "tick_rule" -> withTrades(
+      ", x AS (SELECT symbol, ts, price, qty, " +
+        "lag(price) OVER (PARTITION BY symbol ORDER BY ts) AS pp FROM t), " +
+        "y AS (SELECT symbol, ts, qty, CASE WHEN price > pp THEN 1 " +
+        "WHEN price < pp THEN -1 END AS tick FROM x), " +
+        "z AS (SELECT symbol, ts, qty, last_value(tick IGNORE NULLS) OVER (" +
+        "PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side FROM y), " +
+        "g AS (SELECT symbol, make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_ts, " +
+        "CAST(sum(CASE WHEN side = 1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS buy_qty, " +
+        "CAST(sum(CASE WHEN side = -1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sell_qty, " +
+        "CAST(sum(CASE WHEN side IS NULL THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS unclassified_qty, " +
+        "count(*) AS n_trades FROM z GROUP BY 1, 2) " +
+        "SELECT symbol, bucket_ts, buy_qty, sell_qty, unclassified_qty, n_trades, " +
+        "round((buy_qty - sell_qty) / (CASE WHEN buy_qty + sell_qty <> 0 THEN buy_qty + sell_qty END), 6) AS imbalance FROM g"),
+    // Roll estimator replay: exact decimal close diffs, lag-1 co-moment via
+    // exact partial sums, final cov/spread double in identical op order
+    "roll_spread" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, CAST(close AS DECIMAL(18,2)) - " +
+        "CAST(lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS DECIMAL(18,2)) AS dp FROM c), " +
+        "q AS (SELECT symbol, bucket_ts, dp, lag(dp) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS dp_prev FROM p), " +
+        "f AS (SELECT symbol, dp, dp_prev FROM q WHERE dp IS NOT NULL AND dp_prev IS NOT NULL), " +
+        "a AS (SELECT symbol, count(*) AS n, " +
+        "CAST(sum(CAST(dp * dp_prev AS DECIMAL(38,4))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(dp) AS DOUBLE) AS sx, CAST(sum(dp_prev) AS DOUBLE) AS sy FROM f GROUP BY 1) " +
+        "SELECT symbol, n, " +
+        "round((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS autocov_dp, " +
+        "round(2.0 * sqrt(greatest(-((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 0.0)), 6) AS roll_spread FROM a"),
+    // Amihud replay: daily candles, per-day |ret|/(close*volume)*1e6 rounded
+    // to 12 and summed in exact DECIMAL(28,12)
+    "amihud" -> withTrades(
+      s", c AS (${candlesSql(86400000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, volume, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "f AS (SELECT symbol, (close - prev_close) / prev_close AS ret, close, volume FROM p " +
+        "WHERE prev_close IS NOT NULL AND prev_close <> 0 AND volume > 0 AND close > 0), " +
+        "x AS (SELECT symbol, CAST(round(abs(ret) / (close * volume) * 1000000.0, 12) AS DECIMAL(28,12)) AS t FROM f), " +
+        "a AS (SELECT symbol, count(t) AS n_days, CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE) AS a FROM x GROUP BY 1) " +
+        "SELECT symbol, n_days, round(a, 6) AS amihud FROM a"),
+    // rolling beta replay: equal-weight market return (exact decimal sum /
+    // count) joined back, then the same 24-row covar_pop/var_pop window
+    "rolling_beta" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "r AS (SELECT symbol, bucket_ts, round((close - prev_close) / " +
+        "(CASE WHEN prev_close <> 0 THEN prev_close END), 6) AS ret FROM r0 WHERE prev_close IS NOT NULL), " +
+        "r2 AS (SELECT * FROM r WHERE ret IS NOT NULL), " +
+        "m AS (SELECT bucket_ts, CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS mkt_ret FROM r2 GROUP BY 1), " +
+        "j AS (SELECT r2.symbol, r2.bucket_ts, r2.ret, m.mkt_ret FROM r2 JOIN m ON r2.bucket_ts = m.bucket_ts), " +
+        "wd AS (SELECT symbol, bucket_ts, count(*) OVER w AS cnt, " +
+        "covar_pop(ret, mkt_ret) OVER w AS cov_rm, var_pop(mkt_ret) OVER w AS var_m FROM j " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(cov_rm / (CASE WHEN var_m <> 0 THEN var_m END), 6) AS beta " +
+        "FROM wd WHERE cnt = 24"),
     "volume_profile" -> withTrades(
       ", rng AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM t GROUP BY 1), " +
         "b AS (SELECT t.symbol, qty, CASE WHEN hi = lo THEN 0 " +
@@ -2575,6 +2674,22 @@ object SparkEntry {
         "SELECT doc_id, term, tf, score, rank FROM (SELECT scored.*, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank " +
         "FROM scored) s WHERE rank <= 3"),
+    // PMI collocation replay: exact integer unigram/bigram counts, corpus
+    // totals, then the identical fixed-order double PMI formula
+    "bigram_pmi" ->
+      ("WITH dw AS (SELECT list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws FROM documents), " +
+        "d AS (SELECT ws FROM dw WHERE len(ws) >= 2), " +
+        "tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS nu, CAST(sum(len(ws) - 1) AS BIGINT) AS nb FROM d), " +
+        "u AS (SELECT w, count(*) AS cu FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1), " +
+        "b AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, count(*) AS n_ab " +
+        "FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1), " +
+        "i -> concat_ws(' ', ws[i], ws[i + 1]))) AS bg FROM d) GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "j AS (SELECT b.w1, b.w2, b.n_ab, ua.cu AS n_a, ub.cu AS n_b " +
+        "FROM b JOIN u ua ON b.w1 = ua.w JOIN u ub ON b.w2 = ub.w) " +
+        "SELECT w1, w2, n_ab, n_a, n_b, " +
+        "round(ln((CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+        "((CAST(n_a AS DOUBLE) / CAST(nu AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi " +
+        "FROM j, tot"),
     "candle_patterns" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, open, high, low, close, " +
@@ -2955,6 +3070,27 @@ object SparkEntry {
           .mkString(", ") +
         " FROM h"),
     "profile_lineitem" -> profileOracleSql,
+    // dq_check replay: ONE aggregation row of integer counters, then one
+    // SELECT per constraint; verdicts compare counters, never floats
+    "dq_check" ->
+      ("WITH a AS (SELECT count(*) AS n, count(l_shipdate) AS ship, " +
+        "count(DISTINCT (l_orderkey, l_linenumber)) AS pk, " +
+        "sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS q_ok, count(l_quantity) AS q_n, " +
+        "sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS d_ok, count(l_discount) AS d_n, " +
+        "sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END) AS t_ok, count(l_tax) AS t_n, " +
+        "sum(CASE WHEN l_extendedprice BETWEEN 1.0 AND 100000000.0 THEN 1 ELSE 0 END) AS p_ok, count(l_extendedprice) AS p_n, " +
+        "sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS rf_ok, count(l_returnflag) AS rf_n, " +
+        "sum(CASE WHEN l_linestatus IN ('O','F') THEN 1 ELSE 0 END) AS ls_ok, count(l_linestatus) AS ls_n " +
+        "FROM lineitem) " +
+        "SELECT 'row_count' AS check_name, round(CAST(n AS DOUBLE), 6) AS metric, n >= 1 AS passed FROM a " +
+        "UNION ALL SELECT 'complete_l_shipdate', round(CAST(ship AS DOUBLE) / CAST(n AS DOUBLE), 6), ship = n FROM a " +
+        "UNION ALL SELECT 'unique_l_orderkey_l_linenumber', round(CAST(pk AS DOUBLE) / CAST(n AS DOUBLE), 6), pk = n FROM a " +
+        "UNION ALL SELECT 'range_l_quantity', round(CAST(q_ok AS DOUBLE) / CAST(q_n AS DOUBLE), 6), q_ok = q_n FROM a " +
+        "UNION ALL SELECT 'range_l_discount', round(CAST(d_ok AS DOUBLE) / CAST(d_n AS DOUBLE), 6), d_ok = d_n FROM a " +
+        "UNION ALL SELECT 'range_l_tax', round(CAST(t_ok AS DOUBLE) / CAST(t_n AS DOUBLE), 6), t_ok = t_n FROM a " +
+        "UNION ALL SELECT 'range_l_extendedprice', round(CAST(p_ok AS DOUBLE) / CAST(p_n AS DOUBLE), 6), p_ok = p_n FROM a " +
+        "UNION ALL SELECT 'set_l_returnflag', round(CAST(rf_ok AS DOUBLE) / CAST(rf_n AS DOUBLE), 6), rf_ok = rf_n FROM a " +
+        "UNION ALL SELECT 'set_l_linestatus', round(CAST(ls_ok AS DOUBLE) / CAST(ls_n AS DOUBLE), 6), ls_ok = ls_n FROM a"),
     "profile_approx" -> profileApproxOracleSql,
     "corpus_sample" ->
       ("SELECT doc_id, lang AS stratum FROM documents " +

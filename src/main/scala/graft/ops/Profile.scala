@@ -86,3 +86,76 @@ object Profile {
     profile(df, exactDistinct = rows <= maxExactRows, rsd = rsd)
   }
 }
+
+/** Declarative data-quality constraint suite evaluated in ONE aggregation
+  * pass (the Deequ idea re-expressed as plain Catalyst aggregates): each
+  * check contributes a metric expression and a pass predicate over the
+  * same aggregation row, so N constraints cost one scan — never one job
+  * per check. At 100 TB the difference between one pass and N passes IS
+  * the feature.
+  *
+  * Determinism: every metric is a ratio of exact integer counters (one
+  * double division, identical in any engine/shuffle order), rounded at
+  * emission; every pass verdict compares the COUNTERS as integers, never
+  * the floating metric. The only multi-stage member is `unique` (exact
+  * distinct count ⇒ Spark plans an Expand) — the price of an exact
+  * uniqueness claim; swap for approx_count_distinct when an estimate is
+  * acceptable.
+  */
+object Dq {
+
+  /** One constraint: `metric` and `passed` are AGGREGATE expressions —
+    * they are evaluated inside the single `check` aggregation.
+    */
+  final case class Check(name: String, metric: Column, passed: Column)
+
+  private def nrows: Column = count(lit(1))
+
+  /** Fraction of rows with a non-null value; passes only when complete. */
+  def complete(c: String): Check = Check(
+    s"complete_$c",
+    count(col(c)).cast("double") / nrows.cast("double"),
+    count(col(c)) === nrows)
+
+  /** Distinct ratio of the (composite) key; passes only when unique. */
+  def unique(cols: Seq[String]): Check = Check(
+    s"unique_${cols.mkString("_")}",
+    count_distinct(struct(cols.map(col): _*)).cast("double") / nrows.cast("double"),
+    count_distinct(struct(cols.map(col): _*)) === nrows)
+
+  /** Fraction of NON-NULL values inside [lo, hi]; passes when all are. */
+  def inRange(c: String, lo: Double, hi: Double): Check = Check(
+    s"range_$c",
+    sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).cast("double") /
+      when(count(col(c)) > 0, count(col(c))).cast("double"),
+    sum(when(col(c).between(lo, hi), 1L).otherwise(0L)) === count(col(c)))
+
+  /** Fraction of NON-NULL values in the allowed set; passes when all are. */
+  def inSet(c: String, values: Seq[String]): Check = Check(
+    s"set_$c",
+    sum(when(col(c).isin(values: _*), 1L).otherwise(0L)).cast("double") /
+      when(count(col(c)) > 0, count(col(c))).cast("double"),
+    sum(when(col(c).isin(values: _*), 1L).otherwise(0L)) === count(col(c)))
+
+  /** Row-count floor (non-empty input, ingest sanity). */
+  def minRows(n: Long): Check =
+    Check("row_count", nrows.cast("double"), nrows >= n)
+
+  /** Evaluate all checks in one aggregation; one output row per check:
+    * (check_name, metric rounded to 6, passed).
+    */
+  def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.metric.as(s"_m$i"), c.passed.as(s"_p$i"))
+    }
+    val structs = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        round(col(s"_m$i"), 6).as("metric"),
+        col(s"_p$i").as("passed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("c"))
+      .select(col("c.check_name"), col("c.metric"), col("c.passed"))
+  }
+}

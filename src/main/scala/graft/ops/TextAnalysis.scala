@@ -128,6 +128,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(topN)
 
+  /** Corpus-level bigram COLLOCATIONS by pointwise mutual information:
+    * PMI = ln(p(ab) / (p(a)·p(b))) over whitespace tokens — the classic
+    * collocation extractor (Church & Hanks 1990) that separates "New York"
+    * from "of the", which raw bigram frequency (ngramFreq) cannot. The
+    * `minCount` floor removes the low-count PMI pathology (hapax pairs
+    * score arbitrarily high).
+    *
+    * Scale shape: two map-side-combined hash aggregations (unigrams,
+    * bigrams) over map-only explodes; the bigram table shrinks to the
+    * ≥ minCount survivors BEFORE the two vocabulary equi-joins (dim-scale
+    * probe side, AQE sizes the build); corpus totals are a 1-row broadcast
+    * crossJoin. Never a pair join over the corpus. Counts are exact
+    * integers; PMI is a fixed-order double formula rounded to 6 (the
+    * return_moments ln precedent). Empty tokens (leading/multiple
+    * whitespace artifacts) are filtered on both engines.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val d = docs
+      .withColumn("ws", filter(split(col("text"), "\\s+"), w => w =!= ""))
+      .where(size(col("ws")) >= 2)
+    val totals = d.agg(
+      sum(size(col("ws")).cast("long")).as("nu"),
+      sum((size(col("ws")) - 1).cast("long")).as("nb"))
+    val uni = d.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = d.select(explode(expr(
+      "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("cu").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(
+          (col("n_ab").cast("double") / col("nb").cast("double")) /
+            ((col("n_a").cast("double") / col("nu").cast("double")) *
+              (col("n_b").cast("double") / col("nu").cast("double")))), 6)
+          .as("pmi"))
+  }
+
   /** Canonical text normalization (the C4-style cleanup pass): lowercase,
     * collapse runs of whitespace, trim. Emitted as the normalized
     * fingerprint + lengths so downstream exact-dedup can key on it.

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Dq, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the one-pass declarative DQ constraint suite and
+  * PMI collocations — hand-built frames with hand-computable answers,
+  * plus the one-aggregation-job plan contract for Dq.
+  */
+class DqPmiSpec extends SparkSpec {
+
+  // ---- Dq ----
+
+  private def frame() = {
+    import spark.implicits._
+    Seq(
+      (1L, 1, Some(10.0), "A"),
+      (1L, 1, Some(20.0), "N"), // duplicate (k1,k2) pair
+      (2L, 1, Some(60.0), "R"), // out of [0,50] range
+      (3L, 1, None, "X") // null v, off-set flag
+    ).toDF("k1", "k2", "v", "flag")
+  }
+
+  test("dq: per-constraint metrics and verdicts on a hand-built frame") {
+    val r = Dq.check(frame(), Seq(
+      Dq.minRows(1L),
+      Dq.complete("v"),
+      Dq.unique(Seq("k1", "k2")),
+      Dq.inRange("v", 0.0, 50.0),
+      Dq.inSet("flag", Seq("A", "N", "R"))))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r("row_count") == ((4.0, true)))
+    assert(r("complete_v") == ((0.75, false)))
+    assert(r("unique_k1_k2") == ((0.75, false))) // 3 distinct pairs / 4 rows
+    // range fraction is over NON-NULL values: 2 of 3 in [0,50]
+    assert(r("range_v") == ((0.666667, false)))
+    assert(r("set_flag") == ((0.75, false)))
+  }
+
+  test("dq: a fully clean frame passes every check") {
+    import spark.implicits._
+    val clean = Seq((1L, 1, 5.0, "A"), (2L, 1, 7.0, "N"))
+      .toDF("k1", "k2", "v", "flag")
+    val r = Dq.check(clean, Seq(
+      Dq.minRows(2L), Dq.complete("v"), Dq.unique(Seq("k1", "k2")),
+      Dq.inRange("v", 0.0, 50.0), Dq.inSet("flag", Seq("A", "N"))))
+      .collect()
+    assert(r.length == 5 && r.forall(_.getBoolean(2)), r.mkString("; "))
+  }
+
+  test("dq: N constraints plan as ONE aggregation over one scan") {
+    // without `unique` (whose exact distinct needs its own Expand stage),
+    // the whole suite must collapse to a single HashAggregate pair over a
+    // single scan of the input — the one-pass claim, structurally
+    val plan = Dq.check(frame(), Seq(
+      Dq.minRows(1L), Dq.complete("v"),
+      Dq.inRange("v", 0.0, 50.0), Dq.inSet("flag", Seq("A"))))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size +
+      "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan, plan:\n$plan")
+  }
+
+  // ---- bigram PMI ----
+
+  test("bigramPmi: hand-computed PMI on a fixed corpus") {
+    import spark.implicits._
+    // 10 docs "a b", 5 docs "a c a c a c a c" -> bigram (a,b) perfectly
+    // collocated for b; (a,c)/(c,a) dilute across many a/c occurrences
+    val docs = ((1 to 10).map(i => (i.toLong, "a b")) ++
+      (11 to 15).map(i => (i.toLong, "a c a c a c a c")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPmi(docs, minCount = 5L)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // totals: nu = 10*2 + 5*8 = 60; nb = 10*1 + 5*7 = 45
+    // counts: a: 10+20=30, b: 10, c: 20; (a,b)=10, (a,c)=20, (c,a)=15
+    val ab = r(("a", "b"))
+    assert(ab.getAs[Long]("n_ab") == 10L && ab.getAs[Long]("n_a") == 30L &&
+      ab.getAs[Long]("n_b") == 10L)
+    val expected = math.log((10.0 / 45.0) / ((30.0 / 60.0) * (10.0 / 60.0)))
+    assert(math.abs(ab.getAs[Double]("pmi") - expected) < 1e-6)
+    // the perfectly-collocated pair outranks the diluted reverse pair
+    // ((c,a): 15/(20·30) < (a,b): 10/(30·10) in n_ab/(n_a·n_b) terms)
+    assert(ab.getAs[Double]("pmi") > r(("c", "a")).getAs[Double]("pmi"))
+  }
+
+  test("bigramPmi: minCount floor removes hapax pairs; empty tokens ignored") {
+    import spark.implicits._
+    val docs = Seq((1L, "  x   y  "), (2L, "x y"), (3L, "rare pair"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPmi(docs, minCount = 2L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // whitespace runs produce no empty-token bigrams: (x,y) counted twice
+    assert(row.getString(0) == "x" && row.getString(1) == "y" &&
+      row.getAs[Long]("n_ab") == 2L)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.ohlcv.Microstructure
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure estimators (round 10): tick-rule order flow,
+  * Roll spread, Amihud illiquidity, rolling beta — each pinned on a
+  * hand-built sequence with a closed-form answer, plus conservation /
+  * determinism contracts.
+  */
+class MicrostructureSpec extends SparkSpec {
+
+  private val H = 3600000000L // 1h in micros
+
+  // ---- tick rule ----
+
+  test("tickRule: hand-built sequence classifies with carry-forward") {
+    import spark.implicits._
+    // one symbol, one hour: prices 10, 11 (up), 11 (zero-tick -> carries
+    // +1), 10 (down), 10 (carries -1); first trade unclassified
+    val t = Seq(
+      ("A", ts(T0 + 0), 10.0, 1.0),
+      ("A", ts(T0 + 60), 11.0, 2.0),
+      ("A", ts(T0 + 120), 11.0, 4.0),
+      ("A", ts(T0 + 180), 10.0, 8.0),
+      ("A", ts(T0 + 240), 10.0, 16.0)
+    ).toDF("symbol", "ts", "price", "qty")
+    val r = Microstructure.tickRuleImbalance(t, H).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("buy_qty") == 6.0) // trades 2+3 (2+4)
+    assert(row.getAs[Double]("sell_qty") == 24.0) // trades 4+5 (8+16)
+    assert(row.getAs[Double]("unclassified_qty") == 1.0) // leading trade
+    assert(row.getAs[Long]("n_trades") == 5L)
+    assert(math.abs(row.getAs[Double]("imbalance") - (6.0 - 24.0) / 30.0) < 1e-9)
+  }
+
+  test("tickRule: classified+unclassified volume is conserved per bucket") {
+    val trades = core.Tables.trades(spark, Sf0001)
+    val r = Microstructure.tickRuleImbalance(trades, H)
+      .agg(sum(col("buy_qty") + col("sell_qty") + col("unclassified_qty")))
+      .head().getDouble(0)
+    val total = trades.agg(
+      sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(r - total) < 1e-6, s"volume not conserved: $r vs $total")
+  }
+
+  test("tickRule: all-same-price symbol stays fully unclassified") {
+    import spark.implicits._
+    val t = Seq(("F", ts(T0), 5.0, 3.0), ("F", ts(T0 + 1), 5.0, 7.0))
+      .toDF("symbol", "ts", "price", "qty")
+    val row = Microstructure.tickRuleImbalance(t, H).collect().head
+    assert(row.getAs[Double]("unclassified_qty") == 10.0)
+    assert(row.getAs[Double]("buy_qty") == 0.0 && row.getAs[Double]("sell_qty") == 0.0)
+    // 0/0 imbalance is null-guarded, not NaN/error
+    assert(row.isNullAt(row.fieldIndex("imbalance")))
+  }
+
+  // ---- Roll spread ----
+
+  test("rollSpread: pure bid-ask bounce recovers the spread") {
+    import spark.implicits._
+    // closes alternate 100, 101, 100, 101... -> dp alternates +1/-1,
+    // cov(dp_t, dp_{t-1}) = -1 exactly, Roll spread = 2*sqrt(1) = 2
+    val candles = (0 until 40).map { i =>
+      ("B", ts(T0 + i * 3600), if (i % 2 == 0) 100.0 else 101.0)
+    }.toDF("symbol", "bucket_ts", "close")
+    val row = Microstructure.rollSpread(candles).collect().head
+    assert(row.getAs[Long]("n") == 38L)
+    assert(math.abs(row.getAs[Double]("roll_spread") - 2.0) < 1e-3,
+      s"expected ~2.0, got ${row.getAs[Double]("roll_spread")}")
+    assert(row.getAs[Double]("autocov_dp") < 0)
+  }
+
+  test("rollSpread: trending prices clamp to zero spread") {
+    import spark.implicits._
+    // strictly rising closes -> positive autocovariance -> clamp at 0
+    val candles = (0 until 30).map(i => ("C", ts(T0 + i * 3600), 100.0 + i))
+      .toDF("symbol", "bucket_ts", "close")
+    val row = Microstructure.rollSpread(candles).collect().head
+    assert(row.getAs[Double]("roll_spread") == 0.0)
+  }
+
+  // ---- Amihud ----
+
+  test("amihud: hand-computed two-day impact") {
+    import spark.implicits._
+    // day1 close 100 (vol 10), day2 close 110 (vol 10): one observation,
+    // ret = 0.1, term = 0.1/(110*10)*1e6 = 90.909090909091
+    val daily = Seq(
+      ("D", ts(T0), 100.0, 10.0),
+      ("D", ts(T0 + 86400), 110.0, 10.0)
+    ).toDF("symbol", "bucket_ts", "close", "volume")
+    val row = Microstructure.amihud(daily).collect().head
+    assert(row.getAs[Long]("n_days") == 1L)
+    assert(math.abs(row.getAs[Double]("amihud") - 90.909091) < 1e-6)
+  }
+
+  test("amihud: zero-volume days are excluded, not zero-counted") {
+    import spark.implicits._
+    val daily = Seq(
+      ("E", ts(T0), 100.0, 10.0),
+      ("E", ts(T0 + 86400), 110.0, 0.0), // excluded
+      ("E", ts(T0 + 2 * 86400), 121.0, 10.0)
+    ).toDF("symbol", "bucket_ts", "close", "volume")
+    val row = Microstructure.amihud(daily).collect().head
+    // the zero-volume day contributes NO impact observation (its own
+    // day1->day2 return is dropped, not zero-counted); day2->day3 survives
+    // because the lag still sees day2's close
+    assert(row.getAs[Long]("n_days") == 1L)
+    assert(math.abs(row.getAs[Double]("amihud") - 82.644628) < 1e-6) // 0.1/(121*10)*1e6
+  }
+
+  // ---- rolling beta ----
+
+  test("rollingBeta: a symbol that IS the market has beta 1") {
+    import spark.implicits._
+    // two identical symbols -> market return == each symbol's return ->
+    // cov/var = 1 exactly on every full frame
+    val closes = (0 until 30).map(i => 100.0 + (i % 7) + 0.5 * (i % 3))
+    val candles = (for {
+      s <- Seq("X", "Y"); (c, i) <- closes.zipWithIndex
+    } yield (s, ts(T0 + i * 3600), c)).toDF("symbol", "bucket_ts", "close")
+    val rows = Microstructure.rollingBeta(candles, n = 24).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-6,
+      s"self-market beta must be 1: $r"))
+  }
+
+  test("rollingBeta: leveraged symbol doubles the market beta") {
+    import spark.implicits._
+    // X has returns r_t, Z has exactly 2*r_t (via log-free construction:
+    // prices engineered so simple returns double). Market = avg(r, 2r) =
+    // 1.5r; beta_X = cov(r,1.5r)/var(1.5r) = 1/1.5; beta_Z = 2/1.5.
+    val rets = (1 until 40).map(i => 0.01 * ((i % 5) - 2)) // returns in {-2%,..,2%}
+    def prices(mult: Double) = rets.scanLeft(100.0)((p, r) => p * (1 + mult * r))
+    val candles = (for {
+      (s, m) <- Seq(("X", 1.0), ("Z", 2.0)); (c, i) <- prices(m).zipWithIndex
+    } yield (s, ts(T0 + i * 3600), c)).toDF("symbol", "bucket_ts", "close")
+    val rows = Microstructure.rollingBeta(candles, n = 24).collect()
+    assert(rows.nonEmpty)
+    val byS = rows.groupBy(_.getAs[String]("symbol"))
+    // rounding of per-bucket returns to 6dp makes this approximate
+    byS("X").foreach(r => assert(math.abs(r.getAs[Double]("beta") - 1.0 / 1.5) < 0.01))
+    byS("Z").foreach(r => assert(math.abs(r.getAs[Double]("beta") - 2.0 / 1.5) < 0.01))
+  }
+}
