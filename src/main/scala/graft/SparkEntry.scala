@@ -282,6 +282,15 @@ object SparkEntry {
       // aggregate broadcast back); full frames only
       Microstructure.rollingBeta(
         Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "holt_forecast" -> ((s, dir) =>
+      // Holt level+trend smoothing with one-step-ahead forecast: the
+      // ema/macd sequential-sweep recipe, oracle replays the recursion
+      // via a recursive CTE over per-symbol ordered close arrays
+      Analytics.holt(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "trend_ols" -> ((s, dir) =>
+      // per-symbol OLS time trend (slope/intercept/R2): one index window
+      // + one exact co-moment aggregation
+      Analytics.trendOls(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
@@ -1805,6 +1814,38 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, round(cov_rm / (CASE WHEN var_m <> 0 THEN var_m END), 6) AS beta " +
         "FROM wd WHERE cnt = 24"),
+    // Holt replay: the recursive CTE folds the same fixed-order double
+    // recursion over per-symbol ORDERED close arrays (struct-accumulator
+    // list_reduce is NOT used: DuckDB 1.0 evaluates dependent struct
+    // fields inconsistently - measured); literals 0.5/0.3 have exact
+    // double complements so both engines fold bit-identically
+    "holt_forecast" ->
+      (s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "per AS (SELECT symbol, list(close ORDER BY bucket_ts) AS cs, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM c GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS i, cs[1] AS l, 0.0::DOUBLE AS b, cs, tss FROM per " +
+        "UNION ALL SELECT symbol, i + 1, " +
+        "0.5 * cs[i + 1] + 0.5 * (l + b), " +
+        "0.3 * ((0.5 * cs[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b, cs, tss FROM r WHERE i < len(cs)) " +
+        "SELECT symbol, tss[i] AS bucket_ts, cs[i] AS close, round(l, 6) AS level, " +
+        "round(b, 6) AS trend, round(l + b, 6) AS forecast FROM r"),
+    // OLS trend replay: integer/exact-decimal co-moment sums, closed-form
+    // slope/intercept/R2 in identical double op order, guarded divisors
+    "trend_ols" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "xy AS (SELECT symbol, CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) - 1 AS BIGINT) AS x, " +
+        "CAST(close AS DECIMAL(18,2)) AS y FROM c), " +
+        "a AS (SELECT symbol, count(*) AS n, sum(x) AS sx, sum(x * x) AS sx2, " +
+        "CAST(sum(y) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS sy2, " +
+        "CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy FROM xy GROUP BY 1), " +
+        "b AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, " +
+        "CAST(sx2 AS DOUBLE) AS sx2d, sy, sy2, sxy FROM a), " +
+        "f AS (SELECT symbol, n, nd, sxd, sy, " +
+        "nd * sx2d - sxd * sxd AS dx, nd * sy2 - sy * sy AS dyv, nd * sxy - sxd * sy AS cov FROM b) " +
+        "SELECT symbol, n, round(cov / (CASE WHEN dx <> 0 THEN dx END), 6) AS slope, " +
+        "round((sy - (cov / (CASE WHEN dx <> 0 THEN dx END)) * sxd) / nd, 6) AS intercept, " +
+        "round((cov * cov) / (CASE WHEN dx * dyv <> 0 THEN dx * dyv END), 6) AS r2 FROM f"),
     "volume_profile" -> withTrades(
       ", rng AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM t GROUP BY 1), " +
         "b AS (SELECT t.symbol, qty, CASE WHEN hi = lo THEN 0 " +

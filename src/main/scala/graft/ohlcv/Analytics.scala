@@ -244,6 +244,93 @@ object Analytics {
       .toDF("symbol", "bucket_ts", "close", "ema")
   }
 
+  /** Holt double-exponential smoothing (level + trend) per symbol, with
+    * the one-step-ahead forecast l+b — the first-line baseline forecaster
+    * for any metric/price series, and the state-space shape (recursive
+    * level/trend) a window function cannot express. Same scale recipe as
+    * `ema`/`macd`: the recurrence is inherently sequential PER SYMBOL, so
+    * one shuffle (repartition by symbol), in-partition sort, one O(n)
+    * sweep with O(1) state; each symbol's history streams through exactly
+    * one task and symbols parallelize freely.
+    *
+    * Determinism: the recursion runs on UNROUNDED doubles in a fixed
+    * operation order (a·c + (1−a)·(l+b); g·(Δl) + (1−g)·b) that the
+    * DuckDB oracle replays verbatim via a recursive CTE over per-symbol
+    * ordered close arrays; rounding happens at emission only. The default
+    * α=0.5 / γ=0.3 are chosen with exactly-representable complements
+    * (1−α, 1−γ are exact doubles), so both engines fold bit-identically.
+    * Seeding: l₀ = first close, b₀ = 0 (the standard convention).
+    */
+  def holt(candles: DataFrame, alpha: Double = 0.5, gamma: Double = 0.3): DataFrame = {
+    val a = alpha; val oneA = 1 - alpha
+    val g = gamma; val oneG = 1 - gamma
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var l = 0.0
+        var b = 0.0
+        it.map { case (s, t, c) =>
+          if (s != cur) { cur = s; l = c; b = 0.0 }
+          else {
+            val nl = a * c + oneA * (l + b)
+            val nb = g * (nl - l) + oneG * b
+            l = nl; b = nb
+          }
+          (s, t, c, l, b, l + b)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "close", "level", "trend", "forecast")
+      .select(col("symbol"), col("bucket_ts"), col("close"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+  }
+
+  /** Per-symbol OLS time trend: slope/intercept/R² of close against the
+    * 0-based bucket index — the drift screen behind momentum ranking and
+    * detrending. The index comes from one per-symbol window (row_number),
+    * then ALL five co-moments (Σx, Σx², Σy, Σy², Σxy) accumulate in one
+    * map-side-combined aggregation: integer x-sums exact by construction,
+    * y-sums through exact DECIMAL partials (close as DECIMAL(18,2), the
+    * atr precedent), so every input to the closed-form slope/intercept/R²
+    * is bit-identical across engines and shuffle orders; the final
+    * formulas are fixed-order doubles rounded to 6. Degenerate symbols
+    * (n=1, or zero price variance) yield null slope/R² via guarded
+    * divisors, never a divide-by-zero.
+    */
+  def trendOls(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val dy = DecimalType(18, 2)
+    val dyy = DecimalType(38, 4)
+    val x = (row_number().over(w) - 1).cast("long")
+    val y = col("close").cast(dy)
+    candles.select(col("symbol"), x.as("x"), y.as("y"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast(dyy)).cast("double").as("sy2"),
+        sum((col("x").cast(dy) * col("y")).cast(dyy)).cast("double").as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("sx2d", col("sx2").cast("double"))
+      .withColumn("dx", col("nd") * col("sx2d") - col("sxd") * col("sxd"))
+      .withColumn("dyv", col("nd") * col("sy2") - col("sy") * col("sy"))
+      .withColumn("cov", col("nd") * col("sxy") - col("sxd") * col("sy"))
+      .withColumn("slope", col("cov") / when(col("dx") =!= 0, col("dx")))
+      .select(col("symbol"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy") - col("slope") * col("sxd")) / col("nd"), 6).as("intercept"),
+        round((col("cov") * col("cov")) /
+          when(col("dx") * col("dyv") =!= 0, col("dx") * col("dyv")), 6).as("r2"))
+  }
+
   /** MACD: fast/slow EMA difference plus a signal EMA of the MACD line
     * and the histogram (macd - signal). All three EMAs fold in ONE
     * inherently-sequential per-symbol sweep (same shape as `ema`: one
