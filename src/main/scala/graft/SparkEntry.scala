@@ -420,6 +420,10 @@ object SparkEntry {
           countDistinct(col("c_event_id")).as("n_converting_clicks"),
           countDistinct(col("p_event_id")).as("n_purchases"))
     }),
+    "attribution_linear" -> ((s, dir) =>
+      // linear multi-touch attribution: IntervalJoin pairing, one
+      // per-purchase count window, exact DECIMAL(18,6) credit sums
+      graft.ops.Events.linearAttribution(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) => {
       // classic cohort retention: users grouped by first-active day,
       // counted per day-offset they return. Two shuffles total (cohort
@@ -2329,6 +2333,15 @@ object SparkEntry {
         "count(*) AS n_attributed_purchases, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value " +
         "FROM j GROUP BY 1"),
+    // linear attribution replay: same interval pairing, same rounded
+    // share -> exact decimal sum
+    "attribution_linear" ->
+      ("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id AS p_event_id, value FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT c.event_id, p.p_event_id, p.value FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND p.ts > c.ts AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000), " +
+        "s AS (SELECT event_id, CAST(round(value / CAST(count(*) OVER (PARTITION BY p_event_id) AS DOUBLE), 6) AS DECIMAL(18,6)) AS share FROM j) " +
+        "SELECT event_id, count(*) AS n_purchases, CAST(sum(share) AS DOUBLE) AS credit FROM s GROUP BY 1"),
     "retention_cohorts" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), " +
         "c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +

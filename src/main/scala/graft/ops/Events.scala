@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream analytics beyond sessionization: behavioral transition
   * matrices and rolling active-user reach. Both are single-shuffle shapes
@@ -121,6 +122,39 @@ object Events {
     * the data's end are clamped via a broadcast 1-row max. Output covers
     * every day with ≥1 active user in its trailing window.
     */
+  /** LINEAR multi-touch attribution: every purchase's value is split
+    * EQUALLY across all of that user's clicks in the preceding `window`
+    * (vs. the as-of join's last-touch and funnel_1h's any-touch counting —
+    * the third classic attribution model, and the one marketers default
+    * to when no touch deserves full credit). Emits per-click totals:
+    * how many purchases the click shares in, and its summed credit.
+    *
+    * Scale shape: the click→purchase pairing is the IntervalJoin hash
+    * join (equi-key on user, interval residual — never a nested loop);
+    * the per-purchase touch count is ONE window over the pair frame
+    * (partitioned by purchase id — fan-out bounded by clicks-per-window);
+    * per-click totals are one map-side-combined aggregation. Determinism:
+    * each credit share rounds to 6 decimals and sums in exact
+    * DECIMAL(18,6) (order-insensitive), replayed identically by the
+    * oracle.
+    */
+  def linearAttribution(events: DataFrame,
+                        windowMicros: Long = 86400000000L): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val j = graft.operators.IntervalJoin
+      .forward(clicks, purchases, "user_id", "ts", "ts", windowMicros, "p_")
+    val w = Window.partitionBy(col("p_event_id"))
+    j.withColumn("share",
+      round(col("p_value") / count(lit(1)).over(w).cast("double"), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("share")).cast("double").as("credit"))
+  }
+
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     // the distinct pair frame feeds both the max-day bound and the explode
     // branch: materialize it once instead of scanning events twice

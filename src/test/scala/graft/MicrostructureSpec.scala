@@ -57,6 +57,41 @@ class MicrostructureSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("imbalance")))
   }
 
+  test("streaming tick rule matches batch classification across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = Seq(
+      ("A", ts(T0 + 0), 10.0, 1.0), ("A", ts(T0 + 60), 11.0, 2.0),
+      ("A", ts(T0 + 120), 11.0, 4.0), ("A", ts(T0 + 180), 10.0, 8.0),
+      ("A", ts(T0 + 240), 10.0, 16.0))
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val q = streaming.StreamingTickRule.run(
+      ms.toDF.toDF("symbol", "ts", "price", "qty"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_tick").start()
+    try {
+      // the zero-tick carry-forward state must survive the batch boundary
+      ms.addData(all.take(2): _*); q.processAllAvailable()
+      ms.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_tick").orderBy("ts")
+      .collect().map(r => (r.getAs[Double]("qty"),
+        Option(r.getAs[Integer]("side")).map(_.intValue))).toSeq
+    assert(got == Seq((1.0, None), (2.0, Some(1)), (4.0, Some(1)),
+      (8.0, Some(-1)), (16.0, Some(-1))))
+    // and the aggregated imbalance equals the batch operator on the union
+    val agg = spark.table("stream_tick")
+      .groupBy(col("symbol"))
+      .agg(sum(when(col("side") === 1, col("qty")).otherwise(0.0)).as("b"),
+        sum(when(col("side") === -1, col("qty")).otherwise(0.0)).as("s"))
+      .head()
+    val batch = Microstructure.tickRuleImbalance(
+      all.toDF("symbol", "ts", "price", "qty"), 3600000000L).head()
+    assert(agg.getAs[Double]("b") == batch.getAs[Double]("buy_qty"))
+    assert(agg.getAs[Double]("s") == batch.getAs[Double]("sell_qty"))
+  }
+
   // ---- Roll spread ----
 
   test("rollSpread: pure bid-ask bounce recovers the spread") {

@@ -62,6 +62,29 @@ class RankEventsSpecs extends SparkSpec {
     assert(got == naive)
   }
 
+  test("linearAttribution splits purchase value equally across window clicks") {
+    // user 1: clicks c1,c2 then a 100.0 purchase inside 24h -> 50 each;
+    // user 2: one click c3 then TWO purchases (30 and 50) -> c3 gets 80;
+    // user 3: click c4 with the purchase 25h later -> outside the window
+    val events = Seq(
+      (101L, ts(T0 + 0), 1L, "click", 0.0, ""),
+      (102L, ts(T0 + 60), 1L, "click", 0.0, ""),
+      (103L, ts(T0 + 3600), 1L, "purchase", 100.0, ""),
+      (201L, ts(T0 + 0), 2L, "click", 0.0, ""),
+      (202L, ts(T0 + 100), 2L, "purchase", 30.0, ""),
+      (203L, ts(T0 + 200), 2L, "purchase", 50.0, ""),
+      (301L, ts(T0 + 0), 3L, "click", 0.0, ""),
+      (302L, ts(T0 + 25 * 3600), 3L, "purchase", 40.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Events.linearAttribution(events)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_purchases"), x.getAs[Double]("credit")))).toMap
+    assert(r == Map(
+      101L -> ((1L, 50.0)), 102L -> ((1L, 50.0)), 201L -> ((2L, 80.0))))
+    // conservation: total credit equals total attributed purchase value
+    assert(math.abs(r.values.map(_._2).sum - 180.0) < 1e-6)
+  }
+
   test("transition probabilities sum to 1 per prev_type") {
     val t = graft.ops.Events.transitions(
       graft.core.Tables.events(spark, Sf0001))
