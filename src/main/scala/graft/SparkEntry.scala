@@ -291,6 +291,15 @@ object SparkEntry {
       // per-symbol OLS time trend (slope/intercept/R2): one index window
       // + one exact co-moment aggregation
       Analytics.trendOls(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "seasonal_decompose" -> ((s, dir) =>
+      // additive decomposition: centered-24h-MA trend, hour-of-day
+      // seasonal means, residual; one window + dim-scale broadcast join
+      Analytics.seasonalDecompose(
+        Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "kaplan_meier" -> ((s, dir) =>
+      // right-censoring-aware user-retention survival curve; user-dim
+      // shrink first, then lifetime-cardinality windows
+      graft.ops.Events.kaplanMeier(Tables.events(s, dir))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
@@ -1850,6 +1859,46 @@ object SparkEntry {
         "SELECT symbol, n, round(cov / (CASE WHEN dx <> 0 THEN dx END), 6) AS slope, " +
         "round((sy - (cov / (CASE WHEN dx <> 0 THEN dx END)) * sxd) / nd, 6) AS intercept, " +
         "round((cov * cov) / (CASE WHEN dx * dyv <> 0 THEN dx * dyv END), 6) AS r2 FROM f"),
+    // seasonal decomposition replay: identical centered window, identical
+    // exact-decimal seasonal means, finals rounded from unrounded parts
+    "seasonal_decompose" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "b AS (SELECT symbol, bucket_ts, close, count(*) OVER w AS cnt, " +
+        "CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE) / 24.0 AS trend FROM c " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), " +
+        "b2 AS (SELECT symbol, bucket_ts, close, trend, close - trend AS detr, " +
+        "CAST(hour(bucket_ts) AS BIGINT) AS hod FROM b WHERE cnt = 24), " +
+        "s0 AS (SELECT symbol, hod, CAST(sum(CAST(round(detr, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS n_micros, " +
+        "CAST(count(*) AS BIGINT) AS c FROM b2 GROUP BY 1, 2), " +
+        "s AS (SELECT symbol, hod, CASE WHEN n_micros >= 0 THEN (2 * n_micros + c) // (2 * c) " +
+        "ELSE -((2 * (-n_micros) + c) // (2 * c)) END AS s_micros FROM s0) " +
+        "SELECT b2.symbol, bucket_ts, close, round(trend, 6) AS trend, " +
+        "s_micros / 1000000.0 AS seasonal, " +
+        "(CAST(CAST(round(close, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) - " +
+        "CAST(CAST(round(trend, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) - s_micros) / 1000000.0 AS residual " +
+        "FROM b2 JOIN s ON b2.symbol = s.symbol AND b2.hod = s.hod"),
+    // Kaplan-Meier replay: integer lifetime division (// here, `div` in
+    // Spark - a double roundtrip would round vs truncate), exact decimal
+    // ln-term sums, exhausted-stratum flag pins survival 0
+    "kaplan_meier" ->
+      ("WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events), " +
+        "u AS (SELECT user_id, min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us FROM events GROUP BY 1), " +
+        "lt AS (SELECT (l_us - f_us) // 86400000000 AS lifetime_days, " +
+        "(l_us + 86400000000 <= max_us) AS churned FROM u, mx), " +
+        "g AS (SELECT lifetime_days, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_churn FROM lt GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS all_users FROM g), " +
+        "r AS (SELECT g.*, CAST(all_users - COALESCE(sum(n_total) OVER " +
+        "(ORDER BY lifetime_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM g, tot), " +
+        "r2 AS (SELECT lifetime_days, n_risk, n_churn, " +
+        "CASE WHEN n_churn < n_risk THEN CAST(round(ln(1.0 - CAST(n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(28,12)) END AS term, " +
+        "CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END AS dead FROM r), " +
+        "r3 AS (SELECT lifetime_days, n_risk, n_churn, max(dead) OVER wc AS dead_flag, " +
+        "CAST(sum(term) OVER wc AS DOUBLE) AS logsum FROM r2 " +
+        "WINDOW wc AS (ORDER BY lifetime_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT lifetime_days, n_risk, n_churn, " +
+        "CASE WHEN dead_flag = 1 THEN 0.0 ELSE round(exp(logsum), 6) END AS survival " +
+        "FROM r3 WHERE n_churn > 0"),
     "volume_profile" -> withTrades(
       ", rng AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM t GROUP BY 1), " +
         "b AS (SELECT t.symbol, qty, CASE WHEN hi = lo THEN 0 " +

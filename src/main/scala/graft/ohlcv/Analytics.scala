@@ -244,6 +244,60 @@ object Analytics {
       .toDF("symbol", "bucket_ts", "close", "ema")
   }
 
+  /** Classical additive SEASONAL DECOMPOSITION of the hourly close:
+    * close = trend + seasonal + residual — trend as the CENTERED 24-bucket
+    * moving average (full frames only, the textbook construction),
+    * seasonal as the per-(symbol, hour-of-day) mean deviation from trend,
+    * residual as what remains. The de-seasonalized residual is the input
+    * every anomaly detector actually wants; the seasonal profile is the
+    * hour-of-day fingerprint hourlyProfile only approximates from raw
+    * volume.
+    *
+    * Scale shape: ONE bounded per-symbol window (the centered MA), one
+    * dim-scale aggregation (24 rows per symbol), one broadcast join back.
+    * Determinism: the MA is an exact DECIMAL(18,2) window sum / 24; the
+    * seasonal mean sums per-row deviations rounded to 6 in exact
+    * DECIMAL(18,6); finals round at emission.
+    */
+  def seasonalDecompose(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-12, 11)
+    val base = candles
+      .select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("trend",
+        sum(col("close").cast(DecimalType(18, 2))).over(w).cast("double") / lit(24.0))
+      .where(col("cnt") === 24)
+      .withColumn("detr", col("close") - col("trend"))
+      .withColumn("hod", hour(col("bucket_ts")).cast("long"))
+    // The seasonal MEAN (Σ detr / count) can land EXACTLY on a 6-decimal
+    // half-way point (6dp-quantized numerators over small counts make
+    // halves common, not rare — measured at sf0.001), where the engines'
+    // double round() disagree by 1 ulp of the 6th decimal. So the mean is
+    // rounded in INTEGER micro-units with explicit half-away-from-zero
+    // division — bit-identical in any engine: N = exact Σ in micros
+    // (decimal-sum × 10⁶, exact), s = ±⌊(2|N| + C) / 2C⌋ (operands kept
+    // non-negative so truncating and flooring division agree). The trend
+    // needs no such treatment: trend·10⁶ has denominator 24, provably
+    // ≥ 1/24 from any half-integer. Residual subtracts in the same
+    // integer space; the only float op per output value is one final
+    // ÷ 10⁶, identical in both engines.
+    val d6 = DecimalType(18, 6)
+    val seas = base.groupBy(col("symbol"), col("hod"))
+      .agg((sum(round(col("detr"), 6).cast(d6)) * lit(1000000)).cast("long").as("n_micros"),
+        count(lit(1)).as("c"))
+      .withColumn("s_micros",
+        when(col("n_micros") >= 0, expr("(2 * n_micros + c) div (2 * c)"))
+          .otherwise(-expr("(2 * (-n_micros) + c) div (2 * c)")))
+    val closeM = (round(col("close"), 6).cast(d6) * lit(1000000)).cast("long")
+    val trendM = (round(col("trend"), 6).cast(d6) * lit(1000000)).cast("long")
+    base.join(broadcast(seas), Seq("symbol", "hod"))
+      .select(col("symbol"), col("bucket_ts"), col("close"),
+        round(col("trend"), 6).as("trend"),
+        (col("s_micros") / lit(1000000.0)).as("seasonal"),
+        ((closeM - trendM - col("s_micros")) / lit(1000000.0)).as("residual"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) per symbol, with
     * the one-step-ahead forecast l+b — the first-line baseline forecaster
     * for any metric/price series, and the state-space shape (recursive

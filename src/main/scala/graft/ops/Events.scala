@@ -114,14 +114,6 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path")).limit(topN)
   }
 
-  /** Rolling `windowDays`-day distinct active users per calendar day.
-    * COUNT(DISTINCT) over a sliding time range can't partial-aggregate,
-    * so instead each DISTINCT (day, user) pair is exploded to the days it
-    * keeps the user "active" (≤ windowDays rows each — bounded, map-side)
-    * and one exact distinct-count per observation day follows. Days past
-    * the data's end are clamped via a broadcast 1-row max. Output covers
-    * every day with ≥1 active user in its trailing window.
-    */
   /** LINEAR multi-touch attribution: every purchase's value is split
     * EQUALLY across all of that user's clicks in the preceding `window`
     * (vs. the as-of join's last-touch and funnel_1h's any-touch counting —
@@ -155,6 +147,68 @@ object Events {
         sum(col("share")).cast("double").as("credit"))
   }
 
+  /** KAPLAN–MEIER survival curve over user lifetimes — the
+    * right-censoring-aware retention statistic (a naive "fraction still
+    * active after N days" silently treats recent users as churned; KM
+    * does not). Lifetime = whole days between a user's first and last
+    * event (integer micros division); a user is an observed CHURN if
+    * their last event is ≥ `censorDays` before the corpus's max ts,
+    * otherwise right-censored (still alive at cutoff). Emits one row per
+    * lifetime with ≥ 1 churn: n_risk (users with lifetime ≥ t), n_churn,
+    * and Ŝ(t) = Π_{s ≤ t} (1 − d/n).
+    *
+    * Scale shape: one per-user aggregation shrinks the stream to the user
+    * dimension; everything after (per-lifetime grouping, two running
+    * windows) is lifetime-cardinality — days, not users. The corpus max
+    * ts is a 1-row broadcast. Determinism: the product runs as
+    * exp(Σ ln-terms) with each term rounded to 12 and summed in exact
+    * DECIMAL(28,12) (order-insensitive); an exhausted stratum (d = n,
+    * ln 0 undefined) flips a cumulative flag that pins Ŝ = 0 exactly —
+    * no ±inf enters either engine's arithmetic.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 1): DataFrame = {
+    val day = 86400000000L
+    val mx = events.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val users = events.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("f_us"),
+        max(unix_micros(col("ts"))).as("l_us"))
+      .crossJoin(broadcast(mx))
+      .select(
+        // integer division on both engines (Spark `div` / DuckDB `//`):
+        // a double roundtrip would CAST-round in DuckDB but truncate here
+        expr(s"(l_us - f_us) div $day").as("lifetime_days"),
+        (col("l_us") + lit(censorDays * day) <= col("max_us")).as("churned"))
+    val g = users.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"))
+    val total = g.agg(sum(col("n_total")).as("all_users"))
+    val wPrior = Window.orderBy(col("lifetime_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("lifetime_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("all_users") - coalesce(sum(col("n_total")).over(wPrior), lit(0L)))
+      .withColumn("term", when(col("n_churn") < col("n_risk"),
+        round(log(lit(1.0) - col("n_churn").cast("double") / col("n_risk").cast("double")), 12)
+          .cast(DecimalType(28, 12))).otherwise(lit(null).cast(DecimalType(28, 12))))
+      .withColumn("dead_flag",
+        max(when(col("n_churn") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("logsum", sum(col("term")).over(wCum).cast("double"))
+      .where(col("n_churn") > 0)
+      .select(col("lifetime_days"), col("n_risk"), col("n_churn"),
+        when(col("dead_flag") === 1, lit(0.0))
+          .otherwise(round(exp(col("logsum")), 6)).as("survival"))
+  }
+
+  /** Rolling `windowDays`-day distinct active users per calendar day.
+    * COUNT(DISTINCT) over a sliding time range can't partial-aggregate,
+    * so instead each DISTINCT (day, user) pair is exploded to the days it
+    * keeps the user "active" (≤ windowDays rows each — bounded, map-side)
+    * and one exact distinct-count per observation day follows. Days past
+    * the data's end are clamped via a broadcast 1-row max. Output covers
+    * every day with ≥1 active user in its trailing window.
+    */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     // the distinct pair frame feeds both the max-day bound and the explode
     // branch: materialize it once instead of scanning events twice

@@ -45,6 +45,67 @@ class ForecastSpec extends SparkSpec {
       s"trend should approach 2.0: $last")
   }
 
+  test("seasonalDecompose recovers a constructed hour-of-day pattern") {
+    import spark.implicits._
+    // close = 100 (flat trend) + deterministic hour-of-day bump; over full
+    // days the centered 24h MA is exactly 100 (the bumps sum to zero) and
+    // the seasonal component equals the bump
+    val bump = (h: Int) => if (h == 3) 12.0 else if (h == 15) -12.0 else 0.0
+    val candles = (0 until 24 * 10).map { i =>
+      ("S", ts(T0 + i * 3600), 100.0 + bump(i % 24))
+    }.toDF("symbol", "bucket_ts", "close")
+    val r = graft.ohlcv.Analytics.seasonalDecompose(candles).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("trend") - 100.0) < 1e-9, row.toString)
+      val h = row.getAs[java.sql.Timestamp]("bucket_ts").toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour
+      assert(math.abs(row.getAs[Double]("seasonal") - bump(h)) < 1e-9, row.toString)
+      assert(math.abs(row.getAs[Double]("residual")) < 1e-9, row.toString)
+    }
+  }
+
+  test("kaplanMeier: hand-computed two-death curve with censoring") {
+    import spark.implicits._
+    val day = 86400L
+    // corpus max at T0+40d. Users:
+    //   u1: day 0 only            -> lifetime 0, churned
+    //   u2: days 0..10            -> lifetime 10, churned
+    //   u3: days 0..40 (active at end) -> lifetime 40, censored
+    //   u4: days 30..40 (active at end) -> lifetime 10, censored
+    val ev = Seq(
+      (1L, 0L), (2L, 0L), (2L, 10 * day), (3L, 0L), (3L, 40 * day),
+      (4L, 30 * day), (4L, 40 * day)
+    ).zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, ts(T0 + off), u, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Events.kaplanMeier(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // t=0: n_risk 4, 1 death -> S = 3/4; t=10: n_risk 3, 1 death (u4
+    // censored, still at risk at 10) -> S = 0.75 * 2/3 = 0.5
+    assert(r.keySet == Set(0L, 10L), r.toString)
+    assert(r(0L)._1 == 4L && r(0L)._2 == 1L && math.abs(r(0L)._3 - 0.75) < 1e-6)
+    assert(r(10L)._1 == 3L && r(10L)._2 == 1L && math.abs(r(10L)._3 - 0.5) < 1e-6)
+  }
+
+  test("kaplanMeier: exhausted last stratum pins survival to exact 0") {
+    import spark.implicits._
+    val day = 86400L
+    // both users churn at their max lifetime -> final stratum d = n
+    val ev = Seq(
+      (1L, 0L), (1L, 2 * day), (2L, 0L), (2L, 2 * day),
+      (99L, 40 * day) // anchor user keeps corpus max far ahead
+    ).zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, ts(T0 + off), u, "click", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Events.kaplanMeier(ev).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // the anchor (lifetime 0, still active at cutoff) is censored; at
+    // t=2 both remaining users churn -> d = n exhausts the stratum
+    assert(r.keySet == Set(2L), r.toString)
+    assert(r(2L) == 0.0, r.toString)
+  }
+
   test("trendOls: exact line recovered with R2 = 1") {
     import spark.implicits._
     val candles = (0 until 50).map(i => ("T", ts(T0 + i * 3600), 10.0 + 1.5 * i))
