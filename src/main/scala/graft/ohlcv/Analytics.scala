@@ -262,14 +262,19 @@ object Analytics {
   def seasonalDecompose(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
       .rowsBetween(-12, 11)
-    val base = candles
-      .select(col("symbol"), col("bucket_ts"), col("close"))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("trend",
-        sum(col("close").cast(DecimalType(18, 2))).over(w).cast("double") / lit(24.0))
+    // both window aggregates share ONE Window node (same spec, same
+    // select); the frame feeds two branches (seasonal means + the final
+    // join), so it is CUT once — without the cut Catalyst duplicates the
+    // whole candle+window subtree per branch and the corpus is scanned
+    // twice (the q15/q11 ReuseExchange lesson, re-measured here)
+    val base = graft.core.Materialize.once(candles
+      .select(col("symbol"), col("bucket_ts"), col("close"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(col("close").cast(DecimalType(18, 2))).over(w).as("tsum"))
       .where(col("cnt") === 24)
+      .withColumn("trend", col("tsum").cast("double") / lit(24.0))
       .withColumn("detr", col("close") - col("trend"))
-      .withColumn("hod", hour(col("bucket_ts")).cast("long"))
+      .withColumn("hod", hour(col("bucket_ts")).cast("long")))
     // The seasonal MEAN (Σ detr / count) can land EXACTLY on a 6-decimal
     // half-way point (6dp-quantized numerators over small counts make
     // halves common, not rare — measured at sf0.001), where the engines'

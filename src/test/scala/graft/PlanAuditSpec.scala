@@ -456,4 +456,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(pb.contains("TakeOrderedAndProject"), pb)
     assert(pb.contains("BroadcastHashJoin"), pb)
   }
+
+  test("r10 market/pipeline ops keep their scale shapes") {
+    // tick_rule: the bucket aggregation REUSES the window's symbol
+    // partitioning (bucket keys are a superset of the partitioning) —
+    // exactly one exchange end to end
+    val pt = planOf("tick_rule")
+    assert(countOccurrences(pt, "Exchange hashpartitioning") == 1, pt)
+    // holt: exactly the candle build's (symbol, bucket) exchange plus ONE
+    // symbol repartition feeding the sequential sweep; no window operator
+    val ph = planOf("holt_forecast")
+    assert(countOccurrences(ph, "Exchange hashpartitioning") == 2, ph)
+    assert(!ph.contains("Window"), ph)
+    // bigram_pmi: vocabulary joins are equi joins; the only nested-loop
+    // is the 1-row totals crossJoin; text scan pruned to the text column
+    val pp = planOf("bigram_pmi")
+    assert(!pp.contains("CartesianProduct"), pp)
+    assert(countOccurrences(pp, "BroadcastNestedLoopJoin") <= 1, pp)
+    assert(pp.contains("ReadSchema: struct<text:string>"), pp)
+    // attribution_linear: the interval pairing is a hash/sort-merge equi
+    // join with the window as residual — never a nested loop
+    val pa = planOf("attribution_linear")
+    assert(!pa.contains("BroadcastNestedLoopJoin") &&
+      !pa.contains("CartesianProduct"), pa)
+    // seasonal_decompose: the candle+window base is CUT once and both
+    // branches read the cut (no FileScan in the final plan — the corpus
+    // is scanned exactly once, at cut creation); the seasonal table
+    // joins back via broadcast
+    val ps = planOf("seasonal_decompose")
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("FileScan"),
+      "both branches must read the materialized base cut\n" + ps)
+    // roll_spread: the candle build's exchange + ONE symbol window
+    // exchange; both lag windows fold into one Window node and the
+    // co-moment aggregation map-side combines on the window partitioning
+    val pr = planOf("roll_spread")
+    assert(countOccurrences(pr, "Exchange hashpartitioning") == 2, pr)
+    assert(pr.contains("partial_count") || pr.contains("partial count"), pr)
+  }
 }
