@@ -47,6 +47,41 @@ object SparkEntry {
 
   private def withTrades(body: String): String = s"WITH t AS ($TradesSql) $body"
 
+  /** The deterministic IVF-cell kNN graph (cell-bounded candidates,
+    * rounded-cosine/neighbor-id tiebreak, k=5) as a CTE chain ending in
+    * `g(src, dst)` — shared by the graph-analytics oracles
+    * (knn_pagerank, knn_communities).
+    */
+  private val KnnGraphSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      "FROM e ORDER BY vec_id LIMIT 16), " +
+      "assigned AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+      "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+      "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+      "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+      "g AS (SELECT vec_id AS src, neighbor_id AS dst FROM (" +
+      "SELECT vec_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn " +
+      "FROM p) WHERE rn <= 5), "
+
+  /** Synchronous LPA rounds as chained CTEs (l0 → l`n`): per round, the
+    * neighbor-label vote count and the (cnt DESC, label ASC) argmax —
+    * the SQL replay of Graph.labelPropagation's max(struct(cnt, −label)).
+    */
+  private def lpaRoundsSql(n: Int): String =
+    (1 to n).map { i =>
+      s"v$i AS (SELECT sym.dst AS nv, l.label, count(*) AS cnt FROM sym " +
+        s"JOIN l${i - 1} l ON l.nv = sym.src GROUP BY 1, 2), " +
+        s"a$i AS (SELECT nv, label AS new_label FROM (SELECT nv, label, " +
+        s"row_number() OVER (PARTITION BY nv ORDER BY cnt DESC, label ASC) AS rn FROM v$i) WHERE rn = 1), " +
+        s"l$i AS (SELECT l${i - 1}.nv, COALESCE(a$i.new_label, l${i - 1}.label) AS label " +
+        s"FROM l${i - 1} LEFT JOIN a$i ON a$i.nv = l${i - 1}.nv)"
+    }.mkString(", ")
+
   /** Inactivity-gap sessionization CTE chain shared by the four session
     * queries (sessionize / session_stats / session_percentiles /
     * bounce_rate): `sess` = one row per (user, session) with bounds and
@@ -1385,6 +1420,14 @@ object SparkEntry {
         graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
         .select(col("v").as("vec_id"), col("pr"))),
+    "knn_communities" -> ((s, dir) =>
+      // deterministic synchronous label propagation over the kNN graph:
+      // min-label tie-break, fixed rounds, integer argmax — communities
+      // without a target count (CC over-merges through any bridge)
+      graft.ops.Graph.labelPropagation(
+        graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+        .select(col("v").as("vec_id"), col("label"))),
     "ann_sq8" -> ((s, dir) => {
       // scalar-quantized (1 byte/dim) asymmetric search: raw query vs
       // SQ8-reconstructed corpus — the 8x working-set cut between the
@@ -3303,20 +3346,7 @@ object SparkEntry {
     // (pr in 1e-9 units, contributions pr // outdeg, damping
     // (85*s) // 100), so the replay is bit-exact by construction
     "knn_pagerank" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
-        "FROM e ORDER BY vec_id LIMIT 16), " +
-        "assigned AS (SELECT vec_id, v, cid FROM (" +
-        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
-        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-        "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
-        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
-        "g AS (SELECT vec_id AS src, neighbor_id AS dst FROM (" +
-        "SELECT vec_id, neighbor_id, row_number() OVER (" +
-        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn " +
-        "FROM p) WHERE rn <= 5), " +
+      (KnnGraphSql +
         "nodes AS (SELECT src AS nv FROM g UNION SELECT dst FROM g), " +
         "outd AS (SELECT src, count(*) AS d FROM g GROUP BY 1), " +
         "nn AS (SELECT count(*) AS n FROM nodes), " +
@@ -3334,6 +3364,18 @@ object SparkEntry {
         "p3 AS (SELECT nodes.nv, CAST((150000000 // nn.n) + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr " +
         "FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.nv = nodes.nv) " +
         "SELECT nv AS vec_id, pr FROM p3"),
+    // LPA replay: same kNN graph CTEs, symmetrized distinct edges, then
+    // the unrolled vote/argmax rounds (cnt DESC, label ASC == the
+    // max(struct(cnt, -label)) tie-break)
+    "knn_communities" ->
+      (KnnGraphSql +
+        "sym AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT src, dst FROM g WHERE src <> dst " +
+        "UNION ALL SELECT dst, src FROM g WHERE src <> dst)), " +
+        "nodes AS (SELECT DISTINCT src AS nv FROM sym), " +
+        "l0 AS (SELECT nv, nv AS label FROM nodes), " +
+        lpaRoundsSql(5) +
+        " SELECT nv AS vec_id, label FROM l5"),
     // SQ8 replay: per-dim min/max, round-to-nearest byte codes, midpoint
     // decode, asymmetric cosine (raw query x reconstructed corpus) —
     // identical IEEE arithmetic on both sides

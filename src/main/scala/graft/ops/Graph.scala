@@ -62,4 +62,47 @@ object Graph {
     }
     pr
   }
+
+  /** Synchronous LABEL PROPAGATION communities over an undirected view of
+    * the edge frame — the near-linear community detector (Raghavan 2007)
+    * that needs no target cluster count, complementing connected
+    * components (which over-merges through any single bridge edge) and
+    * mutual-kNN (which needs reciprocity). FULLY DETERMINISTIC, unlike
+    * textbook LPA: updates are synchronous (no visit order), and each
+    * node adopts the most frequent neighbor label with ties broken by
+    * MINIMUM label — an integer argmax via `max(struct(cnt, -label))`,
+    * independent of partitioning and engine. Fixed `iters` rounds (the
+    * pageRank convention; LPA on community-structured graphs stabilizes
+    * in a handful).
+    *
+    * Scale shape: edges symmetrize once behind a cut (source scanned
+    * once, reused every round); each round is the (node,label)-count
+    * aggregation plus the per-node argmax — two map-side-combined
+    * shuffles over edge-scale, never more; isolated nodes keep their own
+    * label via the left join.
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    val sym = graft.core.Materialize.once {
+      val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src") =!= col("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val nodes = graft.core.Materialize.once(
+      sym.select(col("src").as("v")).distinct())
+    var labels = nodes.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst").as("v"), (-col("m.neg")).as("new_label"))
+      labels = labels.join(votes, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_label"), col("label")).as("label"))
+      // cut each round: the plan would otherwise nest `iters` joins deep
+      // and re-run every prior round per action (the pageRank lesson)
+      labels = graft.core.Materialize.once(labels)
+    }
+    labels
+  }
 }

@@ -42,6 +42,33 @@ class GraphLmSqSpec extends SparkSpec {
     assert(a == b, "integer PageRank must be partitioning-invariant")
   }
 
+  // ---- label propagation ----
+
+  test("labelPropagation: two triangles joined by a bridge stay separate") {
+    import spark.implicits._
+    val tri = (a: Long, b: Long, c: Long) => Seq((a, b), (b, c), (a, c))
+    val edges = (tri(0L, 1L, 2L) ++ tri(10L, 11L, 12L) :+ ((2L, 10L)))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    val a = Set(0L, 1L, 2L).map(r)
+    val b = Set(10L, 11L, 12L).map(r)
+    assert(a.size == 1, s"first triangle must agree: $r")
+    assert(b.size == 1, s"second triangle must agree: $r")
+    assert(a != b, s"bridge must not merge the communities: $r")
+  }
+
+  test("labelPropagation: deterministic under repartitioning; isolated-free") {
+    import spark.implicits._
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), (i, (i * 11 + 5) % 30))).toDF("src", "dst")
+    val x = Graph.labelPropagation(edges).orderBy("v").collect().toSeq
+    val y = Graph.labelPropagation(edges.repartition(7, col("src")))
+      .orderBy("v").collect().toSeq
+    assert(x == y, "LPA must be partitioning-invariant")
+  }
+
   // ---- LM perplexity ----
 
   test("lmPerplexity: in-reference docs score lower than OOV docs") {
