@@ -350,6 +350,51 @@ object Analytics {
         round(col("forecast"), 6).as("forecast"))
   }
 
+  /** RENKO brick construction per symbol — the price-move-quantized chart
+    * transform (time drops out; each brick is a fixed `brickSize` move),
+    * the standard noise filter behind trend-following rules. Grid
+    * semantics: the anchor starts at the first close; every time the
+    * close crosses `anchor ± brickSize` one brick per full step is
+    * emitted and the anchor advances a step — a single candle can emit
+    * several bricks (gap candles), and reversals need a full step in the
+    * other direction. Same sequential-sweep scale shape as `ema`/`holt`
+    * (one symbol shuffle, O(n) sweep, O(1) state); brick levels are exact
+    * multiples of `brickSize` off the seed close, rounded at emission.
+    */
+  def renko(candles: DataFrame, brickSize: Double): DataFrame = {
+    require(brickSize > 0, "brickSize must be positive")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var anchor = 0.0
+        var idx = 0L
+        it.flatMap { case (s, t, c) =>
+          if (s != cur) { cur = s; anchor = c; idx = 0L }
+          val out = List.newBuilder[(String, java.sql.Timestamp, Long, Int, Double, Double)]
+          while (c >= anchor + brickSize) {
+            idx += 1
+            out += ((s, t, idx, 1, anchor, anchor + brickSize))
+            anchor += brickSize
+          }
+          while (c <= anchor - brickSize) {
+            idx += 1
+            out += ((s, t, idx, -1, anchor, anchor - brickSize))
+            anchor -= brickSize
+          }
+          out.result()
+        }
+      }
+      .toDF("symbol", "bucket_ts", "brick_idx", "direction", "open_level", "close_level")
+      .select(col("symbol"), col("bucket_ts"), col("brick_idx"), col("direction"),
+        round(col("open_level"), 6).as("open_level"),
+        round(col("close_level"), 6).as("close_level"))
+  }
+
   /** Per-symbol OLS time trend: slope/intercept/R² of close against the
     * 0-based bucket index — the drift screen behind momentum ranking and
     * detrending. The index comes from one per-symbol window (row_number),

@@ -106,6 +106,32 @@ class ForecastSpec extends SparkSpec {
     assert(r(2L) == 0.0, r.toString)
   }
 
+  test("renko: hand-built brick sequence with gap and reversal") {
+    import spark.implicits._
+    val candles = Seq(100.0, 102.5, 102.2, 100.9).zipWithIndex
+      .map { case (c, i) => ("R", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val r = graft.ohlcv.Analytics.renko(candles, brickSize = 1.0)
+      .orderBy(col("brick_idx")).collect()
+      .map(x => (x.getAs[Long]("brick_idx"), x.getAs[Int]("direction"),
+        x.getAs[Double]("open_level"), x.getAs[Double]("close_level"))).toSeq
+    // 102.5 emits TWO up bricks (gap candle); 102.2 emits none; 100.9
+    // crosses one full step down from anchor 102
+    assert(r == Seq((1L, 1, 100.0, 101.0), (2L, 1, 101.0, 102.0),
+      (3L, -1, 102.0, 101.0)), r.toString)
+  }
+
+  test("renko: per-symbol anchors are independent") {
+    import spark.implicits._
+    val candles = Seq(("A", ts(T0), 10.0), ("A", ts(T0 + 3600), 12.0),
+      ("B", ts(T0), 500.0), ("B", ts(T0 + 3600), 499.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val r = graft.ohlcv.Analytics.renko(candles, 1.0).collect()
+      .map(x => (x.getString(0), x.getAs[Int]("direction")))
+    assert(r.count(_._1 == "A") == 2 && r.count(_._1 == "B") == 1)
+    assert(r.filter(_._1 == "B").forall(_._2 == -1))
+  }
+
   test("trendOls: exact line recovered with R2 = 1") {
     import spark.implicits._
     val candles = (0 until 50).map(i => ("T", ts(T0 + i * 3600), 10.0 + 1.5 * i))
