@@ -326,6 +326,14 @@ object SparkEntry {
       // per-symbol OLS time trend (slope/intercept/R2): one index window
       // + one exact co-moment aggregation
       Analytics.trendOls(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "ewma_vol" -> ((s, dir) =>
+      // RiskMetrics lambda=0.94 EWMA volatility: the ema-family
+      // sequential sweep over squared returns
+      Analytics.ewmaVol(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "var_es" -> ((s, dir) =>
+      // 5% historical VaR + expected shortfall in integer micro-units
+      // (engine-stable percentile), tail mean on exact integer sums
+      Analytics.varEs(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "seasonal_decompose" -> ((s, dir) =>
       // additive decomposition: centered-24h-MA trend, hour-of-day
       // seasonal means, residual; one window + dim-scale broadcast join
@@ -1902,6 +1910,32 @@ object SparkEntry {
         "SELECT symbol, n, round(cov / (CASE WHEN dx <> 0 THEN dx END), 6) AS slope, " +
         "round((sy - (cov / (CASE WHEN dx <> 0 THEN dx END)) * sxd) / nd, 6) AS intercept, " +
         "round((cov * cov) / (CASE WHEN dx * dyv <> 0 THEN dx * dyv END), 6) AS r2 FROM f"),
+    // EWMA vol replay: same unrounded-return recursion via list_reduce
+    // with a scalar DOUBLE accumulator (safe, unlike struct accumulators);
+    // (1 - lambda) spelled as the double expression both engines compute
+    "ewma_vol" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM r0 " +
+        "WHERE prev_close IS NOT NULL AND prev_close <> 0), " +
+        "l AS (SELECT symbol, bucket_ts, ret, list(ret * ret) OVER (" +
+        "PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2s FROM r) " +
+        "SELECT symbol, bucket_ts, round(ret, 6) AS ret, " +
+        "round(sqrt(list_reduce(r2s, (acc, x) -> 0.94 * acc + (CAST(1 AS DOUBLE) - 0.94) * x)), 6) AS ewma_vol FROM l"),
+    // VaR/ES replay: micro-unit returns, quantile_cont == Spark's exact
+    // interpolated percentile over integers, integer tail filter + sums
+    "var_es" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "r AS (SELECT symbol, CAST(CAST(round((close - prev_close) / prev_close, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rm " +
+        "FROM r0 WHERE prev_close IS NOT NULL AND prev_close <> 0), " +
+        "v AS (SELECT symbol, count(*) AS n, CAST(round(quantile_cont(rm, 0.05), 0) AS BIGINT) AS var_micro FROM r GROUP BY 1), " +
+        "tl AS (SELECT r.symbol, rm, var_micro, n FROM r JOIN v ON r.symbol = v.symbol WHERE rm <= var_micro) " +
+        "SELECT symbol, n, var_micro / 1000000.0 AS var_ret, " +
+        "(CAST(sum(rm) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS es_ret, " +
+        "count(*) AS n_tail FROM tl GROUP BY symbol, n, var_micro"),
     // seasonal decomposition replay: identical centered window, identical
     // exact-decimal seasonal means, finals rounded from unrounded parts
     "seasonal_decompose" -> withTrades(

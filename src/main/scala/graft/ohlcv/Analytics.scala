@@ -350,6 +350,71 @@ object Analytics {
         round(col("forecast"), 6).as("forecast"))
   }
 
+  /** Historical VALUE-AT-RISK + EXPECTED SHORTFALL per symbol at the 5%
+    * tail: VaR = the interpolated 5th-percentile return, ES = the mean of
+    * returns at-or-below VaR — the coherent tail-risk pair (ES is what
+    * Basel moved to when VaR's non-subadditivity bit). Returns are
+    * quantized to integer MICRO-units before any statistic (the
+    * session_percentiles recipe: interpolation over integers + round-to-0
+    * is engine-stable where raw-double interpolation is a last-ulp
+    * lottery), the tail filter compares integers, ES is exact integer
+    * sums with two identical final divisions. The returns frame feeds the
+    * percentile and the tail scan, so it is cut once.
+    */
+  def varEs(candles: DataFrame, p: Double = 0.05): DataFrame = {
+    val r = graft.core.Materialize.once(
+      returns(candles).where(col("ret").isNotNull)
+        .select(col("symbol"),
+          (round(col("ret"), 6).cast(DecimalType(18, 6)) * lit(1000000))
+            .cast("long").as("rm")))
+    val v = r.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile(rm, $p)"), 0).cast("long").as("var_micro"))
+    r.join(broadcast(v), Seq("symbol"))
+      .where(col("rm") <= col("var_micro"))
+      .groupBy(col("symbol"), col("n"), col("var_micro"))
+      .agg(sum(col("rm")).as("tail_sum"), count(lit(1)).as("n_tail"))
+      .select(col("symbol"), col("n"),
+        (col("var_micro") / lit(1000000.0)).as("var_ret"),
+        ((col("tail_sum").cast("double") / col("n_tail").cast("double")) /
+          lit(1000000.0)).as("es_ret"),
+        col("n_tail"))
+  }
+
+  /** RiskMetrics EWMA volatility per symbol: σ²_t = λ·σ²_{t−1} + (1−λ)·r²_t
+    * with λ = 0.94 (the J.P. Morgan 1996 daily-decay standard) — the
+    * responsive volatility estimate rollingVol's equal-weight window
+    * cannot give (EWMA reacts to regime shifts in days, not window
+    * lengths). Seed σ²_1 = r²_1 (the list_reduce convention: the first
+    * observation seeds the fold). Same sequential-sweep shape as
+    * `ema`/`holt`; the recursion runs on UNROUNDED doubles with
+    * (1 − λ) computed as the double expression the oracle replays
+    * literally, rounding at emission only.
+    */
+  def ewmaVol(candles: DataFrame, lambda: Double = 0.94): DataFrame = {
+    val lam = lambda; val oneMl = 1 - lambda
+    val spark = candles.sparkSession
+    import spark.implicits._
+    returns(candles)
+      .where(col("ret").isNotNull)
+      .select(col("symbol"), col("bucket_ts"), col("ret"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var s2 = 0.0
+        it.map { case (s, t, r) =>
+          if (s != cur) { cur = s; s2 = r * r }
+          else s2 = lam * s2 + oneMl * (r * r)
+          (s, t, r, s2)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "ret", "s2")
+      .select(col("symbol"), col("bucket_ts"), round(col("ret"), 6).as("ret"),
+        round(sqrt(col("s2")), 6).as("ewma_vol"))
+  }
+
   /** RENKO brick construction per symbol — the price-move-quantized chart
     * transform (time drops out; each brick is a fixed `brickSize` move),
     * the standard noise filter behind trend-following rules. Grid

@@ -106,6 +106,79 @@ class ForecastSpec extends SparkSpec {
     assert(r(2L) == 0.0, r.toString)
   }
 
+  test("streaming holt equals the batch sweep across a micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val closes = Seq(100.0, 102.0, 104.0, 106.0, 103.0, 101.0)
+    val all = closes.zipWithIndex.map { case (c, i) => ("H", ts(T0 + i * 3600), c) }
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = streaming.StreamingHolt.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "close"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_holt").start()
+    try {
+      // the (level, trend) state must survive the batch boundary
+      ms.addData(all.take(3): _*); q.processAllAvailable()
+      ms.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_holt")
+      .select("symbol", "bucket_ts", "close", "level", "trend", "forecast")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ohlcv.Analytics.holt(
+        all.toDF("symbol", "bucket_ts", "close"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == closes.size)
+  }
+
+  test("ewmaVol: hand-folded RiskMetrics recursion") {
+    import spark.implicits._
+    // closes 100,110,99,108.9 -> rets .1,-.1,.1; s2: .01, .94*.01+.06*.01=.01, .01
+    val candles = Seq(100.0, 110.0, 99.0, 108.9).zipWithIndex
+      .map { case (c, i) => ("E", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val r = graft.ohlcv.Analytics.ewmaVol(candles)
+      .orderBy("bucket_ts").collect()
+    assert(r.length == 3)
+    r.foreach(x => assert(math.abs(x.getAs[Double]("ewma_vol") - 0.1) < 1e-6, x.toString))
+  }
+
+  test("ewmaVol: volatility decays after a single shock") {
+    import spark.implicits._
+    // one big return then flat closes: sigma strictly decays at rate sqrt(0.94)
+    val closes = 100.0 +: 120.0 +: Seq.fill(10)(120.0)
+    val candles = closes.zipWithIndex
+      .map { case (c, i) => ("D", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val vols = graft.ohlcv.Analytics.ewmaVol(candles)
+      .orderBy("bucket_ts").collect().map(_.getAs[Double]("ewma_vol"))
+    assert(vols.head == 0.2)
+    assert(vols.sliding(2).forall(p => p(1) < p(0)), vols.mkString(","))
+  }
+
+  test("varEs: hand-computable 5% tail on a return ladder") {
+    import spark.implicits._
+    // 101 candles -> 100 returns forming a ladder; construct closes so
+    // returns are exactly -0.05, -0.04, ..., then many small ones.
+    // Use 20 distinct returns r_i = (i - 10) * 0.001 for i in 0..19,
+    // each appearing 5 times -> 100 returns. 5th percentile of the
+    // micro-unit multiset: interpolated between sorted positions.
+    val rets = (0 until 100).map(i => ((i % 20) - 10) * 0.001)
+    val closes = rets.scanLeft(1000.0)((p, r) => p * (1 + r))
+    val candles = closes.zipWithIndex
+      .map { case (c, i) => ("V", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val row = graft.ohlcv.Analytics.varEs(candles).head()
+    assert(row.getAs[Long]("n") == 100L)
+    // sorted micros: five copies each of -10000,-9000,...; position
+    // 0.05*(100-1)=4.95 -> between the 5th and 6th values (-10000,-9000)
+    // -> -10000 + 0.95*1000 = -9050
+    assert(math.abs(row.getAs[Double]("var_ret") - (-0.00905)) < 1e-9, row.toString)
+    // tail = the five -10000s -> ES = -0.01
+    assert(row.getAs[Long]("n_tail") == 5L)
+    assert(math.abs(row.getAs[Double]("es_ret") - (-0.01)) < 1e-9, row.toString)
+  }
+
   test("renko: hand-built brick sequence with gap and reversal") {
     import spark.implicits._
     val candles = Seq(100.0, 102.5, 102.2, 100.9).zipWithIndex
