@@ -334,6 +334,10 @@ object SparkEntry {
       // 5% historical VaR + expected shortfall in integer micro-units
       // (engine-stable percentile), tail mean on exact integer sums
       Analytics.varEs(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "hurst" -> ((s, dir) =>
+      // aggregated-variance Hurst exponent: one lag window computes all
+      // five k-step returns, exact-decimal co-moments, literal-ln2 axis
+      Analytics.hurst(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "seasonal_decompose" -> ((s, dir) =>
       // additive decomposition: centered-24h-MA trend, hour-of-day
       // seasonal means, residual; one window + dim-scale broadcast join
@@ -1923,6 +1927,39 @@ object SparkEntry {
         "PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2s FROM r) " +
         "SELECT symbol, bucket_ts, round(ret, 6) AS ret, " +
         "round(sqrt(list_reduce(r2s, (acc, x) -> 0.94 * acc + (CAST(1 AS DOUBLE) - 0.94) * x)), 6) AS ewma_vol FROM l"),
+    // Hurst replay: same lag window, same exact-decimal co-moments, the
+    // log-k axis as literal multiples of ln 2, 5-point OLS on decimal
+    // sums in identical double op order
+    "hurst" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "lg AS (SELECT symbol, close, " +
+        Seq(1, 2, 4, 8, 16).map(k => s"lag(close, $k) OVER w AS p$k").mkString(", ") +
+        " FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "rr AS (SELECT symbol, " +
+        Seq(1, 2, 4, 8, 16).map(k =>
+          s"CASE WHEN close > 0 AND p$k > 0 THEN CAST(round(ln(close / p$k), 6) AS DECIMAL(9,6)) END AS r$k").mkString(", ") +
+        " FROM lg), " +
+        "a AS (SELECT symbol, " +
+        Seq(1, 2, 4, 8, 16).map(k =>
+          s"count(r$k) AS n$k, CAST(sum(r$k) AS DOUBLE) AS s1_$k, " +
+            s"CAST(sum(CAST(r$k * r$k AS DECIMAL(18,12))) AS DOUBLE) AS s2_$k").mkString(", ") +
+        " FROM rr GROUP BY 1), " +
+        "pts AS (" +
+        Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (k, i) =>
+          s"SELECT symbol, $i AS i, n$k AS n, s1_$k AS s1, s2_$k AS s2 FROM a"
+        }.mkString(" UNION ALL ") + "), " +
+        "pv AS (SELECT symbol, i, s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS v " +
+        "FROM pts WHERE n >= 2), " +
+        "pxy AS (SELECT symbol, CAST(i AS DOUBLE) * 0.6931471805599453 AS x, round(ln(v), 6) AS y FROM pv WHERE v > 0), " +
+        "f AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_scales, " +
+        "CAST(sum(CAST(round(x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(round(y, 6) AS DECIMAL(18,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(round(x * x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(round(x * y, 12) AS DECIMAL(18,12))) AS DOUBLE) AS sxy FROM pxy GROUP BY 1) " +
+        "SELECT symbol, n_scales, " +
+        "round((CAST(n_scales AS DOUBLE) * sxy - sx * sy) / " +
+        "(CASE WHEN CAST(n_scales AS DOUBLE) * sxx - sx * sx <> 0 THEN CAST(n_scales AS DOUBLE) * sxx - sx * sx END) / 2.0, 6) AS hurst " +
+        "FROM f WHERE n_scales >= 3"),
     // VaR/ES replay: micro-unit returns, quantile_cont == Spark's exact
     // interpolated percentile over integers, integer tail filter + sums
     "var_es" -> withTrades(

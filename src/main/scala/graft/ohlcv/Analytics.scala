@@ -350,6 +350,61 @@ object Analytics {
         round(col("forecast"), 6).as("forecast"))
   }
 
+  /** HURST EXPONENT per symbol by the aggregated-variance method: the
+    * log-log slope of Var(r_k) against lag k over k ∈ {1,2,4,8,16},
+    * H = slope/2 — the standard long-memory screen (H ≈ 0.5 random walk,
+    * > 0.5 trending, < 0.5 mean-reverting). ONE lag window computes all
+    * five k-step log returns (the autocorrelation recipe), one
+    * aggregation computes all five variance pairs via exact decimal
+    * co-moments, and the 5-point OLS runs on DOUBLES SUMMED AS EXACT
+    * DECIMALS (even 5 floating terms reorder across partitions). The
+    * log-k axis uses literal multiples of ln 2 (k is a power of two), so
+    * no engine's libm ln(2) enters the compare — the range_vol argument.
+    */
+  def hurst(candles: DataFrame, maxPow: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val ks = (0 to maxPow).map(1 << _) // 1,2,4,8,16
+    val ln2 = 0.6931471805599453
+    val lagged = candles.select(
+      Seq(col("symbol"), col("close")) ++
+        ks.map(k => lag(col("close"), k).over(w).as(s"p$k")): _*)
+    val aggs = ks.flatMap { k =>
+      val r = when(col("close") > 0 && col(s"p$k") > 0,
+        round(log(col("close") / col(s"p$k")), 6)).cast(DecimalType(9, 6))
+      Seq(count(r).as(s"n$k"),
+        sum(r).cast("double").as(s"s1_$k"),
+        sum((r * r).cast(DecimalType(18, 12))).cast("double").as(s"s2_$k"))
+    }
+    val perK = lagged.groupBy(col("symbol"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("symbol"), explode(array(ks.zipWithIndex.map { case (k, i) =>
+        struct(lit(i).cast("long").as("i"), col(s"n$k").as("n"),
+          col(s"s1_$k").as("s1"), col(s"s2_$k").as("s2"))
+      }: _*)).as("e"))
+      .select(col("symbol"), col("e.i").as("i"), col("e.n").as("n"),
+        col("e.s1").as("s1"), col("e.s2").as("s2"))
+      .where(col("n") >= 2)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("v", col("s2") / col("nd") -
+        (col("s1") / col("nd")) * (col("s1") / col("nd")))
+      .where(col("v") > 0)
+      .withColumn("x", col("i").cast("double") * lit(ln2))
+      .withColumn("y", round(log(col("v")), 6))
+    val d12 = DecimalType(18, 12)
+    perK.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_scales"),
+        sum(round(col("x"), 12).cast(d12)).cast("double").as("sx"),
+        sum(round(col("y"), 6).cast(d12)).cast("double").as("sy"),
+        sum(round(col("x") * col("x"), 12).cast(d12)).cast("double").as("sxx"),
+        sum(round(col("x") * col("y"), 12).cast(d12)).cast("double").as("sxy"))
+      .where(col("n_scales") >= 3)
+      .withColumn("nd", col("n_scales").cast("double"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .select(col("symbol"), col("n_scales"),
+        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          when(col("den") =!= 0, col("den")) / lit(2.0), 6).as("hurst"))
+  }
+
   /** Historical VALUE-AT-RISK + EXPECTED SHORTFALL per symbol at the 5%
     * tail: VaR = the interpolated 5th-percentile return, ES = the mean of
     * returns at-or-below VaR — the coherent tail-risk pair (ES is what

@@ -156,6 +156,61 @@ class ForecastSpec extends SparkSpec {
     assert(vols.sliding(2).forall(p => p(1) < p(0)), vols.mkString(","))
   }
 
+  test("streaming ewma vol equals the batch sweep across a micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val closes = Seq(100.0, 104.0, 99.0, 103.0, 101.0)
+    val all = closes.zipWithIndex.map { case (c, i) => ("W", ts(T0 + i * 3600), c) }
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = streaming.StreamingEwmaVol.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "close"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ewma").start()
+    try {
+      ms.addData(all.take(2): _*); q.processAllAvailable()
+      ms.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_ewma")
+      .select("symbol", "bucket_ts", "ret", "ewma_vol")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ohlcv.Analytics.ewmaVol(
+        all.toDF("symbol", "bucket_ts", "close"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == closes.size - 1)
+  }
+
+  test("hurst: a random-walk-free trending series scores above one half") {
+    import spark.implicits._
+    // strictly trending multiplicative series: r_k variance grows ~k^2
+    // (perfect persistence) -> slope ~2 -> H ~1; a shuffled/noisy series
+    // would sit near 0.5. Use mild deterministic variation so per-k
+    // variances are positive.
+    val closes = (0 until 600).scanLeft(100.0)((p, i) =>
+      p * (1.0 + 0.001 + 0.0005 * math.sin(i / 7.0)))
+    val candles = closes.zipWithIndex
+      .map { case (c, i) => ("T", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val row = graft.ohlcv.Analytics.hurst(candles).head()
+    assert(row.getAs[Long]("n_scales") == 5L)
+    val h = row.getAs[Double]("hurst")
+    assert(h > 0.7, s"persistent series must score high: $h")
+  }
+
+  test("hurst: an alternating (mean-reverting) series scores below one half") {
+    import spark.implicits._
+    // price flips around a slow drift: k=1 variance large, even-k
+    // variances tiny (but nonzero, so all five points survive) -> H << 0.5
+    val closes = (0 until 300).map(i =>
+      (if (i % 2 == 0) 100.0 else 103.0) + 0.003 * i + 0.0001 * (i % 7))
+    val candles = closes.zipWithIndex
+      .map { case (c, i) => ("M", ts(T0 + i * 3600), c) }
+      .toDF("symbol", "bucket_ts", "close")
+    val row = graft.ohlcv.Analytics.hurst(candles).head()
+    val h = row.getAs[Double]("hurst")
+    assert(h < 0.3, s"mean-reverting series must score low: $h")
+  }
+
   test("varEs: hand-computable 5% tail on a return ladder") {
     import spark.implicits._
     // 101 candles -> 100 returns forming a ladder; construct closes so
