@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Tables, Timeframe}
-import graft.ohlcv.{Analytics, Candles, Microstructure}
+import graft.ohlcv.{Analytics, Candles, Microstructure, Studies}
 import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -343,6 +343,30 @@ object SparkEntry {
       // seasonal means, residual; one window + dim-scale broadcast join
       Analytics.seasonalDecompose(
         Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "kyle_lambda" -> ((s, dir) =>
+      // Kyle (1985) price impact: OLS of bucket price change on tick-rule
+      // signed net flow; one trade scan, flow+open/close in the same agg
+      Microstructure.kyleLambda(Tables.trades(s, dir), Tf1h.micros)),
+    "variance_ratio" -> ((s, dir) =>
+      // Lo-MacKinlay VR(q) for q in {2,4,8}: one lag window computes all
+      // k-step returns, exact-decimal variance co-moments
+      Studies.varianceRatio(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "realized_jump" -> ((s, dir) =>
+      // bipower-variation jump detection per (symbol, day): RV vs
+      // jump-robust BV on exact decimal sums, literal pi/2
+      Studies.realizedJump(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "calendar_effects" -> ((s, dir) =>
+      // day-of-week return seasonality: mean/vol per (symbol, dow) from
+      // exact decimal co-moments
+      Studies.calendarEffects(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "aroon" -> ((s, dir) =>
+      // Aroon up/down via the packed-BIGINT windowed argmax (cents*1e9 +
+      // idx); one window shuffle, full frames only
+      Studies.aroon(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "event_study" -> ((s, dir) =>
+      // CAR around volume shocks: broadcast exploded event offsets into
+      // an index equi-join; abnormal returns vs symbol mean
+      Studies.eventStudy(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "kaplan_meier" -> ((s, dir) =>
       // right-censoring-aware user-retention survival curve; user-dim
       // shrink first, then lifetime-cardinality windows
@@ -1991,6 +2015,127 @@ object SparkEntry {
         "(CAST(CAST(round(close, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) - " +
         "CAST(CAST(round(trend, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) - s_micros) / 1000000.0 AS residual " +
         "FROM b2 JOIN s ON b2.symbol = s.symbol AND b2.hod = s.hod"),
+    // Kyle lambda replay: the tick_rule side-classification CTEs, then the
+    // SAME bucket agg nets signed flow AND picks open/close (min_by/max_by
+    // on the unique ts); exact-decimal co-moments, slope in identical
+    // double op order, scaled x1e6
+    "kyle_lambda" -> withTrades(
+      ", x AS (SELECT symbol, ts, price, qty, " +
+        "lag(price) OVER (PARTITION BY symbol ORDER BY ts) AS pp FROM t), " +
+        "y AS (SELECT symbol, ts, price, qty, CASE WHEN price > pp THEN 1 " +
+        "WHEN price < pp THEN -1 END AS tick FROM x), " +
+        "z AS (SELECT symbol, ts, price, qty, last_value(tick IGNORE NULLS) OVER (" +
+        "PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side FROM y), " +
+        "g AS (SELECT symbol, make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_ts, " +
+        "CAST(sum(CASE WHEN side = 1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) - " +
+        "sum(CASE WHEN side = -1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x, " +
+        "CAST(CAST(max_by(price, ts) AS DECIMAL(18,2)) - CAST(min_by(price, ts) AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS y " +
+        "FROM z GROUP BY 1, 2), " +
+        "a AS (SELECT symbol, count(*) AS n_buckets, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy FROM g GROUP BY 1) " +
+        "SELECT symbol, n_buckets, round((CAST(n_buckets AS DOUBLE) * sxy - sx * sy) / " +
+        "(CASE WHEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx <> 0 THEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx END) " +
+        "* 1000000.0, 6) AS kyle_lambda FROM a"),
+    // variance-ratio replay: the hurst lag/co-moment recipe at q=1,2,4,8;
+    // ratios in identical double op order, guarded on n_q and v1
+    "variance_ratio" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "lg AS (SELECT symbol, close, " +
+        Seq(1, 2, 4, 8).map(k => s"lag(close, $k) OVER w AS p$k").mkString(", ") +
+        " FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "rr AS (SELECT symbol, " +
+        Seq(1, 2, 4, 8).map(k =>
+          s"CASE WHEN close > 0 AND p$k > 0 THEN CAST(round(ln(close / p$k), 6) AS DECIMAL(9,6)) END AS r$k").mkString(", ") +
+        " FROM lg), " +
+        "a AS (SELECT symbol, " +
+        Seq(1, 2, 4, 8).map(k =>
+          s"count(r$k) AS n$k, CAST(sum(r$k) AS DOUBLE) AS s1_$k, " +
+            s"CAST(sum(CAST(r$k * r$k AS DECIMAL(18,12))) AS DOUBLE) AS s2_$k").mkString(", ") +
+        " FROM rr GROUP BY 1), " +
+        "v AS (SELECT symbol, n1, n2, n4, n8, " +
+        Seq(1, 2, 4, 8).map(k =>
+          s"s2_$k / CAST(n$k AS DOUBLE) - (s1_$k / CAST(n$k AS DOUBLE)) * (s1_$k / CAST(n$k AS DOUBLE)) AS v$k").mkString(", ") +
+        " FROM a WHERE n1 >= 2) " +
+        "SELECT symbol, n1 AS n_rets, " +
+        Seq(2, 4, 8).map(k =>
+          s"round(v$k / (CASE WHEN n$k >= 2 AND v1 > 0 THEN v1 END) / $k.0, 6) AS vr$k").mkString(", ") +
+        " FROM v"),
+    // bipower-variation replay: intraday lags partitioned by (symbol,
+    // day), exact DECIMAL(28,12) term sums, literal pi/2, RV/BV emitted
+    // as unrounded doubles (bit-identical: casts of exact decimal sums)
+    "realized_jump" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "d AS (SELECT symbol, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS day, bucket_ts, close FROM c), " +
+        "p AS (SELECT symbol, day, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol, day ORDER BY bucket_ts) AS prev_close FROM d), " +
+        "r AS (SELECT symbol, day, bucket_ts, CAST(round(ln(close / prev_close), 6) AS DECIMAL(9,6)) AS ret " +
+        "FROM p WHERE prev_close IS NOT NULL AND prev_close > 0 AND close > 0), " +
+        "r2 AS (SELECT symbol, day, ret, lag(ret) OVER (PARTITION BY symbol, day ORDER BY bucket_ts) AS prev_ret FROM r), " +
+        "a AS (SELECT symbol, day, count(ret) AS n_rets, " +
+        "CAST(sum(CAST(ret * ret AS DECIMAL(28,12))) AS DOUBLE) AS rv, " +
+        "CAST(sum(CAST(abs(ret) * abs(prev_ret) AS DECIMAL(28,12))) AS DOUBLE) AS bp, " +
+        "count(prev_ret) AS n_pairs FROM r2 GROUP BY 1, 2) " +
+        "SELECT symbol, day, n_rets, rv, 1.5707963267948966 * bp AS bv, " +
+        "greatest(rv - 1.5707963267948966 * bp, 0.0) AS jump, " +
+        "round(greatest(rv - 1.5707963267948966 * bp, 0.0) / (CASE WHEN rv > 0 THEN rv END), 6) AS jump_share " +
+        "FROM a WHERE n_pairs >= 1"),
+    // calendar-effects replay: DuckDB's 0-based dayofweek shifts to
+    // Spark's 1-based; exact decimal return co-moments per (symbol, dow)
+    "calendar_effects" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "r AS (SELECT symbol, CAST(dayofweek(bucket_ts) + 1 AS INTEGER) AS dow, " +
+        "CAST(round((close - prev_close) / (CASE WHEN prev_close <> 0 THEN prev_close END), 6) AS DECIMAL(18,6)) AS r " +
+        "FROM r0 WHERE prev_close IS NOT NULL AND prev_close <> 0), " +
+        // the CAST to width 19 forces DuckDB's INT128 multiply path (an
+        // (18,6) square overflows its INT64 fast path on jumpy returns)
+        "a AS (SELECT symbol, dow, count(*) AS n, CAST(sum(r) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(r AS DECIMAL(19,6)) * r AS DECIMAL(38,12))) AS DOUBLE) AS s2 FROM r GROUP BY 1, 2) " +
+        "SELECT symbol, dow, n, round(s1 / CAST(n AS DOUBLE), 6) AS mean_ret, " +
+        "round(sqrt(greatest(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 0.0)), 6) AS vol_ret FROM a"),
+    // Aroon replay: the packed-BIGINT argmax key (cents*1e9 + idx) under a
+    // plain windowed max in both engines; full 26-row frames only
+    "aroon" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "i AS (SELECT symbol, bucket_ts, CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) AS BIGINT) AS idx, " +
+        "CAST(round(high * 100, 0) AS BIGINT) AS hm, CAST(round(low * 100, 0) AS BIGINT) AS lm FROM c), " +
+        "k AS (SELECT symbol, bucket_ts, idx, hm * 1000000000 + idx AS hkey, " +
+        "(1000000000 - lm) * 1000000000 + idx AS lkey FROM i), " +
+        "wd AS (SELECT symbol, bucket_ts, idx, count(*) OVER w AS cnt, " +
+        "(max(hkey) OVER w) % 1000000000 AS hi_idx, (max(lkey) OVER w) % 1000000000 AS lo_idx FROM k " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(100.0 * (25.0 - CAST(idx - hi_idx AS DOUBLE)) / 25.0, 6) AS aroon_up, " +
+        "round(100.0 * (25.0 - CAST(idx - lo_idx AS DOUBLE)) / 25.0, 6) AS aroon_down, " +
+        "round(round(100.0 * (25.0 - CAST(idx - hi_idx AS DOUBLE)) / 25.0, 6) - " +
+        "round(100.0 * (25.0 - CAST(idx - lo_idx AS DOUBLE)) / 25.0, 6), 6) AS aroon_osc " +
+        "FROM wd WHERE cnt = 26"),
+    // event-study replay: the volumeAnomaly z-screen as the event source,
+    // generate_series offsets joined on (symbol, idx), ARs in exact
+    // DECIMAL(18,6), CAR an exact-decimal running sum cast to double
+    "event_study" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "b AS (SELECT symbol, bucket_ts, volume, CAST(row_number() OVER w AS BIGINT) AS idx, " +
+        "round((close - lag(close) OVER w) / (CASE WHEN lag(close) OVER w <> 0 THEN lag(close) OVER w END), 6) AS ret " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "st AS (SELECT symbol, count(*) AS n, CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS sv1, " +
+        "CAST(sum(CAST(CAST(volume AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sv2, " +
+        "count(ret) AS nr, CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE) AS sr1 FROM b GROUP BY 1), " +
+        "ev AS (SELECT b.symbol, b.idx AS ev_idx, b.bucket_ts AS event_ts FROM b JOIN st ON b.symbol = st.symbol " +
+        "WHERE (st.sv2 - st.n * (st.sv1 / st.n) * (st.sv1 / st.n)) / (st.n - 1) > 0 AND " +
+        "round((b.volume - st.sv1 / st.n) / sqrt((st.sv2 - st.n * (st.sv1 / st.n) * (st.sv1 / st.n)) / (st.n - 1)), 6) >= 2.0), " +
+        "offs AS (SELECT ev.symbol, ev.event_ts, o.off, ev.ev_idx + o.off AS idx " +
+        "FROM ev CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS off) o), " +
+        "mr AS (SELECT symbol, sr1 / CAST(nr AS DOUBLE) AS mean_ret FROM st WHERE nr >= 1), " +
+        "j AS (SELECT b.symbol, offs.event_ts, offs.off, b.ret, " +
+        "CAST(round(b.ret - mr.mean_ret, 6) AS DECIMAL(18,6)) AS ar " +
+        "FROM b JOIN offs ON b.symbol = offs.symbol AND b.idx = offs.idx " +
+        "JOIN mr ON b.symbol = mr.symbol WHERE b.ret IS NOT NULL) " +
+        "SELECT symbol, event_ts, off, ret, CAST(ar AS DOUBLE) AS ar, " +
+        "CAST(sum(ar) OVER (PARTITION BY symbol, event_ts ORDER BY off " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS car FROM j"),
     // Kaplan-Meier replay: integer lifetime division (// here, `div` in
     // Spark - a double roundtrip would round vs truncate), exact decimal
     // ln-term sums, exhausted-stratum flag pins survival 0

@@ -120,6 +120,59 @@ object Microstructure {
       .select(col("symbol"), col("n_days"), round(col("a"), 6).as("amihud"))
   }
 
+  /** Kyle (1985) price-impact lambda per symbol: the OLS slope of the
+    * bucket's price change on its signed NET order flow (buy volume −
+    * sell volume, signed by the tick rule) — the canonical "how many
+    * dollars does it cost to move the price" estimator, and the
+    * regression face of what Amihud proxies with a ratio. Completing the
+    * microstructure set: tick_rule (flow), roll_spread (spread), amihud
+    * (impact proxy), rolling_beta (exposure), kyle_lambda (impact slope).
+    *
+    * ONE trade scan end-to-end: the per-trade tick classification reuses
+    * the tickRuleImbalance window (one symbol shuffle), and the SAME
+    * bucket aggregation that nets the signed flow also picks the bucket's
+    * open/close (min_by/max_by on the unique trade ts) — flow and price
+    * change never touch a second scan or a join. Co-moments follow the
+    * trend_ols recipe: x = net flow and y = close−open are exact
+    * DECIMAL(18,2), their products sum in exact DECIMAL(38,4), and only
+    * the closed-form slope is double (oracle-identical op order), scaled
+    * ×1e6 (impact per million units of flow) and rounded at emission.
+    * Zero-variance flow (den = 0) yields null via the guarded divisor.
+    */
+  def kyleLambda(trades: DataFrame, widthMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tick = when(col("price") > col("prev_price"), lit(1))
+      .when(col("price") < col("prev_price"), lit(-1))
+    val bucket = timestamp_micros(
+      unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(widthMicros)))
+    val dq = col("qty").cast(D)
+    val zero = lit(0).cast(D)
+    val dxy = DecimalType(38, 4)
+    val g = trades
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("side", last(tick, ignoreNulls = true).over(run))
+      .groupBy(col("symbol"), bucket.as("bucket_ts"))
+      .agg(
+        (sum(when(col("side") === 1, dq).otherwise(zero)) -
+          sum(when(col("side") === -1, dq).otherwise(zero))).cast(D).as("x"),
+        (max_by(col("price"), col("ts")).cast(D) -
+          min_by(col("price"), col("ts")).cast(D)).cast(D).as("y"))
+    g.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(dxy)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(dxy)).cast("double").as("sxy"))
+      .withColumn("nd", col("n_buckets").cast("double"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .select(col("symbol"), col("n_buckets"),
+        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          when(col("den") =!= 0, col("den")) * lit(1000000.0), 6)
+          .as("kyle_lambda"))
+  }
+
   /** Rolling market beta per symbol: 24-bucket trailing covariance of the
     * symbol's return with the EQUAL-WEIGHT market return, over the market
     * return's variance — the exposure series behind hedging and

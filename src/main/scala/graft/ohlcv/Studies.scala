@@ -1,0 +1,216 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical market studies over the candle frame — the hypothesis-test /
+  * event-analysis layer above the per-candle indicators in [[Analytics]]:
+  * random-walk diagnostics (variance ratio), jump detection (bipower
+  * variation), seasonality (calendar effects), trend recency (Aroon), and
+  * abnormal-return event studies. All derive from exactly the OHLCV rows
+  * the reference persists (ccxt-ohlcv-fetch.py:35-51).
+  *
+  * Shared determinism recipe (hurst/returnMoments precedent): per-row
+  * terms round to 6 and accumulate in exact DECIMAL partial sums
+  * (order-insensitive across shuffles and engines); final formulas are
+  * double in an op order the DuckDB oracles replay literally, rounded at
+  * emission; divisors are null-guarded, never divide-by-zero.
+  */
+object Studies {
+
+  private val D6 = DecimalType(18, 6)
+  private val D12 = DecimalType(28, 12)
+
+  /** Lo–MacKinlay VARIANCE RATIO per symbol: VR(q) = Var(r_q)/(q·Var(r_1))
+    * over overlapping q-step log returns, q ∈ {2, 4, 8} — the classic
+    * random-walk test (VR ≈ 1 random walk, > 1 momentum, < 1 mean
+    * reversion), sharper than a point Hurst estimate because each horizon
+    * gets its own ratio. Same scale shape as `hurst`: ONE per-symbol lag
+    * window computes all four k-step returns, ONE map-side-combined
+    * aggregation all variance co-moments (returns rounded to 6 into
+    * DECIMAL(9,6), squares in exact DECIMAL(18,12)); the ratios are fixed-
+    * order doubles. Horizons with < 2 observations or a non-positive
+    * 1-step variance yield null via guarded divisors.
+    */
+  def varianceRatio(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val ks = Seq(1, 2, 4, 8)
+    val lagged = candles.select(
+      Seq(col("symbol"), col("close")) ++
+        ks.map(k => lag(col("close"), k).over(w).as(s"p$k")): _*)
+    val aggs = ks.flatMap { k =>
+      val r = when(col("close") > 0 && col(s"p$k") > 0,
+        round(log(col("close") / col(s"p$k")), 6)).cast(DecimalType(9, 6))
+      Seq(count(r).as(s"n$k"),
+        sum(r).cast("double").as(s"s1_$k"),
+        sum((r * r).cast(DecimalType(18, 12))).cast("double").as(s"s2_$k"))
+    }
+    def v(k: Int) = {
+      val nd = col(s"n$k").cast("double")
+      col(s"s2_$k") / nd - (col(s"s1_$k") / nd) * (col(s"s1_$k") / nd)
+    }
+    def vr(k: Int) =
+      round(v(k) / when(col(s"n$k") >= 2 && v(1) > 0, v(1)) / lit(k.toDouble), 6)
+    lagged.groupBy(col("symbol"))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("n1") >= 2)
+      .select(col("symbol"), col("n1").as("n_rets"),
+        vr(2).as("vr2"), vr(4).as("vr4"), vr(8).as("vr8"))
+  }
+
+  /** REALIZED-VARIANCE jump detection per (symbol, day) — Barndorff-
+    * Nielsen & Shephard bipower variation: RV = Σ r² loads on the full
+    * price path including jumps, BV = (π/2)·Σ|r_t||r_{t−1}| is jump-
+    * robust, so jump = max(RV − BV, 0) isolates the discontinuous part —
+    * the standard "was today's variance moves or gaps" decomposition from
+    * intraday candles alone. Returns are intraday (the lag partitions by
+    * (symbol, day), so no cross-midnight term), rounded to 6; both sums
+    * accumulate in exact DECIMAL(28,12), so RV/BV are bit-identical
+    * doubles in both engines WITHOUT emission rounding; π/2 is a literal
+    * so no libm constant enters the compare. ONE window shuffle (both
+    * lags share the partition) + one map-side-combined aggregation.
+    */
+  def realizedJump(candles: DataFrame): DataFrame = {
+    val halfPi = 1.5707963267948966
+    val w = Window.partitionBy(col("symbol"), col("day")).orderBy(col("bucket_ts"))
+    val r = candles
+      .select(col("symbol"), date_trunc("day", col("bucket_ts")).as("day"),
+        col("bucket_ts"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .where(col("prev_close").isNotNull && col("prev_close") > 0 && col("close") > 0)
+      .withColumn("ret", round(log(col("close") / col("prev_close")), 6)
+        .cast(DecimalType(9, 6)))
+      .withColumn("prev_ret", lag(col("ret"), 1).over(w))
+    r.groupBy(col("symbol"), col("day"))
+      .agg(count(col("ret")).as("n_rets"),
+        sum((col("ret") * col("ret")).cast(D12)).cast("double").as("rv"),
+        sum((abs(col("ret")) * abs(col("prev_ret"))).cast(D12))
+          .cast("double").as("bp"),
+        count(col("prev_ret")).as("n_pairs"))
+      .where(col("n_pairs") >= 1)
+      .withColumn("bv", lit(halfPi) * col("bp"))
+      .withColumn("jump", greatest(col("rv") - col("bv"), lit(0.0)))
+      .select(col("symbol"), col("day"), col("n_rets"),
+        col("rv"), col("bv"), col("jump"),
+        round(col("jump") / when(col("rv") > 0, col("rv")), 6).as("jump_share"))
+  }
+
+  /** CALENDAR (day-of-week) return seasonality per symbol: mean and
+    * population vol of the hourly return by weekday — the seasonality
+    * screen behind execution scheduling and the classic weekend-effect
+    * literature. Returns round to 6 into exact DECIMAL sums (squares in
+    * DECIMAL(28,12)); mean/vol are fixed-order doubles on those exact
+    * sums. ONE lag window + one map-side-combined aggregation; `dow`
+    * follows Spark's dayofweek convention (1 = Sunday … 7 = Saturday; the
+    * oracle shifts DuckDB's 0-based value to match).
+    */
+  def calendarEffects(candles: DataFrame): DataFrame = {
+    Analytics.returns(candles).where(col("ret").isNotNull)
+      .select(col("symbol"), dayofweek(col("bucket_ts")).as("dow"),
+        round(col("ret"), 6).cast(D6).as("r"))
+      .groupBy(col("symbol"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).cast("double").as("s1"),
+        sum((col("r") * col("r")).cast(DecimalType(38, 12))).cast("double").as("s2"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("s1") / col("nd"))
+      .select(col("symbol"), col("dow"), col("n"),
+        round(col("mu"), 6).as("mean_ret"),
+        round(sqrt(greatest(col("s2") / col("nd") - col("mu") * col("mu"),
+          lit(0.0))), 6).as("vol_ret"))
+  }
+
+  /** AROON trend-recency indicator per symbol: 100·(n − bars since the
+    * n+1-bucket high)/n (and the low mirror) — "how fresh is the extreme",
+    * the time-based complement to the level-based Donchian channel.
+    * The windowed argmax is the part worth stating: "index of the max
+    * high in the frame, most-recent on ties" is NOT directly a window
+    * function in either engine, so both sides maximize ONE exact BIGINT
+    * key = price-in-cents·1e9 + row-index (prices are 2-dp exact, indexes
+    * are window-local < 1e9, so the packed max IS the lexicographic
+    * (high, idx) max and ties resolve to the most recent bar — no struct
+    * ordering, no float in the key; the low mirror packs 1e9 − cents).
+    * ONE window shuffle serves row_number and both frame maxima; full
+    * frames only; the 100·k/n emission is fixed-order double.
+    */
+  def aroon(candles: DataFrame, n: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = w.rowsBetween(-n, 0)
+    val B = 1000000000L
+    val hm = round(col("high") * 100).cast("long")
+    val lm = round(col("low") * 100).cast("long")
+    val nd = lit(n.toDouble)
+    candles
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("hkey", hm * B + col("idx"))
+      .withColumn("lkey", (lit(B) - lm) * B + col("idx"))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .withColumn("hi_idx", max(col("hkey")).over(wf) % B)
+      .withColumn("lo_idx", max(col("lkey")).over(wf) % B)
+      .where(col("cnt") === n + 1)
+      .select(col("symbol"), col("bucket_ts"),
+        round(lit(100.0) * (nd - (col("idx") - col("hi_idx")).cast("double")) / nd, 6)
+          .as("aroon_up"),
+        round(lit(100.0) * (nd - (col("idx") - col("lo_idx")).cast("double")) / nd, 6)
+          .as("aroon_down"))
+      .withColumn("aroon_osc", round(col("aroon_up") - col("aroon_down"), 6))
+  }
+
+  /** EVENT STUDY around volume shocks: cumulative abnormal return over a
+    * ±`window`-bucket index window centered on each volume-anomaly bucket
+    * (volume z-score ≥ `z`, the volumeAnomaly screen) — the standard
+    * "does the price drift into/out of the shock" analysis, here with the
+    * engine's own anomaly screen as the event source. Abnormal return =
+    * ret − the symbol's mean return; CAR accumulates rounded ARs in exact
+    * DECIMAL(18,6) over the event frame ordered by offset (order-exact in
+    * both engines because the sum is over exact decimals).
+    *
+    * Scale shape: the candle frame (with index and return from ONE window
+    * pass) is cut once and feeds three consumers (stats, the event
+    * screen, the offset join). Events are rare by construction (≥ zσ), so
+    * the exploded (event × 2·window+1 offsets) frame is dim-scale and
+    * BROADCAST into the index equi-join — no range join, no second fact
+    * shuffle. Per-symbol stats are one map-side-combined aggregation,
+    * broadcast back.
+    */
+  def eventStudy(candles0: DataFrame, z: Double = 2.0, window: Int = 3): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val candles = graft.core.Materialize.once(candles0
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("ret", round((col("close") - col("prev_close")) /
+        when(col("prev_close") =!= 0, col("prev_close")), 6)))
+    val stats = candles.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"),
+      sum(col("volume").cast(d2)).cast("double").as("sv1"),
+      sum((col("volume").cast(d2) * col("volume").cast(d2))
+        .cast(DecimalType(38, 4))).cast("double").as("sv2"),
+      count(col("ret")).as("nr"),
+      sum(col("ret").cast(D6)).cast("double").as("sr1"))
+    val ev = candles.join(broadcast(stats), "symbol")
+      .withColumn("mu_v", col("sv1") / col("n"))
+      .withColumn("var_v",
+        (col("sv2") - col("n") * col("mu_v") * col("mu_v")) / (col("n") - 1))
+      .where(col("var_v") > 0)
+      .where(round((col("volume") - col("mu_v")) / sqrt(col("var_v")), 6) >= z)
+      .select(col("symbol"), col("idx").as("ev_idx"), col("bucket_ts").as("event_ts"))
+    val pairs = ev
+      .withColumn("off", explode(array((-window to window).map(lit(_)): _*)))
+      .withColumn("idx", col("ev_idx") + col("off"))
+    val meanRet = stats.where(col("nr") >= 1)
+      .select(col("symbol"), (col("sr1") / col("nr").cast("double")).as("mean_ret"))
+    val wcar = Window.partitionBy(col("symbol"), col("event_ts")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    candles.select(col("symbol"), col("idx"), col("ret"))
+      .join(broadcast(pairs), Seq("symbol", "idx"))
+      .where(col("ret").isNotNull)
+      .join(broadcast(meanRet), Seq("symbol"))
+      .withColumn("ar", round(col("ret") - col("mean_ret"), 6).cast(D6))
+      .withColumn("car", sum(col("ar")).over(wcar).cast("double"))
+      .select(col("symbol"), col("event_ts"), col("off"), col("ret"),
+        col("ar").cast("double").as("ar"), col("car"))
+  }
+}

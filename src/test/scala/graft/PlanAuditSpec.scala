@@ -494,4 +494,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(pr, "Exchange hashpartitioning") == 2, pr)
     assert(pr.contains("partial_count") || pr.contains("partial count"), pr)
   }
+
+  test("r10 wave-4 studies keep their scale shapes") {
+    // kyle_lambda: ONE trade scan, ONE exchange end-to-end — the tick
+    // window's symbol partitioning is reused by the bucket aggregation
+    // AND the final co-moment aggregation (both key supersets/subsets
+    // partial-aggregate in place)
+    val pk = planOf("kyle_lambda")
+    assert(countOccurrences(pk, "Exchange hashpartitioning") == 1, pk)
+    assert(countOccurrences(pk, "FileScan") == 1, pk)
+    // event_study: the indexed candle base is CUT once (no FileScan past
+    // the cut); events explode dim-scale and BROADCAST into the index
+    // equi-join — no sort-merge, no nested loop on the fact path
+    val pe = planOf("event_study")
+    assert(!pe.contains("FileScan"),
+      "all branches must read the materialized candle cut\n" + pe)
+    assert(countOccurrences(pe, "BroadcastHashJoin") >= 3, pe)
+    assert(!pe.contains("SortMergeJoin") && !pe.contains("CartesianProduct"), pe)
+    assert(pe.contains("Generate explode"), pe)
+    // variance_ratio / aroon: one candle-build exchange + one symbol
+    // window exchange; all lag/max columns fold into window passes over
+    // the SAME partitioning, and the VR aggregation map-side combines
+    Seq("variance_ratio", "aroon").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+    }
+    // realized_jump: lag partitions by (symbol, day) — still one window
+    // exchange over the candle build, aggregation reuses it
+    val pj = planOf("realized_jump")
+    assert(countOccurrences(pj, "Exchange hashpartitioning") == 2, pj)
+  }
 }
