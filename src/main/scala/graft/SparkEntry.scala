@@ -1364,6 +1364,14 @@ object SparkEntry {
       graft.ops.TextAnalysis.qualityScore(Tables.table(s, dir, "documents"))),
     "token_count" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenCount(Tables.table(s, dir, "documents"))),
+    "lexical_diversity" -> ((s, dir) =>
+      // type/token ratio + Guiraud index: the templated-text screen;
+      // pure map over the text scan, no shuffle
+      graft.ops.TextAnalysis.lexicalDiversity(Tables.table(s, dir, "documents"))),
+    "dataset_card" -> ((s, dir) =>
+      // per-source release card: volume/length percentiles, language mix
+      // + entropy, exact-dup rate; one scan, dim-scale joins after
+      graft.ops.TextAnalysis.datasetCard(Tables.table(s, dir, "documents"))),
     "packing_stats" -> ((s, dir) =>
       graft.ops.TextAnalysis.packingStats(Tables.table(s, dir, "documents"))),
     "mix_report" -> ((s, dir) => {
@@ -1464,6 +1472,13 @@ object SparkEntry {
         graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
         .select(col("v").as("vec_id"), col("label"))),
+    "knn_triangles" -> ((s, dir) =>
+      // degree-ordered triangle counting + clustering coefficients over
+      // the kNN graph: wedges only at each edge's lower-(deg,id) source,
+      // closure a semi equi-join — hub fan-out bounded, no pair blowup
+      graft.ops.Graph.triangles(
+        graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
     "ann_sq8" -> ((s, dir) => {
       // scalar-quantized (1 byte/dim) asymmetric search: raw query vs
       // SQ8-reconstructed corpus — the 8x working-set cut between the
@@ -3144,6 +3159,43 @@ object SparkEntry {
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"),
+    // lexical diversity replay: the same split array drives both counts;
+    // divisions fixed-order doubles, sqrt IEEE-exact in both engines
+    "lexical_diversity" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words, " +
+        "CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_distinct " +
+        "FROM documents) " +
+        "SELECT doc_id, n_words, n_distinct, " +
+        "round(CAST(n_distinct AS DOUBLE) / (CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) END), 6) AS ttr, " +
+        "round(CAST(n_distinct AS DOUBLE) / (CASE WHEN n_words > 0 THEN sqrt(CAST(n_words AS DOUBLE)) END), 6) AS guiraud FROM w"),
+    // dataset-card replay: quantile_cont == Spark's exact percentile over
+    // the integer n_chars column, two-level distinct via the (source, h)
+    // pre-group, (cnt desc, lang asc) argmax, entropy terms rounded 6 in
+    // exact decimal sums (single-lang source pinned to literal 0 — the
+    // -0.0 of -(1*ln 1) would hash-mismatch)
+    "dataset_card" ->
+      ("WITH b AS (SELECT source, lang, n_chars, md5(text) AS h FROM documents), " +
+        "vol AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(round(quantile_cont(n_chars, 0.5), 0) AS BIGINT) AS p50_chars, " +
+        "CAST(round(quantile_cont(n_chars, 0.95), 0) AS BIGINT) AS p95_chars FROM b GROUP BY 1), " +
+        "dup AS (SELECT source, count(*) AS n_distinct FROM (" +
+        "SELECT source, h FROM b GROUP BY 1, 2) GROUP BY 1), " +
+        "lc AS (SELECT source, lang, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "top AS (SELECT source, lang AS top_lang FROM (SELECT source, lang, " +
+        "row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc) WHERE rn = 1), " +
+        "langs AS (SELECT lc.source, count(*) AS n_langs, " +
+        "CAST(sum(CAST(CASE WHEN lc.c = vol.n_docs THEN 0.0 " +
+        "ELSE round(-((CAST(lc.c AS DOUBLE) / CAST(vol.n_docs AS DOUBLE)) * " +
+        "ln(CAST(lc.c AS DOUBLE) / CAST(vol.n_docs AS DOUBLE))), 6) END AS DECIMAL(18,6))) AS DOUBLE) AS ent " +
+        "FROM lc JOIN vol ON lc.source = vol.source GROUP BY 1) " +
+        "SELECT vol.source, n_docs, total_chars, " +
+        "round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars, " +
+        "p50_chars, p95_chars, n_langs, top_lang, " +
+        "round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate, " +
+        "round(ent, 6) AS lang_entropy " +
+        "FROM vol JOIN dup ON vol.source = dup.source " +
+        "JOIN langs ON vol.source = langs.source JOIN top ON vol.source = top.source"),
     // mixRebalance replay: derived rates from the same two aggregations;
     // keep decision on UNROUNDED double quotients (IEEE-identical)
     "mix_rebalance" ->
@@ -3592,6 +3644,26 @@ object SparkEntry {
         "l0 AS (SELECT nv, nv AS label FROM nodes), " +
         lpaRoundsSql(5) +
         " SELECT nv AS vec_id, label FROM l5"),
+    // triangle replay: same canonical undirected set, same (deg, id)
+    // orientation, wedges at the oriented source closed by an equi-join
+    // semi against the canonical edges; coefficients 2T/(d(d-1))
+    "knn_triangles" ->
+      (KnnGraphSql +
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g WHERE src <> dst), " +
+        "dg AS (SELECT x, count(*) AS deg FROM (" +
+        "SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY 1), " +
+        "orient AS (SELECT CASE WHEN dv.deg < du.deg THEN und.v ELSE und.u END AS a, " +
+        "CASE WHEN dv.deg < du.deg THEN und.u ELSE und.v END AS b " +
+        "FROM und JOIN dg du ON und.u = du.x JOIN dg dv ON und.v = dv.x), " +
+        "tri AS (SELECT w1.a, w1.b AS u, w2.b AS v FROM orient w1 " +
+        "JOIN orient w2 ON w1.a = w2.a AND w1.b < w2.b " +
+        "WHERE EXISTS (SELECT 1 FROM und WHERE und.u = w1.b AND und.v = w2.b)), " +
+        "pn AS (SELECT x, count(*) AS t FROM (" +
+        "SELECT a AS x FROM tri UNION ALL SELECT u AS x FROM tri UNION ALL SELECT v AS x FROM tri) GROUP BY 1) " +
+        "SELECT dg.x AS vec_id, dg.deg AS degree, CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles, " +
+        "round(2.0 * CAST(COALESCE(pn.t, 0) AS DOUBLE) / " +
+        "(CASE WHEN dg.deg > 1 THEN CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END), 6) AS clust_coeff " +
+        "FROM dg LEFT JOIN pn ON dg.x = pn.x"),
     // SQ8 replay: per-dim min/max, round-to-nearest byte codes, midpoint
     // decode, asymmetric cosine (raw query x reconstructed corpus) —
     // identical IEEE arithmetic on both sides

@@ -63,6 +63,59 @@ object Graph {
     pr
   }
 
+  /** Degree-ordered TRIANGLE COUNTING + local clustering coefficients over
+    * an undirected view of the edge frame — the transitivity audit a k-NN
+    * graph feeds (a community candidate with near-zero clustering is hub
+    * chaining, not semantic cohesion; clustering coefficients are the
+    * standard screen before trusting LPA/CC output).
+    *
+    * The kernel is the classic scalable shape (Schank–Wagner / Cohen's
+    * MapReduce form): orient every undirected edge from its lower
+    * (degree, id) endpoint to the higher, enumerate wedges only at each
+    * edge's SOURCE, and close each wedge against the canonical edge set.
+    * Every triangle is counted exactly once (at its lowest-ordered apex),
+    * and — the scale argument — oriented out-degree is bounded by O(√m)
+    * on any graph (and by k here), so wedge fan-out never explodes on
+    * hubs the way naive neighbor-pair enumeration does. All joins are
+    * equi-joins; the undirected edge set and degree table are cut once
+    * and reused by orientation, closure, and the final report.
+    */
+  def triangles(edges0: DataFrame): DataFrame = {
+    val und = graft.core.Materialize.once {
+      val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src") =!= col("dst"))
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    }
+    val deg = graft.core.Materialize.once(
+      und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg")))
+    // canonical (u < v) edges flip only when v ranks strictly lower by
+    // degree; degree ties keep id order (u < v already)
+    val oriented = und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("dv") < col("du"), col("v")).otherwise(col("u")).as("a"),
+        when(col("dv") < col("du"), col("u")).otherwise(col("v")).as("b"))
+    val w1 = oriented.select(col("a"), col("b").as("b1"))
+    val w2 = oriented.select(col("a"), col("b").as("b2"))
+    // b1 < b2 both dedups the wedge pair AND matches und's (u < v) form
+    val tri = w1.join(w2, Seq("a")).where(col("b1") < col("b2"))
+      .select(col("a"), col("b1").as("u"), col("b2").as("v"))
+      .join(und, Seq("u", "v"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("x"), "left")
+      .select(col("x").as("vec_id"), col("deg").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+      .withColumn("clust_coeff",
+        round(lit(2.0) * col("triangles").cast("double") /
+          when(col("degree") > 1,
+            (col("degree") * (col("degree") - 1)).cast("double")), 6))
+  }
+
   /** Synchronous LABEL PROPAGATION communities over an undirected view of
     * the edge frame — the near-linear community detector (Raghavan 2007)
     * that needs no target cluster count, complementing connected

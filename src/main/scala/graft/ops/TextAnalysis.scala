@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for an LLM training-data pipeline: language ID,
   * quality scoring, token counting, fingerprinting. Everything is composed
@@ -99,6 +100,82 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_subword_tokens"),
       length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** LEXICAL DIVERSITY per document — type/token ratio and the Guiraud
+    * index (types/√tokens, the length-robust variant): the curation
+    * signal that catches templated or loop-generated text which passes
+    * length and stopword screens (low diversity ⇒ the same words cycling)
+    * — complementary to repetition_score (verbatim n-gram repeats) and
+    * char_entropy (character-level). Pure map over the text scan: both
+    * counts come from the one split array (array_distinct is per-row),
+    * no shuffle at all; divisions are fixed-order doubles on integer
+    * inputs (√ is IEEE-exact in both engines), null-guarded on empty
+    * docs, rounded at emission.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .withColumn("ttr", round(col("n_distinct").cast("double") /
+        when(col("n_words") > 0, col("n_words").cast("double")), 6))
+      .withColumn("guiraud", round(col("n_distinct").cast("double") /
+        when(col("n_words") > 0, sqrt(col("n_words").cast("double"))), 6))
+  }
+
+  /** DATASET CARD per source — the one-look corpus report a data release
+    * ships with (HuggingFace dataset-card numbers, computed instead of
+    * hand-written): volume (docs, chars, mean/p50/p95 length), language
+    * make-up (count, dominant language, Shannon entropy of the language
+    * mix), and the exact-duplicate rate. The report is the aggregation
+    * layer over signals other operators act on (dedup_exact acts on the
+    * duplicates; mix_* acts on the language mix) — here they become one
+    * frame per source for monitoring and release notes.
+    *
+    * Scale shape: ONE corpus scan feeds a per-source aggregation
+    * (percentiles over the integer n_chars column — the
+    * session_percentiles engine-stable recipe), a (source, md5) pre-
+    * aggregation for the distinct count (two-level, skew-safe: never a
+    * count-distinct expand over the fact), and a (source, lang) count
+    * table that is dim-scale by construction — top language via the
+    * deterministic (cnt desc, lang asc) argmax, entropy from terms
+    * rounded to 6 in exact decimal sums. Everything after the first
+    * aggregations is dim-scale joins.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = graft.core.Materialize.once(docs.select(
+      col("source"), col("lang"), col("n_chars"),
+      md5(col("text").cast("binary")).as("h")))
+    val vol = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      round(expr("percentile(n_chars, 0.5)"), 0).cast("long").as("p50_chars"),
+      round(expr("percentile(n_chars, 0.95)"), 0).cast("long").as("p95_chars"))
+    val dup = base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    val lc = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val top = lc.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val langs = lc.join(vol.select(col("source"), col("n_docs")), Seq("source"))
+      .withColumn("p", col("c").cast("double") / col("n_docs").cast("double"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_langs"),
+        sum(when(col("c") === col("n_docs"), lit(0.0))
+          .otherwise(round(-(col("p") * log(col("p"))), 6))
+          .cast(DecimalType(18, 6))).cast("double").as("ent"))
+    vol.join(dup, Seq("source")).join(langs, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round(col("total_chars").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        col("p50_chars"), col("p95_chars"), col("n_langs"), col("top_lang"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("ent"), 6).as("lang_entropy"))
+  }
 
   /** Content fingerprint: md5 + structural signature. */
   def fingerprint(docs: DataFrame): DataFrame =

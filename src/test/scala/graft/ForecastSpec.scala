@@ -131,6 +131,32 @@ class ForecastSpec extends SparkSpec {
     assert(got == expected && got.size == closes.size)
   }
 
+  test("streaming renko equals the batch sweep across a micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // gap candle (2 up bricks), reversal, multi-brick drop — the anchor
+    // state must survive the batch boundary mid-trend
+    val closes = Seq(100.0, 112.0, 101.0, 89.0)
+    val all = closes.zipWithIndex.map { case (c, i) => ("R", ts(T0 + i * 3600), c) }
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = streaming.StreamingRenko.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "close"), brickSize = 5.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_renko").start()
+    try {
+      ms.addData(all.take(2): _*); q.processAllAvailable()
+      ms.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_renko").collect().map(_.toSeq).toSet
+    val expected = graft.ohlcv.Analytics.renko(
+        all.toDF("symbol", "bucket_ts", "close"), brickSize = 5.0)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // sanity on the construction itself: 2 up + 1 down + 3 down bricks
+    assert(expected.size == 6, expected.toString)
+  }
+
   test("ewmaVol: hand-folded RiskMetrics recursion") {
     import spark.implicits._
     // closes 100,110,99,108.9 -> rets .1,-.1,.1; s2: .01, .94*.01+.06*.01=.01, .01

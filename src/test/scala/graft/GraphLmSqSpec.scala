@@ -59,6 +59,39 @@ class GraphLmSqSpec extends SparkSpec {
     assert(a != b, s"bridge must not merge the communities: $r")
   }
 
+  test("triangles: bridged-triangles counts and clustering coefficients") {
+    import spark.implicits._
+    val tri = (a: Long, b: Long, c: Long) => Seq((a, b), (b, c), (a, c))
+    // two triangles joined by a bridge (2-10): the bridge closes nothing
+    val edges = (tri(0L, 1L, 2L) ++ tri(10L, 11L, 12L) :+ ((2L, 10L)))
+      .toDF("src", "dst")
+    val r = Graph.triangles(edges).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("triangles"),
+          x.getAs[Double]("clust_coeff"))).toMap
+    assert(r.size == 6)
+    Seq(0L, 1L, 11L, 12L).foreach { v =>
+      assert(r(v) == ((2L, 1L, 1.0)), s"$v: ${r(v)}")
+    }
+    // bridge endpoints: degree 3, still one triangle, 2*1/(3*2) = 1/3
+    Seq(2L, 10L).foreach { v =>
+      assert(r(v) == ((3L, 1L, 0.333333)), s"$v: ${r(v)}")
+    }
+  }
+
+  test("triangles: direction/duplicate edges collapse; triangle-free is zero") {
+    import spark.implicits._
+    // a path graph given with BOTH directions and a repeated edge: the
+    // canonical undirected set must dedup, and no triangle exists
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (1L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.triangles(edges).collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getAs[Long]("triangles") == 0L), r.mkString(", "))
+    val byId = r.map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("degree")).toMap
+    assert(byId == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L), byId.toString)
+  }
+
   test("labelPropagation: deterministic under repartitioning; isolated-free") {
     import spark.implicits._
     val edges = (0L until 30L).flatMap(i =>

@@ -561,6 +561,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((3L, 1L)) == "goose")
     assert(out((1L, 2L)) == "common")
   }
+
+  test("lexicalDiversity: hand-built TTR and Guiraud index") {
+    val d = Seq((1L, "a b a c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalDiversity(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("n_distinct"),
+          x.getAs[Double]("ttr"), x.getAs[Double]("guiraud"))).toMap
+    assert(r(1L) == ((4L, 3L, 0.75, 1.5)), r.toString)   // 3/sqrt(4) = 1.5
+    assert(r(2L) == ((4L, 1L, 0.25, 0.5)), r.toString)
+  }
+
+  test("datasetCard: constructed two-source card (dups, mix, percentiles)") {
+    // source A: 4 docs (one exact dup pair), en x3 / fr x1, chars 10..40
+    // source B: 1 doc, single lang -> entropy pinned to literal 0
+    val d = Seq(
+      (1L, "dup dup", "en", "A", 10L), (2L, "dup dup", "en", "A", 20L),
+      (3L, "uniq one", "en", "A", 30L), (4L, "uniq two", "fr", "A", 40L),
+      (5L, "solo", "en", "B", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.datasetCard(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("A")
+    assert(a.getAs[Long]("n_docs") == 4L && a.getAs[Long]("total_chars") == 100L)
+    assert(a.getAs[Double]("mean_chars") == 25.0)
+    assert(a.getAs[Long]("p50_chars") == 25L, a.toString)
+    assert(a.getAs[Long]("p95_chars") == 39L, a.toString) // 30 + 0.85*10 = 38.5 -> 39
+    assert(a.getAs[Long]("n_langs") == 2L && a.getAs[String]("top_lang") == "en")
+    assert(a.getAs[Double]("dup_rate") == 0.25, a.toString)
+    // -0.75 ln 0.75 -> 0.215762; -0.25 ln 0.25 -> 0.346574 (each rounded 6)
+    assert(a.getAs[Double]("lang_entropy") == 0.562336, a.toString)
+    val b = r("B")
+    assert(b.getAs[Double]("lang_entropy") == 0.0 && b.getAs[Double]("dup_rate") == 0.0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -523,5 +523,20 @@ class PlanAuditSpec extends SparkSpec {
     // exchange over the candle build, aggregation reuses it
     val pj = planOf("realized_jump")
     assert(countOccurrences(pj, "Exchange hashpartitioning") == 2, pj)
+    // lexical_diversity: PURE MAP — no shuffle of any kind, text column
+    // pruned at the scan
+    val pl = planOf("lexical_diversity")
+    assert(!pl.contains("Exchange"), "map-only operator must not shuffle\n" + pl)
+    assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"), pl)
+    // dataset_card: every branch reads the ONE materialized base scan
+    val pd = planOf("dataset_card")
+    assert(!pd.contains("FileScan"),
+      "all card branches must read the materialized base cut\n" + pd)
+    // knn_triangles: equi-joins only — wedge closure must never plan a
+    // nested loop or cartesian over the edge set
+    val pt = planOf("knn_triangles")
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(countOccurrences(pt, "BroadcastNestedLoopJoin") <= 1, // the 16-row centroid cross
+      pt)
   }
 }
