@@ -268,6 +268,14 @@ object SparkEntry {
         .agg(round(corr(col("ret1"), col("ret2")), 6).as("corr_ret"),
           count(lit(1)).as("n_overlap"))
     }),
+    "lead_lag" -> ((s, dir) =>
+      // pairwise lead-lag cross-correlation at k in {-2..2}: one window
+      // makes all shifted columns, one blocked pair join, one aggregation
+      Studies.leadLag(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "pair_spread" -> ((s, dir) =>
+      // Engle-Granger first stage: per-pair OLS hedge ratio + residual
+      // spread z-score; pair frame cut once, stats broadcast back
+      Studies.pairSpread(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "rolling_corr" -> ((s, dir) => {
       // 24-bucket rolling correlation per symbol pair: the same blocked
       // pair generation as symbol_correlations, then one bounded window
@@ -373,6 +381,10 @@ object SparkEntry {
       graft.ops.Events.kaplanMeier(Tables.events(s, dir))),
     "obv" -> ((s, dir) =>
       Analytics.obv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "adl" -> ((s, dir) =>
+      // accumulation/distribution line: range-weighted money flow in an
+      // exact-decimal running sum; one window shuffle
+      Analytics.adl(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val p = e.where(col("event_type") === "purchase")
@@ -1479,6 +1491,10 @@ object SparkEntry {
       graft.ops.Graph.triangles(
         graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
+    "embedding_outliers" -> ((s, dir) =>
+      // per-cell centroid-cosine z-score screen: the anti-prototype drop
+      // (SemDeDup's complement); one assignment scan, broadcast moments
+      graft.ops.Ivf.embeddingOutliers(Tables.table(s, dir, "embeddings"))),
     "ann_sq8" -> ((s, dir) => {
       // scalar-quantized (1 byte/dim) asymmetric search: raw query vs
       // SQ8-reconstructed corpus — the 8x working-set cut between the
@@ -1743,6 +1759,54 @@ object SparkEntry {
         "round(corr(a.ret, b.ret), 6) AS corr_ret, count(*) AS n_overlap " +
         "FROM r a JOIN r b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol " +
         "GROUP BY 1, 2"),
+    // lead-lag replay: same rounded returns, same one-window shift
+    // columns, same five corr aggregates in one pass
+    "lead_lag" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "r0 AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev_close FROM c), " +
+        "r AS (SELECT symbol, bucket_ts, round((close - prev_close) / " +
+        "(CASE WHEN prev_close <> 0 THEN prev_close END), 6) AS ret FROM r0 " +
+        "WHERE prev_close IS NOT NULL AND prev_close <> 0), " +
+        "rl AS (SELECT symbol, bucket_ts, ret, " +
+        "lag(ret, 2) OVER w AS ret_m2, lag(ret, 1) OVER w AS ret_m1, " +
+        "lead(ret, 1) OVER w AS ret_p1, lead(ret, 2) OVER w AS ret_p2 " +
+        "FROM r WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
+        "SELECT a.symbol AS sym1, b.symbol AS sym2, count(*) AS n_overlap, " +
+        "round(corr(a.ret, b.ret_m2), 6) AS corr_m2, " +
+        "round(corr(a.ret, b.ret_m1), 6) AS corr_m1, " +
+        "round(corr(a.ret, b.ret), 6) AS corr_0, " +
+        "round(corr(a.ret, b.ret_p1), 6) AS corr_p1, " +
+        "round(corr(a.ret, b.ret_p2), 6) AS corr_p2 " +
+        "FROM r a JOIN rl b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol " +
+        "GROUP BY 1, 2"),
+    // pair-spread replay: exact-decimal OLS co-moments (width-19 casts
+    // force DuckDB's INT128 multiplies), beta/spread/z in identical
+    // double op order, guarded divisors
+    "pair_spread" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p0 AS (SELECT symbol, bucket_ts, CAST(close AS DECIMAL(18,2)) AS cl FROM c), " +
+        "pr AS (SELECT a.symbol AS sym1, b.symbol AS sym2, a.bucket_ts, a.cl AS c1, b.cl AS c2 " +
+        "FROM p0 a JOIN p0 b ON a.bucket_ts = b.bucket_ts AND a.symbol < b.symbol), " +
+        "ols AS (SELECT sym1, sym2, count(*) AS n, CAST(sum(c1) AS DOUBLE) AS sy, " +
+        "CAST(sum(c2) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(CAST(c2 AS DECIMAL(19,2)) * c2 AS DECIMAL(38,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(CAST(c2 AS DECIMAL(19,2)) * c1 AS DECIMAL(38,4))) AS DOUBLE) AS sxy " +
+        "FROM pr GROUP BY 1, 2), " +
+        "bt AS (SELECT sym1, sym2, (CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN CAST(n AS DOUBLE) * sxx - sx * sx END) AS beta FROM ols), " +
+        "sp AS (SELECT pr.sym1, pr.sym2, pr.bucket_ts, bt.beta, " +
+        "round(CAST(pr.c1 AS DOUBLE) - bt.beta * CAST(pr.c2 AS DOUBLE), 6) AS spread " +
+        "FROM pr JOIN bt ON pr.sym1 = bt.sym1 AND pr.sym2 = bt.sym2), " +
+        "ss AS (SELECT sym1, sym2, count(spread) AS sn, " +
+        "CAST(sum(CAST(spread AS DECIMAL(18,6))) AS DOUBLE) AS ss1, " +
+        "CAST(sum(CAST(CAST(spread AS DECIMAL(19,6)) * CAST(spread AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE) AS ss2 " +
+        "FROM sp GROUP BY 1, 2) " +
+        "SELECT sp.sym1, sp.sym2, sp.bucket_ts, round(sp.beta, 6) AS beta, sp.spread, " +
+        "round((sp.spread - ss1 / sn) / (CASE WHEN (CASE WHEN sn > 1 THEN " +
+        "(ss2 - sn * (ss1 / sn) * (ss1 / sn)) / (sn - 1) END) > 0 THEN " +
+        "sqrt((ss2 - sn * (ss1 / sn) * (ss1 / sn)) / (sn - 1)) END), 6) AS zscore " +
+        "FROM sp JOIN ss ON sp.sym1 = ss.sym1 AND sp.sym2 = ss.sym2"),
     "rolling_corr" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "r AS (SELECT symbol, bucket_ts, (close - prev_close) / prev_close AS ret FROM (" +
@@ -1779,6 +1843,17 @@ object SparkEntry {
         "d AS (SELECT symbol, round((close - peak) / peak, 6) AS drawdown, peak FROM p) " +
         "SELECT symbol, min(drawdown) AS max_drawdown, max(peak) AS peak_close " +
         "FROM d GROUP BY 1"),
+    // ADL replay: rounded CLV in DECIMAL(9,6) x volume in exact decimals
+    // (the width-19 volume cast forces DuckDB's INT128 multiply), running
+    // sum exact, surfaced double; zero-range candles contribute literal 0
+    "adl" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "m AS (SELECT symbol, bucket_ts, " +
+        "CAST(CAST(COALESCE(round(((close - low) - (high - close)) / " +
+        "(CASE WHEN high <> low THEN high - low END), 6), 0.0) AS DECIMAL(9,6)) * " +
+        "CAST(volume AS DECIMAL(19,2)) AS DECIMAL(28,8)) AS mfv FROM c) " +
+        "SELECT symbol, bucket_ts, CAST(sum(mfv) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS adl FROM m"),
     "obv" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, close, volume, " +
@@ -3664,6 +3739,28 @@ object SparkEntry {
         "round(2.0 * CAST(COALESCE(pn.t, 0) AS DOUBLE) / " +
         "(CASE WHEN dg.deg > 1 THEN CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END), 6) AS clust_coeff " +
         "FROM dg LEFT JOIN pn ON dg.x = pn.x"),
+    // outlier replay: the same seeded-centroid assignment argmax keeps the
+    // rounded centroid cosine; per-cell moments in exact DECIMAL sums, z in
+    // identical double op order, single-member cells null via CASE guards
+    "embedding_outliers" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid, c AS ccos FROM (" +
+        "SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.v, c.cvec), 6) AS c, " +
+        "row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "st AS (SELECT cid, count(*) AS n, CAST(sum(CAST(ccos AS DECIMAL(9,6))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(ccos AS DECIMAL(9,6)) * CAST(ccos AS DECIMAL(9,6)) AS DECIMAL(18,12))) AS DOUBLE) AS s2 " +
+        "FROM a GROUP BY 1), " +
+        "j AS (SELECT a.cid, a.vec_id, a.ccos, " +
+        "round((a.ccos - s1 / n) / (CASE WHEN (CASE WHEN n > 1 THEN " +
+        "(s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END) > 0 THEN " +
+        "sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) END), 6) AS zscore " +
+        "FROM a JOIN st ON a.cid = st.cid) " +
+        "SELECT cid, vec_id, ccos, zscore, " +
+        "(zscore IS NOT NULL AND zscore <= -2.0) AS is_outlier FROM j"),
     // SQ8 replay: per-dim min/max, round-to-nearest byte codes, midpoint
     // decode, asymmetric cosine (raw query x reconstructed corpus) —
     // identical IEEE arithmetic on both sides

@@ -180,6 +180,29 @@ object Analytics {
       .select(col("symbol"), col("bucket_ts"), col("obv"))
   }
 
+  /** ACCUMULATION/DISTRIBUTION line per symbol — obv's range-aware sibling:
+    * each candle contributes volume weighted by WHERE it closed in its own
+    * range (CLV = ((close−low) − (high−close))/(high−low) ∈ [−1, 1]), so a
+    * high-volume candle closing mid-range moves the line less than one
+    * closing on its extreme — the money-flow divergence signal obv's
+    * all-or-nothing sign can't give. CLV rounds to 6 into DECIMAL(9,6),
+    * the money-flow volume term is an exact decimal product, and the
+    * running line is an exact-decimal cumulative sum (order-exact in both
+    * engines), surfaced as double. Zero-range candles contribute 0 (no
+    * close position exists — the standard convention). ONE window shuffle.
+    */
+  def adl(candles: DataFrame): DataFrame = {
+    val run = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val clv = round(((col("close") - col("low")) - (col("high") - col("close"))) /
+      when(col("high") =!= col("low"), col("high") - col("low")), 6)
+    val mfv = (coalesce(clv, lit(0.0)).cast(DecimalType(9, 6)) *
+      col("volume").cast(D)).cast(DecimalType(28, 8))
+    candles.select(col("symbol"), col("bucket_ts"), mfv.as("mfv"))
+      .withColumn("adl", sum(col("mfv")).over(run).cast("double"))
+      .select(col("symbol"), col("bucket_ts"), col("adl"))
+  }
+
   /** Close-to-close percentage returns per symbol. */
   def returns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))

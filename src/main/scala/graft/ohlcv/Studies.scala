@@ -158,6 +158,157 @@ object Studies {
       .withColumn("aroon_osc", round(col("aroon_up") - col("aroon_down"), 6))
   }
 
+  /** Pairwise LEAD–LAG cross-correlation: for every symbol pair
+    * (sym1 < sym2), the correlation of sym1's return with sym2's return
+    * shifted by k ∈ {−2…2} buckets — the price-discovery screen ("whose
+    * moves show up in whose future"): corr_m* correlate sym1's present
+    * with sym2's PAST (sym2 leads), corr_p* with sym2's FUTURE (sym1
+    * leads), corr_0 is the contemporaneous symbol_correlations value.
+    *
+    * Scale shape: ONE per-symbol window produces ALL four shifted return
+    * columns (lags and leads ride the same sort), the pair join is the
+    * blocked √n-replication equi-join symbol_correlations uses (never a
+    * per-bucket all-pairs fan-out on a skewed time key), and all five
+    * correlations come from ONE map-side-combined aggregation. Returns
+    * round to 6 before the join so both engines correlate bit-identical
+    * inputs; corr's pairwise-null semantics match across engines
+    * (degenerate pairs null).
+    */
+  def leadLag(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val r = Analytics.returns(candles).where(col("ret").isNotNull)
+      .select(col("symbol"), col("bucket_ts"), round(col("ret"), 6).as("ret"))
+    val rl = r
+      .withColumn("ret_m2", lag(col("ret"), 2).over(w))
+      .withColumn("ret_m1", lag(col("ret"), 1).over(w))
+      .withColumn("ret_p1", lead(col("ret"), 1).over(w))
+      .withColumn("ret_p2", lead(col("ret"), 2).over(w))
+    val n = r.agg(countDistinct(col("symbol"))).head().getLong(0)
+    val b = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val left = r.select(col("symbol").as("sym1"), col("bucket_ts"), col("ret").as("ret1"))
+      .withColumn("blk", explode(array((0 until b).map(lit(_)): _*)))
+    val right = rl.select(col("symbol").as("sym2"), col("bucket_ts"),
+      col("ret").as("ret2"), col("ret_m2"), col("ret_m1"), col("ret_p1"), col("ret_p2"))
+      .withColumn("blk", pmod(hash(col("sym2")), lit(b)))
+    left.join(right, Seq("bucket_ts", "blk"))
+      .where(col("sym1") < col("sym2"))
+      .groupBy(col("sym1"), col("sym2"))
+      .agg(count(lit(1)).as("n_overlap"),
+        round(corr(col("ret1"), col("ret_m2")), 6).as("corr_m2"),
+        round(corr(col("ret1"), col("ret_m1")), 6).as("corr_m1"),
+        round(corr(col("ret1"), col("ret2")), 6).as("corr_0"),
+        round(corr(col("ret1"), col("ret_p1")), 6).as("corr_p1"),
+        round(corr(col("ret1"), col("ret_p2")), 6).as("corr_p2"))
+  }
+
+  /** Pairs-trading SPREAD with hedge-ratio OLS per symbol pair — the
+    * Engle–Granger first stage as a screen: per (sym1 < sym2), regress
+    * close1 on close2 (exact-decimal co-moments, the trend_ols recipe),
+    * then emit the residual spread close1 − (alpha + beta·close2) per
+    * bucket with its z-score against the pair's own spread moments — the
+    * mean-reversion entry signal. Degenerate pairs (flat close2, zero
+    * spread variance) yield null beta/z via guarded divisors.
+    *
+    * Scale shape: the blocked pair join materializes ONCE and feeds both
+    * the regression co-moments and the spread emission (stats are
+    * pair-dim-scale and broadcast back); closes go through exact
+    * DECIMAL(18,2) and the spread through rounded-6 DECIMAL sums, so both
+    * moment passes are shuffle-order-exact in both engines.
+    */
+  def pairSpread(candles: DataFrame): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val dxy = DecimalType(38, 4)
+    val c = candles.select(col("symbol"), col("bucket_ts"), col("close").cast(d2).as("c"))
+    val n = c.agg(countDistinct(col("symbol"))).head().getLong(0)
+    val b = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val left = c.select(col("symbol").as("sym1"), col("bucket_ts"), col("c").as("c1"))
+      .withColumn("blk", explode(array((0 until b).map(lit(_)): _*)))
+    val right = c.select(col("symbol").as("sym2"), col("bucket_ts"), col("c").as("c2"))
+      .withColumn("blk", pmod(hash(col("sym2")), lit(b)))
+    val pairs = graft.core.Materialize.once(
+      left.join(right, Seq("bucket_ts", "blk"))
+        .where(col("sym1") < col("sym2"))
+        .select(col("sym1"), col("sym2"), col("bucket_ts"), col("c1"), col("c2")))
+    val ols = pairs.groupBy(col("sym1"), col("sym2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c1")).cast("double").as("sy"),
+        sum(col("c2")).cast("double").as("sx"),
+        sum((col("c2") * col("c2")).cast(dxy)).cast("double").as("sxx"),
+        sum((col("c2") * col("c1")).cast(dxy)).cast("double").as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .select(col("sym1"), col("sym2"),
+        ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          when(col("den") =!= 0, col("den"))).as("beta"))
+    val spreads = pairs.join(broadcast(ols), Seq("sym1", "sym2"))
+      .withColumn("spread",
+        round(col("c1").cast("double") - col("beta") * col("c2").cast("double"), 6))
+    val sstats = spreads.groupBy(col("sym1"), col("sym2"))
+      .agg(count(col("spread")).as("sn"),
+        sum(col("spread").cast(DecimalType(18, 6))).cast("double").as("ss1"),
+        sum((col("spread").cast(DecimalType(18, 6)) * col("spread").cast(DecimalType(18, 6)))
+          .cast(DecimalType(38, 12))).cast("double").as("ss2"))
+    spreads.join(broadcast(sstats), Seq("sym1", "sym2"))
+      .withColumn("mu", col("ss1") / col("sn"))
+      .withColumn("variance",
+        (col("ss2") - col("sn") * col("mu") * col("mu")) /
+          when(col("sn") > 1, col("sn") - 1))
+      .select(col("sym1"), col("sym2"), col("bucket_ts"),
+        round(col("beta"), 6).as("beta"), col("spread"),
+        round((col("spread") - col("mu")) /
+          when(col("variance") > 0, sqrt(col("variance"))), 6).as("zscore"))
+  }
+
+  /** SUPERTREND band-following regime indicator per symbol — the ratchet
+    * construction behind the most widely used stop-and-reverse overlay:
+    * basic bands at mid ± mult·ATR (Wilder RMA ATR, seeded at the first
+    * true range), where the FINAL upper band only ever ratchets DOWN while
+    * price stays below it (and resets when the previous close escapes
+    * above), the lower band mirrors, and the trend flips when the close
+    * crosses the active band; the indicator emits the band price rides on.
+    * A state recursion no window expresses — the renko/holt sequential-
+    * sweep shape (one symbol shuffle, in-partition sort, O(n) sweep, O(1)
+    * state), rounded at emission. Conventions documented: seed trend is
+    * DOWN, flip checks the post-ratchet bands of the same candle.
+    */
+  def superTrend(candles: DataFrame, n: Int = 3, mult: Double = 1.0): DataFrame = {
+    require(n >= 1 && mult > 0, "n >= 1 and mult > 0")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var prevClose = 0.0; var atr = 0.0; var fu = 0.0; var fl = 0.0
+        var up = false; var first = true
+        it.map { case (s, t, h, l, c) =>
+          if (s != cur) { cur = s; first = true }
+          val tr =
+            if (first) h - l
+            else math.max(h - l,
+              math.max(math.abs(h - prevClose), math.abs(l - prevClose)))
+          atr = if (first) tr else (atr * (n - 1) + tr) / n
+          val mid = (h + l) / 2
+          val bu = mid + mult * atr
+          val bl = mid - mult * atr
+          if (first) { fu = bu; fl = bl; up = false; first = false }
+          else {
+            fu = if (bu < fu || prevClose > fu) bu else fu
+            fl = if (bl > fl || prevClose < fl) bl else fl
+            if (!up && c > fu) up = true
+            else if (up && c < fl) up = false
+          }
+          prevClose = c
+          (s, t, rd(atr), rd(if (up) fl else fu), up)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "atr", "supertrend", "trend_up")
+  }
+
   /** EVENT STUDY around volume shocks: cumulative abnormal return over a
     * ±`window`-bucket index window centered on each volume-anomaly bucket
     * (volume z-score ≥ `z`, the volumeAnomaly screen) — the standard

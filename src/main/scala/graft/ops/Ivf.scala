@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
   * corpus into cells; search scans only the query's `nprobe` nearest
@@ -574,6 +575,58 @@ object Ivf {
       .select(col("a").as("id1"), col("b").as("id2"))
     Dedup.clusters(mutual)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
+  /** CENTROID-DISTANCE OUTLIER screen per quantizer cell — the embedding-
+    * space face of mad_outliers: score every vector by its rounded cosine
+    * to its OWN cell's centroid, standardize within the cell, and flag
+    * vectors ≥ `z` sample standard deviations BELOW the cell mean. The
+    * tail is one-sided by design: outliers are the vectors that fit their
+    * own region worst (garbage, mislabeled, cross-domain strays) —
+    * SemDeDup drops the most prototypical members of a cluster, this
+    * drops the anti-prototypes; together they bracket the curation axis.
+    * Emits EVERY vector with (cid, ccos, zscore, is_outlier) — the
+    * feature-engineering shape; downstream filters choose the action.
+    *
+    * Scale shape: the ONE materialized assignment scan feeds both the
+    * score (centroid lookup is a literal-array element_at, no join) and
+    * the per-cell moments (rounded-6 scores in exact DECIMAL(9,6)/(18,12)
+    * sums — the volumeAnomaly recipe); moments are cell-dim-scale and
+    * broadcast back; z assembled in fixed-order doubles, single-member
+    * cells null via guarded divisors.
+    */
+  def embeddingOutliers(emb: DataFrame, numCells: Int = 16,
+                        z: Double = 2.0): DataFrame =
+    embeddingOutliersWith(emb, train(emb, numCells, iters = 0), z)
+
+  /** [[embeddingOutliers]] against a PRE-TRAINED quantizer. */
+  def embeddingOutliersWith(emb: DataFrame, cents: Array[Array[Double]],
+                            z: Double = 2.0): DataFrame = {
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").cast("long").as("cid"),
+        lit(0d).as("ccos"), lit(0d).as("zscore"),
+        lit(false).as("is_outlier")).limit(0)
+    val cl = centLit(cents)
+    val cells = assignedCells(vecs(emb), cents)
+    val d6 = DecimalType(9, 6)
+    val scored = cells.select(col("cid"), col("vec_id"),
+      round(graft.functions.cosine_sim(col("v"),
+        element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos"))
+    val stats = scored.groupBy(col("cid")).agg(
+      count(lit(1)).as("n"),
+      sum(col("ccos").cast(d6)).cast("double").as("s1"),
+      sum((col("ccos").cast(d6) * col("ccos").cast(d6))
+        .cast(DecimalType(18, 12))).cast("double").as("s2"))
+    scored.join(broadcast(stats), Seq("cid"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("n") * col("mu") * col("mu")) /
+          when(col("n") > 1, col("n") - 1))
+      .withColumn("zscore",
+        round((col("ccos") - col("mu")) /
+          when(col("variance") > 0, sqrt(col("variance"))), 6))
+      .select(col("cid"), col("vec_id"), col("ccos"), col("zscore"),
+        (col("zscore").isNotNull && col("zscore") <= -z).as("is_outlier"))
   }
 
   /** SemDeDup end-to-end — [[semanticNearDup]]'s pairs turned into the

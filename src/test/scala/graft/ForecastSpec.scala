@@ -157,6 +157,33 @@ class ForecastSpec extends SparkSpec {
     assert(expected.size == 6, expected.toString)
   }
 
+  test("streaming supertrend equals the batch sweep across a micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // ratchet, flip, and band reset — split right before the flip candle
+    // so the (atr, bands, trend) state must survive the boundary
+    val candles = Seq(
+      ("S", ts(T0), 110.0, 90.0, 100.0),
+      ("S", ts(T0 + 3600), 112.0, 92.0, 111.0),
+      ("S", ts(T0 + 7200), 125.0, 105.0, 124.0),
+      ("S", ts(T0 + 10800), 126.0, 118.0, 120.0))
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double, Double)]
+    val q = streaming.StreamingSuperTrend.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "high", "low", "close"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_st").start()
+    try {
+      ms.addData(candles.take(2): _*); q.processAllAvailable()
+      ms.addData(candles.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_st").collect().map(_.toSeq).toSet
+    val expected = graft.ohlcv.Studies.superTrend(
+        candles.toDF("symbol", "bucket_ts", "high", "low", "close"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 4, s"got $got\nexpected $expected")
+  }
+
   test("ewmaVol: hand-folded RiskMetrics recursion") {
     import spark.implicits._
     // closes 100,110,99,108.9 -> rets .1,-.1,.1; s2: .01, .94*.01+.06*.01=.01, .01

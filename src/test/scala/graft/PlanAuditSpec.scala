@@ -538,5 +538,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pt.contains("CartesianProduct"), pt)
     assert(countOccurrences(pt, "BroadcastNestedLoopJoin") <= 1, // the 16-row centroid cross
       pt)
+    // adl: the candle build's exchange + one symbol window — nothing else
+    val pa2 = planOf("adl")
+    assert(countOccurrences(pa2, "Exchange hashpartitioning") == 2, pa2)
+    // embedding_outliers: one materialized assignment scan feeds score and
+    // moments; the cell-dim stats come back via broadcast
+    val po = planOf("embedding_outliers")
+    assert(!po.contains("FileScan"),
+      "both branches must read the materialized assignment cut\n" + po)
+    assert(po.contains("BroadcastHashJoin"), po)
+    // lead_lag: the blocked pair join is an equi join and the five
+    // correlations partial-aggregate map-side — never a cartesian
+    val pll = planOf("lead_lag")
+    assert(!pll.contains("CartesianProduct") &&
+      !pll.contains("BroadcastNestedLoopJoin"), pll)
+    assert(pll.contains("partial_corr"), pll)
+    // pair_spread: the pair frame is CUT once (no candle rebuild past the
+    // cut) and both stats tables come back via broadcast
+    val pps = planOf("pair_spread")
+    assert(pps.contains("Scan ExistingRDD"),
+      "materialized pair frame expected\n" + pps)
+    assert(!pps.contains("FileScan"),
+      "no branch may rebuild the candles past the pair cut\n" + pps)
+    assert(countOccurrences(pps, "BroadcastHashJoin") >= 2, pps)
   }
 }

@@ -114,6 +114,111 @@ class StudiesSpec extends SparkSpec {
     }
   }
 
+  test("adl: close position in range weights the volume; zero-range is 0") {
+    import spark.implicits._
+    // clv: 0 (mid-range), +1 (close at high), -1 (close at low), null->0
+    val candles = Seq(
+      ("A", ts(T0), 110.0, 90.0, 100.0, 10.0),
+      ("A", ts(T0 + 3600), 120.0, 100.0, 120.0, 5.0),
+      ("A", ts(T0 + 7200), 130.0, 110.0, 110.0, 4.0),
+      ("A", ts(T0 + 10800), 110.0, 110.0, 110.0, 100.0))
+      .toDF("symbol", "bucket_ts", "high", "low", "close", "volume")
+    val r = graft.ohlcv.Analytics.adl(candles).orderBy(col("bucket_ts"))
+      .collect().map(_.getAs[Double]("adl")).toSeq
+    assert(r == Seq(0.0, 5.0, 1.0, 1.0), r.toString)
+  }
+
+  test("superTrend: hand-folded ratchet, reset, and flip (n=3, mult=1)") {
+    import spark.implicits._
+    val candles = Seq(
+      ("S", ts(T0), 110.0, 90.0, 100.0),
+      ("S", ts(T0 + 3600), 112.0, 92.0, 111.0),
+      ("S", ts(T0 + 7200), 125.0, 105.0, 124.0),
+      ("S", ts(T0 + 10800), 126.0, 118.0, 120.0))
+      .toDF("symbol", "bucket_ts", "high", "low", "close")
+    val r = Studies.superTrend(candles).orderBy(col("bucket_ts")).collect()
+      .map(x => (x.getAs[Double]("atr"), x.getAs[Double]("supertrend"),
+        x.getAs[Boolean]("trend_up"))).toSeq
+    // c1: atr 20, bands (120, 80), seed down -> rides fu 120
+    // c2: fl ratchets 80->82, still down, fu holds 120
+    // c3: close 124 > fu 120 -> FLIP UP, rides fl 95
+    // c4: atr (2*20+8)/3 = 16; prevClose 124 > fu -> fu resets 138; fl 106
+    val exp = Seq((20.0, 120.0, false), (20.0, 120.0, false),
+      (20.0, 95.0, true), (16.0, 106.0, true))
+    assert(r == exp, r.toString)
+  }
+
+  test("superTrend: per-symbol state independence") {
+    import spark.implicits._
+    val candles = (Seq(("A", 0, 110.0, 90.0, 100.0), ("A", 1, 150.0, 130.0, 149.0)) ++
+      Seq(("B", 0, 50.0, 40.0, 45.0)))
+      .map { case (s, i, h, l, c) => (s, ts(T0 + i * 3600), h, l, c) }
+      .toDF("symbol", "bucket_ts", "high", "low", "close")
+    val r = Studies.superTrend(candles).collect()
+      .map(x => (x.getString(0), x.getAs[Double]("atr"))).toMap
+    assert(r("B") == 10.0, s"B's ATR must be its own seed TR: $r")
+  }
+
+  test("embeddingOutliers: worst-fitting cell member flags; flat cell is null") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0.8f, 0.6f)), // cos to [1,0] = 0.8 -> the anti-prototype
+      (10L, Seq(0f, 1f)), (11L, Seq(0f, 1f))) // flat cell: var 0 -> null z
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val r = graft.ops.Ivf.embeddingOutliersWith(emb, cents, z = 1.0).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("ccos"), x.isNullAt(x.fieldIndex("zscore")),
+          x.getAs[Boolean]("is_outlier"))).toMap
+    assert(r.size == 6, r.toString)
+    // cell A: ccos (1,1,1,0.8), mu .95, sd .1 -> z (.5,.5,.5,-1.5)
+    assert(r(3L) == ((0.8, false, true)), r.toString)
+    Seq(0L, 1L, 2L).foreach(v => assert(r(v) == ((1.0, false, false)), r.toString))
+    // cell B: zero variance -> null z, never an outlier
+    Seq(10L, 11L).foreach(v => assert(r(v) == ((1.0, true, false)), r.toString))
+  }
+
+  test("leadLag: a one-bucket follower pins corr_p1 = 1 (leader's edge)") {
+    import spark.implicits._
+    // B's close path is A's delayed one bucket, so retB_{t+1} == retA_t
+    // EXACTLY (same closes, same division): corr(retA_t, B's next) = 1
+    val aCloses = Seq(100.0, 110.0, 132.0, 118.8, 154.44, 123.552, 135.9072, 115.52112)
+    val bCloses = aCloses.head +: aCloses.init
+    val candles = (aCloses.zipWithIndex.map { case (c, i) => ("A", ts(T0 + i * 3600), c) } ++
+      bCloses.zipWithIndex.map { case (c, i) => ("B", ts(T0 + i * 3600), c) })
+      .toDF("symbol", "bucket_ts", "close")
+    val r = Studies.leadLag(candles).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("sym1") == "A" && row.getAs[String]("sym2") == "B")
+    assert(row.getAs[Double]("corr_p1") == 1.0, row.toString)
+    assert(math.abs(row.getAs[Double]("corr_0")) < 1.0, row.toString)
+  }
+
+  test("pairSpread: exact linear relation pins beta, zero spread, null z") {
+    import spark.implicits._
+    // c1 = 2*c2 exactly: OLS recovers beta 2, every spread is 0, and the
+    // zero-variance z-score guard yields null (never divide-by-zero)
+    val candles = (Seq(10.0, 20.0, 30.0, 40.0).zipWithIndex.flatMap { case (c, i) =>
+      Seq(("Y", ts(T0 + i * 3600), 2 * c), ("Z", ts(T0 + i * 3600), c))
+    }).toDF("symbol", "bucket_ts", "close")
+    val r = Studies.pairSpread(candles).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      assert(row.getAs[String]("sym1") == "Y" && row.getAs[String]("sym2") == "Z")
+      assert(row.getAs[Double]("beta") == 2.0, row.toString)
+      assert(row.getAs[Double]("spread") == 0.0, row.toString)
+      assert(row.isNullAt(row.fieldIndex("zscore")), row.toString)
+    }
+    // flat hedge leg: zero x-variance -> null beta via the guarded divisor
+    val flat = (Seq(1, 2, 3).flatMap { i =>
+      Seq(("Y", ts(T0 + i * 3600), i * 10.0), ("Z", ts(T0 + i * 3600), 5.0))
+    }).toDF("symbol", "bucket_ts", "close")
+    val f = Studies.pairSpread(flat).collect()
+    f.foreach(row => assert(row.isNullAt(row.fieldIndex("beta")), row.toString))
+  }
+
   test("eventStudy: single volume shock, hand-computed AR/CAR path") {
     import spark.implicits._
     // volume 10 everywhere except 1000 at index 16 (1-based): z ~= 5.3 is
