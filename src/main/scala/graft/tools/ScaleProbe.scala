@@ -283,6 +283,53 @@ object ScaleProbe {
     }
   }
 
+  /** Round-10 wave-4/5 growth curves: the triangle kernel under corpus
+    * replication (wedge fan-out is the claimed bound) and the pair
+    * analytics under SYMBOL-UNIVERSE growth — pairs grow quadratically in
+    * the symbol count, which is the axis that actually scales for
+    * cross-asset operators (bucket count is calendar-bounded). Run:
+    * `runMain graft.tools.ScaleProbe r10w4`.
+    */
+  private def r10w4OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 4, 8).foreach { k =>
+      val emb = (0 until k).map { i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).cache()
+      emb.count()
+      time(s"knn_triangles x$k (${2000 * k} vecs)") {
+        graft.ops.Graph.triangles(
+          graft.ops.Ivf.knnGraph(emb)
+            .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))).count()
+      }
+      emb.unpersist()
+    }
+    Seq(1, 2, 4).foreach { m =>
+      val t = (0 until m).map { i =>
+        Tables.trades(spark, dir)
+          .withColumn("symbol", concat(col("symbol"), lit(s"_$i")))
+      }.reduce(_ unionByName _).cache()
+      t.count()
+      val candles = graft.ohlcv.Candles
+        .fromTrades(t, graft.core.Timeframe.parse("1h")).cache()
+      val nsym = candles.select("symbol").distinct().count()
+      time(s"lead_lag $nsym syms (${nsym * (nsym - 1) / 2} pairs)") {
+        graft.ohlcv.Studies.leadLag(candles).count()
+      }
+      time(s"pair_spread $nsym syms") {
+        graft.ohlcv.Studies.pairSpread(candles).count()
+      }
+      candles.unpersist(); t.unpersist()
+    }
+  }
+
   /** kFactor → recall curve for the exact re-rank stage: recall@10 of
     * ivfpq_rerank at k′ = kFactor·k for kFactor ∈ {1,2,4,8}, each at
     * nprobe 4/8/16, against plain ADC at the same nprobe, at both corpus
@@ -332,6 +379,7 @@ object ScaleProbe {
     if (args.contains("r6ops")) { r6OpsCurves(spark); spark.stop(); return }
     if (args.contains("r7ops")) { r7OpsCurves(spark); spark.stop(); return }
     if (args.contains("r8ops")) { r8OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r10w4")) { r10w4OpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
