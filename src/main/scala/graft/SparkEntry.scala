@@ -385,6 +385,10 @@ object SparkEntry {
       // accumulation/distribution line: range-weighted money flow in an
       // exact-decimal running sum; one window shuffle
       Analytics.adl(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "chaikin_osc" -> ((s, dir) =>
+      // EMA(3)-EMA(10) of the ADL: both recursions in one per-symbol
+      // sweep; oracle folds the same literal-alpha doubles
+      Analytics.chaikinOsc(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val p = e.where(col("event_type") === "purchase")
@@ -533,6 +537,10 @@ object SparkEntry {
           datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    "ltv_cohorts" -> ((s, dir) =>
+      // cumulative purchase revenue per signup cohort by account age:
+      // user-dim shrink + broadcast sizes, dim-scale cumulative window
+      graft.ops.Events.ltvCohorts(Tables.events(s, dir))),
     "bollinger" -> ((s, dir) =>
       Analytics.bollinger(Candles.fromTrades(Tables.trades(s, dir), Tf1h), 20)),
     "rsi" -> ((s, dir) =>
@@ -1380,6 +1388,10 @@ object SparkEntry {
       // type/token ratio + Guiraud index: the templated-text screen;
       // pure map over the text scan, no shuffle
       graft.ops.TextAnalysis.lexicalDiversity(Tables.table(s, dir, "documents"))),
+    "tokenizer_fertility" -> ((s, dir) =>
+      // subword tokens per word + chars per token by language: the
+      // context-budget report; one map-side-combined aggregation
+      graft.ops.TextAnalysis.tokenizerFertility(Tables.table(s, dir, "documents"))),
     "dataset_card" -> ((s, dir) =>
       // per-source release card: volume/length percentiles, language mix
       // + entropy, exact-dup rate; one scan, dim-scale joins after
@@ -1495,6 +1507,10 @@ object SparkEntry {
       // per-cell centroid-cosine z-score screen: the anti-prototype drop
       // (SemDeDup's complement); one assignment scan, broadcast moments
       graft.ops.Ivf.embeddingOutliers(Tables.table(s, dir, "embeddings"))),
+    "centroid_drift" -> ((s, dir) =>
+      // nightly index health: prior-snapshot model refined once over the
+      // full corpus; per-cell centroid cosine + assignment churn
+      graft.ops.Ivf.centroidDrift(Tables.table(s, dir, "embeddings"))),
     "ann_sq8" -> ((s, dir) => {
       // scalar-quantized (1 byte/dim) asymmetric search: raw query vs
       // SQ8-reconstructed corpus — the 8x working-set cut between the
@@ -1854,6 +1870,23 @@ object SparkEntry {
         "CAST(volume AS DECIMAL(19,2)) AS DECIMAL(28,8)) AS mfv FROM c) " +
         "SELECT symbol, bucket_ts, CAST(sum(mfv) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS adl FROM m"),
+    // Chaikin oscillator replay: the adl CTEs, then BOTH EMA recursions
+    // as scalar-double list_reduce folds (safe, unlike struct
+    // accumulators) over the per-symbol running list; alpha literals
+    // spelled exactly as the sweep computes them
+    "chaikin_osc" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "m AS (SELECT symbol, bucket_ts, " +
+        "CAST(CAST(COALESCE(round(((close - low) - (high - close)) / " +
+        "(CASE WHEN high <> low THEN high - low END), 6), 0.0) AS DECIMAL(9,6)) * " +
+        "CAST(volume AS DECIMAL(19,2)) AS DECIMAL(28,8)) AS mfv FROM c), " +
+        "ad AS (SELECT symbol, bucket_ts, CAST(sum(mfv) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS adl FROM m), " +
+        "l AS (SELECT symbol, bucket_ts, adl, list(adl) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls FROM ad) " +
+        "SELECT symbol, bucket_ts, adl, " +
+        "round(list_reduce(ls, (acc, x) -> 0.5 * x + 0.5 * acc) - " +
+        "list_reduce(ls, (acc, x) -> (2.0 / 11.0) * x + (1.0 - 2.0 / 11.0) * acc), 6) AS chaikin_osc FROM l"),
     "obv" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "p AS (SELECT symbol, bucket_ts, close, volume, " +
@@ -2746,6 +2779,22 @@ object SparkEntry {
         "SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset, " +
         "count(DISTINCT a.user_id) AS n_users " +
         "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"),
+    // LTV replay: same first-day cohorts, purchase revenue in exact
+    // DECIMAL(18,2) sums, exact-decimal cumulative over age, per-user
+    // division rounded at emission
+    "ltv_cohorts" ->
+      ("WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, value FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1), " +
+        "sz AS (SELECT cohort_day, count(*) AS n_users FROM c GROUP BY 1), " +
+        "r AS (SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS age_days, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS rev_d FROM e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1, 2), " +
+        "cum AS (SELECT cohort_day, age_days, rev_d, sum(rev_d) OVER (" +
+        "PARTITION BY cohort_day ORDER BY age_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d FROM r) " +
+        "SELECT cum.cohort_day, age_days, n_users, CAST(rev_d AS DOUBLE) AS revenue, " +
+        "CAST(cum_d AS DOUBLE) AS cum_revenue, " +
+        "round(CAST(cum_d AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv_per_user " +
+        "FROM cum JOIN sz ON cum.cohort_day = sz.cohort_day"),
     "top_volume" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}) " +
         "SELECT symbol, bucket_ts, volume, rn FROM (" +
@@ -3244,6 +3293,16 @@ object SparkEntry {
         "SELECT doc_id, n_words, n_distinct, " +
         "round(CAST(n_distinct AS DOUBLE) / (CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) END), 6) AS ttr, " +
         "round(CAST(n_distinct AS DOUBLE) / (CASE WHEN n_words > 0 THEN sqrt(CAST(n_words AS DOUBLE)) END), 6) AS guiraud FROM w"),
+    // fertility replay: same BPE-ish segmentation as token_count, exact
+    // integer sums, fixed-order guarded ratios
+    "tokenizer_fertility" ->
+      ("WITH x AS (SELECT lang, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS s, n_chars FROM documents), " +
+        "a AS (SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS ws_tokens, " +
+        "CAST(sum(s) AS BIGINT) AS subword_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM x GROUP BY 1) " +
+        "SELECT lang, n_docs, ws_tokens, subword_tokens, " +
+        "round(CAST(subword_tokens AS DOUBLE) / (CASE WHEN ws_tokens > 0 THEN CAST(ws_tokens AS DOUBLE) END), 6) AS fertility, " +
+        "round(CAST(total_chars AS DOUBLE) / (CASE WHEN subword_tokens > 0 THEN CAST(subword_tokens AS DOUBLE) END), 6) AS chars_per_token FROM a"),
     // dataset-card replay: quantile_cont == Spark's exact percentile over
     // the integer n_chars column, two-level distinct via the (source, h)
     // pre-group, (cnt desc, lang asc) argmax, entropy terms rounded 6 in
@@ -3867,6 +3926,7 @@ object SparkEntry {
         "SELECT label, CAST(cid AS BIGINT) AS pred_label, count(*) AS n " +
         "FROM assigned GROUP BY 1, 2"),
     "ann_ivf_trained" -> annIvfTrainedOracleSql(k = 5, numCells = 16, nprobe = 4, iters = 2),
+    "centroid_drift" -> centroidDriftOracleSql(numCells = 16),
     "pq_encode" -> pqEncodeOracleSql(m = 4, k = 16, dim = 64),
     "pq_search" -> pqSearchOracleSql(m = 4, k = 16, dim = 64, topK = 5),
     "ivfpq_encode" -> ivfPqEncodeOracleSql(m = 4, k = 16, dim = 64,
@@ -4120,6 +4180,47 @@ object SparkEntry {
     * decimal-exact per-component centroid means, with cids re-ranked the
     * way Ivf.localize compacts them. Trained k-means, bit-replayed in SQL.
     */
+  /** DuckDB replay of Ivf.centroidDrift: prior = even vec_ids, one Lloyd
+    * round over the prior (train iters=1), ONE refinement of the full
+    * corpus from those centroids (retrain), then per-cell centroid cosine
+    * + prior-assignment churn — the same assign/mean CTEs the trained-IVF
+    * oracle uses, parameterized by source.
+    */
+  private def centroidDriftOracleSql(numCells: Int): String = {
+    def assignCte(name: String, src: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid FROM (" +
+        s"SELECT $src.vec_id, $src.v, c.cid, row_number() OVER (PARTITION BY $src.vec_id " +
+        s"ORDER BY round(list_cosine_similarity($src.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        s"FROM $src CROSS JOIN $cents c) WHERE arn = 1)"
+    def meanCte(name: String, from: String): String =
+      s"$name AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cid, cvec FROM (" +
+        "SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
+        "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
+        s"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $from) " +
+        "GROUP BY cid, pos) GROUP BY cid) x)"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "ep AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0), " +
+      "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM ep ORDER BY vec_id LIMIT $numCells), " +
+      assignCte("a0", "ep", "cents0") + ", " +
+      meanCte("centsOld", "a0") + ", " +
+      assignCte("af", "e", "centsOld") + ", " +
+      meanCte("centsNew", "af") + ", " +
+      assignCte("aOld", "ep", "centsOld") + ", " +
+      assignCte("aNew", "ep", "centsNew") + ", " +
+      "mv AS (SELECT aOld.cid AS cid, CASE WHEN aOld.cid <> aNew.cid THEN 1 ELSE 0 END AS moved " +
+      "FROM aOld JOIN aNew ON aOld.vec_id = aNew.vec_id), " +
+      "per AS (SELECT cid, count(*) AS n_members, CAST(sum(moved) AS BIGINT) AS n_moved FROM mv GROUP BY 1), " +
+      "dr AS (SELECT o.cid, round(list_cosine_similarity(o.cvec, n.cvec), 6) AS drift_cos " +
+      "FROM centsOld o JOIN centsNew n ON o.cid = n.cid) " +
+      "SELECT CAST(dr.cid AS BIGINT) AS cid, drift_cos, " +
+      "CAST(COALESCE(per.n_members, 0) AS BIGINT) AS n_members, " +
+      "CAST(COALESCE(per.n_moved, 0) AS BIGINT) AS n_moved, " +
+      "round(CAST(COALESCE(per.n_moved, 0) AS DOUBLE) / " +
+      "(CASE WHEN COALESCE(per.n_members, 0) > 0 THEN CAST(per.n_members AS DOUBLE) END), 6) AS churn_rate " +
+      "FROM dr LEFT JOIN per ON dr.cid = per.cid"
+  }
+
   private def annIvfTrainedOracleSql(k: Int, numCells: Int, nprobe: Int,
                                      iters: Int): String = {
     def assignCte(name: String, cents: String): String =

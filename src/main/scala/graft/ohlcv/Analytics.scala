@@ -203,6 +203,39 @@ object Analytics {
       .select(col("symbol"), col("bucket_ts"), col("adl"))
   }
 
+  /** CHAIKIN OSCILLATOR per symbol — EMA(3) − EMA(10) of the
+    * accumulation/distribution line: the momentum-of-money-flow signal
+    * (the oscillator crossing zero flags accumulation turning to
+    * distribution before price confirms). The two EMAs are the ema-family
+    * sequential recursion (seed = the first ADL value, the list_reduce
+    * convention), run in ONE per-symbol sweep carrying both states —
+    * O(1) memory, fixed double op order with α₃ = 0.5 (exact complement)
+    * and α₁₀ spelled 2.0/11.0 so the oracle folds the same literals;
+    * rounding at emission only. Upstream ADL is the exact-decimal line.
+    */
+  def chaikinOsc(candles: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val a3 = 0.5; val b3 = 1.0 - 0.5
+    val a10 = 2.0 / 11.0; val b10 = 1.0 - 2.0 / 11.0
+    adl(candles)
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e3 = 0.0; var e10 = 0.0
+        it.map { case (s, t, x) =>
+          if (s != cur) { cur = s; e3 = x; e10 = x }
+          else { e3 = a3 * x + b3 * e3; e10 = a10 * x + b10 * e10 }
+          (s, t, x, e3, e10)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "adl", "e3", "e10")
+      .select(col("symbol"), col("bucket_ts"), col("adl"),
+        round(col("e3") - col("e10"), 6).as("chaikin_osc"))
+  }
+
   /** Close-to-close percentage returns per symbol. */
   def returns(candles: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))

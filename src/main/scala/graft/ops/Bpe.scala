@@ -173,6 +173,67 @@ object Bpe {
     * Pure mapPartitions (no shuffle, no join); every input column passes
     * through untouched.
     */
+  /** TRAIN a character-BPE merges list from the corpus — the classic
+    * Sennrich greedy algorithm at this engine's altitude: the WORD
+    * FREQUENCY table is the distributed part (one map-side-combined
+    * count over the text scan; under Zipf the distinct-word vocabulary
+    * is dim-scale by contract, like IVF's centroid matrix), and the
+    * merge loop runs driver-side over that table exactly where reference
+    * implementations run it. FULLY DETERMINISTIC where textbook BPE is
+    * tie-unstable: each round's winner is (count DESC, left ASC, right
+    * ASC), so any engine, partitioning, or rerun writes the same merges
+    * file — and the result feeds [[Bpe]]'s encoder directly (char mode),
+    * closing the loop: the engine can train the tokenizer whose units
+    * its own packing/mix operators then budget in.
+    *
+    * Stops early when no pair reaches `minCount` (merging singletons
+    * memorizes the corpus tail — the standard cutoff).
+    */
+  def trainMerges(docs: DataFrame, numMerges: Int,
+                  minCount: Long = 2): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val vocab = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var seqs: Array[(Vector[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some((pair, c)) if c >= minCount =>
+          merges += pair
+          val joined = pair._1 + pair._2
+          seqs = seqs.map { case (syms, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                b += joined; i += 2 // leftmost-first, non-overlapping
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
   def withTokens(docs: DataFrame, bpe: Bpe, textCol: String = "text",
                  outCol: String = "n_tokens"): DataFrame = {
     val schema = docs.schema.add(outCol, LongType, nullable = false)

@@ -166,6 +166,43 @@ object Events {
     * ln 0 undefined) flips a cumulative flag that pins Ŝ = 0 exactly —
     * no ±inf enters either engine's arithmetic.
     */
+  /** Cohort LTV curves — cumulative purchase revenue per signup cohort by
+    * account age: the growth-analytics staple next to retention_cohorts
+    * (that one counts WHO comes back; this one sums WHAT they spend, per
+    * user, so cohorts of different sizes compare on one axis). Cohort =
+    * the user's first-activity day, age = whole days since; revenue sums
+    * in exact DECIMAL(18,2) per (cohort, age), the cumulative curve is an
+    * exact-decimal running sum over age (order-exact in both engines),
+    * and ltv_per_user divides by the cohort's size, rounded at emission.
+    *
+    * Scale shape: one user-dim shrink (first-day per user) joined back —
+    * broadcast at test scale, a shuffle join at fact scale; the purchase
+    * aggregation map-side combines; the cumulative window runs over the
+    * (cohort, age) DIM-scale frame, never the fact.
+    */
+  def ltvCohorts(events: DataFrame): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val e = graft.core.Materialize.once(events.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day"), col("event_type"), col("value")))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
+    val rev = e.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+      .agg(sum(col("value").cast(d2)).as("rev_d"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum_d", sum(col("rev_d")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("n_users"),
+        col("rev_d").cast("double").as("revenue"),
+        col("cum_d").cast("double").as("cum_revenue"),
+        round(col("cum_d").cast("double") / col("n_users").cast("double"), 6)
+          .as("ltv_per_user"))
+  }
+
   def kaplanMeier(events: DataFrame, censorDays: Int = 1): DataFrame = {
     val day = 86400000000L
     val mx = events.agg(max(unix_micros(col("ts"))).as("max_us"))

@@ -124,6 +124,78 @@ object Ivf {
     cents
   }
 
+  /** One Lloyd refinement step from GIVEN centroids — the incremental
+    * retrain primitive (yesterday's model + today's corpus → today's
+    * model): assignment under the old centroids, then the same exact
+    * DECIMAL(30,15) per-(cid, pos) means `train` uses, so the step is
+    * bit-identical under any shuffle order and replayable by the oracle.
+    * Cells that lose every member drop and later cids compact (the
+    * `train`/`localizePos` convention, documented there).
+    */
+  def retrain(emb: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    if (cents.isEmpty) return cents
+    val d = org.apache.spark.sql.types.DecimalType(30, 15)
+    localizePos(assign(vecs(emb), cents)
+      .select(col("cid"), posexplode(col("v")))
+      .toDF("cid", "pos", "x")
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
+      .select(col("cid"), col("pos").cast("int").as("pos"), col("x")),
+      cents.head.length)
+  }
+
+  /** EMBEDDING DRIFT monitor — the production question a nightly vector
+    * pipeline asks before reusing yesterday's index: train on the prior
+    * snapshot (here the even vec_ids — the dedup_incremental replay
+    * convention), refine ONCE over today's full corpus ([[retrain]], so
+    * cells stay aligned by construction — each new centroid is the mean
+    * of the vectors its OLD centroid attracted), and report per cell the
+    * centroid's cosine to its old self plus the ASSIGNMENT CHURN of the
+    * prior vectors (fraction whose nearest cell changed). Low drift_cos
+    * or high churn_rate = retrain/re-encode before serving.
+    *
+    * Scale shape: both models are driver-side matrices (the MLlib
+    * altitude); the churn pass is ONE map-only scan of the prior slice
+    * with BOTH fused nearest-cell argmaxes inline (no join), one
+    * cell-dim aggregation; the drift cosine runs through the same native
+    * cosine expression the ANN paths use (k rows).
+    */
+  def centroidDrift(emb: DataFrame, numCells: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val prior = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val centsOld = train(prior, numCells, iters = 1)
+    if (centsOld.isEmpty)
+      return emb.select(col("vec_id").as("cid"), lit(0d).as("drift_cos"),
+        lit(0L).as("n_members"), lit(0L).as("n_moved"),
+        lit(0d).as("churn_rate")).limit(0)
+    val centsNew = retrain(emb, centsOld)
+    val dim = centsOld.head.length
+    val drift = centsOld.zip(centsNew).zipWithIndex
+      .map { case ((o, n), i) => (i.toLong, o.toSeq, n.toSeq) }.toSeq
+      .toDF("cid", "ov", "nv")
+      .select(col("cid"),
+        round(graft.functions.cosine_sim(col("ov"), col("nv")), 6).as("drift_cos"))
+    val e = vecs(prior)
+    val oldCid = graft.functions.nearest_cell(
+      col("v"), centsOld.flatten, centsOld.length, dim)
+    val newCid = graft.functions.nearest_cell(
+      col("v"), centsNew.flatten, centsNew.length, dim)
+    val churn = e
+      .select(oldCid.cast("long").as("cid"),
+        (oldCid.cast("long") =!= newCid.cast("long")).as("moved"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("moved"), lit(1L)).otherwise(lit(0L))).as("n_moved"))
+    drift.join(churn, Seq("cid"), "left")
+      .select(col("cid"), col("drift_cos"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+        round(coalesce(col("n_moved"), lit(0L)).cast("double") /
+          when(coalesce(col("n_members"), lit(0L)) > 0,
+            col("n_members").cast("double")), 6).as("churn_rate"))
+  }
+
   /** Embedding-quality confusion matrix: mean centroid per label
     * (decimal-exact, deterministic like `train`), every vector classified
     * to its nearest label centroid via the fused map-side argmax, counts

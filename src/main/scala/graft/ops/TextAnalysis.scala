@@ -177,6 +177,35 @@ object TextAnalysis {
         round(col("ent"), 6).as("lang_entropy"))
   }
 
+  /** TOKENIZER FERTILITY per language — subword tokens per whitespace
+    * word and characters per subword token, aggregated by `lang`: the
+    * standard tokenizer-efficiency report (a language with fertility 3×
+    * the corpus mean pays 3× the context budget per word — the number
+    * behind vocabulary-allocation and per-language budget decisions,
+    * computed here with the same BPE-ish segmentation token_count uses).
+    * Integer token counts sum exactly (LongType); the two ratios are
+    * fixed-order doubles on those exact sums, null-guarded, rounded at
+    * emission. ONE map-side-combined aggregation over the text scan.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      size(words(col("text"))).cast("long").as("w"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("s"),
+      col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("ws_tokens"),
+        sum(col("s")).as("subword_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("subword_tokens"),
+        round(col("subword_tokens").cast("double") /
+          when(col("ws_tokens") > 0, col("ws_tokens").cast("double")), 6)
+          .as("fertility"),
+        round(col("total_chars").cast("double") /
+          when(col("subword_tokens") > 0, col("subword_tokens").cast("double")), 6)
+          .as("chars_per_token"))
+
   /** Content fingerprint: md5 + structural signature. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(

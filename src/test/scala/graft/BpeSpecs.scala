@@ -121,6 +121,33 @@ class BpeSpecs extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 5L))
   }
 
+  test("trainMerges: the textbook low/lower/lowest trace, then round-trip encode") {
+    import spark.implicits._
+    // word freqs {low:3, lower:1, lowest:1}: round 1 ties (l,o) and (o,w)
+    // at 5 -> lex order picks (l,o); then (lo,w):5; then (low,e):2; all
+    // remaining pairs are singletons -> minCount=2 stops training
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.trainMerges(docs, numMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")), merges.toString)
+    // the trained file drives the encoder directly (char mode)
+    val bpe = new graft.ops.Bpe(merges)
+    assert(bpe.encodeWord("lowest") == Vector("lowe", "s", "t"))
+    assert(bpe.encodeWord("low") == Vector("low"))
+    assert(bpe.encodeWord("slow") == Vector("s", "low"),
+      "mid-word pairs still merge by rank")
+  }
+
+  test("trainMerges: deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha beta gamma${i % 5}"))
+      .toDF("doc_id", "text")
+    val a = graft.ops.Bpe.trainMerges(docs, 8)
+    val b = graft.ops.Bpe.trainMerges(docs.repartition(7), 8)
+    assert(a == b, s"$a vs $b")
+    assert(a.nonEmpty)
+  }
+
   test("bpe properties: lossless segmentation, monotone counts, random vocabularies") {
     import org.scalacheck.{Gen, rng}
     val genChar = Gen.oneOf('a', 'b', 'c', 'd')

@@ -157,6 +157,33 @@ class ForecastSpec extends SparkSpec {
     assert(expected.size == 6, expected.toString)
   }
 
+  test("streaming adl equals the batch exact-decimal line across a split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // mid-range, close-at-high, close-at-low, zero-range: the full CLV
+    // range; the exact-decimal running sum must survive the boundary
+    val candles = Seq(
+      ("A", ts(T0), 110.0, 90.0, 100.0, 10.0),
+      ("A", ts(T0 + 3600), 120.0, 100.0, 120.0, 5.0),
+      ("A", ts(T0 + 7200), 130.0, 110.0, 110.0, 4.0),
+      ("A", ts(T0 + 10800), 110.0, 110.0, 110.0, 100.0))
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double, Double, Double)]
+    val q = streaming.StreamingAdl.run(
+      ms.toDF.toDF("symbol", "bucket_ts", "high", "low", "close", "volume"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_adl").start()
+    try {
+      ms.addData(candles.take(2): _*); q.processAllAvailable()
+      ms.addData(candles.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_adl").collect().map(_.toSeq).toSet
+    val expected = graft.ohlcv.Analytics.adl(
+        candles.toDF("symbol", "bucket_ts", "high", "low", "close", "volume"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 4, s"got $got\nexpected $expected")
+  }
+
   test("streaming supertrend equals the batch sweep across a micro-batch split") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

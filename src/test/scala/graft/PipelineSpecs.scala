@@ -572,6 +572,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((4L, 1L, 0.25, 0.5)), r.toString)
   }
 
+  test("tokenizerFertility: hand-built per-lang token ratios") {
+    // en: "a bb" -> 2 words, 2 subwords (fertility 1); "x1y" -> 1 word,
+    // 3 subwords ([x][1][y]); lang totals: w 3, s 5
+    val d = Seq((1L, "a bb", "en", 4L), (2L, "x1y", "en", 3L), (3L, "zz", "fr", 2L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = TextAnalysis.tokenizerFertility(d).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("ws_tokens"), x.getAs[Long]("subword_tokens"),
+          x.getAs[Double]("fertility"), x.getAs[Double]("chars_per_token"))).toMap
+    assert(r("en") == ((3L, 5L, 1.666667, 1.4)), r.toString)
+    assert(r("fr") == ((1L, 1L, 1.0, 2.0)), r.toString)
+  }
+
+  test("ltvCohorts: hand-built cumulative revenue per cohort and user") {
+    // two users, both first active on day 0 (one cohort of 2): purchases
+    // 10 on day 0; 20 + 30 on day 1 -> revenue (10, 50), cum (10, 60),
+    // ltv per user (5, 30); a click-only day creates no revenue row
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L, 10L, "purchase", 10.0), (2L, 0L, 20L, "click", 0.0),
+      (3L, day, 10L, "purchase", 20.0), (4L, day, 20L, "purchase", 30.0),
+      (5L, 2 * day, 10L, "click", 0.0))
+      .map { case (e, off, u, t, v) => (e, ts(T0 + off), u, t, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.ops.Events.ltvCohorts(ev).collect()
+      .map(x => x.getAs[Long]("age_days") ->
+        (x.getAs[Long]("n_users"), x.getAs[Double]("revenue"),
+          x.getAs[Double]("cum_revenue"), x.getAs[Double]("ltv_per_user"))).toMap
+    assert(r.size == 2, r.toString)
+    assert(r(0L) == ((2L, 10.0, 10.0, 5.0)), r.toString)
+    assert(r(1L) == ((2L, 50.0, 60.0, 30.0)), r.toString)
+  }
+
+  test("centroidDrift: a duplicated-snapshot corpus pins drift 1, churn 0") {
+    // every odd vec_id duplicates its even twin: the refinement step sees
+    // each cell's membership exactly doubled with identical means, so the
+    // centroids do not move and no prior vector changes cell
+    val emb = (0 until 40).map { i =>
+      val base = i / 2 * 2 // twin pairs (0,1), (2,3), ...
+      (i.toLong, Seq(1.0f + base * 0.13f, 2.0f - base * 0.07f,
+        0.5f + (base % 7) * 0.31f, 1.0f + (base % 5) * 0.19f))
+    }.toDF("vec_id", "embedding")
+    val r = graft.ops.Ivf.centroidDrift(emb).collect()
+    assert(r.nonEmpty && r.length <= 16, r.length.toString)
+    r.foreach { row =>
+      assert(row.getAs[Double]("drift_cos") == 1.0, row.toString)
+      assert(row.getAs[Long]("n_moved") == 0L, row.toString)
+      assert(row.getAs[Double]("churn_rate") == 0.0, row.toString)
+      assert(row.getAs[Long]("n_members") > 0L, row.toString)
+    }
+  }
+
   test("datasetCard: constructed two-source card (dups, mix, percentiles)") {
     // source A: 4 docs (one exact dup pair), en x3 / fr x1, chars 10..40
     // source B: 1 doc, single lang -> entropy pinned to literal 0

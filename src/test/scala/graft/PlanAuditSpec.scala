@@ -561,5 +561,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pps.contains("FileScan"),
       "no branch may rebuild the candles past the pair cut\n" + pps)
     assert(countOccurrences(pps, "BroadcastHashJoin") >= 2, pps)
+    // tokenizer_fertility: one map-side-combined aggregation, pruned scan
+    val pf = planOf("tokenizer_fertility")
+    assert(countOccurrences(pf, "Exchange hashpartitioning") == 1, pf)
+    assert(pf.contains("ReadSchema: struct<text:string,lang:string,n_chars:bigint>") ||
+      pf.contains("ReadSchema: struct<lang:string") ||
+      pf.contains("n_chars:bigint>"), pf)
+    // centroid_drift: the churn pass is MAP-ONLY over the prior slice
+    // (both nearest-cell argmaxes inline, no join on the vector path) —
+    // the only join is the k-row drift/churn assembly
+    val pcd = planOf("centroid_drift")
+    assert(!pcd.contains("SortMergeJoin") && !pcd.contains("CartesianProduct"), pcd)
+    // ltv_cohorts: the cumulative window runs over the dim-scale
+    // (cohort, age) frame and cohort sizes broadcast back
+    val plt = planOf("ltv_cohorts")
+    assert(plt.contains("BroadcastHashJoin"), plt)
+    assert(plt.contains("Window"), plt)
   }
 }

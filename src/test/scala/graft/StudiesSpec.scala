@@ -128,6 +128,23 @@ class StudiesSpec extends SparkSpec {
     assert(r == Seq(0.0, 5.0, 1.0, 1.0), r.toString)
   }
 
+  test("chaikinOsc: hand-folded EMA3/EMA10 over the hand-built ADL line") {
+    import spark.implicits._
+    // same candles as the adl pin -> adl (0, 5, 1, 1); fold both EMAs:
+    // e3 = (0, 2.5, 1.75, 1.375); e10 = (0, 10/11, 112/121, 1250/1331)
+    val candles = Seq(
+      ("A", ts(T0), 110.0, 90.0, 100.0, 10.0),
+      ("A", ts(T0 + 3600), 120.0, 100.0, 120.0, 5.0),
+      ("A", ts(T0 + 7200), 130.0, 110.0, 110.0, 4.0),
+      ("A", ts(T0 + 10800), 110.0, 110.0, 110.0, 100.0))
+      .toDF("symbol", "bucket_ts", "high", "low", "close", "volume")
+    val r = graft.ohlcv.Analytics.chaikinOsc(candles)
+      .orderBy(col("bucket_ts")).collect()
+      .map(x => (x.getAs[Double]("adl"), x.getAs[Double]("chaikin_osc"))).toSeq
+    val exp = Seq((0.0, 0.0), (5.0, 1.590909), (1.0, 0.82438), (1.0, 0.435856))
+    assert(r == exp, r.toString)
+  }
+
   test("superTrend: hand-folded ratchet, reset, and flip (n=3, mult=1)") {
     import spark.implicits._
     val candles = Seq(
