@@ -325,6 +325,31 @@ object SparkEntry {
       // aggregate broadcast back); full frames only
       Microstructure.rollingBeta(
         Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "volume_bars" -> ((s, dir) =>
+      // Lopez de Prado volume clock: ~500-unit bars; one window shuffle,
+      // the bar aggregation reuses the symbol partitioning
+      Microstructure.volumeBars(Tables.trades(s, dir))),
+    "vpin" -> ((s, dir) =>
+      // flow toxicity: tick-rule signing x volume buckets in ONE pass;
+      // partial final bucket dropped via a dim-scale broadcast screen
+      Microstructure.vpin(Tables.trades(s, dir))),
+    "risk_ratios" -> ((s, dir) =>
+      // per-bar Sharpe/Sortino/Calmar per symbol: one window shuffle +
+      // one map-side-combined aggregation, exact-decimal co-moments
+      Studies.riskRatios(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "ulcer_index" -> ((s, dir) =>
+      // RMS percentage drawdown + Martin ratio: the duration-aware
+      // drawdown statistic; same one-shuffle shape as risk_ratios
+      Studies.ulcerIndex(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "vortex" -> ((s, dir) =>
+      // VI+/VI- trend-change indicator: three lags + three 14-bar decimal
+      // window sums over ONE per-symbol window
+      Analytics.vortex(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "kama" -> ((s, dir) =>
+      // Kaufman adaptive MA: variable-alpha recursion (no window form) —
+      // the ema/holt sequential sweep with exact-cent ER state; the
+      // oracle replays the fold via a recursive CTE
+      Analytics.kama(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "holt_forecast" -> ((s, dir) =>
       // Holt level+trend smoothing with one-step-ahead forecast: the
       // ema/macd sequential-sweep recipe, oracle replays the recursion
@@ -1503,6 +1528,27 @@ object SparkEntry {
       graft.ops.Graph.triangles(
         graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
           .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
+    "knn_assortativity" -> ((s, dir) =>
+      // Newman degree assortativity over the kNN graph: exact-integer
+      // endpoint-degree co-moments via the symmetrization algebra (both
+      // orderings folded per edge row), one closing aggregation
+      graft.ops.Graph.assortativity(
+        graft.ops.Ivf.knnGraph(Tables.table(s, dir, "embeddings"))
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))),
+    "benford_check" -> ((s, dir) =>
+      // first-digit distribution of order values vs Benford's law: string
+      // digit extraction (no float log10 boundary), literal expectations
+      graft.ops.Dq.benford(
+        Tables.table(s, dir, "orders"), "o_totalprice")),
+    "heaps_curve" -> ((s, dir) =>
+      // corpus-growth / dedup-saturation curve: new exact-content uniques
+      // per 100-doc ingest batch + the cumulative dedup'd size
+      graft.ops.Dedup.heapsCurve(Tables.table(s, dir, "documents"))),
+    "trix" -> ((s, dir) =>
+      // triple-EMA rate of change: chained recursion (e2 folds the fresh
+      // e1), one sequential sweep; recursive-CTE oracle with substituted
+      // e1/e2 expressions
+      Analytics.trix(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "embedding_outliers" -> ((s, dir) =>
       // per-cell centroid-cosine z-score screen: the anti-prototype drop
       // (SemDeDup's complement); one assignment scan, broadcast moments
@@ -1987,6 +2033,123 @@ object SparkEntry {
         "count(*) AS n_trades FROM z GROUP BY 1, 2) " +
         "SELECT symbol, bucket_ts, buy_qty, sell_qty, unclassified_qty, n_trades, " +
         "round((buy_qty - sell_qty) / (CASE WHEN buy_qty + sell_qty <> 0 THEN buy_qty + sell_qty END), 6) AS imbalance FROM g"),
+    // volume-clock replay: exact BIGINT pre-trade cumulative, integer bar
+    // division, the candle picks on the unique per-symbol ts
+    "volume_bars" -> withTrades(
+      ", x AS (SELECT symbol, ts, price, qty, " +
+        "COALESCE(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev FROM t) " +
+        "SELECT symbol, cum_prev // 500 AS bar_id, min(ts) AS start_ts, max(ts) AS end_ts, " +
+        "min_by(price, ts) AS open, max(price) AS high, min(price) AS low, " +
+        "max_by(price, ts) AS close, " +
+        "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+        "count(*) AS n_trades FROM x GROUP BY 1, 2"),
+    // VPIN replay: tick-rule signing + the volume-clock bucket id from the
+    // SAME window chain, decimal bucket sums, the last (partial) bucket per
+    // symbol dropped, per-bucket ratios averaged through DECIMAL(28,12)
+    "vpin" -> withTrades(
+      ", x AS (SELECT symbol, ts, price, qty, " +
+        "lag(price) OVER (PARTITION BY symbol ORDER BY ts) AS pp, " +
+        "COALESCE(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev FROM t), " +
+        "y AS (SELECT symbol, ts, qty, cum_prev // 500 AS bar_id, " +
+        "CASE WHEN price > pp THEN 1 WHEN price < pp THEN -1 END AS tick FROM x), " +
+        "z AS (SELECT symbol, qty, bar_id, last_value(tick IGNORE NULLS) OVER (" +
+        "PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side FROM y), " +
+        "g AS (SELECT symbol, bar_id, " +
+        "sum(CASE WHEN side = 1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS buy, " +
+        "sum(CASE WHEN side = -1 THEN CAST(qty AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS sell, " +
+        "sum(CAST(qty AS DECIMAL(18,2))) AS vol FROM z GROUP BY 1, 2), " +
+        "lb AS (SELECT symbol, max(bar_id) AS last_bar FROM g GROUP BY 1), " +
+        "u AS (SELECT g.symbol, CAST(round(abs(CAST(buy AS DOUBLE) - CAST(sell AS DOUBLE)) / " +
+        "CAST(vol AS DOUBLE), 12) AS DECIMAL(28,12)) AS t " +
+        "FROM g JOIN lb ON g.symbol = lb.symbol WHERE g.bar_id < lb.last_bar AND vol > 0) " +
+        "SELECT symbol, count(t) AS n_buckets, " +
+        "round(CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE), 6) AS vpin FROM u GROUP BY 1"),
+    // risk-ratio replay: rounded returns into exact decimal co-moments,
+    // running-peak drawdown as a rounded double MAX, fixed-order finals
+    "risk_ratios" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc, " +
+        "max(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c), " +
+        "y AS (SELECT symbol, " +
+        "round((peak - close) / (CASE WHEN peak <> 0 THEN peak END), 6) AS dd, " +
+        "CASE WHEN pc IS NOT NULL AND pc <> 0 THEN CAST(round((close - pc) / pc, 6) AS DECIMAL(18,6)) END AS ret FROM x), " +
+        "a AS (SELECT symbol, count(ret) AS n, CAST(sum(ret) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(ret AS DECIMAL(19,6)) * CAST(ret AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2, " +
+        "CAST(sum(CASE WHEN ret < 0 THEN CAST(CAST(ret AS DECIMAL(19,6)) * CAST(ret AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sd2, " +
+        "max(dd) AS max_dd FROM y GROUP BY 1), " +
+        "b AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd, s1, s2, sd2, max_dd FROM a WHERE n >= 2), " +
+        "f AS (SELECT symbol, n, nd, s1 / nd AS mean, " +
+        "(s2 - s1 * s1 / nd) / nd AS variance, sd2, max_dd FROM b) " +
+        "SELECT symbol, n, round(mean, 6) AS mean_ret, " +
+        "round(mean / (CASE WHEN variance > 0 THEN sqrt(variance) END), 6) AS sharpe, " +
+        "round(mean / (CASE WHEN sd2 > 0 THEN sqrt(sd2 / nd) END), 6) AS sortino, " +
+        "round(mean / (CASE WHEN max_dd > 0 THEN max_dd END), 6) AS calmar, max_dd FROM f"),
+    // ulcer replay: rounded drawdown-% squares in exact decimals, RMS and
+    // Martin ratio in identical double op order
+    "ulcer_index" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc, " +
+        "max(close) OVER (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c), " +
+        "y AS (SELECT symbol, CAST(round(100.0 * (peak - close) / " +
+        "(CASE WHEN peak <> 0 THEN peak END), 6) AS DECIMAL(18,6)) AS dd, " +
+        "CASE WHEN pc IS NOT NULL AND pc <> 0 THEN CAST(round((close - pc) / pc, 6) AS DECIMAL(18,6)) END AS ret FROM x), " +
+        "a AS (SELECT symbol, count(*) AS n, " +
+        "CAST(sum(CAST(dd * dd AS DECIMAL(38,12))) AS DOUBLE) AS sdd2, " +
+        "CAST(sum(ret) AS DOUBLE) AS s1, count(ret) AS nr FROM y GROUP BY 1), " +
+        "f AS (SELECT symbol, n, sqrt(sdd2 / CAST(n AS DOUBLE)) AS ui, s1, nr FROM a) " +
+        "SELECT symbol, n, round(ui, 6) AS ulcer_index, " +
+        "round((s1 / (CASE WHEN nr > 0 THEN CAST(nr AS DOUBLE) END)) / " +
+        "(CASE WHEN ui > 0 THEN ui END), 6) AS martin FROM f"),
+    // vortex replay: 2-decimal movement/TR terms, 14-bar decimal window
+    // sums, full frames only, guarded ratio
+    "vortex" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, close, " +
+        "lag(high) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS ph, " +
+        "lag(low) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pl, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "CAST(round(abs(high - pl), 2) AS DECIMAL(18,2)) AS vmp, " +
+        "CAST(round(abs(low - ph), 2) AS DECIMAL(18,2)) AS vmn, " +
+        "CAST(round(greatest(high - low, abs(high - pc), abs(low - pc)), 2) AS DECIMAL(18,2)) AS tr " +
+        "FROM x WHERE pc IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, sum(vmp) OVER w AS svmp, " +
+        "sum(vmn) OVER w AS svmn, sum(tr) OVER w AS str, count(*) OVER w AS cnt " +
+        "FROM y WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(CAST(svmp AS DOUBLE) / (CASE WHEN str <> 0 THEN CAST(str AS DOUBLE) END), 6) AS vi_plus, " +
+        "round(CAST(svmn AS DOUBLE) / (CASE WHEN str <> 0 THEN CAST(str AS DOUBLE) END), 6) AS vi_minus " +
+        "FROM z WHERE cnt = 14"),
+    // KAMA replay: decimal-exact ER terms (10-lag signal, 10-diff noise
+    // window), rounded ER, then the variable-alpha fold VERBATIM via a
+    // recursive CTE over per-symbol ordered lists (the holt recipe)
+    "kama" ->
+      (s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, CAST(close AS DECIMAL(18,2)) AS cd, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) AS i FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, close, i, " +
+        "abs(cd - lag(cd) OVER (PARTITION BY symbol ORDER BY bucket_ts)) AS ad, " +
+        "abs(cd - lag(cd, 10) OVER (PARTITION BY symbol ORDER BY bucket_ts)) AS sig FROM x), " +
+        "e AS (SELECT symbol, bucket_ts, close, i, sig, " +
+        "sum(ad) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS noise FROM d), " +
+        "f AS (SELECT symbol, bucket_ts, close, " +
+        "CASE WHEN noise = 0 THEN 0.0 ELSE round(CAST(sig AS DOUBLE) / CAST(noise AS DOUBLE), 6) END AS er, " +
+        "row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) AS j FROM e WHERE i >= 11), " +
+        "per AS (SELECT symbol, list(close ORDER BY j) AS cs, list(er ORDER BY j) AS ers, " +
+        "list(bucket_ts ORDER BY j) AS tss FROM f GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS j, CAST(cs[1] AS DOUBLE) AS kama, cs, ers, tss FROM per " +
+        "UNION ALL SELECT symbol, j + 1, " +
+        "kama + (ers[j + 1] * (0.6666666666666666 - 0.06451612903225806) + 0.06451612903225806) * " +
+        "(ers[j + 1] * (0.6666666666666666 - 0.06451612903225806) + 0.06451612903225806) * (cs[j + 1] - kama), " +
+        "cs, ers, tss FROM r WHERE j < len(cs)) " +
+        "SELECT symbol, tss[j] AS bucket_ts, cs[j] AS close, ers[j] AS er, " +
+        "round(kama, 6) AS kama FROM r"),
     // Roll estimator replay: exact decimal close diffs, lag-1 co-moment via
     // exact partial sums, final cov/spread double in identical op order
     "roll_spread" -> withTrades(
@@ -3747,6 +3910,65 @@ object SparkEntry {
     // unrolled integer-scaled iterations — every intermediate BIGINT
     // (pr in 1e-9 units, contributions pr // outdeg, damping
     // (85*s) // 100), so the replay is bit-exact by construction
+    // assortativity replay: undirected view off the kNN graph, exact
+    // integer degree co-moments (DuckDB HUGEINT sums), closed form in
+    // doubles of exact integers, identical op order
+    "knn_assortativity" ->
+      (KnnGraphSql +
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g WHERE src <> dst), " +
+        "dg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY 1), " +
+        "a AS (SELECT count(*) AS m, CAST(sum(du.d + dv.d) AS BIGINT) AS sx, " +
+        "CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS sxx, " +
+        "CAST(sum(2 * du.d * dv.d) AS BIGINT) AS sxy " +
+        "FROM und JOIN dg du ON und.u = du.x JOIN dg dv ON und.v = dv.x) " +
+        "SELECT m AS m_edges, " +
+        "round((2.0 * CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "(CASE WHEN 2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 " +
+        "THEN 2.0 * CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) END), 6) AS assortativity FROM a"),
+    // Benford replay: first [1-9] of the value's string form (notation
+    // changes preserve the leading significant digit), literal
+    // expectations cast to DOUBLE, share rounded before the deviation
+    "benford_check" ->
+      ("WITH cnt AS (SELECT CAST(NULLIF(regexp_extract(CAST(o_totalprice AS VARCHAR), '([1-9])', 1), '') AS INTEGER) AS digit, " +
+        "count(*) AS n FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0 GROUP BY 1), " +
+        "cnt2 AS (SELECT digit, n FROM cnt WHERE digit IS NOT NULL), " +
+        "spine AS (SELECT * FROM (VALUES (1, CAST(0.30103 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)), " +
+        "(3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.09691 AS DOUBLE)), (5, CAST(0.079181 AS DOUBLE)), " +
+        "(6, CAST(0.066947 AS DOUBLE)), (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)), " +
+        "(9, CAST(0.045757 AS DOUBLE))) AS s(digit, expected)), " +
+        "tot AS (SELECT sum(n) AS tot FROM cnt2), " +
+        "f AS (SELECT s.digit AS digit, COALESCE(n, 0) AS n, " +
+        "round(CAST(COALESCE(n, 0) AS DOUBLE) / (CASE WHEN tot > 0 THEN CAST(tot AS DOUBLE) END), 6) AS share, " +
+        "s.expected AS expected FROM spine s LEFT JOIN cnt2 ON s.digit = cnt2.digit CROSS JOIN tot) " +
+        "SELECT digit, n, share, expected, round(share - expected, 6) AS dev FROM f"),
+    // Heaps-curve replay: first-occurrence batches off md5 identity,
+    // exact integer counts, one dim-scale cumulative window
+    "heaps_curve" ->
+      ("WITH pb AS (SELECT doc_id // 100 AS batch, count(*) AS docs FROM documents GROUP BY 1), " +
+        "fs AS (SELECT md5(text) AS h, min(doc_id) AS fid FROM documents GROUP BY 1), " +
+        "nb AS (SELECT fid // 100 AS batch, count(*) AS new_uniques FROM fs GROUP BY 1), " +
+        "j AS (SELECT pb.batch AS batch, docs, COALESCE(new_uniques, 0) AS new_uniques " +
+        "FROM pb LEFT JOIN nb ON pb.batch = nb.batch) " +
+        "SELECT batch, docs, new_uniques, sum(new_uniques) OVER (ORDER BY batch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_uniques FROM j"),
+    // TRIX replay: the chained triple-EMA recursion with e1/e2 SUBSTITUTED
+    // textually (a recursive CTE cannot reference fresh columns), alpha
+    // spelled 0.2 and the complement computed as (1.0 - 0.2) — never a
+    // 0.8 literal (1 - fl(0.2) != fl(0.8))
+    "trix" -> {
+      val E1 = "(0.2 * cs[j + 1] + (1.0 - 0.2) * e1)"
+      val E2 = s"(0.2 * $E1 + (1.0 - 0.2) * e2)"
+      val E3 = s"(0.2 * $E2 + (1.0 - 0.2) * e3)"
+      s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "per AS (SELECT symbol, list(close ORDER BY bucket_ts) AS cs, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM c GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS j, CAST(cs[1] AS DOUBLE) AS e1, " +
+        "CAST(cs[1] AS DOUBLE) AS e2, CAST(cs[1] AS DOUBLE) AS e3, " +
+        "CAST(NULL AS DOUBLE) AS e3p, cs, tss FROM per " +
+        s"UNION ALL SELECT symbol, j + 1, $E1, $E2, $E3, e3, cs, tss FROM r WHERE j < len(cs)) " +
+        "SELECT symbol, tss[j] AS bucket_ts, cs[j] AS close, round(e3, 6) AS e3, " +
+        "CASE WHEN e3p IS NOT NULL AND e3p <> 0.0 THEN round(100.0 * (e3 / e3p - 1.0), 6) END AS trix FROM r"
+    },
     "knn_pagerank" ->
       (KnnGraphSql +
         "nodes AS (SELECT src AS nv FROM g UNION SELECT dst FROM g), " +

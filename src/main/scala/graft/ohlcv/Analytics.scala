@@ -1312,4 +1312,165 @@ object Analytics {
       .select(col("symbol"), col("bucket_ts"), col("open"), col("high"),
         col("low"), col("close"), col("doji"), col("bull_engulf"), col("bear_engulf"))
   }
+
+  /** VORTEX indicator per symbol (Botes/Siepman): VI⁺ = Σ|high −
+    * prev_low| / ΣTR and VI⁻ = Σ|low − prev_high| / ΣTR over an `n`-bar
+    * frame — upward/downward vortex movement normalized by range, whose
+    * crossovers are the trend-change signal. Full frames only (the
+    * rolling_vol convention).
+    *
+    * Scale shape: the three lags and the three `n`-bar sums are frames
+    * over the SAME per-symbol window — ONE shuffle, bounded state.
+    * Determinism: per-bar terms |h−pl|, |l−ph| and TR are differences of
+    * 2-decimal prices rounded back to 2 and summed as exact
+    * DECIMAL(18,2) (order-insensitive); each VI is one double division on
+    * the exact sums, rounded at emission, null-guarded on a zero TR sum.
+    */
+  def vortex(candles: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 2, "n >= 2")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val vmp = round(abs(col("high") - col("prev_low")), 2).cast(D)
+    val vmn = round(abs(col("low") - col("prev_high")), 2).cast(D)
+    val tr = round(greatest(col("high") - col("low"),
+      abs(col("high") - col("prev_close")),
+      abs(col("low") - col("prev_close"))), 2).cast(D)
+    candles
+      .withColumn("prev_high", lag(col("high"), 1).over(w))
+      .withColumn("prev_low", lag(col("low"), 1).over(w))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .where(col("prev_close").isNotNull)
+      .withColumn("svmp", sum(vmp).over(frame))
+      .withColumn("svmn", sum(vmn).over(frame))
+      .withColumn("str", sum(tr).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("svmp").cast("double") /
+          when(col("str") =!= 0, col("str").cast("double")), 6).as("vi_plus"),
+        round(col("svmn").cast("double") /
+          when(col("str") =!= 0, col("str").cast("double")), 6).as("vi_minus"))
+  }
+
+  /** TRIX per symbol — the 1-bar rate of change of a TRIPLE-smoothed EMA:
+    * e1 = EMA_n(close), e2 = EMA_n(e1), e3 = EMA_n(e2), trix = 100·
+    * (e3/e3_prev − 1). Three rounds of smoothing kill noise a single EMA
+    * passes through, and the ROC re-centers it into a momentum
+    * oscillator whose zero-crossings are the signal. A CHAINED recursion
+    * (each EMA folds over the previous one's fresh output — e2 consumes
+    * the CURRENT bar's e1, the standard construction, documented) that no
+    * window expresses — the ema/holt sequential-sweep shape, one symbol
+    * shuffle, O(1) three-scalar state.
+    *
+    * Determinism: default n = 9 makes α = 0.2 (exactly the literal-0.2
+    * double, since 2.0/10.0 is correctly rounded) and the complement is
+    * computed as 1.0 − α in BOTH engines (NOT spelled 0.8: 1 − fl(0.2)
+    * ≠ fl(0.8) in doubles — the chaikin_osc literal-spelling lesson);
+    * the fold runs on unrounded doubles in a fixed op order the oracle's
+    * recursive CTE replays with textually-substituted e1/e2 expressions,
+    * rounding at emission. First bar per symbol seeds e1 = e2 = e3 =
+    * close, null trix; zero previous e3 null-guards the ROC.
+    */
+  def trix(candles: DataFrame, n: Int = 9): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val a = 2.0 / (n + 1)
+    val b = 1.0 - a
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+        var first = true
+        it.map { case (s, t, c) =>
+          if (s != cur) { cur = s; first = true }
+          if (first) {
+            e1 = c; e2 = c; e3 = c; first = false
+            (s, t, c, rd(e3), Option.empty[Double])
+          } else {
+            val e3p = e3
+            e1 = a * c + b * e1
+            e2 = a * e1 + b * e2
+            e3 = a * e2 + b * e3
+            val tx =
+              if (e3p != 0.0) Some(rd(100.0 * (e3 / e3p - 1.0))) else None
+            (s, t, c, rd(e3), tx)
+          }
+        }
+      }
+      .toDF("symbol", "bucket_ts", "close", "e3", "trix")
+  }
+
+  /** KAMA per symbol — Kaufman's ADAPTIVE moving average: the smoothing
+    * constant itself follows the market. Efficiency ratio ER = |close −
+    * close_n_back| / Σ|Δclose| over the last `n` bars (1 = clean trend,
+    * →0 = churn), squared-interpolated between the fast (2/(2+1)) and
+    * slow (2/(30+1)) EMA constants, and folded as kama += sc²·(close −
+    * kama). A VARIABLE-α recursion: the power-sum trick that makes plain
+    * EMA window-expressible does not exist here, so this is the
+    * ema/holt/supertrend sequential-sweep shape — one symbol shuffle,
+    * in-partition sort, O(n)-ring state, each symbol streaming through
+    * exactly one task (symbol cardinality ≫ cores at any real scale).
+    *
+    * Determinism: closes are 2-decimal, so the lag-n signal and the
+    * `n`-diff noise sum are maintained as exact cent BIGINTs inside the
+    * sweep (the oracle's DECIMAL(18,2) window sums compute the same
+    * values); ER divides the two exactly-representable doubles and
+    * rounds to 6 BEFORE entering the fold; the fold itself runs on
+    * unrounded doubles in a fixed op order the oracle's recursive CTE
+    * replays verbatim, rounded at emission. Seed: the first bar with a
+    * full ER window seeds kama = close; earlier bars emit nothing.
+    * A zero noise sum (flat window) takes ER = 0 (slowest smoothing).
+    */
+  def kama(candles: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 2, "n >= 2")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        // ring of the last n+1 closes (cents) + circular n-deep |Δ| sum:
+        // O(1) work and O(n) state per row, exact integer arithmetic
+        val ring = new Array[Long](n + 1)
+        val diffs = new Array[Long](n)
+        var cur: String = null
+        var i = 0; var noise = 0L; var k = 0.0
+        it.flatMap { case (s, t, c) =>
+          if (s != cur) { cur = s; i = 0; noise = 0L }
+          val cents = Math.round(c * 100)
+          if (i > 0) {
+            val d = Math.abs(cents - ring((i - 1) % (n + 1)))
+            if (i > n) noise -= diffs(i % n)
+            diffs(i % n) = d
+            noise += d
+          }
+          ring(i % (n + 1)) = cents
+          i += 1
+          if (i <= n) None
+          else {
+            val signal = Math.abs(cents - ring(i % (n + 1)))
+            val er =
+              if (noise == 0L) 0.0
+              else rd((signal / 100.0) / (noise / 100.0))
+            if (i == n + 1) k = c
+            else {
+              val sc = er * (0.6666666666666666 - 0.06451612903225806) +
+                0.06451612903225806
+              k = k + sc * sc * (c - k)
+            }
+            Some((s, t, c, er, rd(k)))
+          }
+        }
+      }
+      .toDF("symbol", "bucket_ts", "close", "er", "kama")
+  }
 }

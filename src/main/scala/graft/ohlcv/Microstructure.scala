@@ -173,6 +173,101 @@ object Microstructure {
           .as("kyle_lambda"))
   }
 
+  /** VOLUME BARS per symbol (the "volume clock"): resample the trade
+    * stream into bars that each carry (about) `threshold` units of traded
+    * volume instead of a fixed wall-clock width — the López de Prado
+    * sampling that equalizes information per bar (busy hours produce many
+    * bars, quiet ones few) and is the standard pre-step for
+    * activity-synchronized estimators (VPIN below). A trade belongs to
+    * bar k when the volume traded BEFORE it is in [k·T, (k+1)·T): the
+    * pre-trade cumulative keeps the rule prefix-stable (a new trade never
+    * relabels an old one — the property the streaming face relies on).
+    *
+    * Scale shape: ONE per-symbol window shuffle (the running volume sum —
+    * an unbounded-preceding frame is O(1) running state per row), and the
+    * bar aggregation REUSES that symbol hash partitioning (bar keys are a
+    * superset), map-side combined — the tick_rule shape. Determinism: qty
+    * is integral (the reference's trade size), so the cumulative is an
+    * exact BIGINT and the bar id an exact integer division; open/close
+    * key on the unique per-symbol trade ts; volume sums in exact
+    * DECIMAL(18,2).
+    */
+  def volumeBars(trades: DataFrame, threshold: Long = 500L): DataFrame = {
+    require(threshold > 0, "threshold > 0")
+    val before = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    trades
+      .withColumn("cum_prev",
+        coalesce(sum(col("qty").cast("long")).over(before), lit(0L)))
+      .withColumn("bar_id", expr(s"cum_prev div $threshold"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("qty").cast(D)).cast("double").as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** VPIN per symbol — Volume-synchronized Probability of INformed
+    * trading (Easley/López de Prado/O'Hara): average over VOLUME buckets
+    * of |buy − sell| / bucket volume, with trades signed by the tick rule
+    * and buckets cut by the volume clock above. The flow-toxicity gauge
+    * that flagged the 2010 flash crash; composes this module's two
+    * primitives (tickRuleImbalance's classification, volumeBars'
+    * bucketing) in ONE pass. The final bucket per symbol is still
+    * filling and is dropped (the standard convention — a partial bucket
+    * biases |B−S|/V toward its early trades).
+    *
+    * Scale shape: the lag, the carry-forward and the running volume sum
+    * are three frames over the SAME per-symbol window — ONE shuffle; the
+    * bucket aggregation reuses the partitioning; the last-bucket screen
+    * is a dim-scale (one row per symbol) broadcast join. Determinism:
+    * classified volumes sum in exact DECIMAL(18,2); each bucket's ratio
+    * is one double division rounded to 12 and averaged through exact
+    * DECIMAL(28,12) partial sums; unclassified leading volume counts in
+    * V (observed volume, not guessed sides).
+    */
+  def vpin(trades: DataFrame, threshold: Long = 500L): DataFrame = {
+    require(threshold > 0, "threshold > 0")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val tick = when(col("price") > col("prev_price"), lit(1))
+      .when(col("price") < col("prev_price"), lit(-1))
+    val dq = col("qty").cast(D)
+    val zero = lit(0).cast(D)
+    // the bucket frame feeds TWO consumers (the last-bar screen and the
+    // probe) — cut it so the fact-scale window chain runs ONCE and both
+    // branches read the bar-scale (~fact/threshold rows) checkpoint
+    // (the q15/seasonal_decompose precedent)
+    val buckets = graft.core.Materialize.once(trades
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("side", last(tick, ignoreNulls = true).over(run))
+      .withColumn("cum_prev",
+        coalesce(sum(col("qty").cast("long")).over(before), lit(0L)))
+      .withColumn("bar_id", expr(s"cum_prev div $threshold"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(
+        sum(when(col("side") === 1, dq).otherwise(zero)).as("buy"),
+        sum(when(col("side") === -1, dq).otherwise(zero)).as("sell"),
+        sum(dq).as("vol")))
+    val lastBar = buckets.groupBy(col("symbol"))
+      .agg(max(col("bar_id")).as("last_bar"))
+    buckets.join(broadcast(lastBar), Seq("symbol"))
+      .where(col("bar_id") < col("last_bar") && col("vol") > 0)
+      .select(col("symbol"),
+        round(abs(col("buy").cast("double") - col("sell").cast("double")) /
+          col("vol").cast("double"), 12).cast(DecimalType(28, 12)).as("t"))
+      .groupBy(col("symbol"))
+      .agg(count(col("t")).as("n_buckets"),
+        (sum(col("t")).cast("double") / count(col("t")).cast("double")).as("v"))
+      .select(col("symbol"), col("n_buckets"), round(col("v"), 6).as("vpin"))
+  }
+
   /** Rolling market beta per symbol: 24-bucket trailing covariance of the
     * symbol's return with the EQUAL-WEIGHT market return, over the market
     * return's variance — the exposure series behind hedging and

@@ -364,4 +364,100 @@ object Studies {
       .select(col("symbol"), col("event_ts"), col("off"), col("ret"),
         col("ar").cast("double").as("ar"), col("car"))
   }
+
+  /** RISK-ADJUSTED return ratios per symbol — the three screens every
+    * strategy report leads with, per bar (un-annualized: annualization is
+    * one literal multiplier the caller owns, and leaving it off keeps the
+    * numbers engine-stable): Sharpe = mean(r)/σ(r); Sortino =
+    * mean(r)/downside-σ (half-variance below 0 over ALL n — the
+    * convention that doesn't reward missing data); Calmar = mean(r)/max
+    * drawdown. Returns are close-to-close simple returns rounded to 6
+    * (the rolling_beta recipe).
+    *
+    * Scale shape: the return lag and the running close max share ONE
+    * per-symbol window shuffle; the closing aggregation reuses the
+    * partitioning, map-side combined. Determinism: Σr in DECIMAL(18,6)
+    * and Σr², Σmin(r,0)² in exact DECIMAL(38,12); the drawdown is a
+    * per-row double ratio rounded to 6 whose MAX (not sum) aggregates —
+    * order-free; final ratios are fixed-order doubles with null-guarded
+    * divisors (σ = 0, no drawdown, or n < 2 ⇒ null).
+    */
+  def riskRatios(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val runmax = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = col("ret")
+    val r2 = (r * r).cast(DecimalType(38, 12))
+    val down2 = when(r < 0, r2).otherwise(lit(0).cast(DecimalType(38, 12)))
+    candles
+      .select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("peak", max(col("close")).over(runmax))
+      .withColumn("dd", round((col("peak") - col("close")) /
+        when(col("peak") =!= 0, col("peak")), 6))
+      .withColumn("ret", when(col("prev_close").isNotNull &&
+        col("prev_close") =!= 0,
+        round((col("close") - col("prev_close")) / col("prev_close"), 6)
+          .cast(D6)))
+      .groupBy(col("symbol"))
+      .agg(
+        count(col("ret")).as("n"),
+        sum(col("ret")).cast("double").as("s1"),
+        sum(r2).cast("double").as("s2"),
+        sum(down2).cast("double").as("sd2"),
+        max(col("dd")).as("max_dd"))
+      .where(col("n") >= 2)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean", col("s1") / col("nd"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("nd")) / col("nd"))
+      .select(col("symbol"), col("n"),
+        round(col("mean"), 6).as("mean_ret"),
+        round(col("mean") / when(col("variance") > 0, sqrt(col("variance"))), 6)
+          .as("sharpe"),
+        round(col("mean") / when(col("sd2") > 0, sqrt(col("sd2") / col("nd"))), 6)
+          .as("sortino"),
+        round(col("mean") / when(col("max_dd") > 0, col("max_dd")), 6)
+          .as("calmar"),
+        col("max_dd"))
+  }
+
+  /** ULCER INDEX per symbol (Martin): the ROOT-MEAN-SQUARE percentage
+    * drawdown from the running peak — the drawdown statistic that charges
+    * for both depth AND duration, where max_drawdown only sees the single
+    * worst dip; plus the Martin ("ulcer performance") ratio mean(r)/UI.
+    * The natural companion to riskRatios (Calmar's denominator is the
+    * max; UI is the RMS).
+    *
+    * Scale shape: lag + running max in ONE per-symbol window shuffle;
+    * the aggregation reuses the partitioning. Determinism: per-row
+    * drawdown-% rounds to 6 into DECIMAL(18,6) and its square sums in
+    * exact DECIMAL(38,12); UI and Martin are fixed-order doubles with
+    * guarded divisors.
+    */
+  def ulcerIndex(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val runmax = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    candles
+      .select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("peak", max(col("close")).over(runmax))
+      .withColumn("dd", round(lit(100.0) * (col("peak") - col("close")) /
+        when(col("peak") =!= 0, col("peak")), 6).cast(D6))
+      .withColumn("ret", when(col("prev_close").isNotNull &&
+        col("prev_close") =!= 0,
+        round((col("close") - col("prev_close")) / col("prev_close"), 6)
+          .cast(D6)))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("dd") * col("dd")).cast(DecimalType(38, 12)))
+          .cast("double").as("sdd2"),
+        sum(col("ret")).cast("double").as("s1"),
+        count(col("ret")).as("nr"))
+      .withColumn("ui", sqrt(col("sdd2") / col("n").cast("double")))
+      .select(col("symbol"), col("n"),
+        round(col("ui"), 6).as("ulcer_index"),
+        round((col("s1") / when(col("nr") > 0, col("nr").cast("double"))) /
+          when(col("ui") > 0, col("ui")), 6).as("martin"))
+  }
 }

@@ -708,4 +708,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** HEAPS / corpus-growth curve: ingest the corpus in doc_id order in
+    * fixed `batchSize` batches (default 100 — 5 curve points even on the smallest test corpus) and report, per batch, how many documents
+    * were NEW exact-content uniques — the dedup-saturation curve every
+    * crawl pipeline plots (new-unique yield decays by Heaps' law as a
+    * source exhausts; a flat-lining curve is the "stop crawling this
+    * source" signal, and the cumulative column is the dedup'd corpus size
+    * a capacity plan needs). Content identity is the exact text md5 (the
+    * dedup_exact convention); a document is "new" in the batch where its
+    * content FIRST appears (min doc_id — deterministic, replay-stable).
+    *
+    * Scale shape: one hash-partitioned first-occurrence aggregation
+    * (min doc_id per md5 — map-side combined, never a window over the
+    * corpus), one batch-keyed count aggregation each for totals and
+    * uniques, an equi-join of the two at batch scale, and ONE unbounded
+    * cumulative window over the batch spine — dim-scale by construction
+    * (corpus/batchSize rows), documented single-partition like the other
+    * dim-scale windows. Exact integers end to end.
+    */
+  def heapsCurve(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    require(batchSize > 0, "batchSize > 0")
+    val batch = expr(s"doc_id div $batchSize")
+    val perBatch = docs
+      .groupBy(batch.as("batch"))
+      .agg(count(lit(1)).as("docs"))
+    val firsts = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      .groupBy(expr(s"first_id div $batchSize").as("batch"))
+      .agg(count(lit(1)).as("new_uniques"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBatch.join(firsts, Seq("batch"), "left")
+      .select(col("batch"), col("docs"),
+        coalesce(col("new_uniques"), lit(0L)).as("new_uniques"))
+      .withColumn("cum_uniques", sum(col("new_uniques")).over(w))
+  }
 }

@@ -158,4 +158,99 @@ object Graph {
     }
     labels
   }
+
+  /** DEGREE ASSORTATIVITY over the undirected view of the edge frame —
+    * Newman's r: the Pearson correlation of endpoint degrees across
+    * edges (+1 hubs link hubs, −1 hubs link leaves). The one-number
+    * screen for whether a k-NN graph's communities are degree-stratified
+    * (assortative: dense cores LPA will find) or hub-and-spoke
+    * (disassortative: chaining that needs mutual-kNN pruning first) —
+    * the companion diagnostic to triangles' clustering coefficients.
+    *
+    * Each undirected edge contributes BOTH orderings (du,dv) and (dv,du)
+    * (the standard symmetrization), folded algebraically: Σx = Σ(du+dv),
+    * Σxx = Σ(du²+dv²), Σxy = 2Σdu·dv over single edge rows — no union,
+    * one aggregation. Degrees are exact BIGINT counts and all co-moment
+    * sums exact integers (any engine, any partitioning); only the final
+    * closed form r = (2m·Σxy − Σx²)/(2m·Σxx − Σx²) runs in doubles of
+    * those exact integers, rounded at emission, null-guarded for
+    * degree-regular graphs (denominator 0).
+    *
+    * Scale shape: the undirected edge set and the degree table are cut
+    * once; the edge→degree joins are equi-joins on node keys (AQE
+    * broadcasts the degree side when it is genuinely small); the closing
+    * aggregation is one map-side-combined pass to a single row.
+    */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val und = graft.core.Materialize.once {
+      val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src") =!= col("dst"))
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    }
+    val deg = graft.core.Materialize.once(
+      und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")))
+    val agg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+        sum(lit(2L) * col("du") * col("dv")).as("sxy"))
+    agg.select(col("m").as("m_edges"),
+      round((lit(2.0) * col("m").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        when(lit(2.0) * col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") =!= 0.0,
+          lit(2.0) * col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+        .as("assortativity"))
+  }
+
+  /** K-CORE decomposition membership: the maximal subgraph in which every
+    * node keeps degree ≥ k, by the classic iterative peel — drop all
+    * nodes below k, recompute degrees, repeat to the fixed point. The
+    * density screen above components/LPA: a k-NN "community" that
+    * dissolves at k=3 was hub chaining; its k-core survivors are the
+    * defensible dense region (and the standard seed set for curation
+    * sampling). Returns the surviving nodes with their in-core degree.
+    *
+    * Scale shape: each round is one degree aggregation + two left-semi
+    * equi-joins over the shrinking edge set, CUT per round so round t+1
+    * reads a materialized frame instead of a t-deep join tree (the
+    * labelPropagation lesson); one count() action per round drives the
+    * fixed-point test (one job per round — the corpus_dedup
+    * pointer-jumping convention, never per-row driver work). Converges
+    * in ≤ maxIters rounds or stops early at the fixed point; peeling
+    * monotonically shrinks, so a capped run is a sound OVER-approximation
+    * (documented; 20 rounds peels any real k-NN graph to fixpoint).
+    */
+  def kCore(edges0: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    require(k >= 1 && maxIters >= 1, "k >= 1 and maxIters >= 1")
+    var und = graft.core.Materialize.cut {
+      val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src") =!= col("dst"))
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    }
+    var m = und.count()
+    var done = m == 0L
+    var it = 0
+    while (!done && it < maxIters) {
+      val keep = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("x"))
+      val pruned = graft.core.Materialize.cut(
+        und.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi"))
+      val m2 = pruned.count()
+      // unchanged edge count == no node below k was dropped == fixed point
+      done = m2 == m || m2 == 0L
+      m = m2; und = pruned; it += 1
+    }
+    und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

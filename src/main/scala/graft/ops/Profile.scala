@@ -158,4 +158,51 @@ object Dq {
       .select(explode(array(structs: _*)).as("c"))
       .select(col("c.check_name"), col("c.metric"), col("c.passed"))
   }
+
+  /** BENFORD first-digit screen over a positive numeric column — the
+    * classic "was this measured or fabricated/truncated" audit: natural
+    * multi-magnitude quantities put digit d first with probability
+    * log₁₀(1 + 1/d); synthetic, capped, or unit-priced data deviates
+    * hard. One row per digit 1–9 with the observed share, the Benford
+    * expectation, and the signed deviation — downstream gates threshold
+    * max |dev| (tested magnitude-spanning data follows the law, uniform
+    * price-style data fails it; both are useful answers).
+    *
+    * The first significant digit is extracted from the value's decimal
+    * STRING form (first [1-9] character) — pure integer/string logic:
+    * no log10/pow float boundary where 999.99…/1000 could flip a digit
+    * between engines. Shares are single double divisions of exact
+    * counts, expectations are SPELLED LITERALS (the range_vol no-libm
+    * rule: no engine's log evaluates in the compare), rounded at
+    * emission. Scale: one pruned scan into a 9-group map-side-combined
+    * aggregation; digits with no rows still emit (0 share) via the
+    * broadcast digit spine.
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // round-6 literals of log10(1+1/d), d = 1..9
+    val expected = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val spine = expected.zipWithIndex
+      .map { case (e, i) => (i + 1, e) }.toDF("digit", "expected")
+    // the 9-row count table feeds both the total and the spine join —
+    // cut it so the fact scan runs ONCE, not once per consumer
+    val counts = graft.core.Materialize.once(df
+      .where(col(c).isNotNull && col(c) > 0)
+      .select(regexp_extract(col(c).cast("string"), "([1-9])", 1)
+        .cast("int").as("digit"))
+      .where(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    broadcast(spine)
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") /
+          when(col("tot") > 0, col("tot").cast("double")), 6).as("share"),
+        col("expected"))
+      .withColumn("dev", round(col("share") - col("expected"), 6))
+  }
 }

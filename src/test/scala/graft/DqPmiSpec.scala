@@ -95,4 +95,37 @@ class DqPmiSpec extends SparkSpec {
     assert(row.getString(0) == "x" && row.getString(1) == "y" &&
       row.getAs[Long]("n_ab") == 2L)
   }
+
+  // ---- Benford first-digit screen (wave 8) ----
+
+  test("benford: hand frame — digits from string form, zeros/negatives/nulls out") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), Some(19.5), Some(0.02), Some(23.0), Some(999.0),
+      Some(-5.0), Some(0.0), None).toDF("v")
+    val rows = graft.ops.Dq.benford(df, "v").orderBy("digit").collect()
+    assert(rows.length == 9, "all nine digits emit, observed or not")
+    val byD = rows.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    // kept values: 1.0, 19.5 -> 1; 0.02, 23.0 -> 2; 999.0 -> 9 (n = 5)
+    assert(byD(1) == ((2L, 0.4)) && byD(2) == ((2L, 0.4)) && byD(9) == ((1L, 0.2)),
+      byD.toString)
+    Seq(3, 4, 5, 6, 7, 8).foreach(d => assert(byD(d) == ((0L, 0.0)), byD.toString))
+    val d1 = rows.head
+    assert(d1.getAs[Double]("expected") == 0.30103)
+    assert(math.abs(d1.getAs[Double]("dev") - (0.4 - 0.30103)) < 1e-9)
+  }
+
+  test("benford: magnitude-spanning data tracks the law, uniform data breaks it") {
+    import spark.implicits._
+    // log-uniform sample: exp over several decades follows Benford closely
+    val logu = (1 to 4000).map(i => math.pow(10.0, i * 0.001 * 4)).toDF("v")
+    val lr = graft.ops.Dq.benford(logu, "v").collect()
+    assert(lr.map(r => math.abs(r.getAs[Double]("dev"))).max < 0.01,
+      "log-uniform data must track Benford")
+    // uniform [100, 200): digit 1 takes every row -> dev(1) huge
+    val uni = (0 until 1000).map(i => 100.0 + (i % 100)).toDF("v")
+    val ur = graft.ops.Dq.benford(uni, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Double]("share")).toMap
+    assert(ur(1) == 1.0, ur.toString)
+  }
 }

@@ -367,4 +367,80 @@ class ForecastSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 1L)
     assert(row.isNullAt(row.fieldIndex("slope")))
   }
+
+  // ---- KAMA (wave 7) ----
+
+  test("kama: hand-folded adaptive trajectory matches the sweep") {
+    import spark.implicits._
+    val closes = Seq(10.0, 10.5, 10.2, 11.0, 11.4, 11.3, 12.0, 12.5)
+    val candles = closes.zipWithIndex.map { case (c, i) =>
+      ("K", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val rows = Analytics.kama(candles, n = 3).orderBy("bucket_ts").collect()
+    // emissions start at the first bar with a full 3-diff ER window (4th)
+    assert(rows.length == closes.length - 3)
+    // independent fold: exact-cent ER, round 6, variable-alpha recursion
+    val rd = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = closes.map(c => Math.round(c * 100))
+    var k = 0.0
+    val expect = (3 until closes.length).map { i =>
+      val noise = (i - 2 to i).map(j => Math.abs(cents(j) - cents(j - 1))).sum
+      val signal = Math.abs(cents(i) - cents(i - 3))
+      val er = if (noise == 0L) 0.0 else rd((signal / 100.0) / (noise / 100.0))
+      if (i == 3) k = closes(i)
+      else {
+        val sc = er * (0.6666666666666666 - 0.06451612903225806) +
+          0.06451612903225806
+        k = k + sc * sc * (closes(i) - k)
+      }
+      (er, rd(k))
+    }
+    rows.zip(expect).foreach { case (r, (er, km)) =>
+      assert(r.getAs[Double]("er") == er, s"er at ${r.getAs[Any]("bucket_ts")}")
+      assert(r.getAs[Double]("kama") == km, s"kama at ${r.getAs[Any]("bucket_ts")}")
+    }
+  }
+
+  test("trix: hand-folded chained triple EMA and first-bar conventions") {
+    import spark.implicits._
+    val closes = Seq(10.0, 12.0, 11.0, 13.0)
+    val candles = closes.zipWithIndex.map { case (c, i) =>
+      ("T", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val rows = Analytics.trix(candles).orderBy("bucket_ts").collect()
+    assert(rows.length == 4)
+    // independent chained fold, a = 0.2, b = 1 - a; e2 consumes fresh e1
+    val rd = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = 0.2; val b = 1.0 - a
+    var e1 = closes.head; var e2 = e1; var e3 = e2
+    assert(rows.head.getAs[Double]("e3") == 10.0 &&
+      rows.head.isNullAt(rows.head.fieldIndex("trix")))
+    closes.drop(1).zip(rows.drop(1)).foreach { case (c, r) =>
+      val e3p = e3
+      e1 = a * c + b * e1; e2 = a * e1 + b * e2; e3 = a * e2 + b * e3
+      assert(r.getAs[Double]("e3") == rd(e3), r.toString)
+      assert(r.getAs[Double]("trix") == rd(100.0 * (e3 / e3p - 1.0)), r.toString)
+    }
+    // second bar closed-form sanity: e3 = .2(.2(.2*12+.8*10)+.8*10)+.8*10
+    assert(rows(1).getAs[Double]("e3") == rd(10.016))
+  }
+
+  test("kama: per-symbol seed reset and flat-window ER convention") {
+    import spark.implicits._
+    val candles = (Seq.fill(5)(20.0).zipWithIndex.map { case (c, i) =>
+      ("F", ts(T0 + i * 3600), c)
+    } ++ Seq(30.0, 31.0, 32.0, 33.0, 34.0).zipWithIndex.map { case (c, i) =>
+      ("T", ts(T0 + i * 3600), c)
+    }).toDF("symbol", "bucket_ts", "close")
+    val bySym = Analytics.kama(candles, n = 3).collect()
+      .groupBy(_.getAs[String]("symbol"))
+    // flat symbol: noise 0 -> ER 0 by convention, kama pinned at the seed
+    assert(bySym("F").forall(r => r.getAs[Double]("er") == 0.0 &&
+      r.getAs[Double]("kama") == 20.0))
+    // clean trend: ER 1 everywhere, each symbol seeds at ITS OWN 4th close
+    assert(bySym("T").forall(r => r.getAs[Double]("er") == 1.0))
+    assert(bySym("T").map(r => r.getAs[Double]("kama")).min == 33.0)
+  }
 }

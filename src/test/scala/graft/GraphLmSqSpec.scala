@@ -92,6 +92,64 @@ class GraphLmSqSpec extends SparkSpec {
     assert(byId == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L), byId.toString)
   }
 
+  test("assortativity: a star is exactly -1; a cycle null-guards (regular)") {
+    import spark.implicits._
+    // K_{1,4}: hubs only ever link leaves -> perfect disassortativity.
+    // m=4, sx=20, sxx=68, sxy=32: (8*32-400)/(8*68-400) = -144/144 = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getAs[Long]("m_edges") == 4L)
+    assert(r.getAs[Double]("assortativity") == -1.0, r.toString)
+    // 4-cycle: degree-regular -> zero variance -> null, never NaN
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val c = Graph.assortativity(cyc).collect().head
+    assert(c.getAs[Long]("m_edges") == 4L)
+    assert(c.isNullAt(c.fieldIndex("assortativity")), c.toString)
+    // direction/duplicate edges collapse into the undirected view
+    val dup = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.assortativity(dup).collect().head
+      .getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("kCore: triangle survives k=2 peel, tail does not; k=3 empties") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.kCore(edges, k = 2).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("core_deg")).toMap
+    // peeling 4 (deg 1) exposes 3 (deg 1): only the triangle remains
+    assert(r == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), r.toString)
+    assert(Graph.kCore(edges, k = 3).collect().isEmpty)
+  }
+
+  test("kCore: differential vs a brute-force peel on a pseudo-random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val raw = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    def brute(k: Int): Map[Long, Int] = {
+      var und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).toSet
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, s) => (v, s.size) }
+        val bad = deg.filter(_._2 < k).keySet
+        val nu = und.filter(e => !bad(e._1) && !bad(e._2))
+        changed = nu.size != und.size
+        und = nu
+      }
+      und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, s) => (v, s.size) }
+    }
+    val df = raw.toDF("src", "dst")
+    for (k <- Seq(2, 3, 4)) {
+      val got = Graph.kCore(df, k).collect()
+        .map(x => x.getAs[Long]("node") -> x.getAs[Long]("core_deg").toInt).toMap
+      assert(got == brute(k), s"k=$k: got $got expected ${brute(k)}")
+    }
+  }
+
   test("labelPropagation: deterministic under repartitioning; isolated-free") {
     import spark.implicits._
     val edges = (0L until 30L).flatMap(i =>

@@ -180,4 +180,96 @@ class MicrostructureSpec extends SparkSpec {
     byS("X").foreach(r => assert(math.abs(r.getAs[Double]("beta") - 1.0 / 1.5) < 0.01))
     byS("Z").foreach(r => assert(math.abs(r.getAs[Double]("beta") - 2.0 / 1.5) < 0.01))
   }
+
+  // ---- volume bars / VPIN (wave 7) ----
+
+  /** Hand sequence for the volume clock at threshold 10: bar membership is
+    * decided by the PRE-trade cumulative, so the trade that crosses a
+    * boundary stays in its old bar, and a jumbo trade consumes whole bar
+    * ids (bar 3 is skipped below).
+    */
+  private def vbTrades = {
+    import spark.implicits._
+    Seq(
+      ("A", ts(T0 + 0), 10.0, 4.0),   // cum_prev 0  -> bar 0
+      ("A", ts(T0 + 10), 11.0, 5.0),  // cum_prev 4  -> bar 0
+      ("A", ts(T0 + 20), 9.0, 8.0),   // cum_prev 9  -> bar 0 (crosses, stays)
+      ("A", ts(T0 + 30), 12.0, 2.0),  // cum_prev 17 -> bar 1
+      ("A", ts(T0 + 40), 8.0, 1.0),   // cum_prev 19 -> bar 1
+      ("A", ts(T0 + 50), 13.0, 20.0), // cum_prev 20 -> bar 2 (jumbo)
+      ("A", ts(T0 + 60), 7.0, 1.0)    // cum_prev 40 -> bar 4 (bar 3 skipped)
+    ).toDF("symbol", "ts", "price", "qty")
+  }
+
+  test("volumeBars: pre-trade cumulative decides the bar; jumbo trades skip ids") {
+    val rows = Microstructure.volumeBars(vbTrades, threshold = 10L)
+      .orderBy("bar_id").collect()
+    assert(rows.map(_.getAs[Long]("bar_id")).toSeq == Seq(0L, 1L, 2L, 4L))
+    val b0 = rows(0)
+    assert(b0.getAs[Double]("volume") == 17.0 && b0.getAs[Long]("n_trades") == 3L)
+    assert(b0.getAs[Double]("open") == 10.0 && b0.getAs[Double]("close") == 9.0)
+    assert(b0.getAs[Double]("high") == 11.0 && b0.getAs[Double]("low") == 9.0)
+    val b1 = rows(1)
+    assert(b1.getAs[Double]("volume") == 3.0 && b1.getAs[Double]("open") == 12.0 &&
+      b1.getAs[Double]("close") == 8.0)
+    assert(rows(2).getAs[Double]("volume") == 20.0 && rows(2).getAs[Long]("n_trades") == 1L)
+    assert(rows(3).getAs[Double]("volume") == 1.0)
+  }
+
+  test("volumeBars: volume is conserved and per-bar volume bounded off jumbos") {
+    val trades = core.Tables.trades(spark, Sf0001)
+    val bars = Microstructure.volumeBars(trades, threshold = 500L)
+    val total = trades.agg(
+      sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).head().getDouble(0)
+    val barSum = bars.agg(sum(col("volume"))).head().getDouble(0)
+    assert(math.abs(total - barSum) < 1e-6, s"volume not conserved: $barSum vs $total")
+    // a bar exceeds the threshold only by (at most) its last trade's size
+    val over = bars.where(col("volume") >= 500.0 + 100.0).count()
+    assert(over == 0, s"$over bars exceed threshold + max trade size")
+  }
+
+  test("vpin: hand-signed two-bucket construction; partial bucket dropped") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", ts(T0 + 0), 10.0, 5.0),  // unclassified, cum 0  -> bucket 0
+      ("A", ts(T0 + 10), 11.0, 5.0), // buy,          cum 5  -> bucket 0
+      ("A", ts(T0 + 20), 10.0, 4.0), // sell,         cum 10 -> bucket 1
+      ("A", ts(T0 + 30), 10.0, 6.0), // carries sell, cum 14 -> bucket 1
+      ("A", ts(T0 + 40), 12.0, 3.0)  // buy,          cum 20 -> bucket 2 (partial, dropped)
+    ).toDF("symbol", "ts", "price", "qty")
+    // bucket 0: buy 5, sell 0, V 10 -> 0.5; bucket 1: sell 10, V 10 -> 1.0
+    val row = Microstructure.vpin(t, threshold = 10L).collect().head
+    assert(row.getAs[Long]("n_buckets") == 2L)
+    assert(math.abs(row.getAs[Double]("vpin") - 0.75) < 1e-9)
+  }
+
+  test("streaming volume bars == batch completed bars across mid-bar and on-boundary splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = vbTrades.collect().map(r => (r.getString(0), r.getTimestamp(1),
+      r.getDouble(2), r.getDouble(3))).toSeq
+    val batch = Microstructure.volumeBars(vbTrades, threshold = 10L)
+    val lastBar = batch.groupBy(col("symbol")).agg(max(col("bar_id")).as("lb"))
+    val completed = batch.join(lastBar, Seq("symbol"))
+      .where(col("bar_id") < col("lb")).drop("lb")
+      .orderBy("symbol", "bar_id").collect().map(_.toSeq).toSeq
+    // split after trade 2 (mid-bar 0) and after trade 5 (exactly when bar 2
+    // is fully consumed): the open-bar state must survive both
+    for (cut <- Seq(2, 6)) {
+      val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+      val q = streaming.StreamingVolumeBars.run(
+          ms.toDF.toDF("symbol", "ts", "price", "qty"), threshold = 10L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"stream_vb_$cut").start()
+      try {
+        ms.addData(all.take(cut): _*); q.processAllAvailable()
+        ms.addData(all.drop(cut): _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"stream_vb_$cut")
+        .orderBy("symbol", "bar_id").collect().map(_.toSeq).toSeq
+      assert(got == completed, s"cut=$cut: $got vs $completed")
+    }
+  }
 }

@@ -791,4 +791,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getDouble(6) == math.sqrt(acc / n),
       "chunked RMS must equal the whole-array pass exactly")
   }
+
+  // ---- Heaps / corpus-growth curve (wave 8) ----
+
+  test("heapsCurve: first occurrence decides the batch; duplicates add nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a"), (1L, "b"),  // batch 0: both new
+      (2L, "a"), (3L, "c"),  // batch 1: "a" is a dup -> 1 new
+      (4L, "c"), (5L, "d")   // batch 2: "c" dup -> 1 new
+    ).toDF("doc_id", "text")
+    val r = Dedup.heapsCurve(docs, batchSize = 2L).orderBy("batch").collect()
+      .map(x => (x.getAs[Long]("batch"), x.getAs[Long]("docs"),
+        x.getAs[Long]("new_uniques"), x.getAs[Long]("cum_uniques"))).toSeq
+    assert(r == Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 2L, 1L, 4L)),
+      r.toString)
+  }
+
+  test("heapsCurve: a fully duplicated corpus flatlines after batch 0") {
+    import spark.implicits._
+    val docs = (0L until 12L).map(i => (i, "same")).toDF("doc_id", "text")
+    val r = Dedup.heapsCurve(docs, batchSize = 4L).orderBy("batch").collect()
+    assert(r.map(_.getAs[Long]("new_uniques")).toSeq == Seq(1L, 0L, 0L))
+    assert(r.map(_.getAs[Long]("cum_uniques")).toSeq == Seq(1L, 1L, 1L))
+    // conservation: cum at the tail equals the corpus's distinct contents
+    assert(r.last.getAs[Long]("cum_uniques") ==
+      docs.select(md5(col("text"))).distinct().count())
+  }
 }

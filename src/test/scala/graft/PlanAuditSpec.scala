@@ -578,4 +578,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(plt.contains("BroadcastHashJoin"), plt)
     assert(plt.contains("Window"), plt)
   }
+
+  test("r10 wave-7 risk/volume-clock ops keep their scale shapes") {
+    // volume_bars: ONE trade scan, ONE exchange end-to-end — the volume
+    // window's symbol partitioning is reused by the (symbol, bar_id)
+    // aggregation (tick_rule shape)
+    val pv = planOf("volume_bars")
+    assert(countOccurrences(pv, "Exchange hashpartitioning") == 1, pv)
+    assert(countOccurrences(pv, "FileScan") == 1, pv)
+    // vpin: the bucket frame is CUT once — no branch may rebuild the
+    // fact-scale window chain; the last-bar screen comes back broadcast
+    val pp = planOf("vpin")
+    assert(!pp.contains("FileScan"),
+      "both consumers must read the materialized bucket cut\n" + pp)
+    assert(pp.contains("BroadcastHashJoin"), pp)
+    assert(!pp.contains("SortMergeJoin"), pp)
+    // risk_ratios / ulcer_index / vortex: the candle build's exchange +
+    // ONE symbol window exchange (lag + running max/frame sums fold into
+    // window passes over the same partitioning); the closing aggregation
+    // reuses it
+    Seq("risk_ratios", "ulcer_index", "vortex").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+    }
+    // kama: candle build + the sweep's symbol repartition — and NO window
+    // operator (the ER state lives inside the sweep's ring buffer)
+    val pk = planOf("kama")
+    assert(countOccurrences(pk, "Exchange hashpartitioning") == 2, pk)
+    assert(!pk.contains("Window"), pk)
+  }
+
+  test("r10 wave-8 graph/DQ/growth ops keep their scale shapes") {
+    // knn_assortativity: equi joins over the cut edge/degree frames only —
+    // the single nested loop is the 16-row centroid cross inside knnGraph
+    val pa = planOf("knn_assortativity")
+    assert(!pa.contains("CartesianProduct"), pa)
+    assert(countOccurrences(pa, "BroadcastNestedLoopJoin") <= 1, pa)
+    // benford_check: the fact scan is consumed by the 9-row count cut —
+    // the final plan joins the cut against the literal spine broadcast,
+    // plus the 1-row total cross
+    val pb = planOf("benford_check")
+    assert(!pb.contains("FileScan"),
+      "both consumers must read the materialized digit-count cut\n" + pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    // heaps_curve: the docs-count branch scans ONLY doc_id (pruned), the
+    // content branch doc_id+text; the cumulative window is dim-scale
+    val ph = planOf("heaps_curve")
+    assert(ph.contains("ReadSchema: struct<doc_id:bigint>"), ph)
+    assert(ph.contains("Window"), ph)
+    // trix: candle build + the sweep's repartition, no window operator
+    val pt = planOf("trix")
+    assert(countOccurrences(pt, "Exchange hashpartitioning") == 2, pt)
+    assert(!pt.contains("Window"), pt)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ohlcv.{Microstructure, Studies}
+import graft.ohlcv.{Analytics, Microstructure, Studies}
 import org.apache.spark.sql.functions._
 
 /** Round-10 market-studies family: Kyle lambda, variance ratio, bipower
@@ -258,5 +258,69 @@ class StudiesSpec extends SparkSpec {
     }, ars.mkString(", "))
     val carAt0 = r(3).getAs[Double]("car")
     assert(math.abs(carAt0 - (3 * base + spike)) < 1e-9, s"car(0) = $carAt0")
+  }
+
+  // ---- risk ratios / ulcer index / vortex (wave 7) ----
+
+  test("riskRatios: hand-computed Sharpe/Sortino/Calmar on a +10%/-10%/+10% path") {
+    import spark.implicits._
+    val candles = Seq(100.0, 110.0, 99.0, 108.9).zipWithIndex.map {
+      case (c, i) => ("R", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val row = Studies.riskRatios(candles).head()
+    assert(row.getAs[Long]("n") == 3L)
+    // rets 0.1, -0.1, 0.1: mean 1/30, var = (0.03 - 0.01/3)/3, sd2 = 0.01
+    val mean = 0.1 / 3
+    val sharpe = mean / math.sqrt((0.03 - 0.1 * 0.1 / 3) / 3)
+    val sortino = mean / math.sqrt(0.01 / 3)
+    assert(math.abs(row.getAs[Double]("mean_ret") - mean) < 1e-5)
+    assert(math.abs(row.getAs[Double]("sharpe") - sharpe) < 1e-5)
+    assert(math.abs(row.getAs[Double]("sortino") - sortino) < 1e-5)
+    // peak stays 110 after the dip: max_dd = 11/110 = 0.1
+    assert(math.abs(row.getAs[Double]("max_dd") - 0.1) < 1e-9)
+    assert(math.abs(row.getAs[Double]("calmar") - mean / 0.1) < 1e-5)
+  }
+
+  test("riskRatios: flat series null-guards all three ratios") {
+    import spark.implicits._
+    val candles = (0 to 2).map(i => ("F", ts(T0 + i * 3600), 100.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val row = Studies.riskRatios(candles).head()
+    assert(row.isNullAt(row.fieldIndex("sharpe")))   // zero variance
+    assert(row.isNullAt(row.fieldIndex("sortino")))  // no downside
+    assert(row.isNullAt(row.fieldIndex("calmar")))   // no drawdown
+    assert(row.getAs[Double]("max_dd") == 0.0)
+  }
+
+  test("ulcerIndex: RMS drawdown on a 50% dip; flat series yields 0 / null Martin") {
+    import spark.implicits._
+    val candles = Seq(100.0, 50.0, 100.0).zipWithIndex.map {
+      case (c, i) => ("U", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val row = Studies.ulcerIndex(candles).head()
+    // dd% = 0, 50, 0 -> UI = sqrt(2500/3); rets -0.5, +1.0 -> mean 0.25
+    val ui = math.sqrt(2500.0 / 3)
+    assert(math.abs(row.getAs[Double]("ulcer_index") - ui) < 1e-5)
+    assert(math.abs(row.getAs[Double]("martin") - 0.25 / ui) < 1e-5)
+    val flat = (0 to 2).map(i => ("F", ts(T0 + i * 3600), 10.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val fr = Studies.ulcerIndex(flat).head()
+    assert(fr.getAs[Double]("ulcer_index") == 0.0)
+    assert(fr.isNullAt(fr.fieldIndex("martin")))
+  }
+
+  test("vortex: hand-computed 2-bar frame; short frames filtered") {
+    import spark.implicits._
+    val candles = Seq(
+      ("V", ts(T0), 10.0, 8.0, 9.0),
+      ("V", ts(T0 + 3600), 12.0, 9.0, 11.0),
+      ("V", ts(T0 + 7200), 13.0, 11.0, 12.0)
+    ).toDF("symbol", "bucket_ts", "high", "low", "close")
+    val rows = Analytics.vortex(candles, n = 2).collect()
+    // only the 3rd candle has a full 2-bar frame (1st has no prev)
+    assert(rows.length == 1)
+    // vmp: |12-8|+|13-9| = 8; vmn: |9-10|+|11-12| = 2; tr: 3+2 = 5
+    assert(math.abs(rows.head.getAs[Double]("vi_plus") - 1.6) < 1e-9)
+    assert(math.abs(rows.head.getAs[Double]("vi_minus") - 0.4) < 1e-9)
   }
 }
