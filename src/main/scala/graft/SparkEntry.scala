@@ -1549,6 +1549,67 @@ object SparkEntry {
       // e1), one sequential sweep; recursive-CTE oracle with substituted
       // e1/e2 expressions
       Analytics.trix(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "cmo" -> ((s, dir) =>
+      // Chande momentum: up/down 14-bar decimal frame sums off one lag
+      // window (the vortex recipe), symmetric bounded oscillator
+      Analytics.cmo(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "dpo" -> ((s, dir) =>
+      // detrended price oscillator: displaced close minus the current
+      // 20-bar SMA — one window, exact decimal frame sum
+      Analytics.dpo(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "elder_ray" -> ((s, dir) =>
+      // bull/bear power vs the EMA13 value line: the ema sweep carrying
+      // high/low alongside; list_reduce oracle
+      Analytics.elderRay(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "force_index" -> ((s, dir) =>
+      // volume x close-change, EMA13-smoothed: exact decimal product
+      // terms, unrounded EMA fold, list_reduce oracle
+      Analytics.forceIndex(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "mass_index" -> ((s, dir) =>
+      // range-expansion reversal bulge: chained double EMA9 of the range
+      // (trix convention) + exact-decimal 25-bar ratio sum
+      Analytics.massIndex(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "vwma" -> ((s, dir) =>
+      // volume-weighted MA: exact decimal price x volume frame sums, one
+      // division; the rolling sibling of vwap
+      Analytics.vwma(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "ultimate_osc" -> ((s, dir) =>
+      // Williams Ultimate: BP/TR averaged at 7/14/28 and blended 4:2:1;
+      // six decimal frame sums on one window partitioning
+      Analytics.ultimateOsc(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "coppock" -> ((s, dir) =>
+      // Coppock curve: front-weighted WMA(10) of ROC14+ROC11 spelled as
+      // ten integer-weighted lags over exact decimals — association-free
+      Analytics.coppock(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "winnow_fingerprint" -> ((s, dir) =>
+      // MOSS winnowing: per-window min k-gram hash via the packed-BIGINT
+      // argmin; guarantees shared runs >= w+k-1 words share a fingerprint
+      graft.ops.Dedup.winnowFingerprint(Tables.table(s, dir, "documents"))),
+    "drift_psi" -> ((s, dir) =>
+      // population stability index of order values, pre-1998 reference vs
+      // after: equal-width global bins, exact-decimal term sums
+      graft.ops.Dq.psiDrift(Tables.table(s, dir, "orders"), "o_totalprice",
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))),
+    "stoch_rsi" -> ((s, dir) =>
+      // StochRSI: the %K normalization over the window-form RSI; the
+      // min/max frame stacks on the same partitioning, no extra shuffle
+      Analytics.stochRsi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "emv" -> ((s, dir) =>
+      // Arms Ease of Movement: midpoint advance per unit volume — pure
+      // integer micro-unit pipeline, no engine round() anywhere
+      Analytics.emv(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "chandelier_exit" -> ((s, dir) =>
+      // ATR-scaled trailing stops off the 22-bar extremes; exact decimal
+      // TR sums, pick extremes, fixed-order stop arithmetic
+      Analytics.chandelierExit(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "event_transitions2" -> ((s, dir) =>
+      // second-order Markov transitions: P(next | two previous events) —
+      // both lags in one user window, dim-scale conditional shares
+      graft.ops.Events.transitions2(Tables.events(s, dir))),
+    "cross_source_dups" -> ((s, dir) =>
+      // cross-source duplication matrix: shared exact contents per source
+      // pair via one content-hash equi-join over the cut distinct frame
+      graft.ops.Dedup.crossSourceDups(Tables.table(s, dir, "documents"))),
     "embedding_outliers" -> ((s, dir) =>
       // per-cell centroid-cosine z-score screen: the anti-prototype drop
       // (SemDeDup's complement); one assignment scan, broadcast moments
@@ -2150,6 +2211,226 @@ object SparkEntry {
         "cs, ers, tss FROM r WHERE j < len(cs)) " +
         "SELECT symbol, tss[j] AS bucket_ts, cs[j] AS close, ers[j] AS er, " +
         "round(kama, 6) AS kama FROM r"),
+    // CMO replay: rounded up/down decimal frame sums, one double division
+    "cmo" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "CAST(round(greatest(close - pc, 0.0), 2) AS DECIMAL(18,2)) AS up, " +
+        "CAST(round(greatest(pc - close, 0.0), 2) AS DECIMAL(18,2)) AS dn " +
+        "FROM x WHERE pc IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, sum(up) OVER w AS su, sum(dn) OVER w AS sd, " +
+        "count(*) OVER w AS cnt FROM y WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(100.0 * (CAST(su AS DOUBLE) - CAST(sd AS DOUBLE)) / " +
+        "(CASE WHEN su + sd <> 0 THEN CAST(su + sd AS DOUBLE) END), 6) AS cmo FROM z WHERE cnt = 14"),
+    // DPO replay: exact decimal SMA frame sum, displaced lag, one subtract
+    "dpo" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "z AS (SELECT symbol, bucket_ts, close, " +
+        "sum(CAST(close AS DECIMAL(18,2))) OVER w AS sc, count(*) OVER w AS cnt, " +
+        "lag(close, 11) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS disp " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(disp - CAST(sc AS DOUBLE) / 20.0, 6) AS dpo " +
+        "FROM z WHERE cnt = 20 AND disp IS NOT NULL"),
+    // Elder Ray replay: the ema list_reduce fold, powers subtracted inside
+    // the rounded expression
+    "elder_ray" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "l AS (SELECT symbol, bucket_ts, high, low, list(close) OVER (" +
+        "PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS closes FROM c), " +
+        "e AS (SELECT symbol, bucket_ts, high, low, list_reduce(closes, (acc, x) -> " +
+        "(CAST(2 AS DOUBLE) / CAST(14 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(14 AS DOUBLE)) * acc) AS ev FROM l) " +
+        "SELECT symbol, bucket_ts, round(high - ev, 6) AS bull_power, " +
+        "round(low - ev, 6) AS bear_power FROM e"),
+    // Force-index replay: exact scale-4 decimal product terms, the ema
+    // scalar fold seeded at each symbol's first term
+    "force_index" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, volume, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c), " +
+        "f AS (SELECT symbol, bucket_ts, CAST((CAST(close AS DECIMAL(18,2)) - CAST(pc AS DECIMAL(18,2))) * " +
+        "CAST(volume AS DECIMAL(18,2)) AS DOUBLE) AS fi FROM x WHERE pc IS NOT NULL), " +
+        "l AS (SELECT symbol, bucket_ts, fi, list(fi) OVER (" +
+        "PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fis FROM f) " +
+        "SELECT symbol, bucket_ts, round(fi, 6) AS force_index, " +
+        "round(list_reduce(fis, (acc, x) -> (CAST(2 AS DOUBLE) / CAST(14 AS DOUBLE)) * x + " +
+        "(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(14 AS DOUBLE)) * acc), 6) AS force_ema FROM l"),
+    // Mass-index replay: the chained EMA9/EMA9 recursion with substituted
+    // e1 (the trix technique) over ranges, rounded ratios into an exact
+    // decimal 25-bar window sum
+    "mass_index" -> {
+      val E1 = "(0.2 * rs[j + 1] + (1.0 - 0.2) * e1)"
+      val E2 = s"(0.2 * $E1 + (1.0 - 0.2) * e2)"
+      s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "per AS (SELECT symbol, list(high - low ORDER BY bucket_ts) AS rs, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM c GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS j, CAST(rs[1] AS DOUBLE) AS e1, " +
+        "CAST(rs[1] AS DOUBLE) AS e2, rs, tss FROM per " +
+        s"UNION ALL SELECT symbol, j + 1, $E1, $E2, rs, tss FROM r WHERE j < len(rs)), " +
+        "q AS (SELECT symbol, tss[j] AS bucket_ts, " +
+        "CASE WHEN e2 <> 0.0 THEN CAST(round(e1 / e2, 6) AS DECIMAL(18,6)) END AS r6 FROM r), " +
+        "q2 AS (SELECT symbol, bucket_ts, r6 FROM q WHERE r6 IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, sum(r6) OVER w AS mi, count(*) OVER w AS cnt " +
+        "FROM q2 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(CAST(mi AS DOUBLE), 6) AS mass_index FROM z WHERE cnt = 25"
+    },
+    // VWMA replay: exact decimal price x volume frame sums, one division
+    "vwma" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "z AS (SELECT symbol, bucket_ts, " +
+        "sum(CAST(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS spv, " +
+        "sum(CAST(volume AS DECIMAL(18,2))) OVER w AS sv, count(*) OVER w AS cnt " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(CAST(spv AS DOUBLE) / " +
+        "(CASE WHEN sv <> 0 THEN CAST(sv AS DOUBLE) END), 6) AS vwma FROM z WHERE cnt = 20"),
+    // Ultimate-oscillator replay: rounded BP/TR decimal frame sums at the
+    // three horizons, the 4:2:1 blend in identical double op order
+    "ultimate_osc" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, close, " +
+        "lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "CAST(round(close - least(low, pc), 2) AS DECIMAL(18,2)) AS bp, " +
+        "CAST(round(greatest(high, pc) - least(low, pc), 2) AS DECIMAL(18,2)) AS tr " +
+        "FROM x WHERE pc IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, " +
+        "CAST(sum(bp) OVER w7 AS DOUBLE) / (CASE WHEN sum(tr) OVER w7 <> 0 THEN CAST(sum(tr) OVER w7 AS DOUBLE) END) AS a1, " +
+        "CAST(sum(bp) OVER w14 AS DOUBLE) / (CASE WHEN sum(tr) OVER w14 <> 0 THEN CAST(sum(tr) OVER w14 AS DOUBLE) END) AS a2, " +
+        "CAST(sum(bp) OVER w28 AS DOUBLE) / (CASE WHEN sum(tr) OVER w28 <> 0 THEN CAST(sum(tr) OVER w28 AS DOUBLE) END) AS a3, " +
+        "count(*) OVER w28 AS cnt FROM y WINDOW " +
+        "w7 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), " +
+        "w14 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), " +
+        "w28 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, round(100.0 * (4.0 * a1 + 2.0 * a2 + a3) / 7.0, 6) AS ultimate_osc " +
+        "FROM z WHERE cnt = 28"),
+    // Coppock replay: the ten integer-weighted lags over the exact decimal
+    // ROC sum — written out so no windowed float sum exists in either engine
+    "coppock" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close, 14) OVER ws AS p14, lag(close, 11) OVER ws AS p11 " +
+        "FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "CAST(round(100.0 * (close / (CASE WHEN p14 <> 0 THEN p14 END) - 1.0), 6) + " +
+        "round(100.0 * (close / (CASE WHEN p11 <> 0 THEN p11 END) - 1.0), 6) AS DECIMAL(18,6)) AS s FROM x), " +
+        "z AS (SELECT symbol, bucket_ts, " +
+        (0 until 10).map(j =>
+          if (j == 0) "10 * s" else s"${10 - j} * (lag(s, $j) OVER ws)")
+          .mkString("", " + ", " AS wsum, ") +
+        "(lag(s, 9) OVER ws) AS gate FROM y WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
+        "SELECT symbol, bucket_ts, round(CAST(wsum AS DOUBLE) / 55.0, 6) AS coppock " +
+        "FROM z WHERE gate IS NOT NULL"),
+    // Winnowing replay: same k-gram md5-prefix hashes, the packed-BIGINT
+    // window argmin, DISTINCT selections, left-joined onto gram counts
+    "winnow_fingerprint" ->
+      ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM dw WHERE len(ws) >= 4), " +
+        "g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, " +
+        "CAST('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3])), 1, 8) AS BIGINT) AS h FROM gi), " +
+        "sw AS (SELECT doc_id, min(h * 2147483648 + pos) OVER win AS pk, count(*) OVER win AS cnt " +
+        "FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
+        "sel AS (SELECT DISTINCT doc_id, pk FROM sw WHERE cnt = 4), " +
+        "sa AS (SELECT doc_id, count(*) AS n_fingerprints, min(pk // 2147483648) AS min_fp FROM sel GROUP BY 1), " +
+        "ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1) " +
+        "SELECT ng.doc_id AS doc_id, n_grams, COALESCE(n_fingerprints, 0) AS n_fingerprints, " +
+        "round(CAST(COALESCE(n_fingerprints, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS fp_density, min_fp " +
+        "FROM ng LEFT JOIN sa ON ng.doc_id = sa.doc_id"),
+    // PSI replay: identical global-bin float expressions, exact-decimal
+    // term sums, shared-libm ln (the zipf precedent)
+    "drift_psi" ->
+      ("WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
+        "o_orderdate < TIMESTAMP '1998-01-01' AS is_ref FROM orders WHERE o_totalprice IS NOT NULL), " +
+        "bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM b), " +
+        "counts AS (SELECT least(CAST(floor((v - lo) * 20.0 / (CASE WHEN hi <> lo THEN hi - lo END)) AS BIGINT), 19) AS bin, " +
+        "sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nref, sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ncur " +
+        "FROM b CROSS JOIN bounds GROUP BY 1), " +
+        "tot AS (SELECT sum(nref) AS tref, sum(ncur) AS tcur FROM counts), " +
+        "terms AS (SELECT CAST(round((CAST(nref AS DOUBLE) / CAST(tref AS DOUBLE) - CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE)) * " +
+        "ln(CAST(nref AS DOUBLE) / CAST(tref AS DOUBLE) / (CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE))), 12) AS DECIMAL(28,12)) AS term, " +
+        "tref, tcur FROM counts CROSS JOIN tot WHERE nref > 0 AND ncur > 0) " +
+        "SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi, count(*) AS n_bins_used, " +
+        "tref AS n_ref, tcur AS n_cur FROM terms GROUP BY tref, tcur"),
+    // StochRSI replay: the rsi CTE chain, then min/max frames over the
+    // rounded RSI doubles (picks, order-free)
+    "stoch_rsi" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "p AS (SELECT symbol, bucket_ts, close, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS prev FROM c), " +
+        "d AS (SELECT symbol, bucket_ts, " +
+        "greatest(CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS gain, " +
+        "greatest(-(CAST(close AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS loss " +
+        "FROM p WHERE prev IS NOT NULL), " +
+        "f AS (SELECT symbol, bucket_ts, " +
+        "CAST(sum(gain) OVER w AS DOUBLE) AS sum_gain, " +
+        "CAST(sum(loss) OVER w AS DOUBLE) AS sum_loss, count(*) OVER w AS cnt FROM d " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)), " +
+        "r AS (SELECT symbol, bucket_ts, round(CASE WHEN sum_loss = 0.0 THEN 100.0 " +
+        "ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END, 6) AS rsi FROM f WHERE cnt = 14), " +
+        "z AS (SELECT symbol, bucket_ts, rsi, min(rsi) OVER w2 AS lo, max(rsi) OVER w2 AS hi, " +
+        "count(*) OVER w2 AS cnt2 FROM r WINDOW w2 AS (PARTITION BY symbol ORDER BY bucket_ts " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, rsi, round((rsi - lo) / " +
+        "(CASE WHEN hi <> lo THEN hi - lo END), 6) AS stoch_rsi FROM z WHERE cnt2 = 14"),
+    // EMV replay: identical float term expression rounded into exact
+    // decimal frame sums over surviving (nonzero-volume) bars
+    "emv" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, volume, " +
+        "lag(high) OVER ws AS ph, lag(low) OVER ws AS pl " +
+        "FROM c WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "CAST(CAST((CAST(high AS DECIMAL(18,2)) + CAST(low AS DECIMAL(18,2)) - CAST(ph AS DECIMAL(18,2)) - CAST(pl AS DECIMAL(18,2))) * 100 AS BIGINT) * " +
+        "CAST((CAST(high AS DECIMAL(18,2)) - CAST(low AS DECIMAL(18,2))) * 100 AS BIGINT) * 100000000 AS BIGINT) AS nn, " +
+        "2 * CAST(CAST(volume AS DECIMAL(18,2)) * 100 AS BIGINT) AS dd " +
+        "FROM x WHERE ph IS NOT NULL AND volume > 0), " +
+        "m AS (SELECT symbol, bucket_ts, CASE WHEN nn >= 0 THEN (2 * nn + dd) // (2 * dd) " +
+        "ELSE -((2 * -nn + dd) // (2 * dd)) END AS micro FROM y), " +
+        "z AS (SELECT symbol, bucket_ts, sum(micro) OVER w AS st, count(*) OVER w AS cnt " +
+        "FROM m WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, CAST(CASE WHEN st >= 0 THEN (2 * st + 14) // 28 " +
+        "ELSE -((2 * -st + 14) // 28) END AS DOUBLE) / 1000000.0 AS emv FROM z WHERE cnt = 14"),
+    // Chandelier replay: pick extremes + exact decimal TR sums, identical
+    // stop arithmetic
+    "chandelier_exit" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, " +
+        "greatest(CAST(high AS DECIMAL(18,2)) - CAST(low AS DECIMAL(18,2)), " +
+        "abs(CAST(high AS DECIMAL(18,2)) - CAST(pc AS DECIMAL(18,2))), " +
+        "abs(CAST(low AS DECIMAL(18,2)) - CAST(pc AS DECIMAL(18,2)))) AS tr " +
+        "FROM (SELECT symbol, bucket_ts, high, low, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c) " +
+        "WHERE pc IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, max(high) OVER w AS hh, min(low) OVER w AS ll, " +
+        "sum(tr) OVER w AS str, count(*) OVER w AS cnt " +
+        "FROM x WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(hh - 3.0 * (CAST(str AS DOUBLE) / 22.0), 6) AS long_stop, " +
+        "round(ll + 3.0 * (CAST(str AS DOUBLE) / 22.0), 6) AS short_stop FROM z WHERE cnt = 22"),
+    // second-order transition replay: two lags in the same user window,
+    // dim-scale conditional shares
+    "event_transitions2" ->
+      ("WITH p AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, " +
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2_type FROM events), " +
+        "a AS (SELECT prev2_type, prev_type, event_type, count(*) AS n_transitions, " +
+        "count(DISTINCT user_id) AS n_users FROM p WHERE prev2_type IS NOT NULL GROUP BY 1, 2, 3) " +
+        "SELECT prev2_type, prev_type, event_type, n_transitions, n_users, " +
+        "round(CAST(n_transitions AS DOUBLE) / " +
+        "CAST(sum(n_transitions) OVER (PARTITION BY prev2_type, prev_type) AS DOUBLE), 6) AS p FROM a"),
+    // cross-source duplication replay: distinct (source, md5) pairs,
+    // content-hash self-join, zero-filled over the complete pair spine
+    "cross_source_dups" ->
+      ("WITH sc AS (SELECT DISTINCT source, md5(text) AS h FROM documents), " +
+        "tot AS (SELECT source, count(*) AS n FROM sc GROUP BY 1), " +
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+        "FROM sc a JOIN sc b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT ta.source AS source_a, tb.source AS source_b, " +
+        "coalesce(pr.n_shared, 0) AS n_shared, ta.n AS n_a, tb.n AS n_b, " +
+        "round(CAST(coalesce(pr.n_shared, 0) AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE), 6) AS overlap " +
+        "FROM tot ta JOIN tot tb ON ta.source < tb.source " +
+        "LEFT JOIN pr ON pr.source_a = ta.source AND pr.source_b = tb.source"),
     // Roll estimator replay: exact decimal close diffs, lag-1 co-moment via
     // exact partial sums, final cov/spread double in identical op order
     "roll_spread" -> withTrades(

@@ -1352,6 +1352,400 @@ object Analytics {
           when(col("str") =!= 0, col("str").cast("double")), 6).as("vi_minus"))
   }
 
+  /** STOCHASTIC RSI per symbol: (RSI − min_n₂RSI)/(max_n₂RSI − min_n₂RSI)
+    * — the %K normalization applied to RSI itself, squeezing Cutler-RSI's
+    * mid-range drift into a hard 0..1 oscillator that reaches its bands
+    * far more often (the indicator-of-an-indicator pattern). Rides on
+    * this engine's window-form RSI: the min/max frame stacks on the SAME
+    * per-symbol partitioning (no extra shuffle — plain windows compose,
+    * unlike sweeps), full RSI frames AND full stoch frames only, flat
+    * RSI windows null-guarded. Windowed min/max of the rounded RSI
+    * doubles are picks, not sums — order-free in any engine.
+    */
+  def stochRsi(candles: DataFrame, n: Int = 14, n2: Int = 14): DataFrame = {
+    require(n >= 2 && n2 >= 2, "n, n2 >= 2")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n2 - 1), 0)
+    rsi(candles, n)
+      .withColumn("lo", min(col("rsi")).over(w))
+      .withColumn("hi", max(col("rsi")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") === n2)
+      .select(col("symbol"), col("bucket_ts"), col("rsi"),
+        round((col("rsi") - col("lo")) /
+          when(col("hi") =!= col("lo"), col("hi") - col("lo")), 6)
+          .as("stoch_rsi"))
+  }
+
+  /** EASE OF MOVEMENT per symbol (Arms): midpoint advance scaled by how
+    * little volume it took — EMV = Δmid · range · 10⁴ / volume, averaged
+    * over `n` bars: the "price moved on air" screen that separates
+    * conviction moves from drift. This operator is the engine's show-
+    * case for the LAST determinism hazard class: its per-bar term
+    * a·r/(2v) (cent integers) frequently has a TERMINATING decimal
+    * expansion landing EXACTLY on half-micro ties, where Spark's
+    * exact-BigDecimal `round` and a float-scaled `round` legitimately
+    * disagree by one ulp (measured here in three successive recipes).
+    * So NO engine round() touches the value anywhere: the term is
+    * quantized to integer micro-units by SIGN-AWARE HALF-UP INTEGER
+    * DIVISION ((2|N|+d) div 2d — exact in any engine), the frame sum is
+    * an exact BIGINT, the frame average is the same integer rounding by
+    * the literal n, and the single closing IEEE division by 10⁶ is
+    * correctly rounded identically everywhere. Zero-volume bars
+    * contribute no term (no observation, the amihud convention); full
+    * frames of surviving terms only. One lag + one frame sum on ONE
+    * window.
+    */
+  def emv(candles: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val ac = ((col("high").cast(D) + col("low").cast(D) -
+      col("prev_high").cast(D) - col("prev_low").cast(D)) * lit(100)).cast("long")
+    val rc = ((col("high").cast(D) - col("low").cast(D)) * lit(100)).cast("long")
+    val vc = (col("volume").cast(D) * lit(100)).cast("long")
+    candles
+      .withColumn("prev_high", lag(col("high"), 1).over(wl))
+      .withColumn("prev_low", lag(col("low"), 1).over(wl))
+      .where(col("prev_high").isNotNull && col("volume") > 0)
+      // term = 50·A·R/V dollars = 50·ac·rc/vc in cents algebra — micro
+      // units make that (100·ac·rc·10⁶)/(2·vc); quantized by exact
+      // integer half-up division. Headroom: 2·nn stays inside int64 up
+      // to ~$1,000 prices (4·P²·2·10⁸ ≤ 2⁶³); a wider-priced feed would
+      // take a DECIMAL(38) intermediate.
+      .withColumn("nn", ac * rc * lit(100000000L))
+      .withColumn("dd", lit(2L) * vc)
+      .withColumn("micro", expr(
+        "CASE WHEN nn >= 0 THEN (2 * nn + dd) div (2 * dd) " +
+          "ELSE -((2 * -nn + dd) div (2 * dd)) END"))
+      .withColumn("st", sum(col("micro")).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .withColumn("am", expr(
+        s"CASE WHEN st >= 0 THEN (2 * st + $n) div ${2 * n} " +
+          s"ELSE -((2 * -st + $n) div ${2 * n}) END"))
+      .select(col("symbol"), col("bucket_ts"),
+        (col("am").cast("double") / lit(1000000.0)).as("emv"))
+  }
+
+  /** CHANDELIER EXIT per symbol: trailing stops hung from the `n`-bar
+    * extremes — long stop = highest high − mult·ATR, short stop = lowest
+    * low + mult·ATR (simple-average ATR, the window-form this engine's
+    * `atr` uses; LeBeau's original hangs from the same frame). The
+    * volatility-scaled trailing-stop pair every ATR-based exit system
+    * starts from. Extremes are exact picks; TR terms exact DECIMAL(18,2)
+    * frame sums over the literal n; the stop arithmetic is fixed-order
+    * doubles rounded at emission; full frames only. One lag + four frame
+    * aggregates on ONE window.
+    */
+  def chandelierExit(candles: DataFrame, n: Int = 22, mult: Double = 3.0): DataFrame = {
+    require(n >= 1 && mult > 0, "n >= 1 and mult > 0")
+    val wl = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wf = wl.rowsBetween(-(n - 1), 0)
+    val tr = greatest(
+      col("high").cast(D) - col("low").cast(D),
+      abs(col("high").cast(D) - col("prev_close").cast(D)),
+      abs(col("low").cast(D) - col("prev_close").cast(D)))
+    candles
+      .withColumn("prev_close", lag(col("close"), 1).over(wl))
+      .where(col("prev_close").isNotNull)
+      .withColumn("hh", max(col("high")).over(wf))
+      .withColumn("ll", min(col("low")).over(wf))
+      .withColumn("str", sum(tr).over(wf))
+      .withColumn("cnt", count(lit(1)).over(wf))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("hh") - lit(mult) * (col("str").cast("double") / lit(n.toDouble)), 6)
+          .as("long_stop"),
+        round(col("ll") + lit(mult) * (col("str").cast("double") / lit(n.toDouble)), 6)
+          .as("short_stop"))
+  }
+
+  /** VOLUME-WEIGHTED moving average per symbol: Σ(close·volume)/Σvolume
+    * over `n`-bar frames — the MA that discounts thin bars, sitting
+    * between SMA (ignores volume) and VWAP (anchored, not rolling).
+    * Price×volume terms are exact DECIMAL(38,4) products of 2-decimal
+    * inputs, both frame sums exact decimals, one double division rounded
+    * at emission; full frames only, zero-volume frames null. ONE
+    * per-symbol window.
+    */
+  def vwma(candles: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+      .rowsBetween(-(n - 1), 0)
+    val pv = (col("close").cast(D) * col("volume").cast(D)).cast(DecimalType(38, 4))
+    candles
+      .withColumn("spv", sum(pv).over(w))
+      .withColumn("sv", sum(col("volume").cast(D)).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("spv").cast("double") /
+          when(col("sv") =!= 0, col("sv").cast("double")), 6).as("vwma"))
+  }
+
+  /** ULTIMATE OSCILLATOR per symbol (Williams): buying pressure over true
+    * range averaged at 7/14/28 bars and blended 4:2:1 — the
+    * multi-horizon momentum reading that punishes single-window
+    * divergence failures. BP = close − min(low, prev_close) and TR =
+    * max(high, prev_close) − min(low, prev_close) are 2-decimal terms
+    * rounded back to 2 and frame-summed as exact DECIMAL(18,2) (the
+    * vortex recipe); each average is one double division, the blend a
+    * fixed-order double, rounded at emission; full 28-frames only, any
+    * zero TR sum nulls the reading. One lag + six frame sums + the count
+    * gate, all on ONE per-symbol window partitioning (frames of
+    * different widths share the sort, no extra shuffle).
+    */
+  def ultimateOsc(candles: DataFrame, n1: Int = 7, n2: Int = 14, n3: Int = 28): DataFrame = {
+    require(n1 >= 1 && n2 > n1 && n3 > n2, "1 <= n1 < n2 < n3")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    def frame(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val bp = round(col("close") - least(col("low"), col("pc")), 2).cast(D)
+    val tr = round(greatest(col("high"), col("pc")) -
+      least(col("low"), col("pc")), 2).cast(D)
+    def avg(nn: Int) = {
+      val sb = sum(bp).over(frame(nn)).cast("double")
+      val st = sum(tr).over(frame(nn))
+      sb / when(st =!= 0, st.cast("double"))
+    }
+    candles
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .where(col("pc").isNotNull)
+      .withColumn("a1", avg(n1))
+      .withColumn("a2", avg(n2))
+      .withColumn("a3", avg(n3))
+      .withColumn("cnt", count(lit(1)).over(frame(n3)))
+      .where(col("cnt") === n3)
+      .select(col("symbol"), col("bucket_ts"),
+        round(lit(100.0) * (lit(4.0) * col("a1") + lit(2.0) * col("a2") + col("a3")) /
+          lit(7.0), 6).as("ultimate_osc"))
+  }
+
+  /** COPPOCK CURVE per symbol: the 10-bar FRONT-WEIGHTED moving average
+    * (weights 10..1) of ROC(14) + ROC(11) — the long-horizon bottom
+    * signal (its founder tuned it for monthly bars; the engine leaves
+    * the timeframe to the caller). Positionally-weighted window sums are
+    * not a window function — the WMA is spelled as TEN explicit lags
+    * with integer weights over the rounded-DECIMAL(18,6) ROC sum, so
+    * every product and the sum are EXACT decimals (association-free in
+    * any engine); the single /55 division is double, rounded at
+    * emission. Defined where the deepest lag exists. ONE per-symbol
+    * window partitioning serves the two ROC lags and the ten WMA lags.
+    */
+  def coppock(candles: DataFrame, r1: Int = 14, r2: Int = 11, wn: Int = 10): DataFrame = {
+    require(r1 >= 1 && r2 >= 1 && wn >= 1, "positive windows")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    def roc(k: Int) =
+      round(lit(100.0) * (col("close") / when(lag(col("close"), k).over(w) =!= 0,
+        lag(col("close"), k).over(w)) - lit(1.0)), 6)
+    val weighted = (0 until wn)
+      .map(j => lag(col("s"), j).over(w) * lit((wn - j).toLong))
+      .reduce(_ + _)
+    val denom = (wn * (wn + 1)) / 2
+    candles
+      .withColumn("s", (roc(r1) + roc(r2)).cast(DecimalType(18, 6)))
+      .withColumn("wsum", weighted)
+      .withColumn("gate", lag(col("s"), wn - 1).over(w))
+      .where(col("gate").isNotNull)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("wsum").cast("double") / lit(denom.toDouble), 6).as("coppock"))
+  }
+
+  /** CHANDE MOMENTUM OSCILLATOR per symbol: 100·(Σup − Σdown)/(Σup +
+    * Σdown) over `n`-bar frames, where up/down are the positive/negative
+    * parts of the close change — RSI's unsmoothed cousin, bounded ±100,
+    * whose symmetric numerator makes it the divergence-screen favorite.
+    * Full frames only; flat frames (zero denominator) null.
+    *
+    * One per-symbol window (lag + both frame sums + the count gate);
+    * up/down terms are 2-decimal close differences rounded back to 2 and
+    * summed as exact DECIMAL(18,2) (the vortex recipe); the ratio is one
+    * double division on exact sums, rounded at emission.
+    */
+  def cmo(candles: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 2, "n >= 2")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val dc = col("close") - col("prev_close")
+    val up = round(greatest(dc, lit(0.0)), 2).cast(D)
+    val dn = round(greatest(-dc, lit(0.0)), 2).cast(D)
+    candles
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .where(col("prev_close").isNotNull)
+      .withColumn("su", sum(up).over(frame))
+      .withColumn("sd", sum(dn).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .where(col("cnt") === n)
+      .select(col("symbol"), col("bucket_ts"),
+        round(lit(100.0) * (col("su").cast("double") - col("sd").cast("double")) /
+          when(col("su") + col("sd") =!= 0,
+            (col("su") + col("sd")).cast("double")), 6).as("cmo"))
+  }
+
+  /** DETRENDED PRICE OSCILLATOR per symbol: the close from n/2+1 bars ago
+    * minus the CURRENT n-bar SMA — the displacement centers the average
+    * on the compared price, stripping the trend and exposing the cycle
+    * (the textbook construction; conventions vary, this one documented).
+    * Full SMA frames with a defined displaced close only.
+    *
+    * One per-symbol window (frame sum + count + the displaced lag); the
+    * SMA is an exact DECIMAL(18,2) frame sum divided once by the literal
+    * n; the subtraction is one double op, rounded at emission.
+    */
+  def dpo(candles: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "n >= 2")
+    val shift = n / 2 + 1
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val frame = w.rowsBetween(-(n - 1), 0)
+    candles
+      .withColumn("sc", sum(col("close").cast(D)).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("disp", lag(col("close"), shift).over(w))
+      .where(col("cnt") === n && col("disp").isNotNull)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("disp") - col("sc").cast("double") / lit(n.toDouble), 6)
+          .as("dpo"))
+  }
+
+  /** ELDER RAY per symbol: bull power = high − EMA₁₃(close), bear power =
+    * low − EMA₁₃(close) — how far the bar's extremes push past the
+    * consensus value line; Elder's triple-screen entries read the sign
+    * and slope of the pair. The EMA is the engine's standard unrounded
+    * sequential fold (the ema recipe, one symbol shuffle, O(1) state)
+    * carried alongside the bar's high/low in the same sweep; powers
+    * round at emission. α = 2/(n+1) spelled as the same double division
+    * in both engines; the oracle folds closes via scalar list_reduce and
+    * subtracts inside the rounded expression.
+    */
+  def elderRay(candles: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val a = 2.0 / (n + 1)
+    val b = 1.0 - a
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e = 0.0
+        it.map { case (s, t, h, l, c) =>
+          if (s != cur) { cur = s; e = c }
+          else e = a * c + b * e
+          (s, t, rd(h - e), rd(l - e))
+        }
+      }
+      .toDF("symbol", "bucket_ts", "bull_power", "bear_power")
+  }
+
+  /** FORCE INDEX per symbol: volume × close change, EMA-smoothed (n=13) —
+    * Elder's "how much conviction moved the price" gauge combining the
+    * three tradables (direction, extent, volume) into one line whose
+    * zero-crossings time entries against the trend screen. The raw term
+    * is an EXACT product (2-decimal close diff × 2-decimal volume — both
+    * decimal-exact, the product a scale-4 decimal the double cast
+    * renders identically in both engines); the EMA folds unrounded
+    * doubles (the ema recipe), seeded at the first defined term, rounded
+    * at emission. One symbol shuffle, O(1) sweep state; defined from
+    * each symbol's second bar.
+    */
+  def forceIndex(candles: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val a = 2.0 / (n + 1)
+    val b = 1.0 - a
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("close"), col("volume"))
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var prevCents = 0L
+        var havePrev = false
+        var haveFi = false
+        var e = 0.0
+        it.flatMap { case (s, t, c, v) =>
+          if (s != cur) { cur = s; havePrev = false; haveFi = false }
+          val cents = Math.round(c * 100)
+          val out =
+            if (!havePrev) None
+            else {
+              // (Δclose in cents × volume in cents) / 1e4 is ONE correctly
+              // rounded double of the exact scale-4 decimal product
+              val fi = ((cents - prevCents) * Math.round(v * 100)) / 10000.0
+              e = if (haveFi) a * fi + b * e else fi
+              haveFi = true
+              Some((s, t, rd(fi), rd(e)))
+            }
+          prevCents = cents; havePrev = true
+          out
+        }
+      }
+      .toDF("symbol", "bucket_ts", "force_index", "force_ema")
+  }
+
+  /** MASS INDEX per symbol (Dorsey): Σ₂₅ of EMA₉(range)/EMA₉(EMA₉(range))
+    * — range expansion irrespective of direction; the classic "reversal
+    * bulge" trigger fires when the 25-bar sum crests 27. The chained
+    * double-EMA follows the trix convention (the inner EMA's FRESH value
+    * feeds the outer; α = 0.2 exactly, complement computed as 1.0 − α);
+    * per-bar ratios round to 6 and the 25-bar sum runs over their EXACT
+    * micro-unit integers INSIDE the sweep (a span-deep ring — a window
+    * after a mapPartitions sweep would re-shuffle, since Catalyst cannot
+    * prove the sweep preserved the partitioning; and an exact integer
+    * ring sidesteps the vortex windowed-double hazard the same way a
+    * decimal window sum would). Full spans of defined ratios only (zero
+    * outer EMA — an all-flat prefix — yields no ratio). One sweep
+    * shuffle, O(span) state.
+    */
+  def massIndex(candles: DataFrame, n: Int = 9, span: Int = 25): DataFrame = {
+    require(n >= 1 && span >= 1, "n >= 1 and span >= 1")
+    val a = 2.0 / (n + 1)
+    val b = 1.0 - a
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"))
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        val ring = new Array[Long](span)
+        var cur: String = null
+        var e1 = 0.0; var e2 = 0.0
+        var first = true
+        var cnt = 0; var sumMicros = 0L
+        it.flatMap { case (s, t, h, l) =>
+          if (s != cur) { cur = s; first = true; cnt = 0; sumMicros = 0L }
+          val r = h - l
+          if (first) { e1 = r; e2 = r; first = false }
+          else { e1 = a * r + b * e1; e2 = a * e1 + b * e2 }
+          if (e2 == 0.0) None
+          else {
+            // exact scale-6 micro-units of the HALF_UP-rounded ratio: the
+            // ring sum is an exact integer == the oracle's DECIMAL(18,6)
+            // window sum
+            val micros = BigDecimal(e1 / e2)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue.longValueExact
+            if (cnt >= span) sumMicros -= ring(cnt % span)
+            ring(cnt % span) = micros
+            sumMicros += micros
+            cnt += 1
+            if (cnt < span) None
+            else Some((s, t, sumMicros / 1000000.0))
+          }
+        }
+      }
+      .toDF("symbol", "bucket_ts", "mass_index")
+      .withColumn("mass_index", round(col("mass_index"), 6))
+  }
+
   /** TRIX per symbol — the 1-bar rate of change of a TRIPLE-smoothed EMA:
     * e1 = EMA_n(close), e2 = EMA_n(e1), e3 = EMA_n(e2), trix = 100·
     * (e3/e3_prev − 1). Three rounds of smoothing kill noise a single EMA

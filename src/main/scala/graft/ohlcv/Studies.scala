@@ -365,6 +365,81 @@ object Studies {
         col("ar").cast("double").as("ar"), col("car"))
   }
 
+  /** PARABOLIC SAR per symbol (Wilder) — the accelerating stop-and-reverse
+    * overlay: SAR chases price by af·(EP − SAR) with the acceleration
+    * factor stepping 0.02 per new extreme up to 0.2, clamped outside the
+    * prior two bars' range, and flipping (SAR ← EP, af reset) when price
+    * crosses it. THE stateful indicator — four mutually-dependent state
+    * variables (direction, SAR, EP, af) with data-dependent resets that
+    * no window or power-sum trick can express: the supertrend/holt
+    * sequential-sweep shape (one symbol shuffle, O(n) sweep, O(1) state).
+    *
+    * Conventions (documented; implementations differ): emission starts at
+    * each symbol's SECOND bar; the seed direction is up iff close₂ ≥
+    * close₁; the seed SAR is the two-bar extreme opposite the trend
+    * (min low for up), seed EP the extreme with it (max high for up);
+    * the clamp uses the PREVIOUS two bars' lows (up) / highs (down); the
+    * reversal check runs against the post-clamp SAR of the SAME bar; on
+    * reversal SAR jumps to the old EP and EP restarts at the current
+    * bar's extreme. Pure double arithmetic in a fixed op order, rounded
+    * at emission — StudiesSpec replays the fold independently and pins
+    * the trend/stop invariants.
+    */
+  def psar(candles: DataFrame, step: Double = 0.02, maxAf: Double = 0.2): DataFrame = {
+    require(step > 0 && maxAf >= step, "step > 0 and maxAf >= step")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"), col("close"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var nSeen = 0
+        var h1 = 0.0; var l1 = 0.0; var c1 = 0.0 // previous bar
+        var h2 = 0.0; var l2 = 0.0               // bar before that
+        var up = false; var sar = 0.0; var ep = 0.0; var af = 0.0
+        it.flatMap { case (s, t, h, l, c) =>
+          if (s != cur) { cur = s; nSeen = 0 }
+          nSeen += 1
+          val out =
+            if (nSeen == 1) None
+            else if (nSeen == 2) {
+              up = c >= c1
+              sar = if (up) math.min(l1, l) else math.max(h1, h)
+              ep = if (up) math.max(h1, h) else math.min(l1, l)
+              af = step
+              Some((s, t, rd(sar), up))
+            } else {
+              var sn = sar + af * (ep - sar)
+              if (up) {
+                sn = math.min(sn, math.min(l1, l2))
+                if (l < sn) { // reversal down
+                  up = false; sar = ep; ep = l; af = step
+                } else {
+                  sar = sn
+                  if (h > ep) { ep = h; af = math.min(af + step, maxAf) }
+                }
+              } else {
+                sn = math.max(sn, math.max(h1, h2))
+                if (h > sn) { // reversal up
+                  up = true; sar = ep; ep = h; af = step
+                } else {
+                  sar = sn
+                  if (l < ep) { ep = l; af = math.min(af + step, maxAf) }
+                }
+              }
+              Some((s, t, rd(sar), up))
+            }
+          h2 = h1; l2 = l1; h1 = h; l1 = l; c1 = c
+          out
+        }
+      }
+      .toDF("symbol", "bucket_ts", "psar", "trend_up")
+  }
+
   /** RISK-ADJUSTED return ratios per symbol — the three screens every
     * strategy report leads with, per bar (un-annualized: annualization is
     * one literal multiplier the caller owns, and leaving it off keeps the

@@ -709,6 +709,117 @@ object Dedup {
       .distinct()
   }
 
+  /** CROSS-SOURCE duplication matrix: for every source pair, how many
+    * distinct exact contents (md5 identity, the dedup_exact convention)
+    * appear in BOTH — the crawl-diagnostics view that tells you which
+    * feeds are mirrors/syndicates of each other (a high-overlap pair
+    * means the second crawl bought almost nothing), plus each source's
+    * distinct-content count for normalizing into overlap coefficients
+    * downstream. Emits the COMPLETE matrix — every source pair
+    * (source_a < source_b), zero-filled where nothing is shared: the
+    * zeros are information too ("these feeds are disjoint"), and the
+    * complete spine means the output is non-empty whenever two sources
+    * exist, at any corpus size (a tiny crawl with no cross-source dups
+    * still reports its pair inventory). Columns: (source_a, source_b,
+    * n_shared, n_a, n_b, overlap = n_shared/min(n_a, n_b)).
+    *
+    * Scale shape: one (source, md5) distinct aggregation (map-side
+    * combined), cut once — it feeds the pair join AND the per-source
+    * totals; the pair join is an equi-join ON THE CONTENT HASH
+    * (co-partitioned, fan-out bounded by how many sources share a
+    * content — the duplication being measured). The zero-filled spine is
+    * built from the totals DIM alone (sources², tiny at any fact size)
+    * via a collect_list window + explode — no theta/nested-loop join
+    * anywhere; shared counts come back via a broadcast equi left join.
+    * Exact integer counts, one rounded division.
+    */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val sc = graft.core.Materialize.once(
+      docs.select(col("source"), md5(col("text").cast("binary")).as("h"))
+        .distinct())
+    val totals = sc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sc.join(
+        sc.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .where(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // all-pairs spine off the dim-scale totals: one single-partition
+    // window over #sources rows (documented dim-scale, like heaps_curve's
+    // batch spine), then explode — sources² rows, no nested-loop join
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val spine = totals
+      .withColumn("all", collect_list(struct(col("source"), col("n"))).over(wAll))
+      .select(col("source").as("source_a"), col("n").as("n_a"),
+        explode(col("all")).as("b"))
+      .select(col("source_a"), col("n_a"),
+        col("b.source").as("source_b"), col("b.n").as("n_b"))
+      .where(col("source_a") < col("source_b"))
+    spine
+      .join(broadcast(pairs), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
+  }
+
+  /** WINNOWING fingerprints per document (Schleimer/Wilkerson/Aiken — the
+    * MOSS algorithm): hash every k-word gram, slide a w-gram window, and
+    * keep each window's MINIMUM hash — the fingerprint set that
+    * GUARANTEES any shared run of ≥ w+k−1 words contributes at least one
+    * common fingerprint (the detection floor doc_fingerprint's single
+    * rolling hash and minhash's probabilistic bands can't promise), at
+    * ~2/(w+1) storage density. The plagiarism/boilerplate screen between
+    * exact substring dedup (all spans) and minhash (whole-doc sketch).
+    *
+    * The windowed "min hash, LEFTMOST position on ties" argmin is not a
+    * window function — both engines min ONE packed BIGINT = h·2³¹ + pos
+    * (hash32 < 2³², in-doc pos < 2³¹ ⇒ the packed min IS the
+    * lexicographic (h, pos) min; the aroon packing idiom), then DISTINCT
+    * selected positions. Ties pick the leftmost occurrence (classic
+    * robust winnowing picks rightmost; ours is the deterministic mirror,
+    * documented). Hashes are the portable md5-prefix hash32, so the
+    * oracle replays end to end. Emits per doc: gram count, fingerprint
+    * count, density (≈ 2/(w+1) on random text), and the minimum selected
+    * hash (a cheap whole-doc identity).
+    *
+    * Scale shape: the hashed gram frame (3 integer columns) is cut once
+    * and feeds the window chain and the per-doc gram count; the window
+    * is one doc-keyed shuffle with a bounded frame; the closing
+    * aggregations are map-side combined. Docs shorter than k words drop;
+    * docs with fewer than w grams emit 0 fingerprints (no full window).
+    */
+  def winnowFingerprint(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k >= 1 and w >= 1")
+    val grams = graft.core.Materialize.once(
+      docs.withColumn("ws", wordsOf(col("text")))
+        .where(size(col("ws")) >= k)
+        .select(col("doc_id"),
+          posexplode(shinglesFromWords(col("ws"), k)))
+        .toDF("doc_id", "pos", "gram")
+        .select(col("doc_id"), col("pos"), hash32(col("gram")).as("h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val sel = grams
+      .withColumn("pk", min(col("h") * lit(2147483648L) + col("pos")).over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .where(col("cnt") === w)
+      .select(col("doc_id"), col("pk")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        min(expr("pk div 2147483648")).as("min_fp"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        round(coalesce(col("n_fingerprints"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("fp_density"),
+        col("min_fp"))
+  }
+
   /** HEAPS / corpus-growth curve: ingest the corpus in doc_id order in
     * fixed `batchSize` batches (default 100 — 5 curve points even on the smallest test corpus) and report, per batch, how many documents
     * were NEW exact-content uniques — the dedup-saturation curve every

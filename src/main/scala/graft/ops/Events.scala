@@ -33,6 +33,35 @@ object Events {
         sum(col("n_transitions")).over(wp).cast("double"), 6))
   }
 
+  /** SECOND-ORDER event transitions: P(next | the two previous events) —
+    * the Markov-order upgrade of [[transitions]] that catches the
+    * path-dependence a first-order chain flattens (search→view→buy vs
+    * view→view→buy convert very differently); the n-gram language-model
+    * idea applied to event streams, and the standard next-step predictor
+    * baseline. Emits (prev2, prev1, next) with the transition count,
+    * distinct users, and the conditional probability within the
+    * (prev2, prev1) context.
+    *
+    * Same shape as transitions: one (user, ts, event_id)-ordered lag
+    * window (both lags fold into it), one grouped aggregation (bounded by
+    * event-type³ — dim-scale at any fact size), and the conditional
+    * share via a window over that dim-scale table. Exact counts; one
+    * rounded division.
+    */
+  def transitions2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("prev2_type"), col("prev_type"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2_type", lag(col("event_type"), 2).over(w))
+      .where(col("prev2_type").isNotNull)
+      .groupBy(col("prev2_type"), col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p", round(col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wp).cast("double"), 6))
+  }
+
   /** Inter-event-time distribution per event type: for each consecutive
     * event pair of a user (ts/event_id ordered), the gap in microseconds,
     * rolled up by the LATER event's type — count, mean, p50/p90. All

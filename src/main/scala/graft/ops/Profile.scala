@@ -178,6 +178,56 @@ object Dq {
     * aggregation; digits with no rows still emit (0 share) via the
     * broadcast digit spine.
     */
+  /** PSI population drift between a reference and a current slice of the
+    * same column — the Population Stability Index every model-monitoring
+    * stack gates on (rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted): Σ over bins of (p−q)·ln(p/q), with p/q the
+    * reference/current bin shares. Bins are `bins` equal-width cuts of
+    * the GLOBAL [min, max] (the value_histogram convention — identical
+    * float expressions in both engines, top edge clamped into the last
+    * bin); bins empty on EITHER side are skipped (the standard
+    * convention, counted out via `n_bins_used` so a gate can see how
+    * much support the score has). Per-bin terms round to 12 and sum in
+    * exact DECIMAL(28,12) (the amihud recipe) — ln is the engines'
+    * shared libm (the zipf/surprisal precedent), everything after it
+    * fixed-order. One row: psi, n_bins_used, n_ref, n_cur.
+    *
+    * Scale shape: one pruned scan for the global bounds, one for the
+    * binned counts (two-pass, the budget_sample convention — never a
+    * fact-scale materialization), bounds broadcast via a 1-row cross;
+    * the bin table is cut once (dim-scale) and feeds totals + terms.
+    */
+  def psiDrift(df: DataFrame, c: String, isRef: Column, bins: Int = 20): DataFrame = {
+    require(bins >= 2, "bins >= 2")
+    val base = df.where(col(c).isNotNull)
+      .select(col(c).cast("double").as("v"), isRef.as("is_ref"))
+    val bounds = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = graft.core.Materialize.once(base
+      .crossJoin(broadcast(bounds))
+      .select(least(floor((col("v") - col("lo")) * lit(bins.toDouble) /
+          when(col("hi") =!= col("lo"), col("hi") - col("lo"))),
+          lit((bins - 1).toLong)).as("bin"),
+        col("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur")))
+    val tot = counts.agg(sum(col("nref")).as("tref"), sum(col("ncur")).as("tcur"))
+    counts.crossJoin(broadcast(tot))
+      .where(col("nref") > 0 && col("ncur") > 0)
+      .select(
+        round((col("nref").cast("double") / col("tref").cast("double") -
+          col("ncur").cast("double") / col("tcur").cast("double")) *
+          log(col("nref").cast("double") / col("tref").cast("double") /
+            (col("ncur").cast("double") / col("tcur").cast("double"))), 12)
+          .cast(DecimalType(28, 12)).as("term"),
+        col("tref"), col("tcur"))
+      .groupBy(col("tref"), col("tcur"))
+      .agg(count(lit(1)).as("n_bins_used"),
+        sum(col("term")).cast("double").as("s"))
+      .select(round(col("s"), 6).as("psi"), col("n_bins_used"),
+        col("tref").as("n_ref"), col("tcur").as("n_cur"))
+  }
+
   def benford(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -96,6 +96,25 @@ class DqPmiSpec extends SparkSpec {
       row.getAs[Long]("n_ab") == 2L)
   }
 
+  // ---- PSI drift (wave 10) ----
+
+  test("psi: identical distributions score exactly 0; a shift crosses 0.25") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => (i % 100).toDouble + 1.0)
+    val same = (vals.map((_, true)) ++ vals.map((_, false))).toDF("v", "is_ref")
+    val s = Dq.psiDrift(same, "v", col("is_ref")).collect().head
+    assert(s.getAs[Double]("psi") == 0.0, s.toString)
+    assert(s.getAs[Long]("n_ref") == 200L && s.getAs[Long]("n_cur") == 200L)
+    // reference low-heavy, current high-heavy, overlapping mid support
+    val ref = (1 to 180).map(i => ((i % 50).toDouble, true)) ++
+      (1 to 20).map(i => (50.0 + (i % 50), true))
+    val cur = (1 to 20).map(i => ((i % 50).toDouble, false)) ++
+      (1 to 180).map(i => (50.0 + (i % 50), false))
+    val d = Dq.psiDrift((ref ++ cur).toDF("v", "is_ref"), "v", col("is_ref"))
+      .collect().head
+    assert(d.getAs[Double]("psi") > 0.25, d.toString)
+  }
+
   // ---- Benford first-digit screen (wave 8) ----
 
   test("benford: hand frame — digits from string form, zeros/negatives/nulls out") {

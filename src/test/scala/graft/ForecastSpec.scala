@@ -427,6 +427,159 @@ class ForecastSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("e3") == rd(10.016))
   }
 
+  test("cmo: hand 3-bar frames; flat frames null-guard") {
+    import spark.implicits._
+    val candles = Seq(10.0, 11.0, 13.0, 12.0, 14.0).zipWithIndex.map {
+      case (c, i) => ("C", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.cmo(candles, n = 3).orderBy("bucket_ts").collect()
+    // diffs +1,+2,-1,+2: frames (1,2,-1) -> 100*2/4; (2,-1,2) -> 100*3/5
+    assert(r.map(_.getAs[Double]("cmo")).toSeq == Seq(50.0, 60.0), r.mkString(","))
+    val flat = (0 to 4).map(i => ("F", ts(T0 + i * 3600), 5.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val f = Analytics.cmo(flat, n = 3).collect()
+    assert(f.nonEmpty && f.forall(r => r.isNullAt(r.fieldIndex("cmo"))),
+      f.mkString(","))
+  }
+
+  test("dpo: linear ramp detrends to a constant") {
+    import spark.implicits._
+    val candles = (1 to 8).map(i => ("D", ts(T0 + i * 3600), i.toDouble))
+      .toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.dpo(candles, n = 4).collect()
+    // shift = 3: dpo = c_{t-3} - (t - 1.5) = -1.5 everywhere defined
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Double]("dpo") == -1.5), r.mkString(","))
+  }
+
+  test("elderRay: hand two-bar EMA13 powers and seed") {
+    import spark.implicits._
+    val candles = Seq(
+      ("E", ts(T0), 11.0, 9.0, 10.0),
+      ("E", ts(T0 + 3600), 25.0, 23.0, 24.0)
+    ).toDF("symbol", "bucket_ts", "high", "low", "close")
+    val r = Analytics.elderRay(candles).orderBy("bucket_ts").collect()
+    // bar 1: e = 10 -> bull 1, bear -1; bar 2: e = (2*24 + 12*10)/14 = 12
+    assert(r(0).getAs[Double]("bull_power") == 1.0 &&
+      r(0).getAs[Double]("bear_power") == -1.0)
+    assert(r(1).getAs[Double]("bull_power") == 13.0 &&
+      r(1).getAs[Double]("bear_power") == 11.0)
+  }
+
+  test("forceIndex: exact product terms and the seeded EMA fold") {
+    import spark.implicits._
+    val candles = Seq(
+      ("F", ts(T0), 10.0, 5.0),
+      ("F", ts(T0 + 3600), 12.0, 10.0),
+      ("F", ts(T0 + 7200), 11.0, 4.0)
+    ).toDF("symbol", "bucket_ts", "close", "volume")
+    val r = Analytics.forceIndex(candles).orderBy("bucket_ts").collect()
+    assert(r.length == 2, "defined from the second bar")
+    // fi = 2*10 = 20 (seed); fi = -1*4 = -4 -> ema = (2*(-4) + 12*20)/14
+    assert(r(0).getAs[Double]("force_index") == 20.0 &&
+      r(0).getAs[Double]("force_ema") == 20.0)
+    assert(r(1).getAs[Double]("force_index") == -4.0)
+    val exp = BigDecimal((2.0 / 14.0) * -4.0 + (1.0 - 2.0 / 14.0) * 20.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1).getAs[Double]("force_ema") == exp, r(1).toString)
+  }
+
+  test("massIndex: degenerate n=1 pins ratio 1 sums; zero ranges drop") {
+    import spark.implicits._
+    val candles = Seq(
+      ("M", ts(T0), 12.0, 10.0),
+      ("M", ts(T0 + 3600), 15.0, 11.0),
+      ("M", ts(T0 + 7200), 14.0, 14.0), // zero range: ratio undefined, drops
+      ("M", ts(T0 + 10800), 16.0, 13.0)
+    ).toDF("symbol", "bucket_ts", "high", "low")
+    // n=1: e1 = e2 = range each bar -> ratio 1 where range != 0; span=2
+    // windows run over the SURVIVING rows (1,2,4): sums 2.0 at rows 2, 4
+    val r = Analytics.massIndex(candles, n = 1, span = 2)
+      .orderBy("bucket_ts").collect()
+    assert(r.map(_.getAs[Double]("mass_index")).toSeq == Seq(2.0, 2.0),
+      r.mkString(","))
+  }
+
+  test("vwma: hand frame and the zero-volume null guard") {
+    import spark.implicits._
+    val candles = Seq(("V", ts(T0), 10.0, 1.0), ("V", ts(T0 + 3600), 20.0, 3.0))
+      .toDF("symbol", "bucket_ts", "close", "volume")
+    val r = Analytics.vwma(candles, n = 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("vwma") == (10.0 + 60.0) / 4.0)
+    val zero = Seq(("Z", ts(T0), 10.0, 0.0), ("Z", ts(T0 + 3600), 20.0, 0.0))
+      .toDF("symbol", "bucket_ts", "close", "volume")
+    val z = Analytics.vwma(zero, n = 2).collect().head
+    assert(z.isNullAt(z.fieldIndex("vwma")))
+  }
+
+  test("ultimateOsc: constant-pressure bars blend to a flat 66.67 reading") {
+    import spark.implicits._
+    // every bar: bp = 1, tr = 1.5 -> each horizon's average is 2/3, and
+    // the 4:2:1 blend of equal averages is that same average
+    val candles = Seq(
+      ("U", ts(T0), 10.0, 9.0, 9.5),
+      ("U", ts(T0 + 3600), 11.0, 10.0, 10.5),
+      ("U", ts(T0 + 7200), 12.0, 11.0, 11.5),
+      ("U", ts(T0 + 10800), 13.0, 12.0, 12.5)
+    ).toDF("symbol", "bucket_ts", "high", "low", "close")
+    val r = Analytics.ultimateOsc(candles, n1 = 1, n2 = 2, n3 = 3).collect()
+    assert(r.length == 1, "only the 4th bar has a full 3-frame")
+    assert(r.head.getAs[Double]("ultimate_osc") == 66.666667, r.head.toString)
+  }
+
+  test("coppock: flat prices read exactly zero once the deepest lag exists") {
+    import spark.implicits._
+    val candles = (1 to 30).map(i => ("C", ts(T0 + i * 3600), 100.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.coppock(candles).collect()
+    // s defined from bar 15 (lag 14); the 10-lag WMA gate from bar 24
+    assert(r.length == 7, s"${r.length}")
+    assert(r.forall(_.getAs[Double]("coppock") == 0.0), r.mkString(","))
+  }
+
+  test("stochRsi: hand normalization and the flat-RSI null guard") {
+    import spark.implicits._
+    // closes 10,11,12,11,12 with n=2: rsi = 100, 50, 50 from bar 3
+    val candles = Seq(10.0, 11.0, 12.0, 11.0, 12.0).zipWithIndex.map {
+      case (c, i) => ("S", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.stochRsi(candles, n = 2, n2 = 2).orderBy("bucket_ts").collect()
+    assert(r.length == 2)
+    // frame (100, 50): (50-50)/(100-50) = 0; frame (50, 50): flat -> null
+    assert(r(0).getAs[Double]("stoch_rsi") == 0.0, r(0).toString)
+    assert(r(1).isNullAt(r(1).fieldIndex("stoch_rsi")), r(1).toString)
+  }
+
+  test("emv: hand integer-exact term and the zero-volume drop") {
+    import spark.implicits._
+    // b2: A = (14+11-12-10) = 3, R = 3, V = 5 -> term = 50*300*300/500
+    // in cent algebra = 9000.0 EMV
+    val candles = Seq(
+      ("E", ts(T0), 12.0, 10.0, 3.0),
+      ("E", ts(T0 + 3600), 14.0, 11.0, 5.0),
+      ("E", ts(T0 + 7200), 15.0, 12.0, 0.0) // zero volume: no observation
+    ).toDF("symbol", "bucket_ts", "high", "low", "volume")
+    val r = Analytics.emv(candles, n = 1).orderBy("bucket_ts").collect()
+    assert(r.length == 1, "zero-volume bar contributes no term")
+    assert(r.head.getAs[Double]("emv") == 9000.0, r.head.toString)
+  }
+
+  test("chandelierExit: hand stops off the frame extremes and simple ATR") {
+    import spark.implicits._
+    val candles = Seq(
+      ("C", ts(T0), 10.0, 9.0, 9.5),
+      ("C", ts(T0 + 3600), 12.0, 10.0, 11.0),
+      ("C", ts(T0 + 7200), 13.0, 11.0, 12.0)
+    ).toDF("symbol", "bucket_ts", "high", "low", "close")
+    // frame = bars 2,3 (bar 1 has no prev): tr2 = max(2,|12-9.5|,|10-9.5|)
+    // = 2.5; tr3 = max(2, 2, 0) = 2; atr = 2.25; hh = 13, ll = 10
+    val r = Analytics.chandelierExit(candles, n = 2, mult = 3.0).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("long_stop") == 13.0 - 3.0 * 2.25)
+    assert(r.head.getAs[Double]("short_stop") == 10.0 + 3.0 * 2.25)
+  }
+
   test("kama: per-symbol seed reset and flat-window ER convention") {
     import spark.implicits._
     val candles = (Seq.fill(5)(20.0).zipWithIndex.map { case (c, i) =>

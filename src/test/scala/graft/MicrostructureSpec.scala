@@ -244,6 +244,36 @@ class MicrostructureSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("vpin") - 0.75) < 1e-9)
   }
 
+  test("streaming vpin buckets match the hand-signed batch buckets across splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the vpin hand sequence: bucket 0 (uncl 5, buy 5), bucket 1 (sell 10),
+    // bucket 2 partial (stays in state, never emitted)
+    val all = Seq(
+      ("A", ts(T0 + 0), 10.0, 5.0), ("A", ts(T0 + 10), 11.0, 5.0),
+      ("A", ts(T0 + 20), 10.0, 4.0), ("A", ts(T0 + 30), 10.0, 6.0),
+      ("A", ts(T0 + 40), 12.0, 3.0))
+    val expect = Seq(("A", 0L, 5.0, 0.0, 10.0), ("A", 1L, 0.0, 10.0, 10.0))
+    // cut mid-bucket-0 (side carry must survive) and exactly between
+    // buckets 1 and 2
+    for (cut <- Seq(2, 4)) {
+      val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+      val q = streaming.StreamingVpin.run(
+          ms.toDF.toDF("symbol", "ts", "price", "qty"), threshold = 10L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"stream_vpin_$cut").start()
+      try {
+        ms.addData(all.take(cut): _*); q.processAllAvailable()
+        ms.addData(all.drop(cut): _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"stream_vpin_$cut").orderBy("bar_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      assert(got == expect, s"cut=$cut: $got")
+    }
+  }
+
   test("streaming volume bars == batch completed bars across mid-bar and on-boundary splits") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

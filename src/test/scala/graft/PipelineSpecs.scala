@@ -222,6 +222,94 @@ class DedupSpec extends SparkSpec {
     assert(verified.nonEmpty)
     assert(verified.forall(_.getAs[Double]("jaccard") >= 0.8))
   }
+  // ---- cross-source duplication matrix (wave 11) ----
+
+  test("crossSourceDups: hand matrix, canonical pair order, overlap coefficient") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x", "s1"), (2L, "y", "s1"), (3L, "z", "s1"),
+      (4L, "x", "s2"), (5L, "y", "s2"),
+      (6L, "x", "s3"),
+      (7L, "x", "s1"), // duplicate WITHIN s1: must not inflate n_a
+      (8L, "w", "s4")  // disjoint source: zero-filled rows, never absent
+    ).map { case (id, t, src) => (id, t, src) }.toDF("doc_id", "text", "source")
+    val byPair = graft.ops.Dedup.crossSourceDups(d).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        ((x.getAs[Long]("n_shared"), x.getAs[Long]("n_a"), x.getAs[Long]("n_b"),
+          x.getAs[Double]("overlap")))).toMap
+    assert(byPair(("s1", "s2")) == ((2L, 3L, 2L, 1.0)), byPair.toString)
+    assert(byPair(("s1", "s3")) == ((1L, 3L, 1L, 1.0)), byPair.toString)
+    assert(byPair(("s2", "s3")) == ((1L, 2L, 1L, 1.0)), byPair.toString)
+    // the complete 4-source matrix: 6 pairs, s4's rows zero-filled
+    assert(byPair.size == 6, byPair.toString)
+    assert(byPair(("s1", "s4")) == ((0L, 3L, 1L, 0.0)), byPair.toString)
+    assert(byPair(("s2", "s4")) == ((0L, 2L, 1L, 0.0)), byPair.toString)
+    assert(byPair(("s3", "s4")) == ((0L, 1L, 1L, 0.0)), byPair.toString)
+    assert(byPair.keys.forall { case (a, b) => a < b }, "canonical order")
+  }
+
+  // ---- winnowing fingerprints (wave 10) ----
+
+  test("winnowFingerprint: gram counts, short-doc conventions, dup identity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // 5 grams, full windows at pos 0..1
+      (2L, "a b c d e f g h"),        // exact duplicate of doc 1
+      (3L, "a b c"),                  // < k words: drops entirely
+      (4L, "a b c d e")               // 2 grams < w: zero fingerprints
+    ).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprint(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(3L), "sub-k docs drop")
+    assert(r(1L).getAs[Long]("n_grams") == 5L)
+    val nf = r(1L).getAs[Long]("n_fingerprints")
+    assert(nf >= 1L && nf <= 2L, s"two full windows select 1-2 mins: $nf")
+    // identical content -> identical fingerprint profile
+    assert(r(2L).getAs[Long]("n_fingerprints") == nf &&
+      r(2L).getAs[Long]("min_fp") == r(1L).getAs[Long]("min_fp"))
+    assert(r(4L).getAs[Long]("n_grams") == 2L &&
+      r(4L).getAs[Long]("n_fingerprints") == 0L &&
+      r(4L).isNullAt(r(4L).fieldIndex("min_fp")))
+  }
+
+  test("winnowFingerprint: density near 2/(w+1) on the real corpus, repartition-stable") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val r = Dedup.winnowFingerprint(docs)
+    val d = r.agg(avg(col("fp_density"))).head().getDouble(0)
+    // theoretical density for random hashes is 2/(w+1) = 0.4
+    assert(d > 0.25 && d < 0.55, s"density $d")
+    val a = r.orderBy("doc_id").collect().toSeq
+    val b = Dedup.winnowFingerprint(docs.repartition(7)).orderBy("doc_id")
+      .collect().toSeq
+    assert(a == b, "winnowing must be partitioning-invariant")
+  }
+
+  // ---- Heaps / corpus-growth curve (wave 8) ----
+
+  test("heapsCurve: first occurrence decides the batch; duplicates add nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a"), (1L, "b"),  // batch 0: both new
+      (2L, "a"), (3L, "c"),  // batch 1: "a" is a dup -> 1 new
+      (4L, "c"), (5L, "d")   // batch 2: "c" dup -> 1 new
+    ).toDF("doc_id", "text")
+    val r = Dedup.heapsCurve(docs, batchSize = 2L).orderBy("batch").collect()
+      .map(x => (x.getAs[Long]("batch"), x.getAs[Long]("docs"),
+        x.getAs[Long]("new_uniques"), x.getAs[Long]("cum_uniques"))).toSeq
+    assert(r == Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 2L, 1L, 4L)),
+      r.toString)
+  }
+
+  test("heapsCurve: a fully duplicated corpus flatlines after batch 0") {
+    import spark.implicits._
+    val docs = (0L until 12L).map(i => (i, "same")).toDF("doc_id", "text")
+    val r = Dedup.heapsCurve(docs, batchSize = 4L).orderBy("batch").collect()
+    assert(r.map(_.getAs[Long]("new_uniques")).toSeq == Seq(1L, 0L, 0L))
+    assert(r.map(_.getAs[Long]("cum_uniques")).toSeq == Seq(1L, 1L, 1L))
+    // conservation: cum at the tail equals the corpus's distinct contents
+    assert(r.last.getAs[Long]("cum_uniques") ==
+      docs.select(md5(col("text"))).distinct().count())
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -792,30 +880,4 @@ class MultimodalSpec extends SparkSpec {
       "chunked RMS must equal the whole-array pass exactly")
   }
 
-  // ---- Heaps / corpus-growth curve (wave 8) ----
-
-  test("heapsCurve: first occurrence decides the batch; duplicates add nothing") {
-    import spark.implicits._
-    val docs = Seq(
-      (0L, "a"), (1L, "b"),  // batch 0: both new
-      (2L, "a"), (3L, "c"),  // batch 1: "a" is a dup -> 1 new
-      (4L, "c"), (5L, "d")   // batch 2: "c" dup -> 1 new
-    ).toDF("doc_id", "text")
-    val r = Dedup.heapsCurve(docs, batchSize = 2L).orderBy("batch").collect()
-      .map(x => (x.getAs[Long]("batch"), x.getAs[Long]("docs"),
-        x.getAs[Long]("new_uniques"), x.getAs[Long]("cum_uniques"))).toSeq
-    assert(r == Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 2L, 1L, 4L)),
-      r.toString)
-  }
-
-  test("heapsCurve: a fully duplicated corpus flatlines after batch 0") {
-    import spark.implicits._
-    val docs = (0L until 12L).map(i => (i, "same")).toDF("doc_id", "text")
-    val r = Dedup.heapsCurve(docs, batchSize = 4L).orderBy("batch").collect()
-    assert(r.map(_.getAs[Long]("new_uniques")).toSeq == Seq(1L, 0L, 0L))
-    assert(r.map(_.getAs[Long]("cum_uniques")).toSeq == Seq(1L, 1L, 1L))
-    // conservation: cum at the tail equals the corpus's distinct contents
-    assert(r.last.getAs[Long]("cum_uniques") ==
-      docs.select(md5(col("text"))).distinct().count())
-  }
 }

@@ -631,4 +631,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(pt, "Exchange hashpartitioning") == 2, pt)
     assert(!pt.contains("Window"), pt)
   }
+
+  test("r10 wave-9 indicator ops keep their scale shapes") {
+    // cmo/dpo: candle build + ONE symbol window exchange
+    Seq("cmo", "dpo").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+    }
+    // elder_ray/force_index: pure sweeps — candle build + repartition,
+    // no window operator
+    Seq("elder_ray", "force_index").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+      assert(!p.contains("Window"), s"$q\n$p")
+    }
+    // mass_index: the span sum lives INSIDE the sweep (integer ring) — a
+    // post-sweep window would re-shuffle (Catalyst cannot see through
+    // mapPartitions); candle build + repartition only, no window operator
+    val pm = planOf("mass_index")
+    assert(countOccurrences(pm, "Exchange hashpartitioning") == 2, pm)
+    assert(!pm.contains("Window"), pm)
+  }
+
+  test("r10 wave-10 ops keep their scale shapes") {
+    // vwma/ultimate_osc/coppock: candle build + ONE symbol window
+    // exchange — the multi-width frames and the ten WMA lags all fold
+    // into window passes over the same partitioning
+    Seq("vwma", "ultimate_osc", "coppock").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+    }
+    // winnow_fingerprint: both consumers read the hashed-gram cut (no
+    // re-explode of the corpus), one doc-keyed window
+    val pw = planOf("winnow_fingerprint")
+    assert(!pw.contains("FileScan"),
+      "window chain and gram counts must read the materialized gram cut\n" + pw)
+    assert(pw.contains("Window"), pw)
+    // drift_psi: the final plan reads the dim-scale bin cut — the two
+    // fact passes happened behind it; only 1-row broadcast crosses remain
+    val pd = planOf("drift_psi")
+    assert(!pd.contains("FileScan"),
+      "totals and terms must read the materialized bin cut\n" + pd)
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"), pd)
+  }
+
+  test("r10 wave-11 ops keep their scale shapes") {
+    // stoch_rsi: RSI's window + the stacked min/max frame share ONE
+    // symbol exchange (plain windows compose); emv/chandelier_exit: the
+    // same candle-build + one-window shape
+    Seq("stoch_rsi", "emv", "chandelier_exit").foreach { q =>
+      val p = planOf(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
+    }
+    // event_transitions2: one user window exchange + the type^3 aggregate
+    // + the dim-scale share window — no joins at all
+    val pt = planOf("event_transitions2")
+    assert(!pt.contains("Join"), pt)
+    // cross_source_dups: both consumers read the (source, md5) cut; the
+    // pair join is an equi hash join on the content hash, totals broadcast
+    val pc = planOf("cross_source_dups")
+    assert(!pc.contains("FileScan"),
+      "pair join and totals must read the materialized distinct cut\n" + pc)
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
 }

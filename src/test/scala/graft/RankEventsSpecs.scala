@@ -93,6 +93,29 @@ class RankEventsSpecs extends SparkSpec {
     assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-4))
   }
 
+  test("second-order transitions: hand chain and per-context probability mass") {
+    import spark.implicits._
+    // user 1: a b a b a; user 2: a b b — contexts and counts by hand:
+    // (a,b)->a x2 (u1), (a,b)->b x1 (u2), (b,a)->b x1 (u1)
+    val ev = Seq(
+      (1L, 0L, "a"), (2L, 1L, "b"), (3L, 2L, "a"), (4L, 3L, "b"), (5L, 4L, "a"),
+      (6L, 0L, "a"), (7L, 1L, "b"), (8L, 2L, "b")
+    ).zipWithIndex.map { case ((eid, off, t), i) =>
+      (eid, ts(T0 + off * 60), if (i < 5) 1L else 2L, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.ops.Events.transitions2(ev).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)) ->
+        ((x.getAs[Long]("n_transitions"), x.getAs[Double]("p")))).toMap
+    assert(r(("a", "b", "a")) == ((2L, 0.666667)), r.toString)
+    assert(r(("a", "b", "b")) == ((1L, 0.333333)), r.toString)
+    assert(r(("b", "a", "b")) == ((1L, 1.0)))
+    // every (prev2, prev1) context's probabilities sum to ~1
+    val t2 = graft.ops.Events.transitions2(graft.core.Tables.events(spark, Sf0001))
+    val sums = t2.groupBy(col("prev2_type"), col("prev_type"))
+      .agg(sum(col("p")).as("s")).select(col("s")).as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-4))
+  }
+
   test("char entropy: known values, map-only plan") {
     val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
       .toDF("doc_id", "text")

@@ -260,6 +260,45 @@ class StudiesSpec extends SparkSpec {
     assert(math.abs(carAt0 - (3 * base + spike)) < 1e-9, s"car(0) = $carAt0")
   }
 
+  // ---- parabolic SAR (wave 9) ----
+
+  test("psar: hand-folded seed, ratchet, clamp, and stop-and-reverse") {
+    import spark.implicits._
+    val candles = Seq(
+      ("P", ts(T0), 10.0, 9.0, 9.5),
+      ("P", ts(T0 + 3600), 11.0, 10.0, 10.8),
+      ("P", ts(T0 + 7200), 12.0, 11.0, 11.5),
+      ("P", ts(T0 + 10800), 8.0, 7.0, 7.2),
+      ("P", ts(T0 + 14400), 7.5, 6.5, 7.0)
+    ).toDF("symbol", "bucket_ts", "high", "low", "close")
+    val r = Studies.psar(candles).orderBy("bucket_ts").collect()
+      .map(x => (x.getAs[Double]("psar"), x.getAs[Boolean]("trend_up"))).toSeq
+    // bar2 seed: up, sar = min lows = 9, ep = 11
+    // bar3: sn = 9 + .02*2 = 9.04 clamped to min(prior lows 10, 9) = 9;
+    //       new high 12 -> ep 12, af .04
+    // bar4: sn = 9 + .04*3 = 9.12 (clamp to 10 inactive); low 7 < 9.12 ->
+    //       REVERSAL: sar jumps to ep (12), ep = 7
+    // bar5: sn = 12 + .02*(7-12) = 11.9 clamped UP to max(prior highs) = 12;
+    //       high 7.5 below -> stays down, new low extreme 6.5
+    assert(r == Seq((9.0, true), (9.0, true), (12.0, false), (12.0, false)),
+      r.toString)
+  }
+
+  test("psar: per-symbol state independence and downtrend seed") {
+    import spark.implicits._
+    val candles = (Seq(
+      ("U", ts(T0), 10.0, 9.0, 9.5), ("U", ts(T0 + 3600), 11.0, 10.0, 10.8)) ++ Seq(
+      ("D", ts(T0), 11.0, 10.0, 10.5), ("D", ts(T0 + 3600), 10.0, 9.0, 9.2)))
+      .toDF("symbol", "bucket_ts", "high", "low", "close")
+    val bySym = Studies.psar(candles).collect()
+      .groupBy(_.getAs[String]("symbol"))
+    assert(bySym("U").head.getAs[Boolean]("trend_up"))
+    assert(bySym("U").head.getAs[Double]("psar") == 9.0)
+    // close fell: seed DOWN, sar = max of the two highs
+    assert(!bySym("D").head.getAs[Boolean]("trend_up"))
+    assert(bySym("D").head.getAs[Double]("psar") == 11.0)
+  }
+
   // ---- risk ratios / ulcer index / vortex (wave 7) ----
 
   test("riskRatios: hand-computed Sharpe/Sortino/Calmar on a +10%/-10%/+10% path") {
