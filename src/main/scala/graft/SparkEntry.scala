@@ -1602,6 +1602,22 @@ object SparkEntry {
       // ATR-scaled trailing stops off the 22-bar extremes; exact decimal
       // TR sums, pick extremes, fixed-order stop arithmetic
       Analytics.chandelierExit(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "fractals" -> ((s, dir) =>
+      // Bill Williams swing points: strict 2-side high/low comparisons on
+      // one symbol window — pure exact-price logic, no float hazards
+      Analytics.fractals(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "awesome_osc" -> ((s, dir) =>
+      // SMA5(mid) - SMA34(mid) with the /2 and /n folded into two double
+      // divisions of exact decimal high+low frame sums
+      Analytics.awesomeOsc(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "kst" -> ((s, dir) =>
+      // Pring's Know Sure Thing: four smoothed ROC horizons blended
+      // 1:2:3:4 — all lags and frames on ONE symbol partitioning
+      Analytics.kst(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "rvi" -> ((s, dir) =>
+      // Relative Vigor Index: the /6 cancels in the ratio so both SWMA
+      // frame sums stay exact decimals; signal line on rounded doubles
+      Analytics.rvi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "event_transitions2" -> ((s, dir) =>
       // second-order Markov transitions: P(next | two previous events) —
       // both lags in one user window, dim-scale conditional shares
@@ -2212,6 +2228,89 @@ object SparkEntry {
         "SELECT symbol, tss[j] AS bucket_ts, cs[j] AS close, ers[j] AS er, " +
         "round(kama, 6) AS kama FROM r"),
     // CMO replay: rounded up/down decimal frame sums, one double division
+    // Fractals replay: strict comparisons against 2 lags + 2 leads of
+    // exact 2-decimal prices, both-side-defined gate
+    "fractals" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, high, low, " +
+        "lag(high, 1) OVER w AS ph1, lag(high, 2) OVER w AS ph2, " +
+        "lead(high, 1) OVER w AS nh1, lead(high, 2) OVER w AS nh2, " +
+        "lag(low, 1) OVER w AS pl1, lag(low, 2) OVER w AS pl2, " +
+        "lead(low, 1) OVER w AS nl1, lead(low, 2) OVER w AS nl2 " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
+        "SELECT symbol, bucket_ts, high, low, " +
+        "(high > ph1 AND high > nh1 AND high > ph2 AND high > nh2) AS up_fractal, " +
+        "(low < pl1 AND low < nl1 AND low < pl2 AND low < nl2) AS down_fractal " +
+        "FROM x WHERE ph1 IS NOT NULL AND nh1 IS NOT NULL AND ph2 IS NOT NULL AND nh2 IS NOT NULL " +
+        "AND ((high > ph1 AND high > nh1 AND high > ph2 AND high > nh2) " +
+        "OR (low < pl1 AND low < nl1 AND low < pl2 AND low < nl2))"),
+    // Awesome-oscillator replay: exact decimal high+low frame sums, the
+    // /2 and /n folded into two double divisions, one subtraction
+    "awesome_osc" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "z AS (SELECT symbol, bucket_ts, " +
+        "sum(CAST(high AS DECIMAL(18,2)) + CAST(low AS DECIMAL(18,2))) OVER w1 AS s1, " +
+        "sum(CAST(high AS DECIMAL(18,2)) + CAST(low AS DECIMAL(18,2))) OVER w2 AS s2, " +
+        "count(*) OVER w2 AS cnt FROM c " +
+        "WINDOW w1 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), " +
+        "w2 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)) " +
+        "SELECT symbol, bucket_ts, " +
+        "round(CAST(s1 AS DOUBLE) / 10.0 - CAST(s2 AS DOUBLE) / 68.0, 6) AS awesome_osc " +
+        "FROM z WHERE cnt = 34"),
+    // KST replay: four 6-rounded decimal ROCs, exact frame sums over
+    // literal lengths, the 1:2:3:4 blend in identical double op order
+    "kst" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, close, " +
+        "lag(close, 10) OVER w AS c10, lag(close, 15) OVER w AS c15, " +
+        "lag(close, 20) OVER w AS c20, lag(close, 30) OVER w AS c30, " +
+        "lag(close, 44) OVER w AS gate " +
+        "FROM c WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "y AS (SELECT symbol, bucket_ts, gate, " +
+        "CAST(round(100.0 * (close / (CASE WHEN c10 <> 0 THEN c10 END) - 1.0), 6) AS DECIMAL(18,6)) AS r1, " +
+        "CAST(round(100.0 * (close / (CASE WHEN c15 <> 0 THEN c15 END) - 1.0), 6) AS DECIMAL(18,6)) AS r2, " +
+        "CAST(round(100.0 * (close / (CASE WHEN c20 <> 0 THEN c20 END) - 1.0), 6) AS DECIMAL(18,6)) AS r3, " +
+        "CAST(round(100.0 * (close / (CASE WHEN c30 <> 0 THEN c30 END) - 1.0), 6) AS DECIMAL(18,6)) AS r4 " +
+        "FROM x), " +
+        "z AS (SELECT symbol, bucket_ts, gate, " +
+        "CAST(sum(r1) OVER wa * 1000000 AS BIGINT) AS u1, " +
+        "CAST(sum(r2) OVER wa * 1000000 AS BIGINT) AS u2, " +
+        "CAST(sum(r3) OVER wa * 1000000 AS BIGINT) AS u3, " +
+        "CAST(sum(r4) OVER wb * 1000000 AS BIGINT) AS u4 FROM y " +
+        "WINDOW wa AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), " +
+        "wb AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)), " +
+        "k AS (SELECT symbol, bucket_ts, 3 * u1 + 6 * u2 + 9 * u3 + 8 * u4 AS nmicro " +
+        "FROM z WHERE gate IS NOT NULL) " +
+        "SELECT symbol, bucket_ts, " +
+        "CAST(CASE WHEN nmicro >= 0 THEN (2 * nmicro + 30) // 60 " +
+        "ELSE -((2 * -nmicro + 30) // 60) END AS DOUBLE) / 1000000.0 AS kst FROM k"),
+    // RVI replay: integer-weighted exact decimal SWMA terms (the /6
+    // cancels in the ratio), one double division, signal line over the
+    // surviving rows' rounded doubles
+    "rvi" -> withTrades(
+      s", c AS (${candlesSql(3600000000L)}), " +
+        "x AS (SELECT symbol, bucket_ts, " +
+        "CAST(round(close - open, 2) AS DECIMAL(18,2)) AS co, " +
+        "CAST(round(high - low, 2) AS DECIMAL(18,2)) AS hl FROM c), " +
+        "y AS (SELECT symbol, bucket_ts, " +
+        "co + 2 * lag(co, 1) OVER w + 2 * lag(co, 2) OVER w + lag(co, 3) OVER w AS wn, " +
+        "hl + 2 * lag(hl, 1) OVER w + 2 * lag(hl, 2) OVER w + lag(hl, 3) OVER w AS wd " +
+        "FROM x WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
+        "f AS (SELECT * FROM y WHERE wd IS NOT NULL), " +
+        "z AS (SELECT symbol, bucket_ts, sum(wn) OVER wf AS snum, " +
+        "sum(wd) OVER wf AS sden, count(*) OVER wf AS cnt FROM f " +
+        "WINDOW wf AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT symbol, bucket_ts, " +
+        "round(CAST(snum AS DOUBLE) / (CASE WHEN sden <> 0 THEN CAST(sden AS DOUBLE) END), 6) AS rvi " +
+        "FROM z WHERE cnt = 10), " +
+        "h AS (SELECT symbol, bucket_ts, rvi, " +
+        "CAST(CAST(rvi AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rm FROM g), " +
+        "i AS (SELECT symbol, bucket_ts, rvi, " +
+        "rm + 2 * lag(rm, 1) OVER w2 + 2 * lag(rm, 2) OVER w2 + lag(rm, 3) OVER w2 AS nmicro " +
+        "FROM h WINDOW w2 AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
+        "SELECT symbol, bucket_ts, rvi, " +
+        "CAST(CASE WHEN nmicro >= 0 THEN (2 * nmicro + 6) // 12 " +
+        "ELSE -((2 * -nmicro + 6) // 12) END AS DOUBLE) / 1000000.0 AS rvi_signal FROM i"),
     "cmo" -> withTrades(
       s", c AS (${candlesSql(3600000000L)}), " +
         "x AS (SELECT symbol, bucket_ts, close, " +

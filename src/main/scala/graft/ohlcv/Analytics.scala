@@ -1867,4 +1867,164 @@ object Analytics {
       }
       .toDF("symbol", "bucket_ts", "close", "er", "kama")
   }
+
+  /** BILL WILLIAMS FRACTALS per symbol: a bar is an UP fractal when its
+    * high is STRICTLY greater than the highs of the `side` bars on each
+    * side, a DOWN fractal when its low is strictly lower than the
+    * neighboring lows — the minimal swing-point detector feeding
+    * breakout/alligator systems. Strictness is the documented tie
+    * convention (the classic definition leaves ties ambiguous; strict
+    * inequality makes detection deterministic and engine-stable: all
+    * comparisons are between exact 2-decimal prices). Emits ONLY fractal
+    * bars with both flags (a bar can be both in a spike). Bars without
+    * `side` defined neighbors on BOTH sides never qualify (no partial
+    * windows at series edges).
+    *
+    * One per-symbol window partitioning serves all 2·side lags and leads —
+    * pure comparisons, no sums, no float hazards at all.
+    */
+  def fractals(candles: DataFrame, side: Int = 2): DataFrame = {
+    require(side >= 1, "side >= 1")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val offs = (1 to side)
+    val up = offs.map(k => col("high") > lag(col("high"), k).over(w) &&
+      col("high") > lead(col("high"), k).over(w)).reduce(_ && _)
+    val dn = offs.map(k => col("low") < lag(col("low"), k).over(w) &&
+      col("low") < lead(col("low"), k).over(w)).reduce(_ && _)
+    val defined = offs.map(k => lag(col("high"), k).over(w).isNotNull &&
+      lead(col("high"), k).over(w).isNotNull).reduce(_ && _)
+    candles
+      .withColumn("up_fractal", up)
+      .withColumn("down_fractal", dn)
+      .withColumn("def_", defined)
+      .where(col("def_") && (col("up_fractal") || col("down_fractal")))
+      .select(col("symbol"), col("bucket_ts"), col("high"), col("low"),
+        col("up_fractal"), col("down_fractal"))
+  }
+
+  /** AWESOME OSCILLATOR per symbol (Bill Williams): SMA₅(midpoint) −
+    * SMA₃₄(midpoint), midpoint = (high+low)/2 — the momentum read off bar
+    * midpoints that drives the saucer/twin-peaks entries. The /2 of the
+    * midpoint and the /n of each SMA are FOLDED into the frame sums'
+    * closing divisions (midpoint-sum/2n): both frame sums are exact
+    * DECIMAL(19,2) sums of high+low (2-decimal addition is exact), so the
+    * whole indicator is two double divisions of exact sums and one
+    * subtraction in fixed order, rounded at emission. Full long frames
+    * only. One per-symbol window partitioning serves both frames (shared
+    * sort, one shuffle).
+    */
+  def awesomeOsc(candles: DataFrame, n1: Int = 5, n2: Int = 34): DataFrame = {
+    require(n1 >= 1 && n2 > n1, "1 <= n1 < n2")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    def frame(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val hl = (col("high").cast(D) + col("low").cast(D))
+    candles
+      .withColumn("s1", sum(hl).over(frame(n1)))
+      .withColumn("s2", sum(hl).over(frame(n2)))
+      .withColumn("cnt", count(lit(1)).over(frame(n2)))
+      .where(col("cnt") === n2)
+      .select(col("symbol"), col("bucket_ts"),
+        round(col("s1").cast("double") / lit(2.0 * n1) -
+          col("s2").cast("double") / lit(2.0 * n2), 6).as("awesome_osc"))
+  }
+
+  /** KNOW SURE THING per symbol (Pring): KST = RCMA₁ + 2·RCMA₂ + 3·RCMA₃ +
+    * 4·RCMA₄ where RCMAᵢ = SMA(ROC(rᵢ), sᵢ) over (r,s) = (10,10), (15,10),
+    * (20,10), (30,15) — four momentum horizons smoothed and blended into
+    * the long-cycle turn detector. Each ROC is one double division rounded
+    * to 6 and cast DECIMAL(18,6). The naive blend — four double RCMA
+    * divisions summed and rounded — lands on half-micro rounding ties
+    * (measured at sf0.01, the emv hazard class), so the blend is folded
+    * ALGEBRAICALLY over the exact frame sums instead: with common
+    * denominator 30, KST = (3·S₁ + 6·S₂ + 9·S₃ + 8·S₄)/30 where Sᵢ are
+    * the exact decimal frame sums — the weighted numerator stays exact
+    * integer micro-units (headroom ~1e11 ≪ int64), the /30 is the
+    * sign-aware half-up integer division ((2|N|+d) div 2d), and the
+    * single closing IEEE division by 10⁶ is correctly rounded identically
+    * in any engine. NO engine round() touches the blend. Defined where
+    * the deepest dependency exists (lag 44 = ROC30's 30 + SMA15's 14 —
+    * the coppock gate convention). ONE per-symbol window partitioning
+    * serves all four ROC lags and all four frames.
+    */
+  def kst(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    def roc(k: Int) =
+      round(lit(100.0) * (col("close") / when(lag(col("close"), k).over(w) =!= 0,
+        lag(col("close"), k).over(w)) - lit(1.0)), 6).cast(DecimalType(18, 6))
+    // exact frame sum in integer micro-units
+    def su(c: org.apache.spark.sql.Column, s: Int) =
+      (sum(c).over(w.rowsBetween(-(s - 1), 0)) * lit(1000000)).cast("long")
+    candles
+      .withColumn("r1", roc(10)).withColumn("r2", roc(15))
+      .withColumn("r3", roc(20)).withColumn("r4", roc(30))
+      .withColumn("u1", su(col("r1"), 10))
+      .withColumn("u2", su(col("r2"), 10))
+      .withColumn("u3", su(col("r3"), 10))
+      .withColumn("u4", su(col("r4"), 15))
+      .withColumn("gate", lag(col("close"), 44).over(w))
+      .where(col("gate").isNotNull)
+      // common denominator 30: 3u1/30 + 6u2/30 + 9u3/30 + 8u4/30
+      .withColumn("nmicro",
+        lit(3L) * col("u1") + lit(6L) * col("u2") +
+          lit(9L) * col("u3") + lit(8L) * col("u4"))
+      .withColumn("km", expr(
+        "CASE WHEN nmicro >= 0 THEN (2 * nmicro + 30) div 60 " +
+          "ELSE -((2 * -nmicro + 30) div 60) END"))
+      .select(col("symbol"), col("bucket_ts"),
+        (col("km").cast("double") / lit(1000000.0)).as("kst"))
+  }
+
+  /** RELATIVE VIGOR INDEX per symbol (Dorsey): conviction = where the
+    * close sits relative to the open, normalized by range — RVI =
+    * Σₙ SWMA(close−open) / Σₙ SWMA(high−low) with the symmetric 1-2-2-1
+    * weighting, plus the SWMA signal line of RVI itself. The /6 inside
+    * both SWMAs CANCELS in the ratio, so numerator and denominator are
+    * kept as exact integer-weighted DECIMAL sums of 2-decimal differences
+    * (never divided): the RVI is ONE double division of exact decimals,
+    * rounded at emission. The signal line's own /6 does NOT cancel and
+    * its weighted sums of 6-decimal values land on half-micro rounding
+    * ties (measured at sf0.01 — the emv hazard class), so NO engine
+    * round() touches it: the rounded RVI converts to exact integer
+    * micro-units (cast through DECIMAL(18,6)), the 1-2-2-1 weighted sum
+    * stays BIGINT, the /6 is the sign-aware half-up integer division
+    * ((2|N|+d) div 2d — exact in any engine), and the single closing IEEE
+    * division by 10⁶ is correctly rounded identically everywhere; null
+    * until three prior RVI values exist (over the SURVIVING rows, the
+    * mass_index convention). Zero-range frames null RVI (and poison the
+    * signal frames they touch — nulls propagate, documented). Full frames
+    * only. ONE per-symbol window partitioning serves the six lags and
+    * both frame sums.
+    */
+  def rvi(candles: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val frame = w.rowsBetween(-(n - 1), 0)
+    def swma(c: org.apache.spark.sql.Column) =
+      c + lit(2) * lag(c, 1).over(w) + lit(2) * lag(c, 2).over(w) +
+        lag(c, 3).over(w)
+    val co = round(col("close") - col("open"), 2).cast(D)
+    val hl = round(col("high") - col("low"), 2).cast(D)
+    val rviRaw =
+      round(col("snum").cast("double") /
+        when(col("sden") =!= 0, col("sden").cast("double")), 6)
+    candles
+      .withColumn("wn", swma(co))
+      .withColumn("wd", swma(hl))
+      .where(col("wd").isNotNull) // lag-3 gate: full SWMA terms only
+      .withColumn("snum", sum(col("wn")).over(frame))
+      .withColumn("sden", sum(col("wd")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .where(col("cnt") === n)
+      .withColumn("rvi", rviRaw)
+      .withColumn("rm",
+        (col("rvi").cast(DecimalType(18, 6)) * lit(1000000)).cast("long"))
+      .withColumn("nmicro",
+        col("rm") + lit(2L) * lag(col("rm"), 1).over(w) +
+          lit(2L) * lag(col("rm"), 2).over(w) + lag(col("rm"), 3).over(w))
+      .withColumn("sigm", expr(
+        "CASE WHEN nmicro >= 0 THEN (2 * nmicro + 6) div 12 " +
+          "ELSE -((2 * -nmicro + 6) div 12) END"))
+      .select(col("symbol"), col("bucket_ts"), col("rvi"),
+        (col("sigm").cast("double") / lit(1000000.0)).as("rvi_signal"))
+  }
 }

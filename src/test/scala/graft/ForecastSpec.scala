@@ -596,4 +596,68 @@ class ForecastSpec extends SparkSpec {
     assert(bySym("T").forall(r => r.getAs[Double]("er") == 1.0))
     assert(bySym("T").map(r => r.getAs[Double]("kama")).min == 33.0)
   }
+
+  test("fractals: strict swing points, edge bars and ties never emit") {
+    import spark.implicits._
+    val candles = Seq((10.0, 5.0), (11.0, 6.0), (15.0, 3.0), (12.0, 7.0),
+      (11.0, 8.0)).zipWithIndex.map { case ((h, l), i) =>
+      ("F", ts(T0 + i * 3600), h, l)
+    }.toDF("symbol", "bucket_ts", "high", "low")
+    val r = Analytics.fractals(candles).collect()
+    // only the center bar qualifies — and it is BOTH an up and a down
+    // fractal (high spike + low spike on the same bar)
+    assert(r.length == 1, r.mkString(","))
+    assert(r.head.getAs[java.sql.Timestamp]("bucket_ts") == ts(T0 + 2 * 3600))
+    assert(r.head.getAs[Boolean]("up_fractal") &&
+      r.head.getAs[Boolean]("down_fractal"))
+    // a tied high is NOT a fractal (strict comparisons)
+    val tied = Seq((10.0, 5.0), (15.0, 5.0), (15.0, 5.0), (12.0, 5.0),
+      (11.0, 5.0)).zipWithIndex.map { case ((h, l), i) =>
+      ("T", ts(T0 + i * 3600), h, l)
+    }.toDF("symbol", "bucket_ts", "high", "low")
+    assert(Analytics.fractals(tied).collect().isEmpty)
+  }
+
+  test("awesome_osc: hand frame at n1=2, n2=3") {
+    import spark.implicits._
+    val candles = Seq((2.0, 0.0), (4.0, 2.0), (6.0, 4.0)).zipWithIndex.map {
+      case ((h, l), i) => ("A", ts(T0 + i * 3600), h, l)
+    }.toDF("symbol", "bucket_ts", "high", "low")
+    val r = Analytics.awesomeOsc(candles, n1 = 2, n2 = 3).collect()
+    // mids 1, 3, 5: SMA2 = 4, SMA3 = 3 -> AO = 1; only the full 3-frame
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("awesome_osc") == 1.0)
+  }
+
+  test("kst: flat series blends to exactly zero with the lag-44 gate") {
+    import spark.implicits._
+    val candles = (0 until 50).map(i => ("K", ts(T0 + i * 3600), 25.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.kst(candles).collect()
+    // gate: defined where lag-44 exists -> 50 - 44 = 6 rows, all zero ROCs
+    assert(r.length == 6, r.length.toString)
+    assert(r.forall(_.getAs[Double]("kst") == 0.0), r.mkString(","))
+  }
+
+  test("rvi: constant-conviction hand value, signal over surviving rows") {
+    import spark.implicits._
+    // co = 1, hl = 2 every bar: wn = 6, wd = 12 once lag-3 exists
+    val candles = (0 until 8).map(i =>
+      ("R", ts(T0 + i * 3600), 10.0, 11.0, 11.0, 9.0))
+      .toDF("symbol", "bucket_ts", "open", "close", "high", "low")
+    val r = Analytics.rvi(candles, n = 2).orderBy("bucket_ts").collect()
+    // surviving rows start at bar 3 (lag-3 gate); full 2-frames from bar 4
+    assert(r.length == 4, r.mkString(","))
+    assert(r.forall(_.getAs[Double]("rvi") == 0.5), r.mkString(","))
+    // signal needs three prior SURVIVING rvi rows: only the last row
+    val defined = r.filter(!_.isNullAt(r.head.fieldIndex("rvi_signal")))
+    assert(defined.length == 1 &&
+      defined.head.getAs[Double]("rvi_signal") == 0.5, r.mkString(","))
+    // zero-range bars null the ratio
+    val flat = (0 until 8).map(i =>
+      ("Z", ts(T0 + i * 3600), 10.0, 10.0, 10.0, 10.0))
+      .toDF("symbol", "bucket_ts", "open", "close", "high", "low")
+    val z = Analytics.rvi(flat, n = 2).collect()
+    assert(z.nonEmpty && z.forall(_.isNullAt(z.head.fieldIndex("rvi"))))
+  }
 }

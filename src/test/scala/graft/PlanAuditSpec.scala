@@ -679,7 +679,10 @@ class PlanAuditSpec extends SparkSpec {
     // stoch_rsi: RSI's window + the stacked min/max frame share ONE
     // symbol exchange (plain windows compose); emv/chandelier_exit: the
     // same candle-build + one-window shape
-    Seq("stoch_rsi", "emv", "chandelier_exit").foreach { q =>
+    // wave-12 window studies ride the same shape: candle build + ONE
+    // symbol window partitioning (stacked frames/lags share the sort)
+    Seq("stoch_rsi", "emv", "chandelier_exit",
+      "fractals", "awesome_osc", "kst", "rvi").foreach { q =>
       val p = planOf(q)
       assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
     }
