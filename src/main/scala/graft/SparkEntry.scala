@@ -1602,6 +1602,18 @@ object SparkEntry {
       // ATR-scaled trailing stops off the 22-bar extremes; exact decimal
       // TR sums, pick extremes, fixed-order stop arithmetic
       Analytics.chandelierExit(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "tsi" -> ((s, dir) =>
+      // Blau's True Strength Index: chained double-EMA of momentum and
+      // |momentum| in one four-state sweep; recursive-CTE oracle
+      Analytics.tsi(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "fisher_transform" -> ((s, dir) =>
+      // Ehlers Fisher transform: range position + two damped recursions
+      // in one sweep with an n-deep midpoint ring (no post-sweep window)
+      Analytics.fisherTransform(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
+    "alligator" -> ((s, dir) =>
+      // Williams alligator: three SMMA folds + forward displacement via
+      // shift-deep rings, all in ONE sweep
+      Analytics.alligator(Candles.fromTrades(Tables.trades(s, dir), Tf1h))),
     "fractals" -> ((s, dir) =>
       // Bill Williams swing points: strict 2-side high/low comparisons on
       // one symbol window — pure exact-price logic, no float hazards
@@ -2228,6 +2240,70 @@ object SparkEntry {
         "SELECT symbol, tss[j] AS bucket_ts, cs[j] AS close, ers[j] AS er, " +
         "round(kama, 6) AS kama FROM r"),
     // CMO replay: rounded up/down decimal frame sums, one double division
+    // TSI replay: the chained four-state fold as a recursive CTE with the
+    // fresh inner EMAs textually substituted; alphas spelled as the same
+    // double divisions, complements 1.0 - alpha (the trix spelling)
+    "tsi" -> {
+      val EMI = "((2.0 / 26.0) * ms[j + 1] + (1.0 - (2.0 / 26.0)) * emi)"
+      val EMO = s"((2.0 / 14.0) * $EMI + (1.0 - (2.0 / 14.0)) * emo)"
+      val EAI = "((2.0 / 26.0) * abs(ms[j + 1]) + (1.0 - (2.0 / 26.0)) * eai)"
+      val EAO = s"((2.0 / 14.0) * $EAI + (1.0 - (2.0 / 14.0)) * eao)"
+      s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "d AS (SELECT symbol, bucket_ts, round(close - lag(close) OVER " +
+        "(PARTITION BY symbol ORDER BY bucket_ts), 2) AS m FROM c), " +
+        "e AS (SELECT symbol, bucket_ts, m FROM d WHERE m IS NOT NULL), " +
+        "per AS (SELECT symbol, list(m ORDER BY bucket_ts) AS ms, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM e GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS j, CAST(ms[1] AS DOUBLE) AS emi, " +
+        "CAST(ms[1] AS DOUBLE) AS emo, abs(CAST(ms[1] AS DOUBLE)) AS eai, " +
+        "abs(CAST(ms[1] AS DOUBLE)) AS eao, ms, tss FROM per " +
+        s"UNION ALL SELECT symbol, j + 1, $EMI, $EMO, $EAI, $EAO, ms, tss FROM r WHERE j < len(ms)) " +
+        "SELECT symbol, tss[j] AS bucket_ts, " +
+        "CASE WHEN eao <> 0.0 THEN round(100.0 * (emo / eao), 6) END AS tsi FROM r"
+    },
+    // Fisher replay: rolling min/max windows gate full frames, then the
+    // two damped recursions with the fresh CLAMPED value substituted
+    // into the ln
+    "fisher_transform" -> {
+      def valj(x: String, prev: String) =
+        s"greatest(-0.999, least(0.999, 0.33 * $x + 0.67 * $prev))"
+      val V1 = valj("xs[1]", "0.0")
+      val VJ = valj("xs[j + 1]", "val")
+      s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "w1 AS (SELECT symbol, bucket_ts, (high + low) / 2.0 AS mid FROM c), " +
+        "w2 AS (SELECT symbol, bucket_ts, mid, min(mid) OVER wf AS mn, " +
+        "max(mid) OVER wf AS mx, count(*) OVER wf AS cnt FROM w1 " +
+        "WINDOW wf AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "f AS (SELECT symbol, bucket_ts, CASE WHEN mx <> mn THEN " +
+        "2.0 * ((mid - mn) / (mx - mn)) - 1.0 ELSE 0.0 END AS x FROM w2 WHERE cnt = 10), " +
+        "per AS (SELECT symbol, list(x ORDER BY bucket_ts) AS xs, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM f GROUP BY 1), " +
+        s"r AS (SELECT symbol, 1 AS j, $V1 AS val, " +
+        s"0.5 * ln((1.0 + $V1) / (1.0 - $V1)) + 0.5 * 0.0 AS fish, " +
+        "CAST(NULL AS DOUBLE) AS fishp, xs, tss FROM per " +
+        s"UNION ALL SELECT symbol, j + 1, $VJ, " +
+        s"0.5 * ln((1.0 + $VJ) / (1.0 - $VJ)) + 0.5 * fish, fish, xs, tss " +
+        "FROM r WHERE j < len(xs)) " +
+        "SELECT symbol, tss[j] AS bucket_ts, round(fish, 6) AS fisher, " +
+        "round(fishp, 6) AS fisher_signal FROM r"
+    },
+    // Alligator replay: three independent SMMA folds in one recursion,
+    // forward displacement via window lags over the fold output
+    "alligator" ->
+      (s"WITH RECURSIVE t AS ($TradesSql), c AS (${candlesSql(3600000000L)}), " +
+        "per AS (SELECT symbol, list(close ORDER BY bucket_ts) AS cs, " +
+        "list(bucket_ts ORDER BY bucket_ts) AS tss FROM c GROUP BY 1), " +
+        "r AS (SELECT symbol, 1 AS j, CAST(cs[1] AS DOUBLE) AS vj, " +
+        "CAST(cs[1] AS DOUBLE) AS vt, CAST(cs[1] AS DOUBLE) AS vl, cs, tss FROM per " +
+        "UNION ALL SELECT symbol, j + 1, " +
+        "((1.0 / 13.0) * cs[j + 1] + (1.0 - (1.0 / 13.0)) * vj), " +
+        "((1.0 / 8.0) * cs[j + 1] + (1.0 - (1.0 / 8.0)) * vt), " +
+        "((1.0 / 5.0) * cs[j + 1] + (1.0 - (1.0 / 5.0)) * vl), cs, tss " +
+        "FROM r WHERE j < len(cs)) " +
+        "SELECT symbol, tss[j] AS bucket_ts, " +
+        "lag(vj, 8) OVER w AS jaw, lag(vt, 5) OVER w AS teeth, " +
+        "lag(vl, 3) OVER w AS lips FROM r " +
+        "WINDOW w AS (PARTITION BY symbol ORDER BY j)"),
     // Fractals replay: strict comparisons against 2 lags + 2 leads of
     // exact 2-decimal prices, both-side-defined gate
     "fractals" -> withTrades(

@@ -2027,4 +2027,173 @@ object Analytics {
       .select(col("symbol"), col("bucket_ts"), col("rvi"),
         (col("sigm").cast("double") / lit(1000000.0)).as("rvi_signal"))
   }
+
+  /** TRUE STRENGTH INDEX per symbol (Blau): 100 · EMA₁₃(EMA₂₅(Δclose)) /
+    * EMA₁₃(EMA₂₅(|Δclose|)) — the double-smoothed momentum ratio that
+    * keeps RSI's boundedness while reacting like an EMA. A CHAINED
+    * recursion (the outer EMA consumes the CURRENT bar's fresh inner
+    * value — the trix convention) no window expresses ⇒ one sequential
+    * sweep with four scalar states (inner/outer × signed/absolute).
+    * Momentum terms are 2-decimal-rounded close changes (the cmo
+    * spelling); each α is the double division BOTH engines compute
+    * (2.0/26.0, 2.0/14.0) with the complement computed as 1.0 − α (never
+    * a folded literal — the trix spelling lesson); all four EMAs seed at
+    * the first momentum term (bar 2) and fold UNROUNDED doubles; rounding
+    * only at emission, zero denominators (flat prefixes) null. The oracle
+    * replays the fold as a recursive CTE with the fresh inner EMA
+    * textually substituted.
+    */
+  def tsi(candles: DataFrame, n1: Int = 25, n2: Int = 13): DataFrame = {
+    require(n1 >= 1 && n2 >= 1, "positive spans")
+    val a1 = 2.0 / (n1 + 1); val b1 = 1.0 - a1
+    val a2 = 2.0 / (n2 + 1); val b2 = 1.0 - a2
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd2 = (v: Double) => BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rd6 = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var prevClose = 0.0
+        var em = 0.0; var eM = 0.0 // inner/outer EMA of momentum
+        var ea = 0.0; var eA = 0.0 // inner/outer EMA of |momentum|
+        var seeded = false
+        it.flatMap { case (s, t, c) =>
+          if (s != cur) { cur = s; seeded = false; prevClose = c; None }
+          else {
+            val m = rd2(c - prevClose); prevClose = c
+            if (!seeded) {
+              em = m; eM = m; ea = math.abs(m); eA = math.abs(m)
+              seeded = true
+            } else {
+              em = a1 * m + b1 * em
+              eM = a2 * em + b2 * eM
+              ea = a1 * math.abs(m) + b1 * ea
+              eA = a2 * ea + b2 * eA
+            }
+            val tsiV = if (eA != 0.0) Some(rd6(100.0 * (eM / eA))) else None
+            Some((s, t, tsiV))
+          }
+        }
+      }
+      .toDF("symbol", "bucket_ts", "tsi")
+  }
+
+  /** FISHER TRANSFORM per symbol (Ehlers): the bar midpoint's position in
+    * its n-bar range, EMA-damped (value = 0.33·x + 0.67·prev, carried
+    * CLAMPED to ±0.999 — the documented convention for Ehlers' .99/.999
+    * quirk) and mapped through 0.5·ln((1+v)/(1−v)) with its own 0.5/0.5
+    * recursion — the transform that forces near-Gaussian tails so
+    * turning points stand out; `fisher_signal` is the previous bar's
+    * fisher (the classic trigger line). TWO chained recursions with a
+    * rolling n-bar min/max ⇒ one sequential sweep carrying an n-deep
+    * midpoint RING (a post-sweep window would re-shuffle — the
+    * mass_index lesson; the ring keeps the canonical two-exchange
+    * shape). State advances ONLY on full frames (partial windows are
+    * skipped, seeds val=fish=0 at the first full bar — documented);
+    * zero-range frames take x = 0 (neutral). Midpoints, positions, and
+    * both recursions are fixed-order IEEE doubles (bit-identical in any
+    * engine), ln is the engines' shared libm (the zipf precedent),
+    * rounding only at emission. Oracle: rolling min/max via window
+    * functions, then a recursive CTE over the full-frame rows with the
+    * fresh value textually substituted into the ln.
+    */
+  def fisherTransform(candles: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val rd6 = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    candles.select(col("symbol"), col("bucket_ts"), col("high"), col("low"))
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        val ring = new Array[Double](n)
+        var cnt = 0
+        var value = 0.0; var fish = 0.0
+        it.flatMap { case (s, t, h, l) =>
+          if (s != cur) { cur = s; cnt = 0; value = 0.0; fish = 0.0 }
+          val mid = (h + l) / 2.0
+          ring(cnt % n) = mid; cnt += 1
+          if (cnt < n) None
+          else {
+            var mn = ring(0); var mx = ring(0)
+            var i = 1
+            while (i < n) {
+              if (ring(i) < mn) mn = ring(i)
+              if (ring(i) > mx) mx = ring(i)
+              i += 1
+            }
+            val x = if (mx != mn) 2.0 * ((mid - mn) / (mx - mn)) - 1.0 else 0.0
+            val v0 = 0.33 * x + 0.67 * value
+            value = math.max(-0.999, math.min(0.999, v0))
+            val prevFish = fish
+            fish = 0.5 * math.log((1.0 + value) / (1.0 - value)) + 0.5 * fish
+            val sig = if (cnt > n) Some(rd6(prevFish)) else None
+            Some((s, t, rd6(fish), sig))
+          }
+        }
+      }
+      .toDF("symbol", "bucket_ts", "fisher", "fisher_signal")
+  }
+
+  /** WILLIAMS ALLIGATOR per symbol: three Wilder-smoothed moving averages
+    * of close — jaw SMMA₁₃ displaced 8 bars forward, teeth SMMA₈
+    * displaced 5, lips SMMA₅ displaced 3 — whose open/closed "mouth"
+    * phases the trend-following entries. SMMA seeded at the first close
+    * is exactly an EMA with α = 1/n (the engine's ema seed convention,
+    * documented); the three folds run in ONE sequential sweep with O(1)
+    * state, and each line's FORWARD displacement is served by a
+    * shift-deep ring carried in the sweep (a post-sweep lag window would
+    * re-shuffle — the mass_index lesson), so the whole operator keeps
+    * the canonical two-exchange shape. α as the double division both
+    * engines compute (1.0/13.0 …), complements 1.0 − α. The lines emit
+    * UNROUNDED: the folds are pure fixed-order IEEE ops (bit-identical
+    * in any engine), and α = 1/8 is EXACT in binary, so teeth values
+    * land on TRUE half-micro ties where engine round()s legitimately
+    * split by one ulp (measured at sf0.1) — the realized_jump
+    * unrounded-but-bit-identical convention; displaced lines null until
+    * their shift-th bar. Oracle: recursive CTE with three independent
+    * folds + window lags for the displacement.
+    */
+  def alligator(candles: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val (aJ, aT, aL) = (1.0 / 13.0, 1.0 / 8.0, 1.0 / 5.0)
+    val (bJ, bT, bL) = (1.0 - aJ, 1.0 - aT, 1.0 - aL)
+    val (sJ, sT, sL) = (8, 5, 3)
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var j = 0.0; var tt = 0.0; var ll = 0.0
+        val rj = new Array[Double](sJ); val rt = new Array[Double](sT)
+        val rl = new Array[Double](sL)
+        var k = 0
+        it.map { case (s, t, c) =>
+          if (s != cur) { cur = s; k = 0 }
+          if (k == 0) { j = c; tt = c; ll = c }
+          else {
+            j = aJ * c + bJ * j; tt = aT * c + bT * tt; ll = aL * c + bL * ll
+          }
+          // read the displaced value BEFORE overwriting this bar's slot
+          val jaw = if (k >= sJ) Some(rj(k % sJ)) else None
+          val teeth = if (k >= sT) Some(rt(k % sT)) else None
+          val lips = if (k >= sL) Some(rl(k % sL)) else None
+          rj(k % sJ) = j; rt(k % sT) = tt; rl(k % sL) = ll
+          k += 1
+          (s, t, jaw, teeth, lips)
+        }
+      }
+      .toDF("symbol", "bucket_ts", "jaw", "teeth", "lips")
+  }
 }

@@ -660,4 +660,82 @@ class ForecastSpec extends SparkSpec {
     val z = Analytics.rvi(flat, n = 2).collect()
     assert(z.nonEmpty && z.forall(_.isNullAt(z.head.fieldIndex("rvi"))))
   }
+
+  test("tsi: hand-folded four-state trajectory; flat series nulls") {
+    import spark.implicits._
+    val closes = Seq(10.0, 11.0, 13.0, 12.0)
+    val candles = closes.zipWithIndex.map { case (c, i) =>
+      ("T", ts(T0 + i * 3600), c)
+    }.toDF("symbol", "bucket_ts", "close")
+    val r = Analytics.tsi(candles).orderBy("bucket_ts").collect()
+    assert(r.length == 3) // emission from bar 2
+    // replay the fold: m = +1, +2, -1
+    val a1 = 2.0 / 26.0; val b1 = 1.0 - a1
+    val a2 = 2.0 / 14.0; val b2 = 1.0 - a2
+    var emi = 1.0; var emo = 1.0; var eai = 1.0; var eao = 1.0
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[Double]("tsi") == 100.0) // seed: m/|m| = 1
+    Seq(2.0, -1.0).zip(r.drop(1)).foreach { case (m, row) =>
+      emi = a1 * m + b1 * emi; emo = a2 * emi + b2 * emo
+      eai = a1 * math.abs(m) + b1 * eai; eao = a2 * eai + b2 * eao
+      assert(row.getAs[Double]("tsi") == rd(100.0 * (emo / eao)), row.toString)
+    }
+    val flat = (0 until 5).map(i => ("F", ts(T0 + i * 3600), 7.0))
+      .toDF("symbol", "bucket_ts", "close")
+    val f = Analytics.tsi(flat).collect()
+    assert(f.length == 4 && f.forall(_.isNullAt(f.head.fieldIndex("tsi"))))
+  }
+
+  test("fisher_transform: hand recursion at n=2, signal = previous fisher") {
+    import spark.implicits._
+    // mids 1, 3, 2 (high = low = 2*mid/2 trick: set high=low=mid*2-mid)
+    val candles = Seq(1.0, 3.0, 2.0).zipWithIndex.map { case (m, i) =>
+      ("F", ts(T0 + i * 3600), m, m)
+    }.toDF("symbol", "bucket_ts", "high", "low")
+    val r = Analytics.fisherTransform(candles, n = 2).orderBy("bucket_ts")
+      .collect()
+    assert(r.length == 2) // full 2-frames from bar 2
+    val rd = (v: Double) => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bar 2: frame {1,3}, mid 3 -> x = 1; v = .33; fish1 = .5 ln(1.33/.67)
+    val v1 = 0.33 * 1.0 + 0.67 * 0.0
+    val fish1 = 0.5 * math.log((1.0 + v1) / (1.0 - v1)) + 0.5 * 0.0
+    assert(r(0).getAs[Double]("fisher") == rd(fish1), r(0).toString)
+    assert(r(0).isNullAt(r(0).fieldIndex("fisher_signal")))
+    // bar 3: frame {3,2}, mid 2 -> x = -1; v = .33*(-1) + .67*v1
+    val v2 = 0.33 * -1.0 + 0.67 * v1
+    val fish2 = 0.5 * math.log((1.0 + v2) / (1.0 - v2)) + 0.5 * fish1
+    assert(r(1).getAs[Double]("fisher") == rd(fish2), r(1).toString)
+    assert(r(1).getAs[Double]("fisher_signal") == rd(fish1))
+    // flat series: x = 0 by the zero-range convention -> fisher 0
+    val flat = (0 until 4).map(i => ("Z", ts(T0 + i * 3600), 5.0, 5.0))
+      .toDF("symbol", "bucket_ts", "high", "low")
+    val z = Analytics.fisherTransform(flat, n = 2).collect()
+    assert(z.length == 3 && z.forall(_.getAs[Double]("fisher") == 0.0))
+  }
+
+  test("alligator: SMMA folds + forward displacement rings, per-symbol reset") {
+    import spark.implicits._
+    val closes = Seq(10.0, 12.0, 14.0, 16.0, 18.0)
+    val candles = (closes.zipWithIndex.map { case (c, i) =>
+      ("A", ts(T0 + i * 3600), c)
+    } ++ Seq(("B", ts(T0), 50.0), ("B", ts(T0 + 3600), 60.0),
+      ("B", ts(T0 + 2 * 3600), 70.0), ("B", ts(T0 + 3 * 3600), 80.0)))
+      .toDF("symbol", "bucket_ts", "close")
+    val bySym = Analytics.alligator(candles).collect()
+      .groupBy(_.getAs[String]("symbol"))
+      .map { case (s, rs) => s -> rs.sortBy(_.getAs[java.sql.Timestamp]("bucket_ts")) }
+    val a = bySym("A")
+    // jaw (shift 8) and teeth (shift 5) undefined inside 5 bars
+    assert(a.forall(r => r.isNullAt(r.fieldIndex("jaw")) &&
+      r.isNullAt(r.fieldIndex("teeth"))))
+    // lips (SMMA5 shifted 3): bar 3 shows the seed, bar 4 the first fold
+    assert(a.take(3).forall(_.isNullAt(a.head.fieldIndex("lips"))))
+    assert(a(3).getAs[Double]("lips") == 10.0)
+    assert(a(4).getAs[Double]("lips") == 0.2 * 12.0 + 0.8 * 10.0)
+    // symbol B: its own seed, no bleed from A
+    val b = bySym("B")
+    assert(b(3).getAs[Double]("lips") == 50.0)
+  }
 }

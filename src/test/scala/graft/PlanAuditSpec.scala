@@ -639,8 +639,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
     }
     // elder_ray/force_index: pure sweeps — candle build + repartition,
-    // no window operator
-    Seq("elder_ray", "force_index").foreach { q =>
+    // no window operator. tsi (four-state chained fold), fisher_transform
+    // (midpoint ring replaces the rolling min/max window), and alligator
+    // (three folds + displacement rings) keep the same shape (wave 13)
+    Seq("elder_ray", "force_index",
+      "tsi", "fisher_transform", "alligator").foreach { q =>
       val p = planOf(q)
       assert(countOccurrences(p, "Exchange hashpartitioning") == 2, s"$q\n$p")
       assert(!p.contains("Window"), s"$q\n$p")
