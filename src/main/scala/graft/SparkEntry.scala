@@ -1585,6 +1585,19 @@ object SparkEntry {
       // MOSS winnowing: per-window min k-gram hash via the packed-BIGINT
       // argmin; guarantees shared runs >= w+k-1 words share a fingerprint
       graft.ops.Dedup.winnowFingerprint(Tables.table(s, dir, "documents"))),
+    "span_dedup" -> ((s, dir) =>
+      // C4 line-dedup on fixed 10-word spans: first-occurrence keeper via
+      // one packed-min aggregation, docs rewritten from surviving spans
+      graft.ops.Dedup.spanDedup(Tables.table(s, dir, "documents"))),
+    "dsir_weights" -> ((s, dir) =>
+      // DSIR importance weights: hashed unigram target/raw models, exact
+      // decimal log-ratio sums, bounded feature table broadcast
+      graft.ops.TextAnalysis.dsirWeights(
+        Tables.table(s, dir, "documents"), col("lang") === "en")),
+    "ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
+      // the value histogram, lang-dim cutoffs broadcast back
+      graft.ops.LmScore.ccnetBuckets(Tables.table(s, dir, "documents"))),
     "drift_psi" -> ((s, dir) =>
       // population stability index of order values, pre-1998 reference vs
       // after: equal-width global bins, exact-decimal term sums
@@ -4110,6 +4123,74 @@ object SparkEntry {
         "round(avg(nll), 6) AS log_ppl, " +
         "round(exp(round(avg(nll), 6)), 6) AS ppl " +
         "FROM sc GROUP BY 1"),
+    // CCNet buckets replay: the full lm_perplexity chain, then the value
+    // HISTOGRAM + cumulative counts pick the tercile order statistics
+    "ccnet_buckets" ->
+      ("WITH dw AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "tr AS (SELECT ws FROM dw WHERE source = 'src0'), " +
+        "vocab AS (SELECT DISTINCT unnest(ws) AS w FROM tr), " +
+        "vocab2 AS (SELECT w FROM vocab WHERE w <> ''), " +
+        "vn AS (SELECT count(*) + 1 AS V FROM vocab2), " +
+        "trb0 AS (SELECT unnest(generate_series(1, len(ws)-1)) AS i, ws FROM tr WHERE len(ws) >= 2), " +
+        "trb AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM trb0), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1), " +
+        "db0 AS (SELECT doc_id, unnest(generate_series(1, len(ws)-1)) AS i, ws FROM dw WHERE len(ws) >= 2), " +
+        "db AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0), " +
+        "dm AS (SELECT doc_id, " +
+        "CASE WHEN v1.w IS NULL THEN '<unk>' ELSE db.w1 END AS w1m, " +
+        "CASE WHEN v2.w IS NULL THEN '<unk>' ELSE db.w2 END AS w2m " +
+        "FROM db LEFT JOIN vocab2 v1 ON v1.w = db.w1 LEFT JOIN vocab2 v2 ON v2.w = db.w2), " +
+        "sc AS (SELECT doc_id, " +
+        "-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + vn.V AS DOUBLE)) AS nll " +
+        "FROM dm LEFT JOIN c12 ON c12.w1 = dm.w1m AND c12.w2 = dm.w2m " +
+        "LEFT JOIN c1 ON c1.w1 = dm.w1m CROSS JOIN vn), " +
+        "pp AS (SELECT doc_id, round(exp(round(avg(nll), 6)), 6) AS ppl FROM sc GROUP BY 1), " +
+        "sl AS (SELECT pp.doc_id, d.lang, pp.ppl FROM pp JOIN documents d ON d.doc_id = pp.doc_id), " +
+        "cnts AS (SELECT lang, ppl, count(*) AS c FROM sl GROUP BY 1, 2), " +
+        "nn AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY 1), " +
+        "cum AS (SELECT lang, ppl, sum(c) OVER (PARTITION BY lang ORDER BY ppl " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
+        "cuts AS (SELECT cum.lang, " +
+        "min(CASE WHEN cum >= (n + 2) // 3 THEN ppl END) AS c1, " +
+        "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl END) AS c2 " +
+        "FROM cum JOIN nn ON nn.lang = cum.lang GROUP BY 1) " +
+        "SELECT sl.doc_id, sl.lang, sl.ppl, " +
+        "CASE WHEN sl.ppl <= cuts.c1 THEN 'head' WHEN sl.ppl <= cuts.c2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM sl JOIN cuts ON cuts.lang = sl.lang"),
+    // span_dedup replay: fixed 10-word spans via list slicing, packed
+    // first-occurrence min, ordered string_agg rebuild
+    "span_dedup" ->
+      ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "sp0 AS (SELECT doc_id, ws, unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1)) AS idx FROM dw), " +
+        "sp AS (SELECT doc_id, idx, array_to_string(ws[idx * 10 + 1 : idx * 10 + 10], ' ') AS span FROM sp0), " +
+        "hh AS (SELECT doc_id, idx, span, md5(span) AS h, doc_id * 1048576 + idx AS pk FROM sp), " +
+        "f AS (SELECT h, min(pk) AS first_pk FROM hh GROUP BY 1), " +
+        "j AS (SELECT hh.doc_id, hh.idx, hh.span, (hh.pk = f.first_pk) AS kept " +
+        "FROM hh JOIN f ON f.h = hh.h) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '') AS text " +
+        "FROM j GROUP BY 1"),
+    // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
+    // target/raw models, 12-rounded log-ratios summed exact decimal
+    "dsir_weights" ->
+      ("WITH dw AS (SELECT doc_id, (lang = 'en') AS is_target, " +
+        "unnest(string_split_regex(text, '\\s+')) AS w FROM documents), " +
+        "tk AS (SELECT doc_id, is_target, " +
+        "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 8192 AS b FROM dw WHERE w <> ''), " +
+        "rc AS (SELECT b, count(*) AS rc FROM tk GROUP BY 1), " +
+        "tc AS (SELECT b, count(*) AS tc FROM tk WHERE is_target GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_total, " +
+        "count(*) AS r_total FROM tk), " +
+        "ft AS (SELECT rc.b, CAST(round(" +
+        "ln(CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE) / CAST(t_total + 8192 AS DOUBLE)) - " +
+        "ln(CAST(rc.rc + 1 AS DOUBLE) / CAST(r_total + 8192 AS DOUBLE)), 12) AS DECIMAL(28,12)) AS lr " +
+        "FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot) " +
+        "SELECT tk.doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(ft.lr) AS DOUBLE) AS dsir_logratio, " +
+        "CAST(sum(ft.lr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS per_token " +
+        "FROM tk JOIN ft ON ft.b = tk.b GROUP BY 1"),
     // vocabCoverage replay: term counts, rank by (freq DESC, term), and
     // each budget's covered-token sum — all exact integers until the
     // final rounded ratio

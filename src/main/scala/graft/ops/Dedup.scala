@@ -857,4 +857,49 @@ object Dedup {
         coalesce(col("new_uniques"), lit(0L)).as("new_uniques"))
       .withColumn("cum_uniques", sum(col("new_uniques")).over(w))
   }
+
+  /** SPAN-LEVEL corpus dedup — the C4 line-dedup move on a corpus whose
+    * documents carry no newlines: cut every document into FIXED
+    * `w`-word spans (the last span may be shorter; a "line" analogue
+    * that is deterministic on whitespace text), and keep each exact
+    * span content (md5 identity) ONLY at its first corpus occurrence —
+    * min (doc_id, span_idx), the replay-stable convention — rewriting
+    * every document from its surviving spans. C4 showed boilerplate
+    * lives BELOW document granularity (nav chrome, disclaimers, quote
+    * blocks): whole-doc dedup keeps it, this strips it while exact-dup
+    * documents collapse to one surviving copy and empty rewrites
+    * (every span seen earlier) stay visible with n_kept = 0.
+    *
+    * Emits (doc_id, n_spans, n_kept, text) for EVERY input document.
+    * First-occurrence order packs (doc_id, span_idx) into one BIGINT
+    * (doc_id·2²⁰ + idx — headroom: docs to 2⁴³, 2²⁰·w words per doc;
+    * the aroon packing idiom) so "first" is ONE map-side-combined min
+    * aggregation, never a corpus window. Scale shape: spans built
+    * map-only (slice over the split array, one scan), the keeper join
+    * is equi on the span hash (co-partitioned, fan-out = the
+    * duplication being removed), the rebuild is one doc-keyed
+    * aggregation whose collect_list is bounded by the document's own
+    * span count (sort_array makes the order deterministic).
+    */
+  def spanDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    require(w >= 1, "w >= 1")
+    val spans = docs
+      .withColumn("ws", wordsOf(col("text")))
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, int(ceil(size(ws) / ${w}.0)) - 1), " +
+          s"i -> concat_ws(' ', slice(ws, i * $w + 1, $w)))")))
+      .toDF("doc_id", "idx", "span")
+    val hashed = graft.core.Materialize.once(
+      spans.withColumn("h", md5(col("span").cast("binary")))
+        .withColumn("pk", col("doc_id") * lit(1048576L) + col("idx")))
+    val firsts = hashed.groupBy(col("h")).agg(min(col("pk")).as("first_pk"))
+    hashed.join(firsts, Seq("h"))
+      .withColumn("kept", col("pk") === col("first_pk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN kept THEN " +
+            "struct(idx, span) END)), x -> x.span)"), " ").as("text"))
+  }
 }

@@ -115,4 +115,46 @@ object LmScore {
     */
   def lmPerplexity(docs: DataFrame, trainSource: String = "src0"): DataFrame =
     scoreWith(docs, train(docs.where(col("source") === trainSource)))
+
+  /** CCNet HEAD/MIDDLE/TAIL buckets: the per-language perplexity terciles
+    * CCNet gates its whole pipeline on (head = most-reference-like third,
+    * tail = the prune candidate) — applied to this engine's reference-LM
+    * score. Cutoffs are ORDER STATISTICS, not interpolated percentiles:
+    * c₁ = the k-th smallest ppl with k = ⌈n/3⌉ (exact integer (n+2) div 3)
+    * and c₂ at ⌈2n/3⌉ — actual observed values, picked identically in any
+    * engine (the percentile_disc semantics; interpolation on doubles is
+    * engine-float territory). Bucket = head (ppl ≤ c₁) / middle (≤ c₂) /
+    * tail; docs the LM cannot score (< 2 tokens) are absent, as in
+    * lm_perplexity.
+    *
+    * Scale shape: CCNet computes cutoffs on a value HISTOGRAM, and so
+    * does this — the per-(lang, ppl) count aggregation (map-side
+    * combined) shrinks the corpus to its distinct score values BEFORE
+    * the per-lang cumulative window runs (never a per-lang window over
+    * raw documents — the budget_sample lesson); the lang-dim cutoff
+    * table broadcasts back for a map-only labeling pass over the cut
+    * scored frame.
+    */
+  def ccnetBuckets(docs: DataFrame, trainSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.core.Materialize.once(
+      lmPerplexity(docs, trainSource).select(col("doc_id"), col("ppl"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val counts = scored.groupBy(col("lang"), col("ppl"))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val wc = Window.partitionBy(col("lang")).orderBy(col("ppl"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = counts
+      .withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(n), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl"))).as("c1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl"))).as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("c1"), lit("head"))
+          .when(col("ppl") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

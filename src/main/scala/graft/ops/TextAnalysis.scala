@@ -976,4 +976,64 @@ object TextAnalysis {
     contaminationCheck(docs, benchmarkSource, threshold)
       .where(!coalesce(col("contaminated"), lit(false)))
       .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("containment"))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * log p̂_target(doc) − log q̂_raw(doc) under HASHED unigram bag models —
+    * the standard cheap way to tilt a giant crawl toward a target domain
+    * (sample ∝ exp(weight) downstream; `budget_sample`/`corpus_sample`
+    * are the engine's sampling side). Features are word tokens hashed
+    * into `buckets` bins with the portable md5-prefix hash32 (the oracle
+    * replays end to end); both models are add-one-smoothed bucket
+    * distributions: p_b = (tc_b+1)/(T+B), q_b = (rc_b+1)/(R+B).
+    *
+    * Determinism: each bucket's log-ratio ln(p_b) − ln(q_b) is computed
+    * ONCE on the bounded feature table (two double divisions of exact
+    * longs, two shared-libm ln — the zipf precedent), rounded to 12 and
+    * cast DECIMAL(28,12) (the amihud/psi recipe); per-document weights
+    * are EXACT decimal sums of those terms, emitted as the (identical in
+    * any engine) double of the exact decimal, UNROUNDED — and the
+    * per-token mean is one further double division, also unrounded (the
+    * realized_jump convention; a final engine round() could tie at the
+    * half-micro since scale-12 decimals terminate).
+    *
+    * Scale shape: ONE token explode over the corpus, cut once — it feeds
+    * the target counts, the raw counts, and the per-doc sum; the feature
+    * table is bounded by `buckets` (8192 default) so it BROADCASTS back
+    * onto the token stream; totals are 1-row broadcast crosses; the
+    * per-doc reduction is map-side combined. Nothing here is ever
+    * corpus × corpus.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    val toks = graft.core.Materialize.once(
+      docs.select(col("doc_id"), targetPred.as("is_target"),
+        explode(words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), col("is_target"),
+          (Dedup.hash32(col("w")) % lit(buckets.toLong)).as("b")))
+    val rc = toks.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tc = toks.where(col("is_target")).groupBy(col("b"))
+      .agg(count(lit(1)).as("tc"))
+    val totals = toks.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_total"),
+      count(lit(1)).as("r_total"))
+    val feat = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_total") + lit(buckets.toLong)).cast("double")) -
+          log((col("rc") + lit(1L)).cast("double") /
+            (col("r_total") + lit(buckets.toLong)).cast("double")), 12)
+          .cast(DecimalType(28, 12)).as("lr"))
+    toks.join(broadcast(feat), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("s").cast("double").as("dsir_logratio"),
+        (col("s").cast("double") / col("n_tokens").cast("double"))
+          .as("per_token"))
+  }
 }

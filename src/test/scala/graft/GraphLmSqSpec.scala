@@ -357,4 +357,47 @@ class GraphLmSqSpec extends SparkSpec {
       isnan(col("parkinson")) || isnan(col("garman_klass"))).count() == 0L)
     r.unpersist()
   }
+
+  // ---- CCNet head/middle/tail buckets (wave 14) ----
+
+  test("ccnetBuckets: tercile order statistics, per-lang independence") {
+    import spark.implicits._
+    // 6 scoreable docs in one lang with distinct ppl (varying OOV load),
+    // plus a second lang whose buckets must not bleed
+    val d = (Seq((0L, "the cat sat on the mat the cat sat", "en", "src0", 1L)) ++
+      (1 to 6).map { i =>
+        val oov = Seq.fill(i)("zz").mkString(" ")
+        (i.toLong, s"the cat sat $oov", "en", "srcX", 1L)
+      } ++ Seq((7L, "the cat sat", "fr", "srcX", 1L),
+        (8L, "zz qq ww vv", "fr", "srcX", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = LmScore.ccnetBuckets(d, "src0").collect()
+    val en = r.filter(_.getAs[String]("lang") == "en")
+    // k1 = ceil(7/3) = 3, k2 = ceil(14/3) = 5 over the 7 en docs
+    def pplsOf(b: String) =
+      en.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("ppl"))
+    assert(pplsOf("head").length == 3 && pplsOf("middle").length == 2 &&
+      pplsOf("tail").length == 2, en.mkString(","))
+    assert(pplsOf("head").max <= pplsOf("middle").min)
+    assert(pplsOf("middle").max <= pplsOf("tail").min)
+    // fr gets its own cutoffs: with n = 2, k1 = 1, k2 = 2 -> head + middle
+    val fr = r.filter(_.getAs[String]("lang") == "fr")
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bucket")).toMap
+    assert(fr == Map(7L -> "head", 8L -> "middle"), fr.toString)
+  }
+
+  test("ccnetBuckets: sf0.001 — every lang's head holds at least its third") {
+    val r = LmScore.ccnetBuckets(docs).cache()
+    val perLang = r.groupBy(col("lang")).pivot("bucket")
+      .agg(count(lit(1))).na.fill(0L).collect()
+    perLang.foreach { row =>
+      val lang = row.getAs[String]("lang")
+      def c(b: String) =
+        if (row.schema.fieldNames.contains(b)) row.getAs[Long](b) else 0L
+      val n = c("head") + c("middle") + c("tail")
+      assert(c("head") >= (n + 2) / 3, s"$lang: ${row.toString}")
+      assert(c("head") + c("middle") >= (2 * n + 2) / 3, s"$lang")
+    }
+    r.unpersist()
+  }
 }

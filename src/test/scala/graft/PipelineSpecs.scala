@@ -248,6 +248,40 @@ class DedupSpec extends SparkSpec {
     assert(byPair.keys.forall { case (a, b) => a < b }, "canonical order")
   }
 
+  // ---- span-level dedup (wave 14) ----
+
+  test("spanDedup: first-occurrence keeper, doc rewrite, exact-dup collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"), // spans: "a b", "c d", "e" — all first
+      (2L, "a b x y"),   // "a b" seen in doc 1; keeps "x y"
+      (3L, "a b c d e")  // exact dup of doc 1: keeps nothing
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, w = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_spans") == 3 && r(1L).getAs[Long]("n_kept") == 3)
+    assert(r(1L).getAs[String]("text") == "a b c d e")
+    assert(r(2L).getAs[Long]("n_kept") == 1 &&
+      r(2L).getAs[String]("text") == "x y")
+    assert(r(3L).getAs[Long]("n_kept") == 0 &&
+      r(3L).getAs[String]("text") == "")
+    // conservation: kept spans across the corpus == distinct span contents
+    val kept = r.values.map(_.getAs[Long]("n_kept")).sum
+    assert(kept == 4, s"a b | c d | e | x y = 4 distinct spans, got $kept")
+  }
+
+  test("spanDedup: partitioning-invariant on the real corpus") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val a = Dedup.spanDedup(docs).orderBy("doc_id").collect().toSeq
+    val b = Dedup.spanDedup(docs.repartition(7)).orderBy("doc_id")
+      .collect().toSeq
+    assert(a == b)
+    // the corpus carries exact dups (dedup_exact finds them): at least one
+    // doc must lose every span
+    assert(a.exists(_.getAs[Long]("n_kept") == 0L))
+    assert(a.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_spans")))
+  }
+
   // ---- winnowing fingerprints (wave 10) ----
 
   test("winnowFingerprint: gram counts, short-doc conventions, dup identity") {
@@ -632,6 +666,47 @@ class TextAnalysisSpec extends SparkSpec {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(1L) == ((3L, r6(math.log(2.0) / 3))))  // [0, ln2, 0] / 3
     assert(out(2L) == ((2L, r6(math.log(2.0) / 2))))  // [0, ln2] / 2
+  }
+
+  test("dsirWeights: hand add-one model; target-like docs upweighted") {
+    val d = Seq(
+      (1L, "alpha alpha alpha", "en", "s", 1L),
+      (2L, "alpha alpha alpha", "de", "s", 1L), // same text, not target
+      (3L, "beta beta beta", "de", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.dsirWeights(d, col("lang") === "en").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // hand model (B = 8192): T = 3 target tokens, R = 9 raw;
+    // alpha: tc = 3, rc = 6; beta: tc = 0, rc = 3
+    def rd12(v: Double) = BigDecimal(v)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val lrA = rd12(math.log(4.0 / (3 + 8192)) - math.log(7.0 / (9 + 8192)))
+    val lrB = rd12(math.log(1.0 / (3 + 8192)) - math.log(4.0 / (9 + 8192)))
+    assert(r(1L).getAs[Double]("dsir_logratio") == (lrA * 3).toDouble,
+      r(1L).toString)
+    assert(r(3L).getAs[Double]("dsir_logratio") == (lrB * 3).toDouble,
+      r(3L).toString)
+    assert(r(1L).getAs[Double]("per_token") == (lrA * 3).toDouble / 3.0)
+    // the weight scores the TEXT, not the doc's own flag
+    assert(r(1L).getAs[Double]("dsir_logratio") ==
+      r(2L).getAs[Double]("dsir_logratio"))
+    // target-favored word ranks above the background word (at toy scale
+    // the add-one floor B >> counts drags BOTH log-ratios negative; only
+    // the ORDER is meaningful — real corpora have tokens >> B)
+    assert(r(1L).getAs[Double]("dsir_logratio") >
+      r(3L).getAs[Double]("dsir_logratio"))
+  }
+
+  test("dsirWeights: sf0.001 — finite, consistent, every doc scored") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val r = TextAnalysis.dsirWeights(docs, col("lang") === "en").cache()
+    assert(r.count() == docs.count())
+    assert(r.where(isnan(col("dsir_logratio")) ||
+      col("dsir_logratio").isNull).count() == 0L)
+    val bad = r.where(abs(col("per_token") * col("n_tokens") -
+      col("dsir_logratio")) > lit(1e-6)).count()
+    assert(bad == 0L)
+    r.unpersist()
   }
 
   test("tfidf ranks rare terms above ubiquitous ones") {

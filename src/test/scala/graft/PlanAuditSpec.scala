@@ -701,4 +701,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pc.contains("CartesianProduct") &&
       !pc.contains("BroadcastNestedLoopJoin"), pc)
   }
+
+  test("r10 wave-14 pipeline ops keep their scale shapes") {
+    // span_dedup: keeper = one packed-min aggregation + equi join on the
+    // span hash over the materialized span cut — no window, no cartesian
+    val ps = planOf("span_dedup")
+    assert(!ps.contains("FileScan"),
+      "keeper join and rebuild must read the materialized span cut\n" + ps)
+    assert(!ps.contains("Window") && !ps.contains("CartesianProduct"), ps)
+    // dsir_weights: the bounded feature table comes back as a BROADCAST
+    // equi join onto the token cut; totals are a 1-row broadcast cross
+    val pw = planOf("dsir_weights")
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    assert(!pw.contains("FileScan"),
+      "all consumers must read the materialized token cut\n" + pw)
+    assert(!pw.contains("CartesianProduct"), pw)
+    // ccnet_buckets: the per-lang cumulative window runs over the
+    // (lang, ppl) HISTOGRAM aggregate, never raw documents — the window's
+    // child must be an aggregation, and cutoffs broadcast back
+    val pb = planOf("ccnet_buckets")
+    assert(pb.contains("Window"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+  }
 }
