@@ -2028,6 +2028,155 @@ object Analytics {
         (col("sigm").cast("double") / lit(1000000.0)).as("rvi_signal"))
   }
 
+  /** CONNORS RSI per symbol: the mean of THREE bounded 0–100 readings —
+    * Cutler RSI(3) of close, Cutler RSI(2) of the SIGNED STREAK (run
+    * length of consecutive up/down closes, 0 on a flat bar), and the
+    * percent-rank of the current 1-bar ROC against the previous `nPr`
+    * bars — the mean-reversion entry score that needs price, persistence,
+    * and relative-magnitude to agree. The composite this engine showcases:
+    * the streak is the GAPS-AND-ISLANDS idiom on ONE window partitioning
+    * (group start = the cumulative max of flagged row_numbers; run length
+    * = rn − start + 1 — no second (symbol, grp) shuffle), the
+    * percent-rank compares against a bounded collect_list frame (exact
+    * integer count over `nPr` literal), and the final mean of three
+    * 6-rounded components runs the emv integer pipeline (micro BIGINTs,
+    * half-up div 3) so NO engine round() touches the blend. Streak signs
+    * come from exact decimal comparisons; streak RSI sums are exact
+    * integer gains/losses; the zero-loss convention mirrors rsi (100).
+    * Defined where every component is (full 3/2/nPr frames). Everything
+    * on ONE per-symbol window partitioning.
+    */
+  def connorsRsi(candles: DataFrame, nRsi: Int = 3, nStreak: Int = 2,
+                 nPr: Int = 100): DataFrame = {
+    require(nRsi >= 2 && nStreak >= 2 && nPr >= 1, "spans")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    def cutler(gain: org.apache.spark.sql.Column,
+               loss: org.apache.spark.sql.Column, n: Int) = {
+      val sg = sum(gain).over(w.rowsBetween(-(n - 1), 0)).cast("double")
+      val sl = sum(loss).over(w.rowsBetween(-(n - 1), 0)).cast("double")
+      val cnt = count(gain).over(w.rowsBetween(-(n - 1), 0))
+      (when(cnt === n,
+        when(sl === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sg / sl))), cnt)
+    }
+    val d = col("close").cast(D) - col("prev").cast(D)
+    val micro = (c: org.apache.spark.sql.Column) =>
+      (round(c, 6).cast(DecimalType(18, 6)) * lit(1000000)).cast("long")
+    val base = candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .withColumn("sgn", when(col("prev").isNull, lit(null))
+        .when(d > 0, 1).when(d < 0, -1).otherwise(0))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("flag",
+        when(col("sgn").isNotNull &&
+          (lag(col("sgn"), 1).over(w).isNull ||
+            col("sgn") =!= lag(col("sgn"), 1).over(w)), col("rn")))
+      .withColumn("start", max(col("flag")).over(wAll))
+      .withColumn("streak",
+        when(col("sgn").isNotNull,
+          col("sgn") * (col("rn") - col("start") + 1)).cast("long"))
+      .withColumn("roc",
+        round(lit(100.0) * (col("close") /
+          when(col("prev") =!= 0, col("prev")) - lit(1.0)), 6))
+    require(100000000L % nPr == 0, "nPr must divide 100e6 for exact micro")
+    val ds = col("streak") - col("prev_streak")
+    // guard: rows without a previous streak contribute NULL terms (never a
+    // spurious 0), so the frame count gates on real observations
+    val gS = when(col("prev_streak").isNotNull, greatest(ds, lit(0L)))
+    val lS = when(col("prev_streak").isNotNull, greatest(-ds, lit(0L)))
+    val (rsiP, _) = cutler(
+      greatest(d, lit(0).cast(D)), greatest(-d, lit(0).cast(D)), nRsi)
+    val (rsiS, _) = cutler(gS, lS, nStreak)
+    base
+      .where(col("prev").isNotNull)
+      .withColumn("prev_streak", lag(col("streak"), 1).over(w))
+      .withColumn("m1", micro(rsiP))
+      .withColumn("m2", micro(rsiS))
+      .withColumn("prl", collect_list(col("roc")).over(w.rowsBetween(-nPr, -1)))
+      .withColumn("m3",
+        when(size(col("prl")) === nPr,
+          size(filter(col("prl"), x => x < col("roc"))).cast("long") *
+            lit(100000000L / nPr)))
+      .where(col("m1").isNotNull && col("m2").isNotNull && col("m3").isNotNull)
+      .withColumn("nmicro", col("m1") + col("m2") + col("m3"))
+      .withColumn("km",
+        expr("(2 * nmicro + 3) div 6")) // components are 0..100: never negative
+      .select(col("symbol"), col("bucket_ts"),
+        (col("km").cast("double") / lit(1000000.0)).as("connors_rsi"))
+  }
+
+  /** SCHAFF TREND CYCLE per symbol: MACD(23,50) run through TWO rounds of
+    * 10-bar stochastic normalization, each damped by a 0.5-factor
+    * recursion — Schaff's "MACD with a clock" that pins cycle turns to a
+    * 0–100 band faster than MACD's own signal crossing. The whole chain
+    * (two EMA folds + rolling min/max of a RECURSIVE quantity + two more
+    * recursions) is ONE sequential sweep carrying two 10-deep rings (the
+    * fisher_transform shape — any window here would re-shuffle); state =
+    * two EMA scalars + two rings + two damping scalars, O(1). Stochastic
+    * rounds emit 100·(v−mn)/(mx−mn), zero-range frames read 50 (neutral,
+    * documented); each damping seeds at its first defined input. STC
+    * emits UNROUNDED: every step is a fixed-order IEEE op on identical
+    * inputs (bit-identical in any engine), and the 0.5 factors make
+    * values dyadic-prone — exactly the class where an engine round()
+    * splits at true half-micro ties (the alligator lesson). Oracle:
+    * recursion #1 for MACD, window min/max over its output, recursion #2
+    * carrying d1, its last-10 history list, and d2.
+    */
+  def schaffTrendCycle(candles: DataFrame, nFast: Int = 23, nSlow: Int = 50,
+                       nStoch: Int = 10): DataFrame = {
+    require(nFast >= 1 && nSlow > nFast && nStoch >= 1, "spans")
+    val aF = 2.0 / (nFast + 1); val bF = 1.0 - aF
+    val aS = 2.0 / (nSlow + 1); val bS = 1.0 - aS
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select(col("symbol"), col("bucket_ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("bucket_ts"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var eF = 0.0; var eS = 0.0
+        val rM = new Array[Double](nStoch) // macd ring
+        val rD = new Array[Double](nStoch) // d1 ring
+        var k = 0; var d1 = 0.0; var d2 = 0.0
+        var d1Seeded = false; var d2Seeded = false
+        def minMax(r: Array[Double], n: Int): (Double, Double) = {
+          var mn = r(0); var mx = r(0); var i = 1
+          while (i < n) {
+            if (r(i) < mn) mn = r(i); if (r(i) > mx) mx = r(i); i += 1
+          }
+          (mn, mx)
+        }
+        it.flatMap { case (s, t, c) =>
+          if (s != cur) {
+            cur = s; k = 0; d1Seeded = false; d2Seeded = false
+          }
+          if (k == 0) { eF = c; eS = c }
+          else { eF = aF * c + bF * eF; eS = aS * c + bS * eS }
+          val macd = eF - eS
+          rM(k % nStoch) = macd
+          val out = if (k + 1 >= nStoch) {
+            val (mn, mx) = minMax(rM, nStoch)
+            val st1 = if (mx != mn) 100.0 * ((macd - mn) / (mx - mn)) else 50.0
+            d1 = if (!d1Seeded) { d1Seeded = true; st1 }
+            else d1 + 0.5 * (st1 - d1)
+            rD((k + 1 - nStoch) % nStoch) = d1
+            if (k + 2 >= 2 * nStoch) {
+              val (dn, dx) = minMax(rD, nStoch)
+              val st2 = if (dx != dn) 100.0 * ((d1 - dn) / (dx - dn)) else 50.0
+              d2 = if (!d2Seeded) { d2Seeded = true; st2 }
+              else d2 + 0.5 * (st2 - d2)
+              Some((s, t, d2))
+            } else None
+          } else None
+          k += 1
+          out
+        }
+      }
+      .toDF("symbol", "bucket_ts", "stc")
+  }
+
   /** TRUE STRENGTH INDEX per symbol (Blau): 100 · EMA₁₃(EMA₂₅(Δclose)) /
     * EMA₁₃(EMA₂₅(|Δclose|)) — the double-smoothed momentum ratio that
     * keeps RSI's boundedness while reacting like an EMA. A CHAINED
