@@ -1594,6 +1594,11 @@ object SparkEntry {
       // decimal log-ratio sums, bounded feature table broadcast
       graft.ops.TextAnalysis.dsirWeights(
         Tables.table(s, dir, "documents"), col("lang") === "en")),
+    "image_dedup" -> ((s, dir) =>
+      // perceptual dHash near-dup: stub luma grid -> 63-bit dHash ->
+      // pigeonhole banding -> Hamming verify -> pointer-jumping CC ->
+      // min-id keeper (real-codec face spec-tested on generated PNGs)
+      graft.ops.Dedup.imageDedup(Tables.table(s, dir, "documents"))),
     "ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
       // the value histogram, lang-dim cutoffs broadcast back
@@ -2139,9 +2144,9 @@ object SparkEntry {
     // division, the candle picks on the unique per-symbol ts
     "volume_bars" -> withTrades(
       ", x AS (SELECT symbol, ts, price, qty, " +
-        "COALESCE(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev FROM t) " +
-        "SELECT symbol, cum_prev // 500 AS bar_id, min(ts) AS start_ts, max(ts) AS end_ts, " +
+        "COALESCE(CAST(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM t) " +
+        "SELECT symbol, CAST(cum_prev // 500 AS BIGINT) AS bar_id, min(ts) AS start_ts, max(ts) AS end_ts, " +
         "min_by(price, ts) AS open, max(price) AS high, min(price) AS low, " +
         "max_by(price, ts) AS close, " +
         "CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
@@ -2152,8 +2157,8 @@ object SparkEntry {
     "vpin" -> withTrades(
       ", x AS (SELECT symbol, ts, price, qty, " +
         "lag(price) OVER (PARTITION BY symbol ORDER BY ts) AS pp, " +
-        "COALESCE(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev FROM t), " +
+        "COALESCE(CAST(sum(CAST(qty AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_prev FROM t), " +
         "y AS (SELECT symbol, ts, qty, cum_prev // 500 AS bar_id, " +
         "CASE WHEN price > pp THEN 1 WHEN price < pp THEN -1 END AS tick FROM x), " +
         "z AS (SELECT symbol, qty, bar_id, last_value(tick IGNORE NULLS) OVER (" +
@@ -2221,8 +2226,8 @@ object SparkEntry {
         "CAST(round(abs(low - ph), 2) AS DECIMAL(18,2)) AS vmn, " +
         "CAST(round(greatest(high - low, abs(high - pc), abs(low - pc)), 2) AS DECIMAL(18,2)) AS tr " +
         "FROM x WHERE pc IS NOT NULL), " +
-        "z AS (SELECT symbol, bucket_ts, sum(vmp) OVER w AS svmp, " +
-        "sum(vmn) OVER w AS svmn, sum(tr) OVER w AS str, count(*) OVER w AS cnt " +
+        "z AS (SELECT symbol, bucket_ts, CAST(sum(vmp) OVER w AS DECIMAL(38,2)) AS svmp, " +
+        "CAST(sum(vmn) OVER w AS DECIMAL(38,2)) AS svmn, CAST(sum(tr) OVER w AS DECIMAL(38,2)) AS str, count(*) OVER w AS cnt " +
         "FROM y WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, " +
         "round(CAST(svmp AS DOUBLE) / (CASE WHEN str <> 0 THEN CAST(str AS DOUBLE) END), 6) AS vi_plus, " +
@@ -2239,7 +2244,7 @@ object SparkEntry {
         "abs(cd - lag(cd) OVER (PARTITION BY symbol ORDER BY bucket_ts)) AS ad, " +
         "abs(cd - lag(cd, 10) OVER (PARTITION BY symbol ORDER BY bucket_ts)) AS sig FROM x), " +
         "e AS (SELECT symbol, bucket_ts, close, i, sig, " +
-        "sum(ad) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS noise FROM d), " +
+        "CAST(sum(ad) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS noise FROM d), " +
         "f AS (SELECT symbol, bucket_ts, close, " +
         "CASE WHEN noise = 0 THEN 0.0 ELSE round(CAST(sig AS DOUBLE) / CAST(noise AS DOUBLE), 6) END AS er, " +
         "row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) AS j FROM e WHERE i >= 11), " +
@@ -2386,8 +2391,8 @@ object SparkEntry {
         "hl + 2 * lag(hl, 1) OVER w + 2 * lag(hl, 2) OVER w + lag(hl, 3) OVER w AS wd " +
         "FROM x WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts)), " +
         "f AS (SELECT * FROM y WHERE wd IS NOT NULL), " +
-        "z AS (SELECT symbol, bucket_ts, sum(wn) OVER wf AS snum, " +
-        "sum(wd) OVER wf AS sden, count(*) OVER wf AS cnt FROM f " +
+        "z AS (SELECT symbol, bucket_ts, CAST(sum(wn) OVER wf AS DECIMAL(38,2)) AS snum, " +
+        "CAST(sum(wd) OVER wf AS DECIMAL(38,2)) AS sden, count(*) OVER wf AS cnt FROM f " +
         "WINDOW wf AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
         "g AS (SELECT symbol, bucket_ts, " +
         "round(CAST(snum AS DOUBLE) / (CASE WHEN sden <> 0 THEN CAST(sden AS DOUBLE) END), 6) AS rvi " +
@@ -2408,7 +2413,7 @@ object SparkEntry {
         "CAST(round(greatest(close - pc, 0.0), 2) AS DECIMAL(18,2)) AS up, " +
         "CAST(round(greatest(pc - close, 0.0), 2) AS DECIMAL(18,2)) AS dn " +
         "FROM x WHERE pc IS NOT NULL), " +
-        "z AS (SELECT symbol, bucket_ts, sum(up) OVER w AS su, sum(dn) OVER w AS sd, " +
+        "z AS (SELECT symbol, bucket_ts, CAST(sum(up) OVER w AS DECIMAL(38,2)) AS su, CAST(sum(dn) OVER w AS DECIMAL(38,2)) AS sd, " +
         "count(*) OVER w AS cnt FROM y WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts " +
         "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, round(100.0 * (CAST(su AS DOUBLE) - CAST(sd AS DOUBLE)) / " +
@@ -2462,7 +2467,7 @@ object SparkEntry {
         "q AS (SELECT symbol, tss[j] AS bucket_ts, " +
         "CASE WHEN e2 <> 0.0 THEN CAST(round(e1 / e2, 6) AS DECIMAL(18,6)) END AS r6 FROM r), " +
         "q2 AS (SELECT symbol, bucket_ts, r6 FROM q WHERE r6 IS NOT NULL), " +
-        "z AS (SELECT symbol, bucket_ts, sum(r6) OVER w AS mi, count(*) OVER w AS cnt " +
+        "z AS (SELECT symbol, bucket_ts, CAST(sum(r6) OVER w AS DECIMAL(38,6)) AS mi, count(*) OVER w AS cnt " +
         "FROM q2 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, round(CAST(mi AS DOUBLE), 6) AS mass_index FROM z WHERE cnt = 25"
     },
@@ -2486,9 +2491,9 @@ object SparkEntry {
         "CAST(round(greatest(high, pc) - least(low, pc), 2) AS DECIMAL(18,2)) AS tr " +
         "FROM x WHERE pc IS NOT NULL), " +
         "z AS (SELECT symbol, bucket_ts, " +
-        "CAST(sum(bp) OVER w7 AS DOUBLE) / (CASE WHEN sum(tr) OVER w7 <> 0 THEN CAST(sum(tr) OVER w7 AS DOUBLE) END) AS a1, " +
-        "CAST(sum(bp) OVER w14 AS DOUBLE) / (CASE WHEN sum(tr) OVER w14 <> 0 THEN CAST(sum(tr) OVER w14 AS DOUBLE) END) AS a2, " +
-        "CAST(sum(bp) OVER w28 AS DOUBLE) / (CASE WHEN sum(tr) OVER w28 <> 0 THEN CAST(sum(tr) OVER w28 AS DOUBLE) END) AS a3, " +
+        "CAST(sum(bp) OVER w7 AS DOUBLE) / (CASE WHEN CAST(sum(tr) OVER w7 AS DECIMAL(38,2)) <> 0 THEN CAST(sum(tr) OVER w7 AS DOUBLE) END) AS a1, " +
+        "CAST(sum(bp) OVER w14 AS DOUBLE) / (CASE WHEN CAST(sum(tr) OVER w14 AS DECIMAL(38,2)) <> 0 THEN CAST(sum(tr) OVER w14 AS DOUBLE) END) AS a2, " +
+        "CAST(sum(bp) OVER w28 AS DOUBLE) / (CASE WHEN CAST(sum(tr) OVER w28 AS DECIMAL(38,2)) <> 0 THEN CAST(sum(tr) OVER w28 AS DOUBLE) END) AS a3, " +
         "count(*) OVER w28 AS cnt FROM y WINDOW " +
         "w7 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), " +
         "w14 AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), " +
@@ -2534,9 +2539,9 @@ object SparkEntry {
         "o_orderdate < TIMESTAMP '1998-01-01' AS is_ref FROM orders WHERE o_totalprice IS NOT NULL), " +
         "bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM b), " +
         "counts AS (SELECT least(CAST(floor((v - lo) * 20.0 / (CASE WHEN hi <> lo THEN hi - lo END)) AS BIGINT), 19) AS bin, " +
-        "sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nref, sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ncur " +
+        "CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nref, CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS ncur " +
         "FROM b CROSS JOIN bounds GROUP BY 1), " +
-        "tot AS (SELECT sum(nref) AS tref, sum(ncur) AS tcur FROM counts), " +
+        "tot AS (SELECT CAST(sum(nref) AS BIGINT) AS tref, CAST(sum(ncur) AS BIGINT) AS tcur FROM counts), " +
         "terms AS (SELECT CAST(round((CAST(nref AS DOUBLE) / CAST(tref AS DOUBLE) - CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE)) * " +
         "ln(CAST(nref AS DOUBLE) / CAST(tref AS DOUBLE) / (CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE))), 12) AS DECIMAL(28,12)) AS term, " +
         "tref, tcur FROM counts CROSS JOIN tot WHERE nref > 0 AND ncur > 0) " +
@@ -2576,7 +2581,7 @@ object SparkEntry {
         "FROM x WHERE ph IS NOT NULL AND volume > 0), " +
         "m AS (SELECT symbol, bucket_ts, CASE WHEN nn >= 0 THEN (2 * nn + dd) // (2 * dd) " +
         "ELSE -((2 * -nn + dd) // (2 * dd)) END AS micro FROM y), " +
-        "z AS (SELECT symbol, bucket_ts, sum(micro) OVER w AS st, count(*) OVER w AS cnt " +
+        "z AS (SELECT symbol, bucket_ts, CAST(sum(micro) OVER w AS BIGINT) AS st, count(*) OVER w AS cnt " +
         "FROM m WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, CAST(CASE WHEN st >= 0 THEN (2 * st + 14) // 28 " +
         "ELSE -((2 * -st + 14) // 28) END AS DOUBLE) / 1000000.0 AS emv FROM z WHERE cnt = 14"),
@@ -2591,7 +2596,7 @@ object SparkEntry {
         "FROM (SELECT symbol, bucket_ts, high, low, lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ts) AS pc FROM c) " +
         "WHERE pc IS NOT NULL), " +
         "z AS (SELECT symbol, bucket_ts, max(high) OVER w AS hh, min(low) OVER w AS ll, " +
-        "sum(tr) OVER w AS str, count(*) OVER w AS cnt " +
+        "CAST(sum(tr) OVER w AS DECIMAL(38,2)) AS str, count(*) OVER w AS cnt " +
         "FROM x WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, " +
         "round(hh - 3.0 * (CAST(str AS DOUBLE) / 22.0), 6) AS long_stop, " +
@@ -2682,7 +2687,7 @@ object SparkEntry {
       s", c AS (${candlesSql(3600000000L)}), " +
         "xy AS (SELECT symbol, CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket_ts) - 1 AS BIGINT) AS x, " +
         "CAST(close AS DECIMAL(18,2)) AS y FROM c), " +
-        "a AS (SELECT symbol, count(*) AS n, sum(x) AS sx, sum(x * x) AS sx2, " +
+        "a AS (SELECT symbol, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2, " +
         "CAST(sum(y) AS DOUBLE) AS sy, " +
         "CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS sy2, " +
         "CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy FROM xy GROUP BY 1), " +
@@ -3037,8 +3042,8 @@ object SparkEntry {
         "SELECT symbol, bucket_ts, round(cum_pv / cum_v, 6) AS avwap, " +
         "round(cum_v, 6) AS cum_volume FROM (" +
         "SELECT symbol, bucket_ts, " +
-        "sum(((high + low + close) / 3.0) * volume) OVER w AS cum_pv, " +
-        "sum(volume) OVER w AS cum_v FROM c " +
+        "CAST(sum(((high + low + close) / 3.0) * volume) OVER w AS DOUBLE) AS cum_pv, " +
+        "CAST(sum(volume) OVER w AS DOUBLE) AS cum_v FROM c " +
         "WINDOW w AS (PARTITION BY symbol, date_trunc('day', bucket_ts) " +
         "ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "WHERE cum_v > 0"),
@@ -3096,8 +3101,8 @@ object SparkEntry {
         "CASE WHEN tp > tp_prev THEN tp * volume ELSE 0.0 END AS pos_mf, " +
         "CASE WHEN tp < tp_prev THEN tp * volume ELSE 0.0 END AS neg_mf " +
         "FROM t2 WHERE tp_prev IS NOT NULL), " +
-        "g AS (SELECT symbol, bucket_ts, sum(pos_mf) OVER w AS pos_sum, " +
-        "sum(neg_mf) OVER w AS neg_sum, count(*) OVER w AS cnt FROM f " +
+        "g AS (SELECT symbol, bucket_ts, CAST(sum(pos_mf) OVER w AS DOUBLE) AS pos_sum, " +
+        "CAST(sum(neg_mf) OVER w AS DOUBLE) AS neg_sum, count(*) OVER w AS cnt FROM f " +
         "WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
         "SELECT symbol, bucket_ts, " +
         "round(CASE WHEN neg_sum = 0.0 AND pos_sum = 0.0 THEN NULL " +
@@ -3221,9 +3226,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN close > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_up, " +
         "CAST(sum(CASE WHEN close < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_down, " +
         "CAST(sum(CASE WHEN close = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_flat, " +
-        "CASE WHEN sum(CASE WHEN close < prev THEN 1 ELSE 0 END) > 0 THEN " +
+        "CASE WHEN CAST(sum(CASE WHEN close < prev THEN 1 ELSE 0 END) AS BIGINT) > 0 THEN " +
         "round(CAST(sum(CASE WHEN close > prev THEN 1 ELSE 0 END) AS DOUBLE) / " +
-        "sum(CASE WHEN close < prev THEN 1 ELSE 0 END), 6) END AS ad_ratio " +
+        "CAST(sum(CASE WHEN close < prev THEN 1 ELSE 0 END) AS BIGINT), 6) END AS ad_ratio " +
         "FROM p WHERE prev IS NOT NULL GROUP BY 1"),
     "session_paths" ->
       ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
@@ -3421,8 +3426,8 @@ object SparkEntry {
         "r AS (SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS age_days, " +
         "sum(CAST(value AS DECIMAL(18,2))) AS rev_d FROM e JOIN c ON e.user_id = c.user_id " +
         "WHERE e.event_type = 'purchase' GROUP BY 1, 2), " +
-        "cum AS (SELECT cohort_day, age_days, rev_d, sum(rev_d) OVER (" +
-        "PARTITION BY cohort_day ORDER BY age_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d FROM r) " +
+        "cum AS (SELECT cohort_day, age_days, rev_d, CAST(sum(rev_d) OVER (" +
+        "PARTITION BY cohort_day ORDER BY age_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_d FROM r) " +
         "SELECT cum.cohort_day, age_days, n_users, CAST(rev_d AS DOUBLE) AS revenue, " +
         "CAST(cum_d AS DOUBLE) AS cum_revenue, " +
         "round(CAST(cum_d AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv_per_user " +
@@ -3620,8 +3625,8 @@ object SparkEntry {
         "CAST(l_shipdate AS DATE)) <= 30 THEN 'fast' " +
         "WHEN date_diff('day', CAST(o_orderdate AS DATE), " +
         "CAST(l_shipdate AS DATE)) <= 90 THEN 'normal' ELSE 'slow' END AS ship_class, " +
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
-        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
     "q16_supplier_parts" ->
       ("SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
@@ -3635,7 +3640,7 @@ object SparkEntry {
         "WHERE p_name LIKE '%widget%' AND year(l_shipdate) = 1997), " +
         "ps AS (SELECT l_partkey, l_suppkey, " +
         "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM li GROUP BY 1, 2), " +
-        "tot AS (SELECT l_partkey, sum(qty) AS total FROM ps GROUP BY 1), " +
+        "tot AS (SELECT l_partkey, CAST(sum(qty) AS DECIMAL(38,2)) AS total FROM ps GROUP BY 1), " +
         "dom AS (SELECT ps.l_suppkey FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey " +
         "WHERE ps.qty * 2 > tot.total) " +
         "SELECT s_suppkey, s_name, count(*) AS n_dominated " +
@@ -3658,7 +3663,7 @@ object SparkEntry {
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value " +
         "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM bloc) " +
         "GROUP BY 1), " +
-        "tot AS (SELECT sum(value) AS bloc_total, count(*) AS n_parts FROM pp) " +
+        "tot AS (SELECT CAST(sum(value) AS DECIMAL(38,4)) AS bloc_total, count(*) AS n_parts FROM pp) " +
         "SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value " +
         "FROM pp, tot WHERE value * n_parts > bloc_total * 2"),
     "supplier_nation_revenue" ->
@@ -3880,7 +3885,7 @@ object SparkEntry {
         "SELECT e.event_type, count(*) AS n, " +
         "CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed, " +
         "round(CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi THEN CAST(e.value AS DECIMAL(18,6)) END) AS DOUBLE) / " +
-        "sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi THEN 1 ELSE 0 END), 6) AS trimmed_mean " +
+        "CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi THEN 1 ELSE 0 END) AS BIGINT), 6) AS trimmed_mean " +
         "FROM events e JOIN b ON e.event_type = b.event_type GROUP BY 1"),
     "value_histogram" ->
       ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n " +
@@ -4149,8 +4154,8 @@ object SparkEntry {
         "sl AS (SELECT pp.doc_id, d.lang, pp.ppl FROM pp JOIN documents d ON d.doc_id = pp.doc_id), " +
         "cnts AS (SELECT lang, ppl, count(*) AS c FROM sl GROUP BY 1, 2), " +
         "nn AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnts GROUP BY 1), " +
-        "cum AS (SELECT lang, ppl, sum(c) OVER (PARTITION BY lang ORDER BY ppl " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnts), " +
+        "cum AS (SELECT lang, ppl, CAST(sum(c) OVER (PARTITION BY lang ORDER BY ppl " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM cnts), " +
         "cuts AS (SELECT cum.lang, " +
         "min(CASE WHEN cum >= (n + 2) // 3 THEN ppl END) AS c1, " +
         "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl END) AS c2 " +
@@ -4172,6 +4177,34 @@ object SparkEntry {
         "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '') AS text " +
         "FROM j GROUP BY 1"),
+    // dHash image-dedup replay: the stub luma grid is md5-hex byte pairs
+    // (position (2i mod 31)+1 — pure string/integer logic, no codec), the
+    // 63-bit dHash a sum of shifted gradient-sign bits, banding/Hamming/
+    // CC replayed exactly like corpus_dedup's recursive min-label CTE
+    "image_dedup" ->
+      ("WITH RECURSIVE hx AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "lb AS (SELECT doc_id, h, b, b // 8 AS r, b % 8 AS c " +
+        "FROM hx CROSS JOIN range(63) t(b)), " +
+        "bits AS (SELECT doc_id, " +
+        "CASE WHEN CAST('0x'||substr(h, ((r*9+c+1)*2) % 31 + 1, 2) AS BIGINT) > " +
+        "CAST('0x'||substr(h, ((r*9+c)*2) % 31 + 1, 2) AS BIGINT) " +
+        "THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END AS bit FROM lb), " +
+        "d AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY 1), " +
+        "ch AS (SELECT doc_id, dhash, t.b AS chunk, " +
+        "(dhash >> (t.b * 16)) & (CASE WHEN t.b = 3 THEN 32767 ELSE 65535 END) AS cval " +
+        "FROM d CROSS JOIN range(4) t(b)), " +
+        "pr AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 " +
+        "FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS doc_id FROM edges), " +
+        "comp AS (SELECT doc_id, doc_id AS lbl FROM nodes " +
+        "UNION SELECT e.a AS doc_id, c.lbl FROM edges e JOIN comp c ON e.b = c.doc_id), " +
+        "labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM comp GROUP BY 1) " +
+        "SELECT d.doc_id AS doc_id, d.dhash AS dhash, " +
+        "COALESCE(l.cluster_id, d.doc_id) AS cluster_id, " +
+        "(d.doc_id = COALESCE(l.cluster_id, d.doc_id)) AS keep " +
+        "FROM d LEFT JOIN labels l ON l.doc_id = d.doc_id"),
     // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
     // target/raw models, 12-rounded log-ratios summed exact decimal
     "dsir_weights" ->
@@ -4214,8 +4247,8 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, lang, " +
         "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, lang, n_tokens, " +
-        "COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
+        "COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM t) " +
         "SELECT doc_id, lang, n_tokens, " +
         "CAST(cb // 2048 AS BIGINT) AS seq_id, " +
         "CAST(cb % 2048 AS BIGINT) AS seq_offset, " +
@@ -4243,7 +4276,7 @@ object SparkEntry {
         "CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_ctx, " +
         "CAST(sum((t + 63) // 64) AS BIGINT) AS windows_padded, " +
         "CAST((sum(t) + 63) // 64 AS BIGINT) AS windows_packed, " +
-        "round(CAST(sum((t + 63) // 64) * 64 - sum(t) AS DOUBLE) / (sum((t + 63) // 64) * 64), 6) AS padding_waste " +
+        "round(CAST(sum((t + 63) // 64) * 64 - sum(t) AS DOUBLE) / (CAST(sum((t + 63) // 64) AS BIGINT) * 64), 6) AS padding_waste " +
         "FROM tc GROUP BY 1"),
     "doc_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix, " +
@@ -4323,12 +4356,12 @@ object SparkEntry {
     "dq_check" ->
       ("WITH a AS (SELECT count(*) AS n, count(l_shipdate) AS ship, " +
         "count(DISTINCT (l_orderkey, l_linenumber)) AS pk, " +
-        "sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS q_ok, count(l_quantity) AS q_n, " +
-        "sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS d_ok, count(l_discount) AS d_n, " +
-        "sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END) AS t_ok, count(l_tax) AS t_n, " +
-        "sum(CASE WHEN l_extendedprice BETWEEN 1.0 AND 100000000.0 THEN 1 ELSE 0 END) AS p_ok, count(l_extendedprice) AS p_n, " +
-        "sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS rf_ok, count(l_returnflag) AS rf_n, " +
-        "sum(CASE WHEN l_linestatus IN ('O','F') THEN 1 ELSE 0 END) AS ls_ok, count(l_linestatus) AS ls_n " +
+        "CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS q_ok, count(l_quantity) AS q_n, " +
+        "CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS d_ok, count(l_discount) AS d_n, " +
+        "CAST(sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS t_ok, count(l_tax) AS t_n, " +
+        "CAST(sum(CASE WHEN l_extendedprice BETWEEN 1.0 AND 100000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS p_ok, count(l_extendedprice) AS p_n, " +
+        "CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS rf_ok, count(l_returnflag) AS rf_n, " +
+        "CAST(sum(CASE WHEN l_linestatus IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS ls_ok, count(l_linestatus) AS ls_n " +
         "FROM lineitem) " +
         "SELECT 'row_count' AS check_name, round(CAST(n AS DOUBLE), 6) AS metric, n >= 1 AS passed FROM a " +
         "UNION ALL SELECT 'complete_l_shipdate', round(CAST(ship AS DOUBLE) / CAST(n AS DOUBLE), 6), ship = n FROM a " +
@@ -4473,7 +4506,7 @@ object SparkEntry {
         "(3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.09691 AS DOUBLE)), (5, CAST(0.079181 AS DOUBLE)), " +
         "(6, CAST(0.066947 AS DOUBLE)), (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)), " +
         "(9, CAST(0.045757 AS DOUBLE))) AS s(digit, expected)), " +
-        "tot AS (SELECT sum(n) AS tot FROM cnt2), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt2), " +
         "f AS (SELECT s.digit AS digit, COALESCE(n, 0) AS n, " +
         "round(CAST(COALESCE(n, 0) AS DOUBLE) / (CASE WHEN tot > 0 THEN CAST(tot AS DOUBLE) END), 6) AS share, " +
         "s.expected AS expected FROM spine s LEFT JOIN cnt2 ON s.digit = cnt2.digit CROSS JOIN tot) " +
@@ -4486,8 +4519,8 @@ object SparkEntry {
         "nb AS (SELECT fid // 100 AS batch, count(*) AS new_uniques FROM fs GROUP BY 1), " +
         "j AS (SELECT pb.batch AS batch, docs, COALESCE(new_uniques, 0) AS new_uniques " +
         "FROM pb LEFT JOIN nb ON pb.batch = nb.batch) " +
-        "SELECT batch, docs, new_uniques, sum(new_uniques) OVER (ORDER BY batch " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_uniques FROM j"),
+        "SELECT batch, docs, new_uniques, CAST(sum(new_uniques) OVER (ORDER BY batch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uniques FROM j"),
     // TRIX replay: the chained triple-EMA recursion with e1/e2 SUBSTITUTED
     // textually (a recursive CTE cannot reference fresh columns), alpha
     // spelled 0.2 and the complement computed as (1.0 - 0.2) — never a

@@ -833,13 +833,27 @@ object Dedup {
     * Scale shape: one hash-partitioned first-occurrence aggregation
     * (min doc_id per md5 — map-side combined, never a window over the
     * corpus), one batch-keyed count aggregation each for totals and
-    * uniques, an equi-join of the two at batch scale, and ONE unbounded
-    * cumulative window over the batch spine — dim-scale by construction
-    * (corpus/batchSize rows), documented single-partition like the other
-    * dim-scale windows. Exact integers end to end.
+    * uniques, an equi-join of the two at batch scale, and the cumulative
+    * over the batch spine runs through [[Scan.withRunningTotal]] (no
+    * group, ordered by batch) — the range-partitioned two-pass prefix
+    * sum, so even a billion-point curve never lands in one WindowExec
+    * task and the plan carries NO unpartitioned Window at all. Exact
+    * integers end to end.
     */
   def heapsCurve(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
     require(batchSize > 0, "batchSize > 0")
+    Scan.withRunningTotal(heapsSpine(docs, batchSize),
+        Seq(), Seq("batch"), "new_uniques", "cum_before")
+      .withColumn("cum_uniques", col("cum_before") + col("new_uniques"))
+      .drop("cum_before")
+  }
+
+  /** The batch spine (batch, docs, new_uniques) feeding [[heapsCurve]]'s
+    * running total — exposed so PlanAuditSpec can pin the parquet column
+    * pruning that the two-pass scan's RDD boundary hides from the final
+    * executed plan.
+    */
+  private[graft] def heapsSpine(docs: DataFrame, batchSize: Long): DataFrame = {
     val batch = expr(s"doc_id div $batchSize")
     val perBatch = docs
       .groupBy(batch.as("batch"))
@@ -849,13 +863,9 @@ object Dedup {
       .groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
       .groupBy(expr(s"first_id div $batchSize").as("batch"))
       .agg(count(lit(1)).as("new_uniques"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("batch"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     perBatch.join(firsts, Seq("batch"), "left")
       .select(col("batch"), col("docs"),
         coalesce(col("new_uniques"), lit(0L)).as("new_uniques"))
-      .withColumn("cum_uniques", sum(col("new_uniques")).over(w))
   }
 
   /** SPAN-LEVEL corpus dedup — the C4 line-dedup move on a corpus whose
@@ -902,4 +912,71 @@ object Dedup {
           "transform(sort_array(collect_list(CASE WHEN kept THEN " +
             "struct(idx, span) END)), x -> x.span)"), " ").as("text"))
   }
+
+  /** Perceptual (dHash) near-dup PAIRS over a (doc_id, dhash) frame —
+    * the image face of [[simhashNearDup]]'s pigeonhole machinery: the
+    * 63-bit hash splits into 4 chunks (3×16 bits + the 15 top bits), any
+    * pair within Hamming `maxHamming` ≤ 3 must agree on at least one
+    * chunk EXACTLY (4 chunks, ≤ 3 differing bits), so the candidate join
+    * is equi on (chunk, value) — co-partitioned, never an all-pairs
+    * scan — and candidates verify with one xor + popcount. Null hashes
+    * (failed decodes) drop out before banding. Emits
+    * (id1 < id2, hamming) distinct pairs.
+    *
+    * Scale shape: map-only chunk explode (4 rows/image), one equi-join
+    * shuffle on the chunk key; bucket fan-out is governed by the
+    * near-dup rate the operator exists to find (perceptually-identical
+    * frames collapse to identical chunks — exactly the simhash bucket
+    * profile, with the same skew remedy: a hot chunk value IS a dup
+    * cluster, and its pairs are the answer, not noise).
+    */
+  def dhashNearDup(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole guarantee holds for maxHamming <= 3 with 4 chunks")
+    val sigs = cutLineageLazy(
+      hashed.where(col("dhash").isNotNull)
+        .select(col("doc_id"), col("dhash")))
+    val chunked = sigs.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("dhash"), c * 16)
+          .bitwiseAND(lit(if (c == 3) 0x7FFFL else 0xFFFFL))): _*)))
+      .toDF("doc_id", "dhash", "chunk", "cval")
+    val x = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("id1"), col("dhash").as("h1"))
+    val y = chunked.select(col("chunk"), col("cval"),
+      col("doc_id").as("id2"), col("dhash").as("h2"))
+    x.join(y, Seq("chunk", "cval")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** End-to-end perceptual image dedup over a (doc_id, dhash) frame:
+    * [[dhashNearDup]] pairs → [[clusters]] (the pointer-jumping CC every
+    * dedup family shares) → keeper = the component's min doc_id (images
+    * carry no text-quality score; min id is the replay-stable
+    * convention). EVERY input row comes back: unclustered images (and
+    * null-hash decode failures) are their own singleton cluster. Columns
+    * (doc_id, dhash, cluster_id, keep).
+    */
+  def dhashDedup(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val base = cutLineageLazy(hashed.select(col("doc_id"), col("dhash")))
+    val labels = clusters(dhashNearDup(base, maxHamming))
+    base.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  /** [[dhashDedup]] over the documents table's STUB luma face
+    * (Multimodal.lumaGridStub → dhashFromLuma) — the oracled [SQL]
+    * plumbing proving the whole image-dedup pipeline (grid → dHash →
+    * banding → Hamming verify → CC → keeper) on engine-portable
+    * content-derived pseudo-luma; the real-codec face is the same
+    * machinery fed by Multimodal.imageDhash (spec-tested on generated
+    * PNGs, where perceptual closeness is actually exercised).
+    */
+  def imageDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    dhashDedup(Multimodal.imageDhashStub(docs), maxHamming)
 }

@@ -201,6 +201,105 @@ object Multimodal {
     * harness and replayable in SQL: width/height come from the first
     * 8 md5 hex chars, feature f_i from hex chars [2i, 2i+2) over 255.
     */
+  /** 63-bit dHash over a 72-element (8 rows × 9 cols, row-major) luma
+    * grid column: bit r·8+c is set when the right neighbor is strictly
+    * brighter — luma[r·9+c+1] > luma[r·9+c] — for r ∈ [0,8), c ∈ [0,8),
+    * DROPPING bit 63 (r=7,c=7) so the hash lives in [0, 2⁶³): positive
+    * in every engine's signed 64-bit integer (the simhash 60-bit
+    * precedent — an oracle can parse/compare it without unsigned types).
+    * Gradient signs survive brightness/contrast shifts and recompression,
+    * which is why dHash is the standard perceptual near-dup key. Pure
+    * column expression (codegen'd), shared verbatim by the real-decode
+    * and stub faces.
+    */
+  def dhashFromLuma(luma: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 63).map { b =>
+      val r = b / 8; val c = b % 8
+      when(element_at(luma, r * 9 + c + 2) > element_at(luma, r * 9 + c + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** REAL 8×9 luma grid via the javax.imageio decode boundary (the
+    * [[decodeImage]] codecs): average-pool the decoded image into 8 rows
+    * × 9 columns of BT.601 integer luma ((299R + 587G + 114B) / 1000,
+    * block mean by truncating integer division — no float anywhere, so
+    * grids are bit-stable across JVMs), the canonical dHash pre-step.
+    * Junk bytes and images smaller than the grid come back ok = false
+    * with a null grid (the decodeImage contract). Same mapPartitions
+    * shape: decode parallelism IS the table's partitioning, no shuffle,
+    * one 64-row batch in memory.
+    */
+  def lumaGrid(media: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def grid(id: Long, bytes: Array[Byte]): (Long, Boolean, Option[Seq[Int]]) =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth < 9 || img.getHeight < 8)
+          (id, false, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val row = new Array[Int](w)
+          // per-block sums in one row-major pass (bulk row reads, the
+          // decodeImage access pattern); block (r, c) spans pixel rows
+          // [r·h/8, (r+1)·h/8) × cols [c·w/9, (c+1)·w/9)
+          val sums = new Array[Long](72)
+          val cnts = new Array[Long](72)
+          var y = 0
+          while (y < h) {
+            val r = y * 8 / h
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val c = x * 9 / w
+              val px = row(x)
+              val l = (299 * ((px >> 16) & 0xFF) + 587 * ((px >> 8) & 0xFF) +
+                114 * (px & 0xFF)) / 1000
+              sums(r * 9 + c) += l; cnts(r * 9 + c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, true, Some(Seq.tabulate(72)(i => (sums(i) / cnts(i)).toInt)))
+        }
+      } catch { case _: Exception => (id, false, None) }
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        grid(id, if (bytes == null) Array.emptyByteArray else bytes)
+      }))
+      .toDF("doc_id", "ok", "luma")
+  }
+
+  /** STUB luma grid over non-image payloads — the oracled face: luma i
+    * (i ∈ [0,72)) is the md5-hex byte pair at 1-based position
+    * (2i mod 31)+1 of the payload's digest, value ∈ [0,256). Pure
+    * content-derived pseudo-luma (the decodeStub convention), replayable
+    * in any SQL engine from md5 alone; identical payloads get identical
+    * grids, so the downstream dHash machinery exercises for real.
+    */
+  def lumaGridStub(docs: DataFrame): DataFrame = {
+    val hx = md5(col("text").cast("binary"))
+    docs.select(col("doc_id"),
+      array((0 until 72).map(i =>
+        conv(substring(hx, (i * 2) % 31 + 1, 2), 16, 10).cast("int")): _*)
+        .as("luma"))
+  }
+
+  /** (doc_id, ok, dhash) over REAL image payloads: [[lumaGrid]] decode +
+    * [[dhashFromLuma]]; dhash is null when decode fails. */
+  def imageDhash(media: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    lumaGrid(media, idCol, payloadCol)
+      .select(col("doc_id"), col("ok"),
+        when(col("ok"), dhashFromLuma(col("luma"))).as("dhash"))
+
+  /** (doc_id, dhash) over the stub luma face — the oracled plumbing. */
+  def imageDhashStub(docs: DataFrame): DataFrame =
+    lumaGridStub(docs)
+      .select(col("doc_id"), dhashFromLuma(col("luma")).as("dhash"))
+
   def decodeStub(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

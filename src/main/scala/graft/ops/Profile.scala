@@ -159,25 +159,6 @@ object Dq {
       .select(col("c.check_name"), col("c.metric"), col("c.passed"))
   }
 
-  /** BENFORD first-digit screen over a positive numeric column — the
-    * classic "was this measured or fabricated/truncated" audit: natural
-    * multi-magnitude quantities put digit d first with probability
-    * log₁₀(1 + 1/d); synthetic, capped, or unit-priced data deviates
-    * hard. One row per digit 1–9 with the observed share, the Benford
-    * expectation, and the signed deviation — downstream gates threshold
-    * max |dev| (tested magnitude-spanning data follows the law, uniform
-    * price-style data fails it; both are useful answers).
-    *
-    * The first significant digit is extracted from the value's decimal
-    * STRING form (first [1-9] character) — pure integer/string logic:
-    * no log10/pow float boundary where 999.99…/1000 could flip a digit
-    * between engines. Shares are single double divisions of exact
-    * counts, expectations are SPELLED LITERALS (the range_vol no-libm
-    * rule: no engine's log evaluates in the compare), rounded at
-    * emission. Scale: one pruned scan into a 9-group map-side-combined
-    * aggregation; digits with no rows still emit (0 share) via the
-    * broadcast digit spine.
-    */
   /** PSI population drift between a reference and a current slice of the
     * same column — the Population Stability Index every model-monitoring
     * stack gates on (rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
@@ -228,6 +209,25 @@ object Dq {
         col("tref").as("n_ref"), col("tcur").as("n_cur"))
   }
 
+  /** BENFORD first-digit screen over a positive numeric column — the
+    * classic "was this measured or fabricated/truncated" audit: natural
+    * multi-magnitude quantities put digit d first with probability
+    * log₁₀(1 + 1/d); synthetic, capped, or unit-priced data deviates
+    * hard. One row per digit 1–9 with the observed share, the Benford
+    * expectation, and the signed deviation — downstream gates threshold
+    * max |dev| (tested magnitude-spanning data follows the law, uniform
+    * price-style data fails it; both are useful answers).
+    *
+    * The first significant digit is extracted from the value's decimal
+    * STRING form (first [1-9] character) — pure integer/string logic:
+    * no log10/pow float boundary where 999.99…/1000 could flip a digit
+    * between engines. Shares are single double divisions of exact
+    * counts, expectations are SPELLED LITERALS (the range_vol no-libm
+    * rule: no engine's log evaluates in the compare), rounded at
+    * emission. Scale: one pruned scan into a 9-group map-side-combined
+    * aggregation; digits with no rows still emit (0 share) via the
+    * broadcast digit spine.
+    */
   def benford(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -18,6 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingVolumeBars {
 
   case class Trade(symbol: String, ts: java.sql.Timestamp, price: Double, qty: Double)
+  // vol is the bar's exact volume in CENTS (scale-2 long) — the same
+  // value the batch face's sum(qty.cast(DECIMAL(18,2))) carries, so the
+  // emitted double is bit-identical even for fractional qty
   case class BarState(cum: Long, barId: Long,
                       startTs: java.sql.Timestamp, endTs: java.sql.Timestamp,
                       open: Double, high: Double, low: Double, close: Double,
@@ -39,22 +42,27 @@ object StreamingVolumeBars {
           var st = state.getOption.orNull
           val out = List.newBuilder[Bar]
           rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
-            val q = Math.round(t.qty) // the reference's trade size is integral
+            // bar clock: truncation, mirroring the batch qty.cast("long");
+            // volume: exact scale-2 cents, mirroring qty.cast(DECIMAL(18,2))
+            val q = t.qty.toLong
+            val qc = java.math.BigDecimal.valueOf(t.qty)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
             val pre = if (st == null) 0L else st.cum
             val bar = pre / threshold
             if (st != null && bar != st.barId) {
               out += Bar(sym, st.barId, st.startTs, st.endTs,
-                st.open, st.high, st.low, st.close, st.vol.toDouble, st.n)
+                st.open, st.high, st.low, st.close, st.vol / 100.0, st.n)
               st = null
             }
             st =
               if (st == null)
                 BarState(pre + q, bar, t.ts, t.ts, t.price, t.price, t.price,
-                  t.price, q, 1L)
+                  t.price, qc, 1L)
               else
                 BarState(pre + q, bar, st.startTs, t.ts, st.open,
                   math.max(st.high, t.price), math.min(st.low, t.price),
-                  t.price, st.vol + q, st.n + 1)
+                  t.price, st.vol + qc, st.n + 1)
           }
           if (st != null) state.update(st)
           out.result().iterator

@@ -10,8 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ONE GroupState per symbol, emitting each bucket's classified volumes
   * the moment the clock passes its boundary. Emitted rows match the batch
   * operator's per-bucket (buy, sell, vol) frame BIT-IDENTICALLY on
-  * in-order input (qty is integral, so the classified sums are exact
-  * BIGINTs surfacing as exact doubles); the still-filling bucket stays in
+  * in-order input: the bar clock truncates qty (the batch cast-to-long),
+  * while the classified sums carry exact scale-2 CENTS — the same values
+  * the batch DECIMAL(18,2) sums hold, so the doubles match even for
+  * fractional qty; the still-filling bucket stays in
   * state — exactly the partial bucket batch vpin drops. The downstream
   * |B−S|/V average is a stateless aggregation the caller owns (the
   * StreamingTickRule minimal-stateful-stage convention). O(1) state,
@@ -39,7 +41,12 @@ object StreamingVpin {
             VpinState(0.0, havePrev = false, 0, 0L, 0L, haveBar = false, 0L, 0L, 0L))
           val out = List.newBuilder[Bucket]
           rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
-            val q = Math.round(t.qty)
+            // bar clock: truncation, mirroring the batch qty.cast("long");
+            // classified sums: exact cents, mirroring qty.cast(DECIMAL(18,2))
+            val q = t.qty.toLong
+            val qc = java.math.BigDecimal.valueOf(t.qty)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
             // the tick rule: current trade's own tick updates the side
             // BEFORE classification (batch `last(tick) OVER run` includes
             // the current row)
@@ -49,16 +56,16 @@ object StreamingVpin {
               else st.side
             val bar = st.cum / threshold
             if (st.haveBar && bar != st.barId) {
-              out += Bucket(sym, st.barId, st.buy.toDouble, st.sell.toDouble,
-                st.vol.toDouble)
+              out += Bucket(sym, st.barId, st.buy / 100.0, st.sell / 100.0,
+                st.vol / 100.0)
               st = st.copy(buy = 0L, sell = 0L, vol = 0L)
             }
             st = st.copy(
               prevPrice = t.price, havePrev = true, side = side,
               cum = st.cum + q, barId = bar, haveBar = true,
-              buy = st.buy + (if (side == 1) q else 0L),
-              sell = st.sell + (if (side == -1) q else 0L),
-              vol = st.vol + q)
+              buy = st.buy + (if (side == 1) qc else 0L),
+              sell = st.sell + (if (side == -1) qc else 0L),
+              vol = st.vol + qc)
           }
           state.update(st)
           out.result().iterator

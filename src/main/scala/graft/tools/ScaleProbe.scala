@@ -330,6 +330,63 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-10 wave-7-10 operators (r11 verdict ask
+    * #5): volume-clock bars + VPIN under per-symbol trade growth (symbol
+    * fan-out m× — MORE sequential chains, the dimension that matters for
+    * the per-symbol window/sweep families), span dedup / winnowing /
+    * heaps curve under corpus growth k× (salted copies — pure size
+    * growth, constant dup rate), and KAMA as the sequential-sweep family
+    * representative (recursive per-symbol fold via mapPartitions).
+    * Run: `runMain graft.tools.ScaleProbe r10w7`.
+    */
+  private def r10w7OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 4, 8).foreach { m =>
+      val t = (0 until m).map { i =>
+        Tables.trades(spark, dir)
+          .withColumn("symbol", concat(col("symbol"), lit(s"_$i")))
+      }.reduce(_ unionByName _).cache()
+      val nt = t.count()
+      time(s"volume_bars x$m ($nt trades)") {
+        graft.ohlcv.Microstructure.volumeBars(t).count()
+      }
+      time(s"vpin x$m") {
+        graft.ohlcv.Microstructure.vpin(t).count()
+      }
+      val candles = graft.ohlcv.Candles
+        .fromTrades(t, graft.core.Timeframe.parse("1h")).cache()
+      candles.count()
+      time(s"kama x$m (sweep family)") {
+        graft.ohlcv.Analytics.kama(candles).count()
+      }
+      candles.unpersist(); t.unpersist()
+    }
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"span_dedup x$k ($nd docs)") {
+        graft.ops.Dedup.spanDedup(docs).count()
+      }
+      time(s"winnow_fingerprint x$k") {
+        graft.ops.Dedup.winnowFingerprint(docs).count()
+      }
+      time(s"heaps_curve x$k") {
+        graft.ops.Dedup.heapsCurve(docs).count()
+      }
+      docs.unpersist()
+    }
+  }
+
   /** kFactor → recall curve for the exact re-rank stage: recall@10 of
     * ivfpq_rerank at k′ = kFactor·k for kFactor ∈ {1,2,4,8}, each at
     * nprobe 4/8/16, against plain ADC at the same nprobe, at both corpus
@@ -380,6 +437,7 @@ object ScaleProbe {
     if (args.contains("r7ops")) { r7OpsCurves(spark); spark.stop(); return }
     if (args.contains("r8ops")) { r8OpsCurves(spark); spark.stop(); return }
     if (args.contains("r10w4")) { r10w4OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r10w7")) { r10w7OpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 

@@ -302,4 +302,32 @@ class MicrostructureSpec extends SparkSpec {
       assert(got == completed, s"cut=$cut: $got vs $completed")
     }
   }
+
+  test("streaming faces truncate non-integral qty exactly like the batch cast") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // qty 2.7 truncates to 2 (cast-to-long), never rounds to 3 — the r10
+    // ADVICE low: Math.round would move this trade across the bar boundary
+    val all = Seq(
+      ("A", ts(T0 + 0), 10.0, 2.7), ("A", ts(T0 + 10), 11.0, 7.9),
+      // cum_prev after truncation: 0, 2, 9 -> third trade still in bar 0
+      ("A", ts(T0 + 20), 12.0, 5.0), ("A", ts(T0 + 30), 9.0, 6.0))
+    val df = all.toDF("symbol", "ts", "price", "qty")
+    val batch = Microstructure.volumeBars(df, threshold = 10L)
+    val lastBar = batch.groupBy(col("symbol")).agg(max(col("bar_id")).as("lb"))
+    val completed = batch.join(lastBar, Seq("symbol"))
+      .where(col("bar_id") < col("lb")).drop("lb")
+      .orderBy("symbol", "bar_id").collect().map(_.toSeq).toSeq
+    assert(completed.nonEmpty, "the hand sequence must complete a bar")
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val q = streaming.StreamingVolumeBars.run(
+        ms.toDF.toDF("symbol", "ts", "price", "qty"), threshold = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_vb_frac").start()
+    try { ms.addData(all: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("stream_vb_frac")
+      .orderBy("symbol", "bar_id").collect().map(_.toSeq).toSeq
+    assert(got == completed, s"$got vs $completed")
+  }
 }

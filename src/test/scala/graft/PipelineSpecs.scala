@@ -318,6 +318,44 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "winnowing must be partitioning-invariant")
   }
 
+  // ---- perceptual dHash: stub (oracled) face (r11) ----
+
+  test("imageDhashStub: hand-computed md5-hex dHash, positive, repartition-stable") {
+    val out = Multimodal.imageDhashStub(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 4)
+    // every hash lives in [0, 2^63): bit 63 is never set
+    assert(out.values.forall(h => h >= 0L))
+    // hand replay for doc 0: luma i = md5-hex pair at (2i mod 31)+1,
+    // bit r*8+c set when luma[r*9+c+1] > luma[r*9+c]
+    val text = docs.where(col("doc_id") === 0L).head().getAs[String]("text")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def luma(i: Int): Int =
+      Integer.parseInt(hex.substring((i * 2) % 31, (i * 2) % 31 + 2), 16)
+    val expect = (0 until 63).map { b =>
+      val r = b / 8; val c = b % 8
+      if (luma(r * 9 + c + 1) > luma(r * 9 + c)) 1L << b else 0L
+    }.reduce(_ | _)
+    assert(out(0L) == expect, s"${out(0L)} vs $expect")
+    // exact-dup texts (docs 0 and 3) hash identically
+    assert(out(0L) == out(3L))
+    val again = Multimodal.imageDhashStub(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("imageDedup: exact-content dups cluster at Hamming 0, keeper = min id") {
+    val out = Dedup.imageDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out.size == 4, "every document comes back")
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // docs 0 and 3 are byte-identical -> identical stub grid -> Hamming 0
+    assert(byId(0L) == ((0L, true)) && byId(3L) == ((0L, false)))
+    // unrelated md5s: pseudo-random 63-bit hashes stay singletons
+    assert(byId(1L) == ((1L, true)) && byId(2L) == ((2L, true)))
+  }
+
   // ---- Heaps / corpus-growth curve (wave 8) ----
 
   test("heapsCurve: first occurrence decides the batch; duplicates add nothing") {
@@ -343,6 +381,17 @@ class DedupSpec extends SparkSpec {
     // conservation: cum at the tail equals the corpus's distinct contents
     assert(r.last.getAs[Long]("cum_uniques") ==
       docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("heapsCurve plan pin: the cumulative runs through Scan, not a Window") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"t${i % 7}")).toDF("doc_id", "text")
+    // r10 verdict: the batch-spine cumulative must NOT be an unpartitioned
+    // WindowExec (one-task at scale); Scan.withRunningTotal replaces it, so
+    // the executed plan carries no Window operator at all.
+    val plan = Dedup.heapsCurve(docs, batchSize = 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 }
 
@@ -953,6 +1002,75 @@ class MultimodalSpec extends SparkSpec {
     (0 until n).foreach { i => val x = sig(i) / 32768.0; acc += x * x }
     assert(got.getDouble(6) == math.sqrt(acc / n),
       "chunked RMS must equal the whole-array pass exactly")
+  }
+
+  // ---- perceptual dHash: real-codec face (r11) ----
+
+  private def grayPng(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, v(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("imageDhash: gradient signs, brightness invariance, junk fallback") {
+    // horizontal gradient: every right block-neighbor is strictly
+    // brighter -> all 63 bits set
+    val base = grayPng(36, 16)((x, _) => x * 7)
+    // +8 brightness (no clamping at these values): gradient signs
+    // unchanged -> different bytes, IDENTICAL dHash
+    val bright = grayPng(36, 16)((x, _) => x * 7 + 8)
+    // flatten the top-right block pair in block-row 0 only (pixel rows
+    // 0-1): exactly ONE comparison flips -> Hamming 1
+    val nudged = grayPng(36, 16)((x, y) =>
+      if (y < 2 && x >= 28) 28 * 7 else x * 7)
+    val inverted = grayPng(36, 16)((x, _) => (35 - x) * 7)
+    val junk = "not an image".getBytes("UTF-8")
+    val df = spark.createDataFrame(Seq(
+      (1L, base), (2L, bright), (3L, nudged), (4L, inverted), (5L, junk)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageDhash(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val all63 = (1L << 63) - 1 // bits 0..62
+    assert(got(1L).getBoolean(1) && got(1L).getLong(2) == all63)
+    assert(got(2L).getLong(2) == got(1L).getLong(2),
+      "brightness shift must not move the dHash")
+    assert(java.lang.Long.bitCount(got(3L).getLong(2) ^ all63) == 1,
+      "one flattened block pair = Hamming 1")
+    assert(got(4L).getLong(2) == 0L, "inverted gradient clears every bit")
+    assert(!got(5L).getBoolean(1) && got(5L).isNullAt(2),
+      "junk bytes: ok=false, null hash")
+    // partitioning-invariant
+    val again = Multimodal.imageDhash(df.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.keySet.forall(k => again(k) == got(k).toSeq))
+  }
+
+  test("dhashDedup over real images: near-dups cluster, inversions and junk stay singletons") {
+    import graft.ops.Dedup
+    val base = grayPng(36, 16)((x, _) => x * 7)
+    val bright = grayPng(36, 16)((x, _) => x * 7 + 8)
+    val nudged = grayPng(36, 16)((x, y) =>
+      if (y < 2 && x >= 28) 28 * 7 else x * 7)
+    val inverted = grayPng(36, 16)((x, _) => (35 - x) * 7)
+    val junk = "junk bytes".getBytes("UTF-8")
+    val df = spark.createDataFrame(Seq(
+      (1L, base), (2L, bright), (3L, nudged), (4L, inverted), (5L, junk)))
+      .toDF("doc_id", "payload")
+    val out = Dedup.dhashDedup(Multimodal.imageDhash(df)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 5, "every input row must come back")
+    // 1, 2 (Hamming 0) and 3 (Hamming 1) share a cluster; min id keeps
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) &&
+      out(3L) == ((1L, false)))
+    // the inversion and the failed decode are their own singletons
+    assert(out(4L) == ((4L, true)) && out(5L) == ((5L, true)))
   }
 
 }

@@ -621,11 +621,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pb.contains("FileScan"),
       "both consumers must read the materialized digit-count cut\n" + pb)
     assert(pb.contains("BroadcastHashJoin"), pb)
-    // heaps_curve: the docs-count branch scans ONLY doc_id (pruned), the
-    // content branch doc_id+text; the cumulative window is dim-scale
+    // heaps_curve: the cumulative runs through Scan.withRunningTotal
+    // (r11 verdict ask #3) — the final plan ends at the two-pass scan's
+    // RDD boundary and carries NO Window operator (the r10
+    // unpartitioned-window scale-killer is gone)
     val ph = planOf("heaps_curve")
-    assert(ph.contains("ReadSchema: struct<doc_id:bigint>"), ph)
-    assert(ph.contains("Window"), ph)
+    assert(!ph.contains("Window"), ph)
+    assert(ph.contains("Scan ExistingRDD"), ph)
+    // the parquet pruning lives upstream of that boundary: the spine's
+    // docs-count branch scans ONLY doc_id, the content branch doc_id+text
+    val ps = graft.ops.Dedup.heapsSpine(
+      graft.core.Tables.table(spark, Sf0001, "documents"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("ReadSchema: struct<doc_id:bigint>"), ps)
     // trix: candle build + the sweep's repartition, no window operator
     val pt = planOf("trix")
     assert(countOccurrences(pt, "Exchange hashpartitioning") == 2, pt)
@@ -722,5 +730,15 @@ class PlanAuditSpec extends SparkSpec {
     val pb = planOf("ccnet_buckets")
     assert(pb.contains("Window"), pb)
     assert(pb.contains("BroadcastHashJoin"), pb)
+  }
+
+  test("r11 image_dedup keeps its scale shape") {
+    // banding candidates come from an EQUI join on (chunk, cval) — never
+    // an all-pairs comparison; the CC keeper needs no window (keeper is
+    // doc_id == cluster_id, a map-side comparison)
+    val p = planOf("image_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 }
