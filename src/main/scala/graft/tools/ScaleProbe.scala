@@ -383,6 +383,9 @@ object ScaleProbe {
       time(s"heaps_curve x$k") {
         graft.ops.Dedup.heapsCurve(docs).count()
       }
+      time(s"image_dedup x$k") {
+        graft.ops.Dedup.imageDedup(docs).count()
+      }
       docs.unpersist()
     }
   }
