@@ -295,6 +295,95 @@ object Multimodal {
       .select(col("doc_id"), col("ok"),
         when(col("ok"), dhashFromLuma(col("luma"))).as("dhash"))
 
+  /** AUDIO perceptual fingerprint — the envelope analogue of the image
+    * dHash, over the REAL javax.sound WAV/AIFF/AU decode boundary
+    * ([[decodeAudio]]'s codecs): the 16-bit PCM stream splits into 64
+    * equal frames (interleaved samples — the volume envelope of the mix),
+    * each frame's mean energy is the exact integer Σs²/count (s the raw
+    * 16-bit sample: s² ≤ 2³⁰, an hour-long frame still fits a Long —
+    * no float anywhere, bit-stable), and bit b ∈ [0,63) of the
+    * fingerprint is set when frame b+1 carries strictly more mean energy
+    * than frame b. Energy-RATIO signs survive uniform volume scaling
+    * (gain moves every frame by the same factor) and resampling —
+    * the property that makes an envelope hash a near-dup key rather
+    * than a checksum. Emitted as `dhash` ∈ [0, 2⁶³) so the SAME
+    * banding/Hamming/CC machinery ([[Dedup.dhashNearDup]] /
+    * [[Dedup.dhashDedup]]) serves images and audio alike.
+    *
+    * ok = false (null hash) for undecodable bytes, non-16-bit-PCM
+    * encodings, unknown frame counts, or clips shorter than 64 samples
+    * — the decodeImage junk-bytes contract. Scale shape: pure
+    * mapPartitions, one 64 KB read buffer per clip (the decodeAudio
+    * streaming-Σ pattern — decoded PCM never materializes), decode
+    * parallelism IS the table's partitioning.
+    */
+  def audioFingerprint(media: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def fp(id: Long, bytes: Array[Byte]): (Long, Boolean, Option[Long]) =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val nSamples =
+            if (in.getFrameLength >= 0) in.getFrameLength * fmt.getChannels
+            else -1L
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              nSamples < 64) (id, false, None)
+          else {
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            val buf = new Array[Byte](65536)
+            var idx = 0L
+            var pending: Byte = 0
+            var havePending = false
+            var read = in.read(buf)
+            while (read != -1) {
+              var i = 0
+              def add(s: Short): Unit = {
+                // frame of sample idx: idx·64/nSamples — monotone, exact
+                val f = (idx * 64 / nSamples).toInt
+                if (f < 64) { sums(f) += s.toLong * s; cnts(f) += 1 }
+                idx += 1
+              }
+              if (havePending && read >= 1) {
+                val s =
+                  if (fmt.isBigEndian) ((pending << 8) | (buf(0) & 0xFF)).toShort
+                  else ((buf(0) << 8) | (pending & 0xFF)).toShort
+                add(s); havePending = false; i = 1
+              }
+              while (i + 1 < read) {
+                val s =
+                  if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+                  else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+                add(s); i += 2
+              }
+              if (i < read) { pending = buf(i); havePending = true }
+              read = in.read(buf)
+            }
+            var h = 0L
+            var b = 0
+            while (b < 63) {
+              val e0 = if (cnts(b) > 0) sums(b) / cnts(b) else 0L
+              val e1 = if (cnts(b + 1) > 0) sums(b + 1) / cnts(b + 1) else 0L
+              if (e1 > e0) h |= 1L << b
+              b += 1
+            }
+            (id, true, Some(h))
+          }
+        } finally in.close()
+      } catch { case _: Exception => (id, false, None) }
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        fp(id, if (bytes == null) Array.emptyByteArray else bytes)
+      }))
+      .toDF("doc_id", "ok", "dhash")
+  }
+
   /** (doc_id, dhash) over the stub luma face — the oracled plumbing. */
   def imageDhashStub(docs: DataFrame): DataFrame =
     lumaGridStub(docs)

@@ -1051,6 +1051,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet.forall(k => again(k) == got(k).toSeq))
   }
 
+  test("audioFingerprint: envelope signs, volume invariance, junk/format fallback") {
+    import graft.ops.Dedup
+    // 64 envelope frames x 100 samples; frame f carries amplitude
+    // 1000 + 400f (all even, so exact halving below) -> strictly
+    // increasing energy -> all 63 bits set
+    def ramp(scale: Int): Array[Byte] = wav(8000f, 6400) { i =>
+      val a = (1000 + 400 * (i / 100)) / scale
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    def rev: Array[Byte] = wav(8000f, 6400) { i =>
+      val a = 1000 + 400 * (63 - i / 100)
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val df = spark.createDataFrame(Seq(
+      (1L, ramp(1)), (2L, ramp(2)), (3L, rev),
+      (4L, "not audio".getBytes("UTF-8"))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioFingerprint(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val all63 = (1L << 63) - 1
+    assert(got(1L).getBoolean(1) && got(1L).getLong(2) == all63)
+    // half volume: every frame's energy scales by 1/4 exactly -> the
+    // energy-RATIO signs (and so the fingerprint) are unchanged
+    assert(got(2L).getLong(2) == all63, "gain must not move the fingerprint")
+    assert(got(3L).getLong(2) == 0L, "reversed envelope clears every bit")
+    assert(!got(4L).getBoolean(1) && got(4L).isNullAt(2))
+    // the same dedup machinery clusters the gain-shifted near-dup
+    val out = Dedup.dhashDedup(Multimodal.audioFingerprint(df)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)))
+    assert(out(3L) == ((3L, true)) && out(4L) == ((4L, true)))
+    // partitioning-invariant
+    val again = Multimodal.audioFingerprint(df.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.keySet.forall(k => again(k) == got(k).toSeq))
+  }
+
   test("dhashDedup over real images: near-dups cluster, inversions and junk stay singletons") {
     import graft.ops.Dedup
     val base = grayPng(36, 16)((x, _) => x * 7)

@@ -1490,3 +1490,87 @@ class StreamingSemanticScreenSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingDhashScreenSpec extends SparkSpec {
+  test("stream-static perceptual screening: exactly-once hits, Hamming filter, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all63 = (1L << 63) - 1
+    val corpus = spark.createDataFrame(Seq(
+      (10L, all63), (11L, 0L))).toDF("doc_id", "dhash")
+    // arrival 1: all63 with bit 5 cleared -> Hamming 1 vs corpus 10,
+    // sharing THREE chunks (1, 2, 3) — the emit-once guard must
+    // collapse the three join hits to one row
+    val near = all63 & ~(1L << 5)
+    // arrival 2: five scattered set bits -> Hamming 5 vs corpus 11 (and
+    // no shared chunk vs either corpus row) -> no emission
+    val far = (1L << 0) | (1L << 20) | (1L << 40) | (1L << 50) | (1L << 60)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = graft.streaming.StreamingDhashScreen.run(
+      ms.toDF.toDF("doc_id", "ts", "dhash"), corpus)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dhash_screen").start()
+    try {
+      ms.addData((1L, ts(T0), near), (2L, ts(T0 + 1), far))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, corpus_id, hamming FROM dhash_screen")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 10L, 1L)), s"exactly one hit expected: $got")
+      // stateless contract: no state operators in the streaming progress
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        "the screen must run without a state store")
+    } finally q.stop()
+  }
+
+  test("screen emissions match batch dhashNearDup pairs on a real-image corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // stub-hash the document corpus, split stream/static — stream side
+    // must surface exactly the batch near-dup pairs that cross the split.
+    // The sf0.001 corpus carries no natural dhash dups (measured: zero
+    // pairs), so plant three: corpus rows 90001-90003 reuse the hashes of
+    // stream docs 0/10/20 (Hamming 0) and 90004 flips one bit of doc 30's
+    // hash (Hamming 1) — non-empty truth, exercising both distances
+    val real = graft.ops.Multimodal.imageDhashStub(
+      graft.core.Tables.table(spark, Sf0001, "documents"))
+    val planted = real.where(col("doc_id").isin(0L, 10L, 20L))
+      .select((col("doc_id") / 10 + 90001L).cast("long").as("doc_id"),
+        col("dhash"))
+      .unionByName(real.where(col("doc_id") === 30L)
+        .select(lit(90004L).as("doc_id"),
+          col("dhash").bitwiseXOR(lit(1L << 17)).as("dhash")))
+    val hashed = real.unionByName(planted)
+    val streamSide = hashed.where(col("doc_id") % 10 === 0)
+    val corpus = hashed.where(col("doc_id") % 10 =!= 0)
+    val truth = graft.ops.Dedup
+      .dhashNearDup(streamSide.unionByName(corpus))
+      .as[(Long, Long, Long)].collect()
+      .collect {
+        case (a, b, h) if a % 10 == 0 && b % 10 != 0 => (a, b, h)
+        case (a, b, h) if b % 10 == 0 && a % 10 != 0 => (b, a, h)
+      }.toSet
+    assert(truth.size >= 4, s"planted pairs must appear in the batch truth: $truth")
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val rows = streamSide.as[(Long, Long)].collect()
+      .map { case (id, h) => (id, ts(T0 + id), h) }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = graft.streaming.StreamingDhashScreen.run(
+      ms.toDF.toDF("doc_id", "ts", "dhash"), corpus)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dhash_screen_corpus").start()
+    try {
+      rows.grouped((rows.length + 1) / 2).foreach { g =>
+        ms.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+        "SELECT doc_id, corpus_id, hamming FROM dhash_screen_corpus")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == truth,
+        s"stream-only=${(got -- truth).take(3)} batch-only=${(truth -- got).take(3)}")
+    } finally q.stop()
+  }
+}
