@@ -1599,6 +1599,12 @@ object SparkEntry {
       // pigeonhole banding -> Hamming verify -> pointer-jumping CC ->
       // min-id keeper (real-codec face spec-tested on generated PNGs)
       graft.ops.Dedup.imageDedup(Tables.table(s, dir, "documents"))),
+    "video_dedup" -> ((s, dir) =>
+      // per-frame stub dHash -> temporally-ALIGNED pigeonhole banding
+      // (frame_idx in the join key) -> majority-of-aligned-frames verify
+      // -> CC -> min-id keeper (real-codec face = Multimodal.frameDhash
+      // over extracted frame images, spec-tested on PNG sequences)
+      graft.ops.Dedup.videoDedup(Tables.table(s, dir, "documents"))),
     "ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
       // the value histogram, lang-dim cutoffs broadcast back
@@ -4205,6 +4211,42 @@ object SparkEntry {
         "COALESCE(l.cluster_id, d.doc_id) AS cluster_id, " +
         "(d.doc_id = COALESCE(l.cluster_id, d.doc_id)) AS keep " +
         "FROM d LEFT JOIN labels l ON l.doc_id = d.doc_id"),
+    // videoDedup replay: per-frame md5(text||'#'||f) stub grids, aligned
+    // (f, chunk, cval) candidate join, strict-majority verify, same
+    // recursive-CTE CC as image_dedup
+    "video_dedup" ->
+      ("WITH RECURSIVE d0 AS (SELECT doc_id, text, " +
+        "LEAST(1 + len(text) // 256, 4) AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, nf, t.f AS f, " +
+        "md5(text || '#' || CAST(t.f AS VARCHAR)) AS h " +
+        "FROM d0 CROSS JOIN range(4) t(f) WHERE t.f < nf), " +
+        "lb AS (SELECT doc_id, nf, f, h, b, b // 8 AS r, b % 8 AS c " +
+        "FROM fr CROSS JOIN range(63) t(b)), " +
+        "bits AS (SELECT doc_id, nf, f, " +
+        "CASE WHEN CAST('0x'||substr(h, ((r*9+c+1)*2) % 31 + 1, 2) AS BIGINT) > " +
+        "CAST('0x'||substr(h, ((r*9+c)*2) % 31 + 1, 2) AS BIGINT) " +
+        "THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END AS bit FROM lb), " +
+        "fd AS (SELECT doc_id, nf, f, CAST(sum(bit) AS BIGINT) AS dhash " +
+        "FROM bits GROUP BY 1, 2, 3), " +
+        "ch AS (SELECT doc_id, nf, f, dhash, t.b AS chunk, " +
+        "(dhash >> (t.b * 16)) & (CASE WHEN t.b = 3 THEN 32767 ELSE 65535 END) AS cval " +
+        "FROM fd CROSS JOIN range(4) t(b)), " +
+        "fm AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, x.f AS f, " +
+        "LEAST(x.nf, y.nf) AS al " +
+        "FROM ch x JOIN ch y ON x.f = y.f AND x.chunk = y.chunk " +
+        "AND x.cval = y.cval AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+        "pr AS (SELECT id1, id2 FROM (SELECT id1, id2, count(*) AS nm, " +
+        "min(al) AS al FROM fm GROUP BY 1, 2) WHERE 2 * nm > al), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS doc_id FROM edges), " +
+        "comp AS (SELECT doc_id, doc_id AS lbl FROM nodes " +
+        "UNION SELECT e.a AS doc_id, c.lbl FROM edges e JOIN comp c ON e.b = c.doc_id), " +
+        "labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM comp GROUP BY 1) " +
+        "SELECT d0.doc_id AS doc_id, CAST(d0.nf AS BIGINT) AS n_frames, " +
+        "COALESCE(l.cluster_id, d0.doc_id) AS cluster_id, " +
+        "(d0.doc_id = COALESCE(l.cluster_id, d0.doc_id)) AS keep " +
+        "FROM d0 LEFT JOIN labels l ON l.doc_id = d0.doc_id"),
     // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
     // target/raw models, 12-rounded log-ratios summed exact decimal
     "dsir_weights" ->

@@ -969,6 +969,86 @@ object Dedup {
       .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
   }
 
+  /** VIDEO near-dup PAIRS over a per-frame fingerprint frame
+    * (doc_id, n_frames, frame_idx, dhash) — [[dhashNearDup]]'s pigeonhole
+    * machinery lifted from one hash per item to a temporally-ALIGNED
+    * sequence: candidates come from an equi-join on
+    * (frame_idx, chunk, cval) — same frame position, same 16-bit chunk —
+    * so a clip pair is only ever compared frame-against-matching-frame,
+    * never frames all-pairs; each candidate frame pair verifies with one
+    * xor/popcount, and two clips are near-dups when a STRICT MAJORITY of
+    * their aligned frames (frame_idx < min(n_frames)) land within
+    * `maxHamming` — robust to a re-encode glitching a minority of frames,
+    * while clips sharing only an intro frame stay apart. Null frame
+    * hashes (junk frames, real-codec face) drop before banding — a
+    * broken frame can cost its own match but never fabricates one.
+    * Emits (id1 < id2, n_match, n_aligned).
+    *
+    * Scale shape: the frame_idx component of the join key multiplies
+    * bucket cardinality by the frame count — buckets get SMALLER than
+    * image banding, not bigger; everything else inherits the
+    * [[dhashNearDup]] profile (map-only chunk explode, one equi-join
+    * shuffle, hot buckets = the dup clusters being found).
+    */
+  def videoNearDup(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole guarantee holds for maxHamming <= 3 with 4 chunks")
+    val sigs = cutLineageLazy(frames.where(col("dhash").isNotNull)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("dhash")))
+    val chunked = sigs.select(col("doc_id"), col("n_frames"),
+      col("frame_idx"), col("dhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("dhash"), c * 16)
+          .bitwiseAND(lit(if (c == 3) 0x7FFFL else 0xFFFFL))): _*)))
+      .toDF("doc_id", "n_frames", "frame_idx", "dhash", "chunk", "cval")
+    val x = chunked.select(col("frame_idx"), col("chunk"), col("cval"),
+      col("doc_id").as("id1"), col("n_frames").as("n1"), col("dhash").as("h1"))
+    val y = chunked.select(col("frame_idx"), col("chunk"), col("cval"),
+      col("doc_id").as("id2"), col("n_frames").as("n2"), col("dhash").as("h2"))
+    x.join(y, Seq("frame_idx", "chunk", "cval"))
+      .where(col("id1") < col("id2") &&
+        bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("frame_idx"))
+      .distinct()
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_match"),
+        min(least(col("n1"), col("n2"))).as("n_aligned"))
+      .where(col("n_match") * 2 > col("n_aligned"))
+  }
+
+  /** End-to-end video dedup over a per-frame fingerprint frame:
+    * [[videoNearDup]] majority-aligned pairs → [[clusters]] → keeper =
+    * component min doc_id (the image convention — clips carry no quality
+    * score). EVERY clip comes back; unclustered clips (including
+    * all-frames-broken ones) are their own singleton. Columns
+    * (doc_id, n_frames, cluster_id, keep).
+    */
+  def videoFramesDedup(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val base = cutLineageLazy(
+      frames.select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("dhash")))
+    val labels = clusters(videoNearDup(base, maxHamming))
+    base.groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  /** [[videoFramesDedup]] over the documents table's STUB frame face
+    * (Multimodal.videoFrameDhashStub) — the oracled [SQL] plumbing
+    * proving frame-fan-out → per-frame dHash → aligned banding →
+    * majority verify → CC → keeper end to end on engine-portable
+    * content-derived frames; the real-codec face is the same machinery
+    * fed by Multimodal.frameDhash (spec-tested on generated PNG frame
+    * sequences).
+    */
+  def videoDedup(docs: DataFrame, maxFrames: Int = 4,
+                 maxHamming: Int = 3): DataFrame =
+    videoFramesDedup(Multimodal.videoFrameDhashStub(docs, maxFrames),
+      maxHamming)
+
   /** [[dhashDedup]] over the documents table's STUB luma face
     * (Multimodal.lumaGridStub → dhashFromLuma) — the oracled [SQL]
     * plumbing proving the whole image-dedup pipeline (grid → dHash →

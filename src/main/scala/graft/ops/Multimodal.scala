@@ -384,6 +384,68 @@ object Multimodal {
       .toDF("doc_id", "ok", "dhash")
   }
 
+  /** STUB per-frame video dHash — the oracled VIDEO face, completing the
+    * modality matrix (image [[imageDhashStub]], audio
+    * [[audioFingerprint]], video here): a clip fans into
+    * `n_frames = min(1 + length(text) div 256, maxFrames)` frames (the
+    * [[frameSample]] planning shape — the explode IS the real
+    * distributed step; frame decode is the stubbed codec boundary), and
+    * frame f's luma grid derives from `md5(text || '#' || f)` by the
+    * [[lumaGridStub]] hex-pair rule — content-derived, codec-free,
+    * SQL-replayable, and genuinely DIFFERENT per frame (distinct digest
+    * per (clip, frame)), so downstream frame alignment exercises for
+    * real: identical clips agree on every frame, different clips on
+    * none. Emits (doc_id, n_frames, frame_idx, dhash) with dhash in the
+    * shared 63-bit space.
+    */
+  def videoFrameDhashStub(docs: DataFrame, maxFrames: Int = 4): DataFrame = {
+    require(maxFrames >= 1, "maxFrames >= 1")
+    val nf = least(lit(1L) + floor(length(col("text")) / lit(256)).cast("long"),
+      lit(maxFrames.toLong))
+    val hx = md5(concat(col("text"), lit("#"), col("f").cast("string"))
+      .cast("binary"))
+    docs.select(col("doc_id"), col("text"), nf.as("n_frames"))
+      .select(col("doc_id"), col("n_frames"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("f"))
+      // the luma array materializes in its OWN projection so the 126
+      // element_at references in dhashFromLuma share one evaluation
+      // (inlining it would copy the 72-conv subtree into every
+      // reference — a ~70x expression blowup CollapseProject correctly
+      // refuses to create but cannot undo)
+      .select(col("doc_id"), col("n_frames"), col("f").as("frame_idx"),
+        array((0 until 72).map(i =>
+          conv(substring(hx, (i * 2) % 31 + 1, 2), 16, 10).cast("int")): _*)
+          .as("luma"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        dhashFromLuma(col("luma")).as("dhash"))
+  }
+
+  /** REAL per-frame video dHash over already-extracted frame images —
+    * the production boundary a cluster deployment feeds (a container
+    * demuxer upstream emits (clip, frame_idx, encoded frame); the JDK
+    * carries no video codec, so frame EXTRACTION stays upstream while
+    * everything after it — decode, luma pool, hash, dedup — is real):
+    * `frames` is (doc_id, frame_idx, payload) with payload a
+    * javax.imageio-decodable image. Packs (doc_id, frame_idx) into one
+    * BIGINT (doc_id·2²⁰ + idx — the aroon/span_dedup packing idiom,
+    * headroom 2⁴³ clips × 2²⁰ frames) so [[lumaGrid]]'s single-id decode
+    * boundary serves unchanged, then unpacks. Emits
+    * (doc_id, frame_idx, ok, dhash) — ok = false null-hash per FRAME on
+    * junk bytes (one broken frame never poisons its clip).
+    */
+  def frameDhash(frames: DataFrame, idCol: String = "doc_id",
+                 frameCol: String = "frame_idx",
+                 payloadCol: String = "payload"): DataFrame =
+    lumaGrid(
+      frames.select(
+        (col(idCol).cast("long") * lit(1048576L) +
+          col(frameCol).cast("long")).as("doc_id"),
+        col(payloadCol).cast("binary").as("payload")))
+      .select(expr("doc_id DIV 1048576").as("doc_id"),
+        pmod(col("doc_id"), lit(1048576L)).cast("long").as("frame_idx"),
+        col("ok"),
+        when(col("ok"), dhashFromLuma(col("luma"))).as("dhash"))
+
   /** (doc_id, dhash) over the stub luma face — the oracled plumbing. */
   def imageDhashStub(docs: DataFrame): DataFrame =
     lumaGridStub(docs)

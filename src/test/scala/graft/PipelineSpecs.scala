@@ -356,6 +356,75 @@ class DedupSpec extends SparkSpec {
     assert(byId(1L) == ((1L, true)) && byId(2L) == ((2L, true)))
   }
 
+  test("videoFrameDhashStub: frame fan-out, per-frame md5 replay, repartition-stable") {
+    val long0 = Seq.fill(40)("alpha beta gamma").mkString(" ")  // 679 chars -> 3 frames
+    val d = Seq((0L, long0), (1L, "short clip"), (2L, long0))
+      .toDF("doc_id", "text")
+    val out = Multimodal.videoFrameDhashStub(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    // n_frames = min(1 + len div 256, 4): 679 -> 3, 10 -> 1
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L),
+      (2L, 0L), (2L, 1L), (2L, 2L)))
+    assert(out((0L, 0L))._1 == 3L && out((1L, 0L))._1 == 1L)
+    // frames of one clip carry genuinely different hashes (distinct digests)
+    assert(Set(out((0L, 0L))._2, out((0L, 1L))._2, out((0L, 2L))._2).size == 3)
+    // exact-dup clips agree on EVERY frame
+    assert((0L to 2L).forall(f => out((0L, f))._2 == out((2L, f))._2))
+    // hand replay for (doc 1, frame 0): digest of text||'#0', hex-pair rule
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("short clip#0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def luma(i: Int): Int =
+      Integer.parseInt(hex.substring((i * 2) % 31, (i * 2) % 31 + 2), 16)
+    val expect = (0 until 63).map { b =>
+      val r = b / 8; val c = b % 8
+      if (luma(r * 9 + c + 1) > luma(r * 9 + c)) 1L << b else 0L
+    }.reduce(_ | _)
+    assert(out((1L, 0L))._2 == expect)
+    val again = Multimodal.videoFrameDhashStub(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(again == out)
+  }
+
+  test("videoNearDup/videoFramesDedup: strict majority of ALIGNED frames") {
+    import spark.implicits._
+    // disjoint 5-bit block hashes: pairwise Hamming 10 (never "near"),
+    // one-bit-flipped variants are Hamming 1 (always "near")
+    def blk(i: Int): Long = 0x1FL << (6 * i)
+    val frames = Seq(
+      // A vs B: frames 0 (exact) and 1 (Hamming 1) match, frame 2 far -> 2/3
+      (1L, 3L, 0L, blk(0)), (1L, 3L, 1L, blk(1)), (1L, 3L, 2L, blk(2)),
+      (2L, 3L, 0L, blk(0)), (2L, 3L, 1L, blk(1) ^ (1L << 6)),
+      (2L, 3L, 2L, blk(3)),
+      // C shares ONLY frame 0 with A/B -> 1/3, stays apart
+      (3L, 3L, 0L, blk(0)), (3L, 3L, 1L, blk(4)), (3L, 3L, 2L, blk(5)),
+      // D (2 frames) vs E (3 frames): aligned = 2, both match -> majority
+      (4L, 2L, 0L, blk(6)), (4L, 2L, 1L, blk(7)),
+      (5L, 3L, 0L, blk(6)), (5L, 3L, 1L, blk(7) ^ (1L << 42)),
+      (5L, 3L, 2L, blk(8)))
+      .toDF("doc_id", "n_frames", "frame_idx", "dhash")
+    val pairs = Dedup.videoNearDup(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L), (4L, 5L)), pairs.toString)
+    assert(pairs((1L, 2L)) == ((2L, 3L)) && pairs((4L, 5L)) == ((2L, 2L)))
+    val out = Dedup.videoFramesDedup(frames).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, true)) && out(2L) == ((3L, 1L, false)))
+    assert(out(3L) == ((3L, 3L, true)))
+    assert(out(4L) == ((2L, 4L, true)) && out(5L) == ((3L, 4L, false)))
+  }
+
+  test("videoDedup end-to-end on the stub face: exact-dup clips cluster") {
+    val out = Dedup.videoDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ((0L, true)) && out(3L) == ((0L, false)))
+    assert(out(1L) == ((1L, true)) && out(2L) == ((2L, true)))
+  }
+
   // ---- Heaps / corpus-growth curve (wave 8) ----
 
   test("heapsCurve: first occurrence decides the batch; duplicates add nothing") {
@@ -1088,6 +1157,48 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet.forall(k => again(k) == got(k).toSeq))
   }
 
+  test("frameDhash + videoFramesDedup: real PNG frame sequences, majority rule, junk frame") {
+    import graft.ops.Dedup
+    // luma constant per 4-px column block (aligned with the 8x9 pool), so
+    // a frame's dhash is its 8-step sign pattern replicated per row:
+    // different patterns sit >= 7 bits apart, +8 brightness moves nothing
+    def pat(s: Seq[Int], shift: Int): Array[Byte] =
+      grayPng(36, 16)((x, _) => s(x / 4) * 25 + shift)
+    val asc = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8)
+    val alt = Seq(0, 9, 0, 9, 0, 9, 0, 9, 0)
+    val blocks = Seq(0, 9, 9, 0, 0, 9, 9, 0, 0)
+    val altInv = Seq(9, 0, 9, 0, 9, 0, 9, 0, 9)
+    val blocksInv = Seq(9, 0, 0, 9, 9, 0, 0, 9, 9)
+    val junk = "not a png".getBytes("UTF-8")
+    val frames = spark.createDataFrame(Seq(
+      (1L, 0L, pat(asc, 0)), (1L, 1L, pat(alt, 0)), (1L, 2L, pat(blocks, 0)),
+      // clip 1 re-encoded +8 brighter: every frame Hamming 0 -> 3/3
+      (2L, 0L, pat(asc, 8)), (2L, 1L, pat(alt, 8)), (2L, 2L, pat(blocks, 8)),
+      // shares ONLY frame 0 -> 1/3, stays apart
+      (3L, 0L, pat(asc, 0)), (3L, 1L, pat(altInv, 0)), (3L, 2L, pat(blocksInv, 0)),
+      // junk middle frame: frames 0 and 2 still match clip 1 -> 2/3
+      (4L, 0L, pat(asc, 8)), (4L, 1L, junk), (4L, 2L, pat(blocks, 0))))
+      .toDF("doc_id", "frame_idx", "payload")
+    val hashed = Multimodal.frameDhash(frames)
+    val byKey = hashed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(!byKey((4L, 1L)).getBoolean(2) && byKey((4L, 1L)).isNullAt(3),
+      "junk frame comes back ok=false with a null hash")
+    assert(byKey.values.count(_.getBoolean(2)) == 11)
+    val out = Dedup.videoFramesDedup(
+      hashed.withColumn("n_frames", lit(3L))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("dhash")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) &&
+      out(4L) == ((1L, false)), s"brightness/junk variants must cluster: $out")
+    assert(out(3L) == ((3L, true)), "sub-majority frame overlap stays apart")
+    // decode is partitioning-invariant
+    val again = Multimodal.frameDhash(frames.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(byKey.keySet.forall(k => again(k) == byKey(k).toSeq))
+  }
+
   test("dhashDedup over real images: near-dups cluster, inversions and junk stay singletons") {
     import graft.ops.Dedup
     val base = grayPng(36, 16)((x, _) => x * 7)
@@ -1110,4 +1221,122 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, true)) && out(5L) == ((5L, true)))
   }
 
+}
+
+class LogRegSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.LogReg
+
+  /** Driver-local reference replica of the training semantics: same
+    * hashing, normalization, quantization, and update rule — gradient
+    * sums are exact Longs in both, so the distributed fit must match
+    * BITWISE, not approximately. */
+  private def localTrain(docs: Seq[(Long, Boolean, String)], d: Int,
+                         epochs: Int, lr: Double, l2: Double)
+      : (Array[Double], Double, Seq[Double]) = {
+    val feats = docs.map { case (_, y, text) =>
+      (y, text.split("\\s+").filter(_.nonEmpty)
+        .map(t => LogReg.hashBucketLocal(t, d)).distinct.sorted.toSeq)
+    }.filter(_._2.nonEmpty)
+    val w = new Array[Double](d + 1)
+    val v = new Array[Double](d + 1)
+    val curve = Seq.newBuilder[Double]
+    for (_ <- 0 until epochs) {
+      val grad = new Array[Long](d + 2)
+      var n = 0L
+      var maxK = 1L
+      feats.foreach { case (y, bs) =>
+        var z = w(d)
+        bs.foreach(b => z += w(b))
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val g = p - (if (y) 1.0 else 0.0)
+        val gq = math.round(g * 1e6)
+        bs.foreach(b => grad(b) += gq)
+        grad(d) += gq
+        val eps = 1e-12
+        grad(d + 1) += math.round((if (y) -math.log(math.max(p, eps))
+          else -math.log(math.max(1.0 - p, eps))) * 1e6)
+        n += 1
+        maxK = math.max(maxK, bs.length.toLong)
+      }
+      val nn = math.max(n, 1L).toDouble
+      val step = lr / (0.25 * maxK)
+      for (b <- 0 until d) {
+        v(b) = 0.9 * v(b) + (grad(b) / 1e6 / nn + l2 * w(b))
+        w(b) -= step * v(b)
+      }
+      v(d) = 0.9 * v(d) + grad(d) / 1e6 / nn
+      w(d) -= step * v(d)
+      curve += grad(d + 1) / 1e6 / nn
+    }
+    (w.take(d), w(d), curve.result())
+  }
+
+  private def corpus(n: Int): Seq[(Long, Boolean, String)] =
+    (0 until n).map { i =>
+      val pos = i % 2 == 0
+      val filler = s"shared tok${i % 5} common words here"
+      (i.toLong, pos, if (pos) s"alpha marker $filler" else s"omega marker $filler")
+    }
+
+  test("distributed fit matches the driver-local reference BITWISE") {
+    val docs = corpus(24)
+    val df = docs.map { case (id, y, t) => (id, y, t) }.toDF("doc_id", "y", "text")
+    val m = LogReg.train(df, col("y"), d = 32, epochs = 3, lr = 1.0, l2 = 1e-4)
+    val (lw, lb, lc) = localTrain(docs, d = 32, epochs = 3, lr = 1.0, l2 = 1e-4)
+    assert(m.weights.toSeq == lw.toSeq, "weights must match exactly")
+    assert(m.bias == lb && m.lossCurve == lc)
+  }
+
+  test("training is bit-reproducible across partitionings") {
+    val df = corpus(30).toDF("doc_id", "y", "text")
+    val m2 = LogReg.train(df.repartition(2), col("y"), d = 64, epochs = 4)
+    val m7 = LogReg.train(df.repartition(7), col("y"), d = 64, epochs = 4)
+    assert(m2.weights.toSeq == m7.weights.toSeq && m2.bias == m7.bias &&
+      m2.lossCurve == m7.lossCurve)
+  }
+
+  test("separable corpus: loss falls, scoring predicts every label") {
+    val df = corpus(40).toDF("doc_id", "y", "text")
+    val m = LogReg.train(df, col("y"), d = 128, epochs = 25)
+    assert(m.lossCurve.last < m.lossCurve.head / 2,
+      s"loss must fall: ${m.lossCurve.head} -> ${m.lossCurve.last}")
+    val scored = LogReg.score(df, m).join(df.select(col("doc_id"), col("y")), "doc_id")
+    assert(scored.where(col("pred") =!= col("y")).count() == 0L)
+    // zero-token doc scores at sigma(bias), never NaN
+    val empty = LogReg.score(Seq((99L, "  ")).toDF("doc_id", "text"), m)
+      .head().getDouble(1)
+    assert(empty == 1.0 / (1.0 + math.exp(-m.bias)))
+  }
+
+  test("real corpus: a content label is learnable from a balanced seed set") {
+    // the pipeline shape: label a BALANCED seed set (the fasttext/CCNet
+    // recipe — class priors washed out so the witness token, not the
+    // prior, carries the decision), fit, then score
+    // witness token 'window' — hash-collision-free at d = 256 over this
+    // corpus's vocabulary ('join', the first pick, lands in the same
+    // md5 bucket as 'the' at any d dividing 2^10, capping accuracy at
+    // the collided optimum — a measured reminder that hashed-feature
+    // ceilings are collision facts, not optimizer failures)
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val label = col("text").contains("window")
+    val seed = docs.where(label).orderBy("doc_id").limit(90)
+      .unionByName(docs.where(!label).orderBy("doc_id").limit(90))
+    val m = LogReg.train(seed, label, d = 256, epochs = 30)
+    assert(m.lossCurve.last < m.lossCurve.head / 2)
+    val scored = LogReg.score(seed, m)
+      .join(seed.select(col("doc_id"), label.as("y")), "doc_id")
+    val n = scored.count().toDouble
+    assert(n == 180.0)
+    val acc = scored.where(col("pred") === col("y")).count() / n
+    assert(acc > 0.9, s"acc $acc must clear the 0.5 balanced baseline decisively")
+  }
+
+  test("score is map-only: no exchange, no UDF in the serving plan") {
+    val m = LogReg.Model(8, Array.fill(8)(0.1), 0.0, Nil)
+    val plan = LogReg.score(Seq((1L, "a b")).toDF("doc_id", "text"), m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
 }

@@ -741,4 +741,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("r11 video_dedup keeps its scale shape") {
+    // frame-aligned banding: candidates come from an EQUI join keyed by
+    // (frame_idx, chunk, cval) — never all-pairs, no window anywhere
+    // (majority verify is one count aggregation; keeper is map-side)
+    val p = planOf("video_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
