@@ -1605,6 +1605,11 @@ object SparkEntry {
       // -> CC -> min-id keeper (real-codec face = Multimodal.frameDhash
       // over extracted frame images, spec-tested on PNG sequences)
       graft.ops.Dedup.videoDedup(Tables.table(s, dir, "documents"))),
+    "classifier_score" -> ((s, dir) =>
+      // the LogReg serving shape under deterministic hash pseudo-weights:
+      // exact integer micro-unit z sums (order-free), one shared-libm
+      // sigmoid, round-12 emission (trained-weight face is spec-tested)
+      graft.ops.LogReg.pseudoScore(Tables.table(s, dir, "documents"))),
     "ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
       // the value histogram, lang-dim cutoffs broadcast back
@@ -4247,6 +4252,20 @@ object SparkEntry {
         "COALESCE(l.cluster_id, d0.doc_id) AS cluster_id, " +
         "(d0.doc_id = COALESCE(l.cluster_id, d0.doc_id)) AS keep " +
         "FROM d0 LEFT JOIN labels l ON l.doc_id = d0.doc_id"),
+    // pseudoScore replay: distinct md5-hash buckets, Knuth pseudo-weight
+    // micro integers, exact BIGINT z sum, shared-libm sigmoid rounded 12
+    "classifier_score" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
+        "FROM documents), " +
+        "b AS (SELECT DISTINCT doc_id, " +
+        "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS b " +
+        "FROM t WHERE w <> ''), " +
+        "z AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "CAST(sum((b * 2654435761) % 2000001 - 1000000) AS BIGINT) AS zmicro " +
+        "FROM b GROUP BY 1) " +
+        "SELECT doc_id, n_buckets, " +
+        "round(1.0 / (1.0 + exp(-CAST(zmicro AS DOUBLE) / 1000000.0)), 12) AS score, " +
+        "(zmicro >= 0) AS pred FROM z"),
     // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
     // target/raw models, 12-rounded log-ratios summed exact decimal
     "dsir_weights" ->

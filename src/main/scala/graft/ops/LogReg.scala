@@ -182,4 +182,33 @@ object LogReg {
       .select(col("doc_id"), col("score"),
         (col("score") >= 0.5).as("pred"))
   }
+
+  /** Oracled serving face: [[score]]'s exact plan shape under
+    * DETERMINISTIC hash-derived pseudo-weights, engine-portable so a
+    * SQL oracle can replay it — weight micro-units for bucket b are
+    * `(b · 2654435761) mod 2000001 − 1000000` (Knuth's multiplicative
+    * constant; a fixed pseudo-random value in [−1, 1] at scale 6).
+    * z accumulates as an EXACT integer micro-unit sum over the
+    * document's distinct buckets (order-free — the float-sum-order
+    * trap the trained [[score]] face tolerates is eliminated here so
+    * the cross-engine hash can match), and only the final sigmoid
+    * touches floats: one shared-libm exp on an identical double, then
+    * the round-12 emission (the dsir/zipf convention). Emits
+    * (doc_id, n_buckets, score, pred); zero-token docs are absent
+    * (the features contract).
+    */
+  def pseudoScore(docs: DataFrame, d: Int = 1024): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), hashBucket(col("w"), d).as("b"))
+      .distinct()
+      .withColumn("micro",
+        (col("b") * lit(2654435761L)) % lit(2000001L) - lit(1000000L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("micro")).as("zmicro"))
+      .select(col("doc_id"), col("n_buckets"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("zmicro").cast("double") / lit(1e6))), 12).as("score"),
+        (col("zmicro") >= 0L).as("pred"))
 }

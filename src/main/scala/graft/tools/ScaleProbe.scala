@@ -390,6 +390,41 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-11 operators: perceptual video dedup
+    * under corpus growth k× (frame fan-out ×k, aligned banding join ×k
+    * — expect flat-to-linear like image_dedup) and the logistic-
+    * regression trainer at fixed epochs under the same growth (each
+    * epoch is one shuffle-free treeAggregate — expect linear in docs
+    * with k-scale driver state). Run: `runMain graft.tools.ScaleProbe
+    * r11`.
+    */
+  private def r11OpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"video_dedup x$k ($nd docs)") {
+        graft.ops.Dedup.videoDedup(docs).count()
+      }
+      time(s"logreg_train 10ep x$k") {
+        graft.ops.LogReg.train(docs, col("text").contains("window"),
+          d = 1024, epochs = 10).weights.length.toLong
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist()
+    }
+  }
+
   /** kFactor → recall curve for the exact re-rank stage: recall@10 of
     * ivfpq_rerank at k′ = kFactor·k for kFactor ∈ {1,2,4,8}, each at
     * nprobe 4/8/16, against plain ADC at the same nprobe, at both corpus
@@ -441,6 +476,7 @@ object ScaleProbe {
     if (args.contains("r8ops")) { r8OpsCurves(spark); spark.stop(); return }
     if (args.contains("r10w4")) { r10w4OpsCurves(spark); spark.stop(); return }
     if (args.contains("r10w7")) { r10w7OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11")) { r11OpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 

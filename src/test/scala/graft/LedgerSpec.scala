@@ -28,7 +28,7 @@ class LedgerSpec extends AnyFunSuite {
   // like `A`/`B` count once); a row whose description declares
   // "query name: `x`" registers under x instead
   private val Row =
-    """^\d+[a-z]?\.\s+`([A-Za-z0-9_/.]+)`(?:/`[A-Za-z0-9_/.]+`)*\s+\[(SQL|SPEC)\]""".r.unanchored
+    """^\d+[a-z]{0,2}\.\s+`([A-Za-z0-9_/.]+)`(?:/`[A-Za-z0-9_/.]+`)*\s+\[(SQL|SPEC)\]""".r.unanchored
   private val Alias = """query name: `([a-z0-9_]+)`""".r.unanchored
 
   private lazy val rowLines: Seq[(String, String, String)] =

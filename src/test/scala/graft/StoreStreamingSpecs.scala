@@ -1574,3 +1574,41 @@ class StreamingDhashScreenSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingClassifierServeSpec extends SparkSpec {
+  test("LogReg.score serves a stream unchanged: stateless, matches batch scoring") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.LogReg
+    // train on the static corpus, then point the SAME score() at a
+    // stream — the pure-column serving face needs no adaptation
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val label = col("text").contains("window")
+    val seed = docs.where(label).orderBy("doc_id").limit(60)
+      .unionByName(docs.where(!label).orderBy("doc_id").limit(60))
+    val m = LogReg.train(seed, label, d = 256, epochs = 10)
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val arrivals = docs.orderBy("doc_id").limit(50)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expected = LogReg.score(
+      arrivals.toSeq.toDF("doc_id", "text"), m)
+      .as[(Long, Double, Boolean)].collect().toSet
+    val ms = MemoryStream[(Long, String)]
+    val q = LogReg.score(ms.toDF.toDF("doc_id", "text"), m)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_serve").start()
+    try {
+      arrivals.grouped(20).foreach { g =>
+        ms.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT doc_id, score, pred FROM clf_serve")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(got == expected,
+        s"stream-only=${(got -- expected).take(3)} batch-only=${(expected -- got).take(3)}")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "serving must run without a state store")
+    } finally q.stop()
+  }
+}
