@@ -509,9 +509,24 @@ object Dedup {
     * adopts its current label's label), so rounds needed grow with
     * log₂(component diameter), not the diameter itself. Each round:
     *  - ONE job per round: a lazy lineage cut (`cutLineageLazy`) whose
-    *    materialization folds into the changed-label count — no plan
-    *    growth across rounds, no separate probe action; superseded round
-    *    outputs are dropped by the context cleaner once unreferenced;
+    *    materialization folds into the round's convergence aggregate —
+    *    no plan growth across rounds, no separate probe action;
+    *    superseded round outputs are dropped by the context cleaner once
+    *    unreferenced;
+    *  - NO carry-forward union and NO prev-label join (the r11 measured
+    *    re-plan): labels hold the invariant label(x) ≤ x, so the
+    *    pointer-jump candidate label(label(v)) ≤ label(v) DOMINATES the
+    *    node's own current label — carrying prev labels through the
+    *    union is redundant; and because every round is thus pointwise
+    *    non-increasing, convergence is detected by comparing the exact
+    *    DECIMAL(38,0) sum of labels across rounds (sum unchanged ⟺
+    *    pointwise unchanged under monotonicity) instead of joining next
+    *    against prev for a changed-flag — one fewer join + exchange in
+    *    every round;
+    *  - `edges` is range-hash partitioned on the probe key `b` BEFORE
+    *    its eager cut: Dataset.checkpoint preserves outputPartitioning,
+    *    so the per-round neighbor join never re-shuffles the edge list
+    *    (the largest frame in the loop) — only the label side moves.
     * Non-convergence after `maxIters` (diameter > 2^maxIters — not
     * reachable for real near-dup graphs) raises rather than silently
     * splitting a component.
@@ -531,34 +546,50 @@ object Dedup {
   private def cutLineageLazy(df: DataFrame): DataFrame = graft.core.Materialize.once(df)
 
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val spark = pairs.sparkSession
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pre-partition the symmetrized edge list on the probe key so the
+    // per-round neighbor join reuses this layout (checkpoint preserves
+    // outputPartitioning) instead of re-exchanging the edges every round
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct())
+      .distinct()
+      .repartition(nShuffle, col("b")))
     // seed with the first propagation round folded into init: each node
     // starts at min(self, min neighbor) — one aggregation over the edge
     // list instead of a distinct + a full join round
     var labels = cutLineage(edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("cluster_id"))
       .select(col("a").as("doc_id"), col("cluster_id")))
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+    // exact running sum of labels: monotonic pointwise decrease makes
+    // sum-equality the convergence signal (see scaladoc) — the action
+    // below doubles as the node-scale seed scan on a cut frame
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
         .select(col("a").as("doc_id"), col("cand"))
+      // inner self-join covers EVERY node (a node's label is a node id in
+      // the same component, so the probe always matches) and its
+      // candidate label(label(v)) ≤ label(v) dominates the carried self
+      // label — no self-union needed
       val viaPointer = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
-      val next = cutLineageLazy(labels.select(col("doc_id"), col("cluster_id").as("cand"))
-        .unionByName(viaNeighbor).unionByName(viaPointer)
-        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id"))
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .select(col("doc_id"), col("cluster_id"),
-          (col("cluster_id") =!= col("prev")).as("changed")))
-      // single action per round: the count's full scan materializes the
+      val next = cutLineageLazy(viaNeighbor.unionByName(viaPointer)
+        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id")))
+      // single action per round: the sum's full scan materializes the
       // lazy checkpoint AND yields the convergence signal
-      converged = next.where(col("changed")).count() == 0L
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       i += 1
     }
     if (!converged)
