@@ -1610,6 +1610,25 @@ object SparkEntry {
       // exact integer micro-unit z sums (order-free), one shared-libm
       // sigmoid, round-12 emission (trained-weight face is spec-tested)
       graft.ops.LogReg.pseudoScore(Tables.table(s, dir, "documents"))),
+    "zorder_key" -> ((s, dir) =>
+      // compaction-time Morton layout key: pure shift/and/or bit terms,
+      // map-only whole-stage codegen, slice filter + 4-column pruning
+      // pushed to the parquet scan
+      Tables.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1995-03-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-04-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zorderKey(
+            Seq(col("l_partkey").bitwiseAND(lit((1L << 21) - 1)),
+              col("l_suppkey").bitwiseAND(lit((1L << 21) - 1))), 21)
+            .as("zval"))),
+    "zorder_skip" -> ((s, dir) =>
+      // the layout win MEASURED: 64 equal "files" per layout, per-file
+      // min/max boxes, and the file count a min/max-pruning reader must
+      // touch for a centered 2-D box predicate — linear-by-x slabs
+      // cannot prune on y, the z-order grid prunes on both
+      graft.ops.Layout.zorderSkip(Tables.table(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey")),
     "ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
       // the value histogram, lang-dim cutoffs broadcast back
@@ -4266,6 +4285,38 @@ object SparkEntry {
         "SELECT doc_id, n_buckets, " +
         "round(1.0 / (1.0 + exp(-CAST(zmicro AS DOUBLE) / 1000000.0)), 12) AS score, " +
         "(zmicro >= 0) AS pred FROM z"),
+    // Layout.zorderKey replay: the same 42 shift/and/or interleave terms
+    // over masked part/supp keys, on the same one-month slice
+    "zorder_key" ->
+      (s"SELECT l_orderkey, l_linenumber, ${zorderSqlExpr(
+        Seq("(l_partkey & 2097151)", "(l_suppkey & 2097151)"), 21)} AS zval " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'"),
+    // Layout.zorderSkip replay: max-normalize to 8 bits with `//` integer
+    // division (Spark's exact-double floor), 16-bit interleave, 64 files
+    // per layout (xn>>2 slabs vs z>>10 grid), min/max-box overlap with
+    // the centered [64,95]^2 predicate
+    "zorder_skip" ->
+      ("WITH mx AS (SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem), " +
+        "base AS (SELECT (l_partkey * 256) // (mx + 1) AS xn, " +
+        "(l_suppkey * 256) // (my + 1) AS yn FROM lineitem, mx), " +
+        s"z AS (SELECT xn, yn, ${zorderSqlExpr(Seq("xn", "yn"), 8)} AS z FROM base), " +
+        "lf AS (SELECT xn >> 2 AS file_id, min(xn) AS min_x, max(xn) AS max_x, " +
+        "min(yn) AS min_y, max(yn) AS max_y, count(*) AS n FROM z GROUP BY 1), " +
+        "zf AS (SELECT z >> 10 AS file_id, min(xn) AS min_x, max(xn) AS max_x, " +
+        "min(yn) AS min_y, max(yn) AS max_y, count(*) AS n FROM z GROUP BY 1) " +
+        "SELECT 'linear_x' AS layout, CAST(count(*) AS BIGINT) AS files_total, " +
+        "CAST(sum(CASE WHEN min_x <= 95 AND max_x >= 64 AND min_y <= 95 AND max_y >= 64 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS files_read, " +
+        "CAST(sum(CASE WHEN min_x <= 95 AND max_x >= 64 AND min_y <= 95 AND max_y >= 64 " +
+        "THEN n ELSE 0 END) AS BIGINT) AS rows_read FROM lf " +
+        "UNION ALL " +
+        "SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS files_total, " +
+        "CAST(sum(CASE WHEN min_x <= 95 AND max_x >= 64 AND min_y <= 95 AND max_y >= 64 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS files_read, " +
+        "CAST(sum(CASE WHEN min_x <= 95 AND max_x >= 64 AND min_y <= 95 AND max_y >= 64 " +
+        "THEN n ELSE 0 END) AS BIGINT) AS rows_read FROM zf"),
     // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
     // target/raw models, 12-rounded log-ratios summed exact decimal
     "dsir_weights" ->
@@ -5446,6 +5497,15 @@ object SparkEntry {
     * recursive min-label reachability over symmetric near-dup edges, then
     * one keeper per cluster (best quality score, ties lowest doc_id).
     */
+  /** DuckDB replay of [[graft.ops.Layout.zorderKey]]: the identical
+    * `cols.size * bits` shift/and/or interleave terms (bit j of column c
+    * lands at j*k + c), emitted as one `|`-joined expression.
+    */
+  private def zorderSqlExpr(cols: Seq[String], bits: Int): String =
+    (for { c <- cols.indices; j <- 0 until bits }
+      yield s"(((${cols(c)} >> $j) & 1) << ${j * cols.size + c})")
+      .mkString(" | ")
+
   private def corpusDedupSql(minJaccard: Double): String =
     s"WITH RECURSIVE $jaccardCtes, " +
       s"edges0 AS (SELECT id1, id2 FROM jac WHERE jaccard >= $minJaccard), " +

@@ -751,4 +751,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("r11 zorder_key is a map-only codegen projection") {
+    // the compaction-time layout primitive must cost ONE scan: 42
+    // shift/and/or terms inside whole-stage codegen, zero exchanges, the
+    // month slice pushed to parquet, only the 4 needed columns read
+    val p = planOf("zorder_key")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("*(1) Project"), p) // one whole-stage codegen span
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_suppkey:bigint,l_linenumber"), p)
+  }
+
+  test("r11 zorder_skip stays dim-scale after one corpus scan") {
+    // both layout summaries read the SAME materialized normalized frame
+    // (two ExistingRDD scans of one cut — the corpus parquet was scanned
+    // once, during materialization; its pruning is pinned in LayoutSpec),
+    // and everything downstream is dim-scale: no join, window, or
+    // cartesian anywhere in the exposed plan
+    val p = planOf("zorder_skip")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("FileScan"), p)
+    assert(countOccurrences(p, "Scan ExistingRDD") == 2, p)
+  }
 }
