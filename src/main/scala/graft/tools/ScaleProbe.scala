@@ -425,6 +425,61 @@ object ScaleProbe {
     }
   }
 
+  /** Growth curves for the round-11 continuation: the z-order layout
+    * family under fact-table growth (zorderSkip is one corpus scan + two
+    * 64-row aggregations — expect scan-bound linear; clusterWrite is one
+    * range exchange + local sort — the compaction cost itself), plus the
+    * CC family refreshed AFTER the kernel re-plan (sum-convergence, no
+    * self-union, edge pre-partitioning) so the curves in BENCH_NOTES
+    * reflect the shipped kernel. Run: `runMain graft.tools.ScaleProbe
+    * r11b`.
+    */
+  private def r11bOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      // pure size growth: replicated rows keep the key domains (and so
+      // the normalized 8-bit grid) fixed — the 100 TB axis for a layout
+      // op is rows, not key cardinality
+      val li = (0 until k).map(_ =>
+        Tables.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+        .reduce(_ unionByName _).cache()
+      val n = li.count()
+      time(s"zorder_skip x$k ($n rows)") {
+        graft.ops.Layout.zorderSkip(li, "l_partkey", "l_suppkey").count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      if (k <= 8) {
+        val out = java.nio.file.Files.createTempDirectory("zw").toString
+        time(s"cluster_write x$k (8 files)") {
+          graft.ops.Layout.clusterWrite(
+            li.withColumn("xn", col("l_partkey").bitwiseAND(lit(255L)))
+              .withColumn("yn", col("l_suppkey").bitwiseAND(lit(255L))),
+            Seq("xn", "yn"), 8, s"$out/z", 8)
+          spark.read.parquet(s"$out/z").count()
+        }
+      }
+      li.unpersist()
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"corpus_dedup x$k ($nd docs, new CC)") {
+        graft.ops.Dedup.corpusDedup(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist()
+    }
+  }
+
   /** kFactor → recall curve for the exact re-rank stage: recall@10 of
     * ivfpq_rerank at k′ = kFactor·k for kFactor ∈ {1,2,4,8}, each at
     * nprobe 4/8/16, against plain ADC at the same nprobe, at both corpus
@@ -477,6 +532,7 @@ object ScaleProbe {
     if (args.contains("r10w4")) { r10w4OpsCurves(spark); spark.stop(); return }
     if (args.contains("r10w7")) { r10w7OpsCurves(spark); spark.stop(); return }
     if (args.contains("r11")) { r11OpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11b")) { r11bOpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
