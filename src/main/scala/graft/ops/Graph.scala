@@ -135,26 +135,31 @@ object Graph {
     * label via the left join.
     */
   def labelPropagation(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    val nShuffle = edges0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val sym = graft.core.Materialize.once {
       val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .where(col("src") =!= col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        // pre-partition on the probe key so the per-round label join
+        // reuses the checkpointed layout — only labels move each round
+        // (the Dedup.clusters r11 convention)
+        .repartition(nShuffle, col("src"))
     }
-    val nodes = graft.core.Materialize.once(
-      sym.select(col("src").as("v")).distinct())
-    var labels = nodes.select(col("v"), col("v").as("label"))
+    var labels = sym.select(col("src").as("v"), col("src").as("label")).distinct()
     for (_ <- 1 to iters) {
-      val votes = sym
+      // symmetry means every node of sym appears as a dst, so the votes
+      // frame IS the next label frame — no join-back onto the previous
+      // labels (isolated nodes never enter sym at all and stay out of
+      // the result by the same contract as before)
+      labels = graft.core.Materialize.once(sym
         .join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("dst").as("v"), (-col("m.neg")).as("new_label"))
-      labels = labels.join(votes, Seq("v"), "left")
-        .select(col("v"), coalesce(col("new_label"), col("label")).as("label"))
+        .select(col("dst").as("v"), (-col("m.neg")).as("label")))
       // cut each round: the plan would otherwise nest `iters` joins deep
       // and re-run every prior round per action (the pageRank lesson)
-      labels = graft.core.Materialize.once(labels)
     }
     labels
   }
