@@ -1629,6 +1629,13 @@ object SparkEntry {
       // cannot prune on y, the z-order grid prunes on both
       graft.ops.Layout.zorderSkip(Tables.table(s, dir, "lineitem"),
         "l_partkey", "l_suppkey")),
+    "hilbert_skip" -> ((s, dir) =>
+      // the three-way layout decision: linear vs z-order vs HILBERT
+      // (unrolled xy->d bit-twiddle as chained projections) under the
+      // quadrant-aligned box AND the midline y band that straddles the
+      // z-curve's seam — per-(layout, pred) file/row read counts
+      graft.ops.Layout.curveSkip(Tables.table(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey")),
     "ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail: per-lang ppl tercile ORDER STATISTICS off
       // the value histogram, lang-dim cutoffs broadcast back
@@ -4317,6 +4324,11 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS files_read, " +
         "CAST(sum(CASE WHEN min_x <= 95 AND max_x >= 64 AND min_y <= 95 AND max_y >= 64 " +
         "THEN n ELSE 0 END) AS BIGINT) AS rows_read FROM zf"),
+    // Layout.curveSkip replay: the same normalize + interleave CTEs, the
+    // Hilbert xy->d unroll as 8 generated per-level CTEs (the identical
+    // CASE/shift template Layout.withHilbert chains as projections),
+    // 64-file stats per layout, both predicates per layout
+    "hilbert_skip" -> hilbertSkipSql,
     // DSIR replay: md5-prefix hashed unigram buckets, add-one smoothed
     // target/raw models, 12-rounded log-ratios summed exact decimal
     "dsir_weights" ->
@@ -5505,6 +5517,51 @@ object SparkEntry {
     (for { c <- cols.indices; j <- 0 until bits }
       yield s"(((${cols(c)} >> $j) & 1) << ${j * cols.size + c})")
       .mkString(" | ")
+
+  /** DuckDB replay of [[graft.ops.Layout.curveSkip]]: normalize + z
+    * interleave, then the Hilbert unroll as generated per-level CTEs
+    * (i8 seeds state, i7..i0 apply [[graft.ops.Layout.hilbertIterSql]]),
+    * then one stats CTE per layout and a 6-row UNION in the exact
+    * (layout, pred) order the Spark side unions.
+    */
+  private def hilbertSkipSql: String = {
+    val zex = zorderSqlExpr(Seq("xn", "yn"), 8)
+    val iters = (7 to 0 by -1).map { lvl =>
+      val prev = if (lvl == 7) "i8" else s"i${lvl + 1}"
+      s"i$lvl AS (${graft.ops.Layout.hilbertIterSql(lvl, 8, Seq("xn", "yn", "z"))} FROM $prev)"
+    }.mkString(", ")
+    def statsCte(name: String, bucket: String) =
+      s"$name AS (SELECT $bucket AS file_id, min(xn) AS min_x, max(xn) AS max_x, " +
+        "min(yn) AS min_y, max(yn) AS max_y, count(*) AS n FROM hv GROUP BY 1)"
+    def row(layout: String, cte: String, pred: String,
+            x1: Long, x2: Long, y1: Long, y2: Long) =
+      s"SELECT '$layout' AS layout, '$pred' AS pred, " +
+        "CAST(count(*) AS BIGINT) AS files_total, " +
+        s"CAST(sum(CASE WHEN min_x <= $x2 AND max_x >= $x1 AND min_y <= $y2 " +
+        s"AND max_y >= $y1 THEN 1 ELSE 0 END) AS BIGINT) AS files_read, " +
+        s"CAST(sum(CASE WHEN min_x <= $x2 AND max_x >= $x1 AND min_y <= $y2 " +
+        s"AND max_y >= $y1 THEN n ELSE 0 END) AS BIGINT) AS rows_read FROM $cte"
+    "WITH mx AS (SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem), " +
+      "base AS (SELECT (l_partkey * 256) // (mx + 1) AS xn, " +
+      "(l_suppkey * 256) // (my + 1) AS yn FROM lineitem, mx), " +
+      s"zc AS (SELECT xn, yn, $zex AS z FROM base), " +
+      "i8 AS (SELECT xn, yn, z, xn AS hx, yn AS hy, CAST(0 AS BIGINT) AS hd FROM zc), " +
+      iters + ", " +
+      "hv AS (SELECT xn, yn, z, hd AS h FROM i0), " +
+      statsCte("lf", "xn >> 3") + ", " +
+      statsCte("zf", "z >> 11") + ", " +
+      statsCte("hf", "h >> 11") + " " +
+      Seq(
+        row("linear_x", "lf", "center_box", 64, 95, 64, 95),
+        row("linear_x", "lf", "x_band", 120, 135, 0, 255),
+        row("linear_x", "lf", "y_band", 0, 255, 120, 135),
+        row("zorder", "zf", "center_box", 64, 95, 64, 95),
+        row("zorder", "zf", "x_band", 120, 135, 0, 255),
+        row("zorder", "zf", "y_band", 0, 255, 120, 135),
+        row("hilbert", "hf", "center_box", 64, 95, 64, 95),
+        row("hilbert", "hf", "x_band", 120, 135, 0, 255),
+        row("hilbert", "hf", "y_band", 0, 255, 120, 135)).mkString(" UNION ALL ")
+  }
 
   private def corpusDedupSql(minJaccard: Double): String =
     s"WITH RECURSIVE $jaccardCtes, " +

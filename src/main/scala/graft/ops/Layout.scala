@@ -82,6 +82,67 @@ object Layout {
           col("min_y") <= y2 && col("max_y") >= y1).as("must_read"),
         col("n_rows"))
 
+  /** HILBERT curve index for two `bits`-bit coordinates — the
+    * locality-better alternative to [[zorderKey]] (consecutive d values
+    * are always grid-adjacent, so a file of consecutive d is one
+    * connected region with no z-seam jumps). The classic xy→d
+    * bit-twiddle (per-level quadrant digit + rotate/reflect), unrolled
+    * into `bits` chained projections over state columns — every step is
+    * integer CASE/shift arithmetic, codegen-friendly, and the SAME
+    * per-level template the DuckDB oracle replays as generated CTEs
+    * ([[hilbertIterSql]]). Kept at explicit projection boundaries so
+    * Catalyst does not inline the (multiply-referenced) state into an
+    * exponentially duplicated expression tree.
+    *
+    * Returns the frame with an added `dcol` column; inputs must be in
+    * [0, 2^bits).
+    */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                  dcol: String): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"2 x $bits bits must fit a long")
+    val n = 1L << bits
+    var cur = df.withColumn("__hx", x.cast("long"))
+      .withColumn("__hy", y.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val s = 1L << lvl
+      val rx = when((col("__hx").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L)
+      val ry = when((col("__hy").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("__rx", rx).withColumn("__ry", ry)
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (col("__rx") * lit(3L)).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0L,
+            when(col("__rx") === 1L, lit(n - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0L,
+            when(col("__rx") === 1L, lit(n - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__rx", "__ry", "__nx", "__ny")
+    }
+    cur.withColumn(dcol, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** One Hilbert level as DuckDB SQL, mirroring [[withHilbert]]'s update
+    * exactly: given a CTE exposing (…, hx, hy, hd), emit the SELECT list
+    * producing the next level's (hx, hy, hd). `keep` columns pass
+    * through untouched.
+    */
+  def hilbertIterSql(lvl: Int, bits: Int, keep: Seq[String]): String = {
+    val s = 1L << lvl
+    val n = 1L << bits
+    val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+    val pass = keep.map(c => s"$c, ").mkString
+    s"SELECT $pass" +
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END) ELSE hx END AS hx, " +
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END) ELSE hy END AS hy, " +
+      s"hd + ${s * s} * xor($rx * 3, $ry) AS hd"
+  }
+
   /** Write `df` physically clustered on the z-order of `cols`: range
     * partition on the interleaved key into `nFiles` output files, sort
     * within each so parquet row-group min/max stats carry tight bounding
@@ -129,5 +190,57 @@ object Layout {
           col("files_read"), col("rows_read"))
     summarize("linear_x", shiftright(col("xn"), 2))
       .unionByName(summarize("zorder", shiftright(col("z"), 10)))
+  }
+
+  /** [[zorderSkip]] extended to the measured three-way comparison the
+    * layout decision actually needs: linear-by-x vs z-order vs HILBERT,
+    * at 32 files — each file TWO consecutive curve cells, the
+    * granularity where curve ORDER matters (at one-cell-per-file every
+    * quadrant-recursive curve produces identical boxes) — under THREE
+    * predicates: the quadrant-aligned centered box [64,95]², and thin
+    * x/y bands [120,135] straddling the midline. No layout dominates,
+    * and the table shows exactly how: linear slabs win x bands and
+    * cannot prune y bands at all; z-order's cell pairs run along x so y
+    * bands cut them cleanly and x bands cross every pair; Hilbert's
+    * adjacent-pair files have no preferred axis and sit between the
+    * extremes on both bands. Output: one row per (layout, pred) with
+    * files_total / files_read / rows_read. One corpus scan; everything
+    * downstream is 32-file-scale.
+    */
+  def curveSkip(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val mx = df.agg(max(col(xCol)).cast("long").as("mx"),
+      max(col(yCol)).cast("long").as("my"))
+    val base = df.crossJoin(broadcast(mx))
+      .select(normalize(col(xCol), col("mx"), 8).as("xn"),
+        normalize(col(yCol), col("my"), 8).as("yn"))
+      .select(col("xn"), col("yn"),
+        zorderKey(Seq(col("xn"), col("yn")), 8).as("z"))
+    val matBase = graft.core.Materialize.once(
+      withHilbert(base, col("xn"), col("yn"), 8, "h"))
+    val preds: Seq[(String, (Long, Long, Long, Long))] = Seq(
+      "center_box" -> ((64L, 95L, 64L, 95L)),
+      "x_band" -> ((120L, 135L, 0L, 255L)),
+      "y_band" -> ((0L, 255L, 120L, 135L)))
+    def summarize(layout: String, bucket: Column) = {
+      // cut the 32-row stats frame so the three predicate verdicts read
+      // it, not the corpus — ONE corpus-scale aggregation per layout
+      val stats = graft.core.Materialize.once(
+        matBase.groupBy(bucket.as("file_id"))
+          .agg(min(col("xn")).as("min_x"), max(col("xn")).as("max_x"),
+            min(col("yn")).as("min_y"), max(col("yn")).as("max_y"),
+            count(lit(1)).as("n_rows")))
+      preds.map { case (pname, (x1, x2, y1, y2)) =>
+        val read = col("min_x") <= x2 && col("max_x") >= x1 &&
+          col("min_y") <= y2 && col("max_y") >= y1
+        stats.agg(count(lit(1)).as("files_total"),
+            sum(when(read, 1L).otherwise(0L)).as("files_read"),
+            sum(when(read, col("n_rows")).otherwise(0L)).as("rows_read"))
+          .select(lit(layout).as("layout"), lit(pname).as("pred"),
+            col("files_total"), col("files_read"), col("rows_read"))
+      }.reduce(_ unionByName _)
+    }
+    summarize("linear_x", shiftright(col("xn"), 3))
+      .unionByName(summarize("zorder", shiftright(col("z"), 11)))
+      .unionByName(summarize("hilbert", shiftright(col("h"), 11)))
   }
 }

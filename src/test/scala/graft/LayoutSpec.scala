@@ -80,6 +80,53 @@ class LayoutSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("withHilbert is a true Hilbert curve: bijective and grid-adjacent") {
+    // the defining property (and the one z-order fails): consecutive d
+    // values are Manhattan-adjacent cells, and d is a bijection onto
+    // [0, 4^bits) — validates the unrolled bit-twiddle against the
+    // mathematical contract rather than one reference implementation
+    val bits = 4
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = Layout.withHilbert(pts.toDF("x", "y"), col("x"), col("y"),
+        bits, "d")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 256L).toSeq, "not a bijection")
+    got.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
+
+  test("hilbert quarter ranges are quadrants (the skipping property)") {
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val n = Layout.withHilbert(pts.toDF("x", "y"), col("x"), col("y"), 4, "d")
+      .groupBy(shiftright(col("d"), 6).as("q"))
+      .agg(countDistinct(shiftright(col("x"), 3), shiftright(col("y"), 3))
+        .as("cells"))
+      .agg(max(col("cells"))).head().getLong(0)
+    assert(n == 1L, s"a quarter d range spanned $n quadrants")
+  }
+
+  test("curveSkip: no layout dominates, and the table shows how") {
+    val li = graft.core.Tables.table(spark, Sf0001, "lineitem")
+    val rows = Layout.curveSkip(li, "l_partkey", "l_suppkey")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // quadrant-aligned box: both curves isolate it to ONE 2-cell file;
+    // linear needs every slab the box's x range touches
+    assert(rows(("zorder", "center_box")) == 1L)
+    assert(rows(("hilbert", "center_box")) == 1L)
+    assert(rows(("linear_x", "center_box")) == 4L)
+    // x band: the linear layout's home game
+    assert(rows(("linear_x", "x_band")) <= 4L)
+    assert(rows(("linear_x", "x_band")) < rows(("hilbert", "x_band")))
+    // y band: linear cannot prune at all (every slab spans all of y);
+    // both curves prune hard
+    assert(rows(("linear_x", "y_band")) == 32L)
+    assert(rows(("zorder", "y_band")) < 32L)
+    assert(rows(("hilbert", "y_band")) < 32L)
+  }
+
   test("clusterWrite: REAL parquet row-group pruning reads fewer rows than linear") {
     // not the simulated stats of zorderSkip — actual files, actual
     // footers: write the same lineitem slice twice (linear-sorted by

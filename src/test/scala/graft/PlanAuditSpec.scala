@@ -765,6 +765,18 @@ class PlanAuditSpec extends SparkSpec {
       "l_suppkey:bigint,l_linenumber"), p)
   }
 
+  test("r11 hilbert_skip: nine verdicts read three 32-row cuts, not the corpus") {
+    // one corpus-scale aggregation per LAYOUT (each stats frame is cut at
+    // 32 rows); the 3x3 (layout, pred) verdict aggregations then scan only
+    // those tiny materialized frames — no file scan, join, or window in
+    // the exposed plan
+    val p = planOf("hilbert_skip")
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOccurrences(p, "Scan ExistingRDD") == 9, p)
+  }
+
   test("r11 zorder_skip stays dim-scale after one corpus scan") {
     // both layout summaries read the SAME materialized normalized frame
     // (two ExistingRDD scans of one cut — the corpus parquet was scanned
