@@ -1353,10 +1353,15 @@ object SparkEntry {
       // nightly stable-id replay: prior labels from the even-doc_id half
       // (yesterday's batch), today over the full corpus — surviving
       // clusters keep yesterday's ids via the claim/award relabel
-      val d = Tables.table(s, dir, "documents")
-      val prior = graft.ops.Dedup.corpusDedup(d.where(col("doc_id") % 2 === 0))
+      // signatures computed ONCE over the full corpus (corpusBase); the
+      // prior batch derives by FILTERING the cut frame — per-doc map-only
+      // signatures make the filtered base identical to a base over the
+      // filtered corpus, and the replay skips a second full text scan
+      val base = graft.ops.Dedup.corpusBase(Tables.table(s, dir, "documents"))
+      val prior = graft.ops.Dedup
+        .corpusDedupFromBase(base.where(col("doc_id") % 2 === 0))
         .select(col("doc_id"), col("cluster_id"))
-      graft.ops.Dedup.corpusDedupStable(d, prior)
+      graft.ops.Dedup.corpusDedupStableFromBase(base, prior)
     }),
     "dedup_incremental" -> ((s, dir) => {
       // nightly-crawl screening: the src0 batch against the rest of the

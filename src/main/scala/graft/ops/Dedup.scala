@@ -662,9 +662,12 @@ object Dedup {
     * (quality can change); only the LABEL is pinned.
     */
   def corpusDedupStable(docs: DataFrame, prior: DataFrame,
-                        minJaccard: Double = 0.8): DataFrame = {
-    val base = cutLineageLazy(sigShingleScan(docs,
-      TextAnalysis.scoreColumn(col("text")).as("score")))
+                        minJaccard: Double = 0.8): DataFrame =
+    corpusDedupStableFromBase(corpusBase(docs), prior, minJaccard)
+
+  /** [[corpusDedupStable]] over a pre-materialized [[corpusBase]]. */
+  def corpusDedupStableFromBase(base: DataFrame, prior: DataFrame,
+                                minJaccard: Double = 0.8): DataFrame = {
     val comp = clustersStable(ngramJaccardFrom(base, minJaccard), prior)
     val scored = comp.join(base.select(col("doc_id"), col("score")), "doc_id")
     val w = org.apache.spark.sql.expressions.Window
@@ -678,12 +681,26 @@ object Dedup {
     * components → keep the highest-quality doc per cluster (ties: lowest
     * doc_id). Returns (doc_id, cluster_id, keep) for every clustered doc.
     */
-  def corpusDedup(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  def corpusDedup(docs: DataFrame, minJaccard: Double = 0.8): DataFrame =
+    corpusDedupFromBase(corpusBase(docs), minJaccard)
+
+  /** The materialized full-text pass corpusDedup(Stable) runs on:
+    * signature + shingle set + quality score per doc, cut once. Exposed
+    * so a caller running SEVERAL dedup passes over (subsets of) the same
+    * corpus — e.g. the nightly prior-batch replay — computes signatures
+    * ONCE and derives each pass's input by filtering the cut frame
+    * (signatures are per-doc map-only, so a filtered base is identical
+    * to a base over the filtered corpus).
+    */
+  def corpusBase(docs: DataFrame): DataFrame =
+    cutLineageLazy(sigShingleScan(docs,
+      TextAnalysis.scoreColumn(col("text")).as("score")))
+
+  /** [[corpusDedup]] over a pre-materialized [[corpusBase]] frame. */
+  def corpusDedupFromBase(base: DataFrame, minJaccard: Double = 0.8): DataFrame = {
     // ONE materialized full-text pass (signature + shingle set + quality
     // score); LSH banding, both scoring-join sides, both verify sides and
     // the keeper choice all derive from it — no branch re-scans the corpus
-    val base = cutLineageLazy(sigShingleScan(docs,
-      TextAnalysis.scoreColumn(col("text")).as("score")))
     val comp = clusters(ngramJaccardFrom(base, minJaccard))
     val scored = comp.join(base.select(col("doc_id"), col("score")), "doc_id")
     val w = org.apache.spark.sql.expressions.Window

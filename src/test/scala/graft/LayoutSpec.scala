@@ -163,6 +163,37 @@ class LayoutSpec extends SparkSpec {
       s"z scan $zScanned not < half of linear $linScanned")
   }
 
+  test("streaming z-order compaction: batches land skippable, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zstream").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val rows = ms.toDF.toDF("id", "xv", "yv")
+      .select(col("id"), col("xv").bitwiseAND(lit(255L)).as("xn"),
+        col("yv").bitwiseAND(lit(255L)).as("yn"))
+    val q = graft.streaming.StreamingZorderCompact.run(
+      rows, Seq("xn", "yn"), 8, root, nFiles = 4)
+    val batch1 = (0L until 2000L).map(i => (i, i % 251L, (i * 7L) % 251L))
+    val batch2 = (2000L until 4000L).map(i => (i, i % 251L, (i * 7L) % 251L))
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.read.parquet(root)
+    assert(all.count() == 4000L)
+    // the layout is right from the first micro-batch: a filter on the
+    // SECOND interleaved column prunes row groups inside each batch dir
+    val df = all.where(col("yn") === 13L)
+    val kept = df.collect().length.toLong
+    val scanned = df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numOutputRows").value).sum
+    assert(kept > 0, "probe value missing from the stream")
+    assert(scanned * 2 <= 4000L, s"scanned $scanned of 4000 — no pruning")
+  }
+
   test("zorderSkip: the z layout reads fewer files AND fewer rows than linear") {
     val li = graft.core.Tables.table(spark, Sf0001, "lineitem")
     val rows = Layout.zorderSkip(li, "l_partkey", "l_suppkey")
