@@ -454,6 +454,10 @@ object ScaleProbe {
         graft.ops.Layout.zorderSkip(li, "l_partkey", "l_suppkey").count()
       }
       graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"hilbert_skip x$k") {
+        graft.ops.Layout.curveSkip(li, "l_partkey", "l_suppkey").count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
       if (k <= 8) {
         val out = java.nio.file.Files.createTempDirectory("zw").toString
         time(s"cluster_write x$k (8 files)") {
