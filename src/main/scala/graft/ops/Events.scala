@@ -248,6 +248,11 @@ object Events {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"))
     val total = g.agg(sum(col("n_total")).as("all_users"))
+    // unpartitioned windows are SAFE here (unlike heaps_curve's
+    // corpus-linear spine, de-windowed in r11): they run over `g`, the
+    // per-lifetime-day frame, whose row count is bounded by the calendar
+    // span of the data (thousands of rows at ANY corpus size) — the same
+    // dim-scale contract as the cuts/cutoff frames elsewhere
     val wPrior = Window.orderBy(col("lifetime_days"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("lifetime_days"))
