@@ -50,6 +50,29 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** [[zorderKey]] as a raw Catalyst expression tree — the builder the
+    * SQL surface registers as `zorder_key(col…, bits)` (GraftExtensions
+    * injectFunction): the same shift/and/or interleave terms, built from
+    * catalyst nodes directly so SQL text plans the identical tree the
+    * Column API produces (LayoutSpec asserts SQL == DataFrame output).
+    */
+  def zorderExpression(cols: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                       bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(cols.nonEmpty, "zorder_key needs at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits must fit a signed 64-bit key")
+    val k = cols.size
+    val terms = for {
+      c <- cols.indices
+      j <- 0 until bits
+    } yield ShiftLeft(
+      BitwiseAnd(ShiftRight(Cast(cols(c), LongType), Literal(j)), Literal(1L)),
+      Literal(j * k + c))
+    terms.reduceLeft[Expression]((a, b) => BitwiseOr(a, b))
+  }
+
   /** Deterministic max-normalization of a non-negative column onto
     * [0, 2^bits): `x * 2^bits / (maxVal + 1)` in exact BIGINT arithmetic
     * — the oracle-replayable stand-in for the quantile binning a

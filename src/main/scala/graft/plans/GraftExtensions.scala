@@ -15,6 +15,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    // zorder_key(col..., bits): the Morton layout key on the SQL surface
+    // — expands at resolution to the same shift/and/or interleave tree
+    // the Column API builds (Layout.zorderKey), so it rides whole-stage
+    // codegen like any builtin; `bits` must be a literal
+    e.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(graft.ops.Layout.getClass.getName, "zorder_key"),
+      exprs => {
+        require(exprs.size >= 2, "zorder_key(col..., bits)")
+        val bits = exprs.last match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"zorder_key's bits argument must be an integer literal, got $other")
+        }
+        graft.ops.Layout.zorderExpression(exprs.init, bits)
+      }))
     e.injectOptimizerRule(_ => CanonicalizeCosine)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     // ASOF [LEFT] JOIN SQL syntax (the form the DuckDB oracle itself

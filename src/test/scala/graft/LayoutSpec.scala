@@ -31,6 +31,23 @@ class LayoutSpec extends SparkSpec {
     assert(got.find(t => t._1 == 0L && t._2 == 1L).get._3 == 2L)
   }
 
+  test("SQL zorder_key plans the same tree as the Column API") {
+    // the injected SQL function (GraftExtensions) must agree with
+    // Layout.zorderKey value for value — same interleave, same codegen
+    val pts = Seq((3L, 5L), (200L, 17L), (0L, 255L)).toDF("x", "y")
+    pts.createOrReplaceTempView("zpts")
+    val viaSql = spark.sql("SELECT x, y, zorder_key(x, y, 8) AS z FROM zpts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaApi = pts.select(col("x"), col("y"),
+        Layout.zorderKey(Seq(col("x"), col("y")), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaSql == viaApi && viaSql.size == 3)
+    // non-literal bits must be rejected, not silently misplanned
+    intercept[Exception] {
+      spark.sql("SELECT zorder_key(x, y, x) FROM zpts").collect()
+    }
+  }
+
   test("zorderKey generalizes to 3 columns") {
     val got = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
       .select(Layout.zorderKey(Seq(col("a"), col("b"), col("c")), 3).as("z"))
