@@ -1862,12 +1862,15 @@ object SparkEntry {
     }),
     "ann_filtered_pq" -> ((s, dir) => {
       // the compressed-index sibling: predicate filters the ENCODED frame
-      // (metadata joined onto the index rows — the WHERE-composable
-      // surface), probe + rescue both score ADC reconstructions
+      // with the metadata CARRIED THROUGH the map-only encode
+      // (passthrough — the r11 measured re-plan: joining the metadata
+      // onto the index rows afterwards costs a corpus-scale vec_id
+      // equi-join for rows the encode scan already had in hand), probe +
+      // rescue both score ADC reconstructions
       val e = Tables.table(s, dir, "embeddings")
       val cents = graft.ops.Ivf.train(e, 16, 1)
-      val enc = graft.ops.Ivf.ivfPqReconFrame(e, cents)
-        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val enc = graft.ops.Ivf.ivfPqReconFrame(e, cents,
+        passthrough = Seq("label"))
       graft.ops.Ivf.ivfPqSearchFilteredWith(enc, cents,
         e.where(col("vec_id") < 10), 10, col("label") === 7)
     }),

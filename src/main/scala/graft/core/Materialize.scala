@@ -69,6 +69,27 @@ object Materialize {
   // through the operator APIs
   private val activeScope = new scala.util.DynamicVariable[Long](0L)
 
+  // optional per-thread plan recorder: the full-surface plan lint
+  // (tools/PlanLint) audits the physical plans INSIDE materialization
+  // cuts, which the final frame's plan hides behind `Scan ExistingRDD`
+  private val planRecorder = new scala.util.DynamicVariable[
+    Option[scala.collection.mutable.Buffer[org.apache.spark.sql.execution.SparkPlan]]](None)
+
+  /** Run `body`, capturing the pre-AQE physical plan of every frame cut
+    * by [[once]]/[[cut]] on this thread while it runs (planning only —
+    * no extra execution). Returns (body's result, recorded plans in cut
+    * order). Iterative kernels record one plan per round; rounds share a
+    * shape, so lint findings de-duplicate naturally.
+    */
+  def recordingSegmentPlans[T](body: => T): (T, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
+    val buf = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    val r = planRecorder.withValue(Some(buf))(body)
+    (r, buf.toSeq)
+  }
+
+  private def record(df: DataFrame): Unit =
+    planRecorder.value.foreach(_ += df.queryExecution.sparkPlan)
+
   /** Run `body` with a fresh scope active: every once()/cut() it executes
     * (directly or via any graft operator) tags its blocks with the scope,
     * and `body` receives the [[MatScope]] handle to release them when the
@@ -101,16 +122,20 @@ object Materialize {
     * several branches of ONE query (per-branch pushed-down filters
     * de-canonicalize subtrees, so ReuseExchange never fires on its own).
     */
-  def once(df: DataFrame): DataFrame =
+  def once(df: DataFrame): DataFrame = {
+    record(df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
     else track(df.localCheckpoint(false))
+  }
 
   /** EAGER cut: materializes now. Use between iterative rounds where the
     * frame seeds the next round's plan and must not grow lineage.
     */
-  def cut(df: DataFrame): DataFrame =
+  def cut(df: DataFrame): DataFrame = {
+    record(df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else track(df.localCheckpoint())
+  }
 
   /** Number of tracked checkpoint blocks still persisted in the context.
     * The bench loop CHECKS this returns to zero after each query's scoped

@@ -435,11 +435,24 @@ object Ivf {
 
   /** The (vec_id, cid, recon) compressed-corpus frame [[ivfPqSearchWith]]
     * scans — encode once per corpus snapshot, search many times.
+    *
+    * `passthrough` names metadata columns of `emb` to CARRY THROUGH the
+    * (map-only) encode onto the index rows — the zero-shuffle way to
+    * make the index WHERE-composable on metadata. Joining the metadata
+    * table onto the returned frame is equivalent in rows but costs a
+    * corpus-scale equi-join (two exchanges + sorts at 100 TB, or a
+    * bucketing requirement); the encode already scans every row, so a
+    * predicate column rides along for free.
     */
   def ivfPqReconFrame(emb: DataFrame, cents: Array[Array[Double]],
-                      m: Int = 4, k: Int = 16): DataFrame =
-    ivfPqEncodedFrame(vecs(emb), cents, m, k)
-      .select(col("vec_id"), col("cid"), col("recon"))
+                      m: Int = 4, k: Int = 16,
+                      passthrough: Seq[String] = Nil): DataFrame = {
+    val e = emb.select((Seq(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")) ++
+      passthrough.map(col)): _*)
+    ivfPqEncodedFrame(e, cents, m, k)
+      .select((Seq("vec_id", "cid", "recon") ++ passthrough).map(col): _*)
+  }
 
   /** IVF-PQ top-k against an ALREADY-ENCODED corpus frame. */
   def ivfPqSearchWith(enc: DataFrame, cents: Array[Array[Double]],
@@ -958,8 +971,12 @@ object Ivf {
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("id2"),
           round(graft.functions.cosine_sim(col("qv"), col(scoreCol)), 6).as("cos")))
+    // per-query candidate counts are ≤ |q| rows — broadcast them (left
+    // outer, build right) instead of letting the unknown-size aggregate
+    // estimate fall into a sort-merge join of two query-dim frames
     val under = q.join(
-        cand.groupBy(col("qid")).agg(count(lit(1)).as("n")), Seq("qid"), "left")
+        broadcast(cand.groupBy(col("qid")).agg(count(lit(1)).as("n"))),
+        Seq("qid"), "left")
       .where(coalesce(col("n"), lit(0L)) < k)
       .select(col("qid"), col("qv"))
     val rescue = cells.join(broadcast(under), col("vec_id") =!= col("qid"))

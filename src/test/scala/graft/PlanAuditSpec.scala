@@ -790,4 +790,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("FileScan"), p)
     assert(countOccurrences(p, "Scan ExistingRDD") == 2, p)
   }
+
+  test("ann_filtered_pq: metadata rides the encode, never a corpus join") {
+    // the label column is passed THROUGH the map-only encode
+    // (ivfPqReconFrame passthrough) — no segment or final plan may join
+    // corpus-scale frames (SMJ/shuffled-hash) to get metadata onto the
+    // index rows; the only joins in the filtered-PQ path broadcast the
+    // dim-scale probe/underfill frames
+    graft.core.Materialize.inScope { scope =>
+      try {
+        val (df, segs) = graft.core.Materialize.recordingSegmentPlans(
+          SparkEntry.queries("ann_filtered_pq")(spark, Sf0001))
+        (segs :+ df.queryExecution.sparkPlan).foreach { p =>
+          p.foreach {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+              fail("corpus-scale SMJ in the filtered-PQ path:\n" + j)
+            case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+              fail("corpus-scale shuffled-hash join in the filtered-PQ path:\n" + j)
+            case _ => ()
+          }
+        }
+      } finally scope.release(spark, blocking = true)
+    }
+  }
+
+  test("full registry plan lint: no single-partition shapes anywhere") {
+    // EVERY query in the registry — final plan AND the plans hidden
+    // behind Materialize cuts — must plan zero CartesianProductExec,
+    // zero unpartitioned WindowExec/WindowGroupLimitExec, and zero
+    // explicit SinglePartition exchanges, except the two documented
+    // dim-scale spines in PlanLint.dimScaleOk. The targeted tests above
+    // pin the plans we designed; this sweep catches the query nobody
+    // thought to pin (the r10 heaps_curve window landed exactly there).
+    val vs = graft.tools.PlanLint.sweep(spark, Sf0001)
+    assert(vs.isEmpty, "plan-lint violations:\n" + vs.mkString("\n"))
+    // the allowlist must stay EXACT: an entry that no longer fires in a
+    // strict re-sweep is dead weight that would silently mask a future
+    // single-partition regression of that query — fail until removed
+    val allow = graft.tools.PlanLint.dimScaleOk.keySet
+    val strictHits = graft.tools.PlanLint
+      .sweep(spark, Sf0001, only = Some(allow), strict = true)
+      .map(_.takeWhile(_ != ' ')).toSet
+    assert(strictHits == allow,
+      s"stale dimScaleOk entries (never fire): ${allow -- strictHits}")
+  }
 }
