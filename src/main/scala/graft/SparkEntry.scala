@@ -1384,6 +1384,18 @@ object SparkEntry {
       // deterministic global training order: two-pass distributed global
       // rank over the portable epoch hash — no single-task window
       graft.ops.TextAnalysis.corpusShuffle(Tables.table(s, dir, "documents"))),
+    "corpus_diff" -> ((s, dir) => {
+      // nightly snapshot diff: prior = the even-doc_id half (the
+      // incremental-replay convention), today drops doc_id % 7 == 3
+      // (deletions) and re-renders doc_id % 10 == 0 (edits) — per
+      // (source, status) added/removed/changed/unchanged counts
+      val d = Tables.table(s, dir, "documents")
+      val prior = d.where(col("doc_id") % 2 === 0)
+      val today = d.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.ops.TextAnalysis.corpusDiff(prior, today)
+    }),
     "contamination_check" -> ((s, dir) =>
       graft.ops.TextAnalysis.contaminationCheck(Tables.table(s, dir, "documents"))),
     "tfidf_topterms" -> ((s, dir) =>
@@ -1475,6 +1487,13 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.searchTopK(e, e.where(col("vec_id") < 10), 5, iters = 0)
+    }),
+    "ann_recall" -> ((s, dir) => {
+      // index-quality monitor: recall@5 of the IVF probe scan vs exact
+      // brute force, per query — ONE materialized corpus scan feeds both
+      // branches, overlap joins two |q|·k frames (broadcast)
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.annRecall(e, e.where(col("vec_id") < 10), 5)
     }),
     "ann_ivf_trained" -> ((s, dir) => {
       // 2 Lloyd rounds — exercises deterministic distributed k-means; the
@@ -3793,6 +3812,18 @@ object SparkEntry {
         "CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':epoch0'),1,8) AS BIGINT) AS h " +
         "FROM documents) " +
         "SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos FROM k"),
+    "corpus_diff" ->
+      ("WITH prior AS (SELECT doc_id, source, md5(text) AS h FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "today AS (SELECT doc_id, source, md5(CASE WHEN doc_id % 10 = 0 " +
+        "THEN text || ' rev2' ELSE text END) AS h FROM documents " +
+        "WHERE doc_id % 7 <> 3) " +
+        "SELECT coalesce(t.source, p.source) AS source, " +
+        "CASE WHEN p.h IS NULL THEN 'added' WHEN t.h IS NULL THEN 'removed' " +
+        "WHEN p.h <> t.h THEN 'changed' ELSE 'unchanged' END AS status, " +
+        "count(*) AS n_docs " +
+        "FROM prior p FULL OUTER JOIN today t ON p.doc_id = t.doc_id " +
+        "GROUP BY 1, 2"),
     "repetition_score" ->
       ("WITH dw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
         "shg AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2), " +
@@ -4532,6 +4563,33 @@ object SparkEntry {
     "ann_lsh" -> annLshOracleSql(k = 5, numPlanes = 6),
     "ann_lsh_multi" -> annLshMultiOracleSql(k = 5, numPlanes = 6, numTables = 4),
     "ann_ivf" -> annIvfOracleSql(k = 5, numCells = 16, nprobe = 4),
+    // recall@k monitor: the ann_topk brute CTE and the ann_ivf probe
+    // CTEs (same seeds/assign/probes templates), overlap-joined per query
+    "ann_recall" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        "brute AS (SELECT qid, id2 FROM (" +
+        "SELECT q.qid, e.vec_id AS id2, row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn " +
+        "FROM q JOIN e ON e.vec_id <> q.qid) WHERE rn <= 5), " +
+        "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+        "FROM e ORDER BY vec_id LIMIT 16), " +
+        "assigned AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+        "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+        "probes AS (SELECT qid, qv, cid FROM (" +
+        "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+        "FROM q CROSS JOIN cents c) WHERE prn <= 4), " +
+        "ivf AS (SELECT qid, id2 FROM (" +
+        "SELECT p.qid, a.vec_id AS id2, row_number() OVER (PARTITION BY p.qid " +
+        "ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC, a.vec_id) AS rn " +
+        "FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid) WHERE rn <= 5) " +
+        "SELECT b.qid, count(*) AS n_brute, count(i.id2) AS n_hits, " +
+        "round(CAST(count(i.id2) AS DOUBLE) / count(*), 6) AS recall " +
+        "FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.id2 = i.id2 " +
+        "GROUP BY 1"),
     // semanticNearDup replay: the ann_ivf seed/assignment CTEs + a
     // within-cell triangular self-join at the rounded-cosine threshold
     "semantic_neardup" ->

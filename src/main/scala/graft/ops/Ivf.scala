@@ -907,6 +907,46 @@ object Ivf {
         round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos")), k)
   }
 
+  /** INDEX-QUALITY monitor — recall@k of the IVF probe scan against the
+    * exact brute-force top-k, per query: the production gauge a nightly
+    * vector pipeline reads next to [[centroidDrift]] before reusing an
+    * index ("the model says cells moved — did RESULTS degrade?"). Emits
+    * (qid, n_brute, n_hits, recall) with recall = n_hits / n_brute
+    * (denominator from the exact set, so a corpus smaller than k+1
+    * still reads 1.0 when the probe finds everything).
+    *
+    * Scale design: ONE materialized corpus scan (assign fused map-side)
+    * feeds BOTH the brute scoring branch and the probed-cell branch —
+    * the corpus is read once, not twice; queries broadcast in both
+    * branches; each branch collapses through the bounded top-k heap
+    * aggregate before the overlap join, which therefore joins two
+    * |q|·k-row frames (broadcast). Ground truth is inherently a full
+    * scan per query batch — run it on a SAMPLED query set at 100 TB
+    * (the sampling is the caller's k/queries choice, not hidden here).
+    */
+  def annRecall(emb: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = train(emb, numCells, iters = 0)
+    val base = graft.core.Materialize.once(assign(vecs(emb), cents))
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val brute = Similarity.topK(base.join(broadcast(q),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos")), k)
+    val probes = probeFrame(queries, cents, nprobe)
+    val ivf = Similarity.topK(base.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id2"),
+        round(graft.functions.cosine_sim(col("qv"), col("v")), 6).as("cos")), k)
+    brute.select(col("qid"), col("id2"))
+      .join(broadcast(ivf.select(col("qid"), col("id2"), lit(1).as("hit"))),
+        Seq("qid", "id2"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_brute"), count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("n_brute"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_brute"), 6).as("recall"))
+  }
+
   /** FILTERED approximate top-k — metadata-predicate ANN, the day-one
     * vector-serving requirement plain [[searchTopK]] can't express:
     * "nearest neighbors WHERE label = X". Post-filtering the unfiltered

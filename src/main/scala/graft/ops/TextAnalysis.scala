@@ -743,6 +743,38 @@ object TextAnalysis {
     * serializes a corpus-scale sort onto one executor. Emits
     * (doc_id, h, shuffle_pos) with shuffle_pos 0-based.
     */
+  /** SNAPSHOT DIFF — the nightly ingest report between two corpus
+    * snapshots: per (source, status) counts where status is
+    * added / removed / changed / unchanged, membership keyed by doc_id
+    * and "changed" decided by the md5 content identity (the dedup_exact
+    * convention — byte identity, not similarity; near-dup movement is
+    * [[graft.ops.Dedup.incrementalDedup]]'s job). The per-source ledger
+    * is what a crawl operator reads before promoting a snapshot: a
+    * source suddenly 90% "removed" is a feed outage, 90% "changed" is a
+    * template re-render (both invisible in row counts alone).
+    *
+    * Scale shape: each side is one map-only (doc_id, source, md5) pass;
+    * the full-outer join is a single co-partitioned doc_id equi-join
+    * (with snapshots bucketed by doc_id on disk — the layout the
+    * engine's clusterWrite family provides — it is zero-shuffle); the
+    * status decision is map-side CASE arithmetic and the output is a
+    * (sources × 4)-row dim aggregation.
+    */
+  def corpusDiff(prior: DataFrame, today: DataFrame): DataFrame = {
+    val p = prior.select(col("doc_id"), col("source").as("src_p"),
+      md5(col("text").cast("binary")).as("h_p"))
+    val t = today.select(col("doc_id"), col("source").as("src_t"),
+      md5(col("text").cast("binary")).as("h_t"))
+    p.join(t, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_t"), col("src_p")).as("source"),
+        when(col("h_p").isNull, lit("added"))
+          .when(col("h_t").isNull, lit("removed"))
+          .when(col("h_p") =!= col("h_t"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def corpusShuffle(docs: DataFrame, seed: String = "epoch0"): DataFrame = {
     val keyed = docs.select(col("doc_id"),
       Dedup.hash32(concat(col("doc_id").cast("string"), lit(":" + seed)))

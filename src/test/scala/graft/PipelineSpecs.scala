@@ -653,6 +653,41 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("annRecall: probing every cell recovers the exact set (recall 1.0)") {
+    // with nprobe == numCells the IVF candidate set is the whole corpus
+    // minus self, so the probe top-k EQUALS the brute top-k — recall must
+    // be exactly 1.0 for every query, with the full-k denominator
+    val e = Tables.table(spark, Sf0001, "embeddings")
+    val out = graft.ops.Ivf.annRecall(e, e.where(col("vec_id") < 5), 5,
+      numCells = 16, nprobe = 16).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Long]("n_brute") == 5L))
+    assert(out.forall(_.getAs[Double]("recall") == 1.0))
+    // at the bench configuration (nprobe 4/16) recall is a real fraction
+    // in (0, 1] and n_hits never exceeds the brute count
+    val part = graft.ops.Ivf.annRecall(e, e.where(col("vec_id") < 5), 5,
+      numCells = 16, nprobe = 4).collect()
+    assert(part.forall(r => r.getAs[Long]("n_hits") <= r.getAs[Long]("n_brute")))
+    assert(part.forall(r => r.getAs[Double]("recall") > 0.0))
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged per source") {
+    val prior = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val today = Seq(
+      (2L, "s1", "beta"),      // unchanged
+      (3L, "s2", "gamma v2"),  // changed
+      (4L, "s2", "delta"))     // added; doc 1 (s1) removed
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusDiff(prior, today).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("status")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(
+      ("s1", "removed") -> 1L, ("s1", "unchanged") -> 1L,
+      ("s2", "changed") -> 1L, ("s2", "added") -> 1L))
+  }
+
   test("packing stats count padded vs densely-packed context windows") {
     import spark.implicits._
     val docs = Seq(
