@@ -666,6 +666,58 @@ class StreamingBloomDedupSpec extends SparkSpec {
   }
 }
 
+class StreamingCorpusDiffSpec extends SparkSpec {
+  test("streamed diff equals batch classification and the corpusDiff ledger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    // the corpus_diff replay convention: prior = even ids; today drops
+    // %7==3 and re-renders %10==0
+    val prior = d.where(col("doc_id") % 2 === 0)
+    val todayRows = d.where(col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = graft.streaming.StreamingCorpusDiff.run(
+        stream.toDF.toDF("doc_id", "ts", "source", "text"), prior)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("diff_out").start()
+    try {
+      // arbitrary micro-batch split: verdicts are pure per-record
+      val (a, b) = todayRows.splitAt(todayRows.length / 3)
+      stream.addData(a.map { case (id, s, t) => (id, ts(T0), s, t) }.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.map { case (id, s, t) => (id, ts(T0 + 60), s, t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val live = spark.sql("SELECT doc_id, status FROM diff_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // batch reference: the SAME classification run in batch mode
+      val today = d.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .withColumn("ts", lit(ts(T0)))
+      val ref = graft.streaming.StreamingCorpusDiff.run(today, prior)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("status"))).toSet
+      assert(live == ref, "stream face diverged from batch classification")
+      // and the per-(source, status) rollup is exactly the batch
+      // corpusDiff ledger minus its removed rows (the documented closure
+      // status no per-record stream can decide)
+      val agg = spark.sql(
+        "SELECT source, status, count(*) AS n FROM diff_out GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ledger = graft.ops.TextAnalysis.corpusDiff(prior, today)
+        .where(col("status") =!= "removed")
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[String]("status")) -> r.getAs[Long]("n_docs")).toMap
+      assert(agg == ledger, "stream rollup diverged from the batch ledger")
+    } finally q.stop()
+  }
+}
+
 class StreamingPatternsSpec extends SparkSpec {
   test("live pattern flags equal the batch operator over the same candles") {
     import spark.implicits._
