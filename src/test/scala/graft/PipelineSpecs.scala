@@ -688,6 +688,41 @@ class TextAnalysisSpec extends SparkSpec {
       ("s2", "changed") -> 1L, ("s2", "added") -> 1L))
   }
 
+  test("corpusDiff on doc_id-bucketed snapshots joins with ZERO shuffle") {
+    // the §2 claim made checkable: with both snapshots bucketed by
+    // doc_id (the clusterWrite-family layout a 100 TB store maintains),
+    // the full-outer content join plans NO exchange — the only shuffle
+    // in the whole query is the final sources×4 dim aggregation
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("diff_prior_bk", "diff_today_bk").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val d = Tables.table(spark, Sf0001, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      def writeBucketed(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+        df.write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(t)
+      writeBucketed(d.where(col("doc_id") % 2 === 0), "diff_prior_bk")
+      writeBucketed(d.where(col("doc_id") % 7 =!= 3), "diff_today_bk")
+      val out = TextAnalysis.corpusDiff(
+        spark.table("diff_prior_bk"), spark.table("diff_today_bk"))
+      out.count() // finalize under AQE
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges == 1,
+        s"expected only the dim-aggregation exchange, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("packing stats count padded vs densely-packed context windows") {
     import spark.implicits._
     val docs = Seq(
