@@ -296,7 +296,13 @@ object Dedup {
     val spark = newDocs.sparkSession
     val cH = corpus.select(hash60(col("text")).as("h"))
     // skinny single-column count: sizes the filter to the corpus
-    val n = math.max(cH.count(), 1L)
+    val n = cH.count()
+    // empty corpus → everything is novel; short-circuit BEFORE the sketch
+    // (stat.bloomFilter aggregated over zero rows yields a null-buffer
+    // filter that NPEs on first probe — the EmptySweep finding)
+    if (n == 0)
+      return newDocs.select(col("doc_id"), hash60(col("text")).as("h"),
+        lit(false).as("screened"), lit(false).as("is_dup"))
     val bf = cH.stat.bloomFilter("h", n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bc.value.mightContainLong(h))

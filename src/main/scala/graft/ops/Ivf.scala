@@ -23,9 +23,16 @@ object Ivf {
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Map-only nearest-cell assignment via the fused native argmax. */
+  /** Map-only nearest-cell assignment via the fused native argmax.
+    * Empty model (empty corpus at train time) → empty assignment with
+    * the full schema — the ivfPqEncodedFrame empty contract, applied at
+    * the primitive every search/classify/sample path goes through, so an
+    * empty upstream partition yields empty RESULTS, not a 2am crash
+    * (EmptySweep pins this for the whole registry).
+    */
   def assign(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    e.withColumn("cid", graft.functions.nearest_cell(
+    if (centroids.isEmpty) e.limit(0).withColumn("cid", lit(0).cast("int"))
+    else e.withColumn("cid", graft.functions.nearest_cell(
       col("v"), centroids.flatten, centroids.length, centroids.head.length))
 
   /** The centroid matrix as a literal array-of-arrays column:
@@ -262,6 +269,12 @@ object Ivf {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
+    // empty corpus → no codebooks: empty frame, full schema (the assign /
+    // ivfPqEncodedFrame empty contract)
+    if (seeds.isEmpty)
+      return (0 until m).foldLeft(e.limit(0)) { (df, s) =>
+        df.withColumn(s"code$s", lit(0).cast("int"))
+      }.withColumn("recon", col("v"))
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m

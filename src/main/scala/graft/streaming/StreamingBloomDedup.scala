@@ -37,6 +37,13 @@ object StreamingBloomDedup {
   }
 
   def run(docs: DataFrame, corpus: DataFrame, fpp: Double = 0.01): DataFrame = {
+    // empty snapshot → everything is novel, map-only (a zero-row sketch
+    // aggregation yields a null-buffer filter that NPEs on probe — the
+    // EmptySweep finding, mirrored from the batch operator)
+    if (corpus.isEmpty)
+      return docs.select(col("doc_id"), col("ts"),
+        Dedup.hash60(col("text")).as("h"),
+        lit(false).as("screened"), lit(false).as("is_dup"))
     val (bf, cH) = prepare(corpus, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bc.value.mightContainLong(h))

@@ -519,6 +519,48 @@ object ScaleProbe {
     }
   }
 
+  /** r11c: growth curves for the session-2 additions — ann_recall (one
+    * materialized corpus scan, two top-k branches) on an amplified
+    * embedding table, corpus_diff (one co-partitioned full-outer join +
+    * dim agg) on amplified document snapshots.
+    */
+  private def r11cOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _).cache()
+      val ne = emb.count()
+      time(s"ann_recall x$k ($ne vecs)") {
+        graft.ops.Ivf.annRecall(emb,
+          emb.where(col("vec_id") < 10), 5).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist()
+      val docs = (0 until k).map(i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+        .reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"corpus_diff x$k ($nd docs)") {
+        val prior = docs.where(col("doc_id") % 2 === 0)
+        val today = docs.where(col("doc_id") % 7 =!= 3)
+          .withColumn("text", when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.ops.TextAnalysis.corpusDiff(prior, today).count()
+      }
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -537,6 +579,7 @@ object ScaleProbe {
     if (args.contains("r10w7")) { r10w7OpsCurves(spark); spark.stop(); return }
     if (args.contains("r11")) { r11OpsCurves(spark); spark.stop(); return }
     if (args.contains("r11b")) { r11bOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11c")) { r11cOpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 

@@ -1,0 +1,26 @@
+package graft
+
+/** Empty-corpus robustness, enforced for the WHOLE registry: zero-row
+  * inputs are what every 100 TB pipeline feeds an operator the day an
+  * upstream filter drops a partition — the contract is empty RESULTS
+  * (or an empty model propagating to empty results), never a driver
+  * crash. The r11 sweep found nine violations (ANN train/encode paths
+  * calling `.head` on an empty centroid/seed matrix; a zero-row Bloom
+  * aggregation yielding a null-buffer filter that NPEs on probe); the
+  * guards live at the shared primitives (Ivf.assign, pqEncoded,
+  * bloomScreenDedup) and this spec keeps the class of bug extinct.
+  */
+class EmptySweepSpec extends SparkSpec {
+
+  test("every registry query tolerates an empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$Sf0001/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val fs = graft.tools.EmptySweep.failures(spark, dir)
+    assert(fs.isEmpty, "queries crashing on an empty corpus:\n" +
+      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+  }
+}
