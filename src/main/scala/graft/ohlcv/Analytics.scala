@@ -1278,6 +1278,11 @@ object Analytics {
       sum(col("volume").cast(d2)).cast("double").as("s1"),
       sum(col("volume").cast(d2) * col("volume").cast(d2)).cast("double").as("s2"))
     candles.join(broadcast(stats), "symbol")
+      // a single-candle symbol has no sample variance: filter BEFORE the
+      // n-1 division (ANSI mode turns it into a DIVIDE_BY_ZERO crash on
+      // a 1-row partition — the EmptySweep singleton finding); same
+      // result set as the variance>0 filter alone on n>1 data
+      .where(col("n") > 1)
       .withColumn("mu", col("s1") / col("n"))
       .withColumn("variance",
         (col("s2") - col("n") * col("mu") * col("mu")) / (col("n") - 1))

@@ -23,4 +23,19 @@ class EmptySweepSpec extends SparkSpec {
     assert(fs.isEmpty, "queries crashing on an empty corpus:\n" +
       fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
   }
+
+  test("every registry query tolerates a singleton corpus") {
+    // one row per table: the n=1 edge where sample-variance and lag
+    // denominators hit zero — ANSI mode turns those into crashes
+    // (volume_anomaly's n-1 division was the r11 singleton finding)
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$Sf0001/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val fs = graft.tools.EmptySweep.failures(spark, dir)
+    assert(fs.isEmpty, "queries crashing on a singleton corpus:\n" +
+      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+  }
 }
