@@ -52,6 +52,14 @@ object PlanLint {
     * windows are visible before adaptive re-planning) and return the
     * violations found. `where` labels the plan in messages.
     */
+  /** Queries allowed to plan a Scala UDF: the engine's rule is native
+    * functions / Catalyst expressions (codegen) everywhere — the ONE
+    * standing exception is the broadcast Bloom-sketch probe, which has
+    * no builtin column form (documented at ops/Dedup.scala
+    * bloomScreenDedup).
+    */
+  val udfOk: Set[String] = Set("dedup_bloom")
+
   def violationsIn(p: SparkPlan, query: String, where: String,
                    strict: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
@@ -65,6 +73,11 @@ object PlanLint {
         out += s"$query [$where]: unpartitioned WindowGroupLimitExec"
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition && !allowed =>
         out += s"$query [$where]: ShuffleExchange(SinglePartition) funnel"
+      case node if (strict || !udfOk.contains(query)) &&
+        node.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])) =>
+        out += s"$query [$where]: ScalaUDF in the plan (breaks codegen; " +
+          "use a native expression or org.apache.spark.sql.functions)"
       case _ => ()
     }
     out.toSeq

@@ -824,14 +824,15 @@ class PlanAuditSpec extends SparkSpec {
     // thought to pin (the r10 heaps_curve window landed exactly there).
     val vs = graft.tools.PlanLint.sweep(spark, Sf0001)
     assert(vs.isEmpty, "plan-lint violations:\n" + vs.mkString("\n"))
-    // the allowlist must stay EXACT: an entry that no longer fires in a
+    // the allowlists must stay EXACT: an entry that no longer fires in a
     // strict re-sweep is dead weight that would silently mask a future
-    // single-partition regression of that query — fail until removed
-    val allow = graft.tools.PlanLint.dimScaleOk.keySet
+    // regression of that query — fail until removed
+    val allow = graft.tools.PlanLint.dimScaleOk.keySet ++
+      graft.tools.PlanLint.udfOk
     val strictHits = graft.tools.PlanLint
       .sweep(spark, Sf0001, only = Some(allow), strict = true)
       .map(_.takeWhile(_ != ' ')).toSet
     assert(strictHits == allow,
-      s"stale dimScaleOk entries (never fire): ${allow -- strictHits}")
+      s"stale allowlist entries (never fire): ${allow -- strictHits}")
   }
 }
