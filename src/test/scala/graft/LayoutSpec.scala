@@ -160,6 +160,12 @@ class LayoutSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         Layout.normalize(col("l_partkey"), col("mx"), 8).as("xn"),
         Layout.normalize(col("l_suppkey"), col("my"), 8).as("yn"))
+      // pin the input partitioning: repartitionByRange SAMPLES per input
+      // partition, so file boundaries (and which row groups straddle the
+      // probe value) must not depend on how the shared test session
+      // happened to split the upstream scan — the full-suite run shifted
+      // one boundary and put a 43-row group over the ≤half bar
+      .repartition(4, col("l_orderkey"))
     base.repartitionByRange(8, col("l_partkey"))
       .sortWithinPartitions(col("l_partkey"))
       .write.mode("overwrite").parquet(s"$dir/linear")
