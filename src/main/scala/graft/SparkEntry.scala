@@ -1717,6 +1717,27 @@ object SparkEntry {
       // cross-source duplication matrix: shared exact contents per source
       // pair via one content-hash equi-join over the cut distinct frame
       graft.ops.Dedup.crossSourceDups(Tables.table(s, dir, "documents"))),
+    "source_minhash" -> ((s, dir) =>
+      // sketch-cost source overlap: per-source signature = element-wise
+      // MIN of doc MinHash sigs (min commutes with set union), pair
+      // Jaccard estimated from sources×numPerm frames — aggregation
+      // cost where cross_source_dups pays an every-content-hash join
+      graft.ops.Dedup.sourceMinhash(Tables.table(s, dir, "documents"))),
+    "skew_report" -> ((s, dir) =>
+      // hot-key pre-flight for the salted join: one map-side-combined
+      // count agg + broadcast stats + TakeOrdered top-10
+      graft.ops.Dq.skewReport(Tables.events(s, dir), "user_id")),
+    "hybrid_rrf" -> ((s, dir) =>
+      // reciprocal-rank fusion of the BM25 and exact-cosine rankings;
+      // both branches rank-bounded before the ≤2n-row fusion join
+      graft.ops.Retrieval.hybridRrf(Tables.table(s, dir, "documents"),
+        Tables.table(s, dir, "embeddings"), Seq("spark", "join", "data"), 3L)),
+    "mmr_rerank" -> ((s, dir) => {
+      // MMR diversification of exact top-8 candidates, 4 greedy steps as
+      // per-step broadcast joins + max_by aggs — state is a frame
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Retrieval.mmrRerank(s, e, e.where(col("vec_id") < 3))
+    }),
     "embedding_outliers" -> ((s, dir) =>
       // per-cell centroid-cosine z-score screen: the anti-prototype drop
       // (SemDeDup's complement); one assignment scan, broadcast moments
@@ -2688,6 +2709,36 @@ object SparkEntry {
         "round(CAST(coalesce(pr.n_shared, 0) AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE), 6) AS overlap " +
         "FROM tot ta JOIN tot tb ON ta.source < tb.source " +
         "LEFT JOIN pr ON pr.source_a = ta.source AND pr.source_b = tb.source"),
+    // per-source MinHash replay: doc sigs exactly as dedup_minhash, then
+    // element-wise min per source, component matches counted per pair
+    "source_minhash" ->
+      (s"WITH dw AS (SELECT source, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+        "dh AS (SELECT source, list_transform(" +
+        "list_transform(generate_series(1, len(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])), " +
+        "s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes FROM dw WHERE len(ws) >= 3), " +
+        s"sigs AS (SELECT source, ${minhashSigSql(128)} AS sig FROM dh), " +
+        "ix AS (SELECT unnest(generate_series(1, 128)) AS pos), " +
+        "sm AS (SELECT source, pos, min(sig[pos]) AS mh FROM sigs CROSS JOIN ix GROUP BY 1, 2), " +
+        "m AS (SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_match " +
+        "FROM sm x JOIN sm y ON x.pos = y.pos AND x.mh = y.mh AND x.source < y.source GROUP BY 1, 2), " +
+        "srcs AS (SELECT DISTINCT source FROM sm), " +
+        "sp AS (SELECT a.source AS source_a, b.source AS source_b " +
+        "FROM srcs a JOIN srcs b ON a.source < b.source) " +
+        "SELECT source_a, source_b, CAST(coalesce(n_match, 0) AS BIGINT) AS n_match, " +
+        "round(CAST(coalesce(n_match, 0) AS DOUBLE) / 128, 6) AS est_jaccard " +
+        "FROM sp LEFT JOIN m USING (source_a, source_b)"),
+    // hot-key diagnostic replay: per-key counts, 1-row stats, top-10 heap
+    "skew_report" ->
+      ("WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
+        "s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM c), " +
+        "t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10) " +
+        "SELECT user_id, cnt, n_keys, n_rows, max_cnt, " +
+        "round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share, " +
+        "round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_x, " +
+        "CAST(ceil(CAST(cnt AS DOUBLE) * n_keys / n_rows) AS BIGINT) AS salt_factor " +
+        "FROM t CROSS JOIN s"),
+    "hybrid_rrf" -> hybridRrfSql,
+    "mmr_rerank" -> mmrRerankSql(),
     // Roll estimator replay: exact decimal close diffs, lag-1 co-moment via
     // exact partial sums, final cov/spread double in identical op order
     "roll_spread" -> withTrades(
@@ -5590,6 +5641,83 @@ object SparkEntry {
     * then one stats CTE per layout and a 6-row UNION in the exact
     * (layout, pred) order the Spark side unions.
     */
+  /** RRF fusion replay: the bm25_search CTE chain ranked to top-20, the
+    * ann_topk exact-cosine chain for the one query vector, full-outer
+    * fused with 1/(60+rank) reciprocal contributions (absent list = 0).
+    */
+  private def hybridRrfSql: String =
+    "WITH lens AS (SELECT doc_id, " +
+      "COALESCE(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0) AS dl FROM documents), " +
+      "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens), " +
+      "q AS (SELECT unnest(['spark', 'join', 'data']) AS term), " +
+      "toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, toks.term, count(*) AS tf FROM toks JOIN q ON q.term = toks.term GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+      "contrib AS (SELECT tf.doc_id, " +
+      "CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+      "(tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(tot AS DOUBLE) / n))), 6) AS DECIMAL(18,6)) AS c " +
+      "FROM tf JOIN df ON df.term = tf.term JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN stats), " +
+      "lex AS (SELECT doc_id, rn AS lex_rn FROM (" +
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY CAST(sum(c) AS DOUBLE) DESC, doc_id) AS BIGINT) AS rn " +
+      "FROM contrib GROUP BY 1) WHERE rn <= 20), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "qv AS (SELECT * FROM e WHERE vec_id = 3), " +
+      "sem AS (SELECT doc_id, rn AS sem_rn FROM (" +
+      "SELECT e.vec_id AS doc_id, CAST(row_number() OVER (" +
+      "ORDER BY round(list_cosine_similarity(qv.v, e.v), 6) DESC, e.vec_id) AS BIGINT) AS rn " +
+      "FROM qv JOIN e ON e.vec_id <> qv.vec_id) WHERE rn <= 20), " +
+      "f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rn, sem_rn, " +
+      "round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rn), 0) + " +
+      "COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem_rn), 0), 6) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id) " +
+      "SELECT doc_id, lex_rn, sem_rn, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10"
+
+  /** MMR replay: exact top-n candidates + their pair-sim matrix, then the
+    * k greedy steps UNROLLED as chained CTEs (sel_i picks the per-qid
+    * argmax of 0.7·rel − 0.3·maxsim over pairs restricted to the selected
+    * set selu_{i−1}) — one shared per-step template, the hilbertSkipSql
+    * idiom.
+    */
+  private def mmrRerankSql(n: Int = 8, k: Int = 4): String = {
+    val base =
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT * FROM e WHERE vec_id < 3), " +
+        "cand0 AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(q.v, e.v), 6) AS rel, e.v AS v, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC, e.vec_id) AS rn " +
+        "FROM q JOIN e ON e.vec_id <> q.vec_id), " +
+        s"cand AS (SELECT qid, doc_id, rel, v FROM cand0 WHERE rn <= $n), " +
+        // sim/rel quantize to DECIMAL(8,6); λ·rel − μ·maxsim is then an
+        // EXACT 7-decimal value whose round-to-6 is engine-independent
+        // (as doubles, 7th-digit-5 boundaries split Spark vs DuckDB)
+        "pairs AS (SELECT c1.qid, c1.doc_id AS a, c2.doc_id AS b, " +
+        "CAST(round(list_cosine_similarity(c1.v, c2.v), 6) AS DECIMAL(8,6)) AS sim " +
+        "FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.doc_id <> c2.doc_id), " +
+        "sel1 AS (SELECT qid, doc_id, CAST(1 AS BIGINT) AS step, score FROM (" +
+        "SELECT qid, doc_id, CAST(round(0.7 * CAST(rel AS DECIMAL(8,6)), 6) AS DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY qid " +
+        "ORDER BY CAST(round(0.7 * CAST(rel AS DECIMAL(8,6)), 6) AS DOUBLE) DESC, doc_id) AS rn " +
+        "FROM cand) WHERE rn = 1), " +
+        "selu1 AS (SELECT * FROM sel1)"
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      val scoreExpr =
+        "CAST(round(0.7 * CAST(r.rel AS DECIMAL(8,6)) - 0.3 * m.maxsim, 6) AS DOUBLE)"
+      s"sel$i AS (SELECT qid, a AS doc_id, CAST($i AS BIGINT) AS step, score FROM (" +
+        s"SELECT m.qid, m.a, $scoreExpr AS score, " +
+        "row_number() OVER (PARTITION BY m.qid " +
+        s"ORDER BY $scoreExpr DESC, m.a) AS rn " +
+        s"FROM (SELECT p.qid, p.a, max(p.sim) AS maxsim FROM pairs p " +
+        s"JOIN selu$p s ON s.qid = p.qid AND s.doc_id = p.b " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM selu$p x WHERE x.qid = p.qid AND x.doc_id = p.a) " +
+        "GROUP BY 1, 2) m " +
+        "JOIN cand r ON r.qid = m.qid AND r.doc_id = m.a) WHERE rn = 1), " +
+        s"selu$i AS (SELECT * FROM selu$p UNION ALL SELECT * FROM sel$i)"
+    }.mkString(", ")
+    s"WITH $base, $steps SELECT qid, step, doc_id, score FROM selu$k"
+  }
+
   private def hilbertSkipSql: String = {
     val zex = zorderSqlExpr(Seq("xn", "yn"), 8)
     val iters = (7 to 0 by -1).map { lvl =>

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bm25 {
 
-  def search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+  /** Unranked per-doc BM25 scores for `terms` (only docs matching at
+    * least one query term appear). The ranking-free face `search` and the
+    * hybrid RRF fusion (ops.Retrieval) both consume.
+    */
+  def scores(docs: DataFrame, terms: Seq[String],
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     val q = broadcast(spark.createDataFrame(terms.map(Tuple1(_))).toDF("term"))
@@ -60,6 +64,10 @@ object Bm25 {
 
     contrib.groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  def search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scores(docs, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
 }

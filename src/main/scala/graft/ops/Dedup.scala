@@ -820,6 +820,56 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
   }
 
+  /** Sketch-cost source overlap: per-SOURCE MinHash signatures estimating
+    * the shingle-set Jaccard between every source pair — the question
+    * crossSourceDups answers exactly ("which crawls feed me the same
+    * content"), at aggregation cost instead of join cost. The key fact:
+    * the element-wise MIN of per-doc MinHash signatures IS the MinHash
+    * signature of the UNION of their shingle sets (min commutes with
+    * union), so a source's signature is one map-side-combined aggregate —
+    * at 100 TB the exact operator shuffles every content hash, this one
+    * shuffles numPerm counters per source.
+    *
+    * Scale shape: per-doc signatures are the same fused map-only pass as
+    * dedup_minhash; posexplode is map-only; the (source, perm)→min
+    * aggregate is map-side combined down to sources×numPerm rows — DIM
+    * SCALE from there on (the pair match-count join and the all-pairs
+    * spine both read sources×numPerm frames). The spine reuses
+    * crossSourceDups' collect_list-over-totals idiom (documented
+    * dim-scale single-partition window over #sources rows) so source
+    * pairs with zero matching components still report est 0.
+    * Columns: (source_a, source_b, n_match, est_jaccard = n_match/numPerm).
+    */
+  def sourceMinhash(docs: DataFrame, numPerm: Int = 128): DataFrame = {
+    val (a, b) = perms(numPerm)
+    val docSigs = docs.select(col("source"),
+        graft.functions.shingle_minhash(col("text"), 3, a, b, MinhashP).as("sig"))
+      .where(col("sig").isNotNull)
+    val sm = graft.core.Materialize.once(docSigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "h")))
+      .groupBy(col("source"), col("pos")).agg(min(col("h")).as("mh")))
+    val matches = sm.as("x")
+      .join(sm.as("y"),
+        col("x.pos") === col("y.pos") && col("x.mh") === col("y.mh") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_match"))
+    val srcs = sm.select(col("source")).distinct()
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val spine = srcs
+      .withColumn("all", collect_list(col("source")).over(wAll))
+      .select(col("source").as("source_a"), explode(col("all")).as("source_b"))
+      .where(col("source_a") < col("source_b"))
+    spine.join(broadcast(matches), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)).cast("double") / lit(numPerm), 6)
+          .as("est_jaccard"))
+  }
+
   /** WINNOWING fingerprints per document (Schleimer/Wilkerson/Aiken — the
     * MOSS algorithm): hash every k-word gram, slide a w-gram window, and
     * keep each window's MINIMUM hash — the fingerprint set that

@@ -255,4 +255,37 @@ object Dq {
         col("expected"))
       .withColumn("dev", round(col("share") - col("expected"), 6))
   }
+
+  /** Hot-key diagnostic for a join/group key — the pre-flight that sizes
+    * operators.SaltedJoin's salt factor instead of guessing it: per-key
+    * counts, the top-N heaviest keys, and per-key skew stats against the
+    * MEAN key load. `skew_x` = cnt/avg (how many average keys this one
+    * weighs); `salt_factor` = ceil(skew_x) — the number of salt buckets
+    * that spreads the key back to roughly average-task load. A key with
+    * skew_x ≈ 1 needs no salting; the 100 TB practice is to feed the
+    * keys this report surfaces into the salted path and leave the rest
+    * on the plain co-partitioned join.
+    *
+    * Scale shape: ONE map-side-combined count aggregation over the fact
+    * (the hot key partially aggregates before the shuffle — the
+    * diagnostic itself cannot be skewed by the skew it measures); the
+    * global stats are a 1-row broadcast; the top-N is a TakeOrdered
+    * bounded heap, never a global sort.
+    */
+  def skewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col(key)).limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(col(key), col("cnt"), col("n_keys"), col("n_rows"),
+        col("max_cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_x"),
+        ceil(col("cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .cast("long").as("salt_factor"))
+  }
 }

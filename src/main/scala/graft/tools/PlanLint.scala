@@ -45,7 +45,10 @@ object PlanLint {
     "cross_source_dups" -> ("the all-pairs spine windows over the " +
       "per-source TOTALS dim (#sources rows — partitionBy(lit(1)) folds " +
       "to an empty partitionSpec; documented at ops/Dedup.scala " +
-      "crossSourceDups)")
+      "crossSourceDups)"),
+    "source_minhash" -> ("same collect_list spine idiom as " +
+      "cross_source_dups, over the distinct-sources dim (#sources rows; " +
+      "documented at ops/Dedup.scala sourceMinhash)")
   )
 
   /** Walk one physical plan (pre-AQE `sparkPlan` — cartesians and

@@ -927,6 +927,24 @@ class MiscOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("skew report sizes the salt factor from the measured hot key") {
+    import spark.implicits._
+    // one hot key (90 rows) + 10 uniform keys: n_keys=11, n_rows=100,
+    // mean load 100/11 — hot skew_x = 90·11/100 = 9.9 → salt 10;
+    // uniform skew_x = 11/100 = 0.11 → salt 1
+    val df = ((1 to 90).map(_ => "hot") ++ (1 to 10).map(i => s"u$i"))
+      .toDF("k")
+    val out = graft.ops.Dq.skewReport(df, "k").collect()
+    assert(out.length == 10) // top-10 of 11 keys
+    val hot = out.find(_.getString(0) == "hot").get
+    assert(hot.getLong(1) == 90L && hot.getLong(2) == 11L &&
+      hot.getLong(3) == 100L && hot.getLong(4) == 90L)
+    assert(hot.getAs[Double]("skew_x") == 9.9)
+    assert(hot.getAs[Long]("salt_factor") == 10L)
+    val uni = out.find(_.getString(0) == "u1").get
+    assert(uni.getAs[Long]("salt_factor") == 1L)
+  }
+
   test("profile produces one stats row per column in one pass") {
     val p = graft.ops.Profile.profile(
       graft.core.Tables.table(spark, Sf0001, "lineitem"))
