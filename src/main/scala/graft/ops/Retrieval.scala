@@ -106,12 +106,17 @@ object Retrieval {
         .select(col("qid"), col("w.doc_id").as("doc_id"),
           col("w.score").as("score"))
 
-    var selected = argmax(
+    // each step's pick is CUT (it is |queries| rows): without the cut the
+    // selection lineage chains every prior step's joins, so step k
+    // re-executes steps 1..k−1 — measured 3.9 → 1.1 s at sf0.1 (the
+    // frames are tiny; the cost was pure plan re-execution)
+    var selected = graft.core.Materialize.once(argmax(
       rels.select(col("qid"), col("doc_id"),
         round(lit(lambda) * col("rel"), 6).cast("double").as("score")))
-      .withColumn("step", lit(1L))
+      .withColumn("step", lit(1L)))
+    var all = selected
     for (step <- 2 to k) {
-      val selIds = selected.select(col("qid"), col("doc_id"))
+      val selIds = all.select(col("qid"), col("doc_id"))
       val maxsim = pairs
         .join(selIds.withColumnRenamed("doc_id", "b"), Seq("qid", "b"))
         .join(selIds.withColumnRenamed("doc_id", "a"), Seq("qid", "a"),
@@ -122,9 +127,10 @@ object Retrieval {
         .select(col("qid"), col("a").as("doc_id"),
           round(lit(lambda) * col("rel") - lit(mu) * col("maxsim"), 6)
             .cast("double").as("score"))
-      selected = selected.unionByName(
+      selected = graft.core.Materialize.once(
         argmax(scored).withColumn("step", lit(step.toLong)))
+      all = all.unionByName(selected)
     }
-    selected.select(col("qid"), col("step"), col("doc_id"), col("score"))
+    all.select(col("qid"), col("step"), col("doc_id"), col("score"))
   }
 }

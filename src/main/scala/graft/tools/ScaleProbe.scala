@@ -561,6 +561,71 @@ object ScaleProbe {
     }
   }
 
+  /** r11d: growth curves for the retrieval-fusion wave, each on ITS
+    * scaling axis. hybrid_rrf and source_minhash grow with the corpus
+    * (both are one-scan + bounded/dim-scale closers — expect
+    * scan-linear). mmr_rerank grows with the QUERY COUNT at fixed
+    * corpus — the operator's claim is that the greedy loop is frames
+    * all the way down, so 10 or 10M queries rerank with the same plan;
+    * candidates and the pair matrix are linear in queries. skew_report
+    * grows with the fact table (one map-side-combined count agg).
+    */
+  private def r11dOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _).cache()
+      emb.count()
+      time(s"hybrid_rrf x$k ($nd docs)") {
+        graft.ops.Retrieval.hybridRrf(docs,
+          emb, Seq("spark", "join", "data"), 3L).count()
+      }
+      time(s"source_minhash x$k") {
+        graft.ops.Dedup.sourceMinhash(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist(); emb.unpersist()
+      val events = (0 until k).map(i =>
+        Tables.events(spark, dir).select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value")))
+        .reduce(_ unionByName _).cache()
+      val ne = events.count()
+      time(s"skew_report x$k ($ne events)") {
+        graft.ops.Dq.skewReport(events, "user_id").count()
+      }
+      events.unpersist()
+    }
+    // mmr_rerank: QUERY-count growth at fixed corpus — the frames-not-
+    // driver-state claim. 10/80/270 queries over the sf0.1 embeddings.
+    val emb = Tables.table(spark, dir, "embeddings").cache()
+    emb.count()
+    Seq(10, 80, 270).foreach { q =>
+      time(s"mmr_rerank $q queries (fixed corpus)") {
+        val n = graft.ops.Retrieval.mmrRerank(spark, emb,
+          emb.where(col("vec_id") < q)).count()
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        n
+      }
+    }
+    emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -580,6 +645,7 @@ object ScaleProbe {
     if (args.contains("r11")) { r11OpsCurves(spark); spark.stop(); return }
     if (args.contains("r11b")) { r11bOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11c")) { r11cOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
