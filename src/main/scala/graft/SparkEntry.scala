@@ -1609,6 +1609,10 @@ object SparkEntry {
       // MOSS winnowing: per-window min k-gram hash via the packed-BIGINT
       // argmin; guarantees shared runs >= w+k-1 words share a fingerprint
       graft.ops.Dedup.winnowFingerprint(Tables.table(s, dir, "documents"))),
+    "longest_repeat" -> ((s, dir) =>
+      // ExactSubstr (Lee et al.): exact per-doc longest repeated token
+      // span via distributed truncated-suffix order + adjacent LCP
+      graft.ops.Dedup.longestRepeat(Tables.table(s, dir, "documents"))),
     "span_dedup" -> ((s, dir) =>
       // C4 line-dedup on fixed 10-word spans: first-occurrence keeper via
       // one packed-min aggregation, docs rewritten from surviving spans
@@ -2602,6 +2606,31 @@ object SparkEntry {
         "(lag(s, 9) OVER ws) AS gate FROM y WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ts)) " +
         "SELECT symbol, bucket_ts, round(CAST(wsum AS DOUBLE) / 55.0, 6) AS coppock " +
         "FROM z WHERE gate IS NOT NULL"),
+    // ExactSubstr replay: same md5-prefix word hashes, the identical
+    // (hash-array, doc_id, pos) total order (element-wise lexicographic,
+    // shorter-prefix-first both engines), adjacent-pair word LCP via
+    // first-false position, per-doc max with min-pos tie-break via a
+    // two-step argmax
+    "longest_repeat" ->
+      ("WITH w AS (SELECT doc_id, list_transform(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), " +
+        "wd -> CAST('0x' || substr(md5(wd), 1, 8) AS BIGINT)) AS ws FROM documents), " +
+        "wf AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0), " +
+        "ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wf), " +
+        "suf AS (SELECT doc_id, i - 1 AS pos, ws[i : i + 31] AS sfx FROM ix), " +
+        "r AS (SELECT doc_id, pos, sfx, row_number() OVER (ORDER BY sfx, doc_id, pos) AS rnk FROM suf), " +
+        "adj AS (SELECT a.doc_id, a.pos, b.doc_id AS doc2, b.pos AS pos2, " +
+        "coalesce(nullif(list_position(list_transform(generate_series(1, least(len(a.sfx), len(b.sfx))), " +
+        "i -> a.sfx[i] = b.sfx[i]), false), 0) - 1, least(len(a.sfx), len(b.sfx))) AS lcp " +
+        "FROM r a JOIN r b ON b.rnk = a.rnk + 1), " +
+        "c AS (SELECT doc_id, pos, lcp FROM adj UNION ALL SELECT doc2 AS doc_id, pos2 AS pos, lcp FROM adj), " +
+        "mx AS (SELECT doc_id, max(lcp) AS mr FROM c GROUP BY 1), " +
+        "best AS (SELECT c.doc_id, c.lcp AS max_repeat, min(c.pos) AS pos " +
+        "FROM c JOIN mx ON mx.doc_id = c.doc_id AND c.lcp = mx.mr GROUP BY 1, 2), " +
+        "spine AS (SELECT DISTINCT doc_id FROM r) " +
+        "SELECT doc_id, CAST(coalesce(max_repeat, 0) AS BIGINT) AS max_repeat, " +
+        "CAST(CASE WHEN coalesce(max_repeat, 0) > 0 THEN pos END AS BIGINT) AS pos " +
+        "FROM spine LEFT JOIN best USING (doc_id)"),
     // Winnowing replay: same k-gram md5-prefix hashes, the packed-BIGINT
     // window argmin, DISTINCT selections, left-joined onto gram counts
     "winnow_fingerprint" ->

@@ -870,6 +870,99 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** EXACT longest-repeat per document via distributed truncated-suffix
+    * ordering + adjacent LCP — the ExactSubstr memorization diagnostic of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): for every document, the LENGTH (in words, capped)
+    * and position of the longest token span starting in it that occurs at
+    * least twice in the corpus — at ANY offset, in ANY document,
+    * overlapping self-repeats included (the paper's semantics). Strictly
+    * stronger than the shingle families: `dedup_substring` answers "is
+    * this ≥w-word window repeated", this answers "HOW LONG is the longest
+    * repeat here exactly" — the signal that separates boilerplate (20
+    * words) from verbatim memorization bait (500 words).
+    *
+    * Algorithm (the suffix-array LCP argument, distributed): every repeat
+    * of length ℓ means two suffixes share an ℓ-word prefix, and
+    * prefix-sharing suffixes are CONTIGUOUS in suffix order — so for any
+    * suffix, its maximum LCP against the whole corpus is achieved at one
+    * of its two NEIGHBORS in sorted order. Adjacent pairs are sufficient;
+    * no pair join ever forms.
+    *
+    * Scale shape: suffixes are map-only (one row per word position
+    * carrying the next ≤cap WORD HASHES — 4 bytes/word × cap, the
+    * documented truncation knob; cap also clamps reported lengths); the
+    * global
+    * suffix order is `Rank.withGlobalRank` (range partition + local sort
+    * + zipWithIndex — never a single-partition window); neighbors come
+    * from ONE co-partitioned equi-join of rank r against r+1 on the
+    * materialized ranked frame; the LCP is an O(cap) leading-equals fold
+    * (zip_with + aggregate — no UDF); the closer is one doc-keyed
+    * map-side-combined max. At 100 TB the ×cap byte amplification is the
+    * honest cost the reference implementations pay on disk (their suffix
+    * arrays hold 8-byte pointers but random-access the full corpus; a
+    * shuffle ships the windows instead — sequential I/O, no random
+    * reads).
+    *
+    * Sort-key note: tokens travel as portable 32-bit md5-prefix hashes
+    * (`hash32` — the family's exact-content-identity convention since
+    * dedup_exact), so the shuffle ships arrays of ints, not the corpus
+    * text ×cap; suffixes order by the hash ARRAY itself. The output only
+    * needs SOME prefix-contiguous total order (suffixes sharing an
+    * ℓ-prefix are contiguous under any element-wise lexicographic order,
+    * hashed or not) and neighbor-max = corpus-max is order-free, so the
+    * hashed order is as correct as the textual one — and the oracle
+    * replays the identical hashes.
+    *
+    * Output: (doc_id, max_repeat, pos) per document with ≥1 word —
+    * max_repeat 0 (pos null) when the document shares not even a first
+    * word at any position; pos = smallest starting position achieving the
+    * max.
+    */
+  def longestRepeat(docs: DataFrame, cap: Int = 32): DataFrame = {
+    val w = docs.select(col("doc_id"), wordsOf(col("text")).as("ws"))
+      .select(col("doc_id"),
+        filter(col("ws"), _ =!= "").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), transform(col("ws"), wd => hash32(wd)).as("hs"))
+    val suf = w.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("hs")) - 1),
+        i => slice(col("hs"), i + 1, lit(cap)))).as(Seq("pos", "sfx")))
+    val ranked = graft.core.Materialize.once(graft.ops.Rank.withGlobalRank(
+      suf, Seq(col("sfx"), col("doc_id"), col("pos")))
+      .select(col("rank"), col("doc_id"), col("pos"), col("sfx")))
+    // leading-equals fold: zip_with pads the shorter side with null,
+    // coalesce(false) closes the run there
+    def lcp(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => coalesce(x === y, lit(false))),
+      struct(lit(0).as("n"), lit(true).as("open")),
+      (acc, eq) => struct(
+        (acc.getField("n") + when(acc.getField("open") && eq, 1)
+          .otherwise(0)).as("n"),
+        (acc.getField("open") && eq).as("open")),
+      acc => acc.getField("n"))
+    val nxt = ranked.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("doc2"), col("pos").as("pos2"), col("sfx").as("sfx2"))
+    val adj = ranked.join(nxt, Seq("rank"))
+      .select(col("doc_id"), col("pos"), col("doc2"), col("pos2"),
+        lcp(col("sfx"), col("sfx2")).as("lcp"))
+    val contrib = adj.select(col("doc_id"), col("pos"), col("lcp"))
+      .unionAll(adj.select(col("doc2").as("doc_id"), col("pos2").as("pos"),
+        col("lcp")))
+    val best = contrib.groupBy(col("doc_id"))
+      .agg(max(struct(col("lcp"), (-col("pos")).as("np"))).as("b"))
+      .select(col("doc_id"), col("b.lcp").as("max_repeat"),
+        (-col("b.np")).as("pos"))
+    // spine from the MATERIALIZED ranked frame (map-side-combined
+    // distinct), not a second corpus text scan
+    ranked.select(col("doc_id")).distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_repeat"), lit(0)).cast("long").as("max_repeat"),
+        when(coalesce(col("max_repeat"), lit(0)) > 0, col("pos"))
+          .cast("long").as("pos"))
+  }
+
   /** WINNOWING fingerprints per document (Schleimer/Wilkerson/Aiken — the
     * MOSS algorithm): hash every k-word gram, slide a w-gram window, and
     * keep each window's MINIMUM hash — the fingerprint set that

@@ -19,6 +19,12 @@ object Rank {
     */
   def withGlobalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
+    // NOT cut before zipWithIndex (measured and rejected): its
+    // count-per-partition job and the later consumption share the same
+    // RDD, so Spark's stage skipping reuses the range-shuffle files —
+    // only the shuffle-READ + local sort re-runs, which is cheaper than
+    // a localCheckpoint write+read of the whole sorted frame
+    // (corpus_shuffle 0.26→0.85 s, heaps_curve 0.46→1.74 s with the cut)
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add("rank", LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>

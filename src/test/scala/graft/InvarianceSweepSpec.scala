@@ -37,6 +37,7 @@ class InvarianceSweepSpec extends SparkSpec {
     "source_minhash", // element-wise-min signature aggregation
     "skew_report", // count agg + broadcast stats + top-10 heap
     "zorder_skip", // interleaved-bit layout simulation
+    "longest_repeat", // distributed suffix order + adjacent LCP
     "trimmed_mean", // percentile-window trim boundaries
     "volume_bars") // cumulative integer volume clock
 

@@ -318,6 +318,54 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "winnowing must be partitioning-invariant")
   }
 
+  // ---- ExactSubstr longest repeat (r11) ----
+
+  test("longestRepeat: planted cross-doc span, exact length and position") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share EXACTLY the 5-word run "p q r s t" (doc 1 at
+      // pos 2, doc 2 at pos 0); contexts differ on both sides
+      (1L, "x y p q r s t u v"),
+      (2L, "p q r s t m n"),
+      // doc 3 shares nothing — not even a single word
+      (3L, "zz ww kk"),
+      // doc 4: overlapping SELF-repeat "a a a a" -> suffixes at pos 0/1
+      // share a 3-word prefix (the Lee et al. overlapping convention)
+      (4L, "a a a a")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.longestRepeat(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 5L && r(1L).getLong(2) == 2L)
+    assert(r(2L).getLong(1) == 5L && r(2L).getLong(2) == 0L)
+    assert(r(3L).getLong(1) == 0L && r(3L).isNullAt(2))
+    assert(r(4L).getLong(1) == 3L && r(4L).getLong(2) == 0L)
+  }
+
+  test("longestRepeat: exact duplicates clamp at the cap; cap is the knob") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val r32 = graft.ops.Dedup.longestRepeat(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r32(1L) == 32L && r32(2L) == 32L, "40-word dup clamps at cap 32")
+    val r8 = graft.ops.Dedup.longestRepeat(docs, cap = 8).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r8(1L) == 8L, "smaller cap clamps lower")
+  }
+
+  test("longestRepeat: real corpus — dup docs hit the cap, " +
+    "partitioning-invariant") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val r = graft.ops.Dedup.longestRepeat(docs)
+    val a = r.orderBy("doc_id").collect().toSeq
+    // the corpus contains exact-duplicate texts (dedup_exact's fixture):
+    // their docs must clamp at the cap
+    assert(a.map(_.getLong(1)).max == 32L)
+    val b = graft.ops.Dedup.longestRepeat(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "suffix order + LCP must be partitioning-invariant")
+  }
+
   // ---- perceptual dHash: stub (oracled) face (r11) ----
 
   test("imageDhashStub: hand-computed md5-hex dHash, positive, repartition-stable") {
