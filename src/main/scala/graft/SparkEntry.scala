@@ -1617,6 +1617,15 @@ object SparkEntry {
       // C4 line-dedup on fixed 10-word spans: first-occurrence keeper via
       // one packed-min aggregation, docs rewritten from surviving spans
       graft.ops.Dedup.spanDedup(Tables.table(s, dir, "documents"))),
+    "exactsubstr_prune" -> ((s, dir) =>
+      // ExactSubstr removal (Lee et al.): repeated-w-gram coverage ->
+      // (doc,pos) anti-join -> doc rebuild; longest_repeat's ACTION
+      graft.ops.Dedup.exactSubstrPrune(Tables.table(s, dir, "documents"))),
+    "edit_join" -> ((s, dir) =>
+      // FastSS deletion-neighborhood candidates + threshold-bounded
+      // codegen Levenshtein verify; no cross product ever forms
+      graft.ops.Fuzzy.editJoin(
+        Tables.table(s, dir, "supplier"), "s_suppkey", "s_name")),
     "dsir_weights" -> ((s, dir) =>
       // DSIR importance weights: hashed unigram target/raw models, exact
       // decimal log-ratio sums, bounded feature table broadcast
@@ -4333,6 +4342,31 @@ object SparkEntry {
         "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '') AS text " +
         "FROM j GROUP BY 1"),
+    // ExactSubstr-prune replay: identical md5-prefix w-gram hashes, the
+    // repeat screen a HAVING count >= 2, coverage expanded per start,
+    // kept words re-agg'd in position order
+    "exactsubstr_prune" ->
+      ("WITH dw AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), " +
+        "wp0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM dw), " +
+        "wq AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word FROM wp0), " +
+        "gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM dw WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, i - 1 AS pos, CAST('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')), 1, 8) AS BIGINT) AS h FROM gi), " +
+        "rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p FROM g JOIN rep USING (h))), " +
+        "kept AS (SELECT wq.doc_id, wq.pos, wq.word FROM wq LEFT JOIN cov ON cov.doc_id = wq.doc_id AND cov.p = wq.pos WHERE cov.p IS NULL), " +
+        "st AS (SELECT doc_id, COALESCE(CAST(len(ws) AS BIGINT), 0) AS n_words FROM dw), " +
+        "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY 1) " +
+        "SELECT st.doc_id AS doc_id, n_words, n_words - COALESCE(n_kept, 0) AS n_removed, " +
+        "COALESCE(rb.text, '') AS text FROM st LEFT JOIN rb USING (doc_id)"),
+    // edit_join replay: the all-pairs verify IS the oracle (DuckDB's
+    // levenshtein, length band a = the k=1 pigeonhole) — the FastSS
+    // candidate set is exactly what this cross check must reproduce
+    "edit_join" ->
+      ("SELECT a.s_suppkey AS id1, b.s_suppkey AS id2, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist " +
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey " +
+        "AND abs(len(a.s_name) - len(b.s_name)) <= 1 " +
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1"),
     // dHash image-dedup replay: the stub luma grid is md5-hex byte pairs
     // (position (2i mod 31)+1 — pure string/integer logic, no codec), the
     // 63-bit dHash a sum of shifted gradient-sign bits, banding/Hamming/

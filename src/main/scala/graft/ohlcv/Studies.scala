@@ -342,6 +342,10 @@ object Studies {
       count(col("ret")).as("nr"),
       sum(col("ret").cast(D6)).cast("double").as("sr1"))
     val ev = candles.join(broadcast(stats), "symbol")
+      // n > 1 before the n-1 division: ANSI turns the single-candle
+      // symbol into DIVIDE_BY_ZERO (the volume_anomaly singleton fix);
+      // identical result set — var_v > 0 already excluded n = 1
+      .where(col("n") > 1)
       .withColumn("mu_v", col("sv1") / col("n"))
       .withColumn("var_v",
         (col("sv2") - col("n") * col("mu_v") * col("mu_v")) / (col("n") - 1))

@@ -1110,6 +1110,67 @@ object Dedup {
             "struct(idx, span) END)), x -> x.span)"), " ").as("text"))
   }
 
+  /** ExactSubstr REMOVAL (Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — the dedup ACTION whose diagnostic
+    * is [[longestRepeat]]): rewrite each document with every word
+    * position that lies inside a ≥`w`-word span occurring ≥2 times in
+    * the corpus (any doc, any offset, overlapping self-repeats count)
+    * removed. [[spanDedup]] keeps one copy of each FIXED block; this is
+    * the alignment-free semantics — a repeated span is removed from ALL
+    * its occurrences wherever it starts.
+    *
+    * Exactness without suffix order: position p sits inside a repeated
+    * span of length ≥ w  ⟺  some w-gram starting in [p−w+1, p] is
+    * globally repeated (a repeated longer span repeats every w-long
+    * sub-span of itself; a repeated w-gram IS a qualifying span). So
+    * exact coverage needs only w-gram occurrence COUNTS — one
+    * map-side-combined aggregate over portable hash32 gram keys (8-byte
+    * ints through the shuffle, not text ×w), no suffix sort, no pair
+    * join. hash32 collisions can over-remove (2⁻³² per gram pair) —
+    * identical on both engines, the family's documented portability
+    * trade (see dedup_minhash).
+    *
+    * Scale shape: the gram stream is map-only; the repeat screen is a
+    * map-side-combined count; repeated starts expand ×w into covered
+    * positions (output-bounded: proportional to the text actually
+    * removed); the word stream anti-joins the covered set on
+    * (doc_id, pos) — co-partitioned equi keys — and documents
+    * reassemble with one doc-keyed sort_array aggregation bounded by
+    * their own length. Emits (doc_id, n_words, n_removed, text) for
+    * EVERY input document.
+    */
+  def exactSubstrPrune(docs: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 2, "w >= 2")
+    val wordsF = docs.select(col("doc_id"),
+      filter(wordsOf(col("text")), _ =!= "").as("ws"))
+    // posexplode_outer keeps zero-word docs in the spine (null word row)
+    val wp = graft.core.Materialize.once(wordsF.select(col("doc_id"),
+      posexplode_outer(col("ws"))).toDF("doc_id", "pos", "word"))
+    val grams = graft.core.Materialize.once(
+      wordsF.where(size(col("ws")) >= w)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), size(col("ws")) - w),
+            i => hash32(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
+        .toDF("doc_id", "pos", "h"))
+    val repeated = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("h")
+    val covered = grams.join(repeated, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = wp.where(col("word").isNotNull)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val stats = wp.groupBy(col("doc_id")).agg(count(col("word")).as("n_words"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(sort_array(collect_list(" +
+          "struct(pos, word))), x -> x.word)"), " ").as("text"))
+    stats.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Perceptual (dHash) near-dup PAIRS over a (doc_id, dhash) frame —
     * the image face of [[simhashNearDup]]'s pigeonhole machinery: the
     * 63-bit hash splits into 4 chunks (3×16 bits + the 15 top bits), any

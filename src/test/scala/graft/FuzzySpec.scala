@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.Fuzzy
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Fuzzy.editJoin(df, "id", "s", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private lazy val dict = Seq(
+    (1L, "abcd"), (2L, "abc"), (3L, "abxd"), (4L, "abcde"),
+    (5L, "zzzz"), (6L, "ab"), (7L, "abcd")).toDF("id", "s")
+
+  test("editJoin k=1: insertion, deletion, substitution, identical — " +
+    "and ED-2 pairs excluded") {
+    assert(pairs(dict, 1) == Set(
+      (1L, 2L, 1L),  // deletion
+      (1L, 3L, 1L),  // substitution
+      (1L, 4L, 1L),  // insertion
+      (2L, 6L, 1L),  // deletion
+      (1L, 7L, 0L),  // identical strings, distinct ids
+      (2L, 7L, 1L), (3L, 7L, 1L), (4L, 7L, 1L))) // 7 mirrors 1's pairs
+  }
+
+  test("editJoin k=2 widens exactly to the ED-2 pairs") {
+    val p1 = pairs(dict, 1)
+    val p2 = pairs(dict, 2)
+    assert(p2.filter(_._3 <= 1L) == p1, "k=2 must keep every k=1 pair")
+    assert(p2 -- p1 == Set(
+      (1L, 6L, 2L), (2L, 3L, 2L), (2L, 4L, 2L),
+      (3L, 4L, 2L), (3L, 6L, 2L), (6L, 7L, 2L)))
+  }
+
+  test("editJoin equals the brute-force verify on an adversarial " +
+    "dictionary (repeats, prefixes, empty string) at k=1 and k=2") {
+    // deterministic dictionary exercising shared deletion signatures:
+    // runs of a repeated char (many deletions collide), chains of
+    // prefixes, and the empty string
+    val strs = (Seq("", "a", "aa", "aaa", "aaaa", "ab", "ba", "aba",
+      "bab", "abab", "baba", "abcdef", "abcdeg", "abdcef", "bacdef",
+      "abcde", "abcdefg", "xyz", "xyzz", "xzyz", "zxyz") ++
+      (1 to 9).map(i => s"key00$i") ++ Seq("key010", "kex001", "ke0y01"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val fast = pairs(df, k)
+      val brute = Fuzzy.editJoinBrute(df, "id", "s", k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == brute, s"FastSS must be exact at k=$k")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("editJoin: real supplier names — matches brute force, " +
+    "partitioning-invariant") {
+    val sup = Tables.table(spark, Sf0001, "supplier")
+      .selectExpr("s_suppkey AS id", "s_name AS s")
+    val a = pairs(sup, 1)
+    val brute = Fuzzy.editJoinBrute(sup, "id", "s", 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == brute && a.nonEmpty,
+      "one-digit-apart supplier names are ED-1 pairs")
+    assert(pairs(sup.repartition(7), 1) == a)
+  }
+}

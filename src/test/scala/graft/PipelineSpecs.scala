@@ -366,6 +366,81 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "suffix order + LCP must be partitioning-invariant")
   }
 
+  // ---- ExactSubstr removal (r11e) ----
+
+  private def prune(d: org.apache.spark.sql.DataFrame, w: Int = 8) =
+    graft.ops.Dedup.exactSubstrPrune(d, w).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text")))).toMap
+
+  test("exactSubstrPrune: planted cross-doc 8-word span vanishes from " +
+    "BOTH docs; context words survive in order") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"A$i").mkString(" ")
+    val d = Seq(
+      (1L, s"x y $span u v"),
+      (2L, s"$span m n"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val r = prune(d)
+    assert(r(1L) == ((12L, 8L, "x y u v")))
+    assert(r(2L) == ((10L, 8L, "m n")))
+    assert(r(3L) == ((5L, 0L, "nothing shared here at all")))
+  }
+
+  test("exactSubstrPrune: within-doc overlapping self-repeat removed; " +
+    "a 9-word repeat is FULLY covered by its two overlapping 8-grams") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"A$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"B$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$span z $span"),  // self-repeat: both occurrences go
+      (2L, s"c1 $run9 c2"),
+      (3L, s"d1 $run9 d2")).toDF("doc_id", "text")
+    val r = prune(d)
+    assert(r(1L) == ((17L, 16L, "z")))
+    assert(r(2L) == ((11L, 9L, "c1 c2")), "overlap chaining must cover all 9")
+    assert(r(3L) == ((11L, 9L, "d1 d2")))
+  }
+
+  test("exactSubstrPrune: sub-w docs untouched even when identical; " +
+    "7-word repeats survive w=8") {
+    import spark.implicits._
+    val run7 = (1 to 7).map(i => s"S$i").mkString(" ")
+    val d = Seq(
+      (1L, "short text here"), (2L, "short text here"),
+      (3L, s"c1 $run7 c2"), (4L, s"d1 $run7 d2")).toDF("doc_id", "text")
+    val r = prune(d)
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L, "no 8-gram exists in 3 words")
+    assert(r(3L) == ((9L, 0L, s"c1 $run7 c2")),
+      "a 7-word repeat is below the w=8 floor")
+    // ... and at w=7 the same corpus scrubs the run from both docs
+    val r7 = prune(d, w = 7)
+    assert(r7(3L) == ((9L, 7L, "c1 c2")) && r7(4L) == ((9L, 7L, "d1 d2")))
+  }
+
+  test("exactSubstrPrune: real corpus — every doc present, exact-dup " +
+    "docs fully scrubbed, partitioning-invariant") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val out = graft.ops.Dedup.exactSubstrPrune(docs)
+    val a = out.orderBy("doc_id").collect().toSeq
+    assert(a.size == docs.count(), "spine: one row per input document")
+    // the corpus contains exact-duplicate ≥8-word texts (dedup_exact's
+    // fixture): every position of such a doc is covered
+    assert(a.exists(r => r.getLong(1) >= 8L && r.getLong(2) == r.getLong(1)
+      && r.getString(3).isEmpty))
+    // conservation: kept word count == words in the rewritten text
+    a.foreach { r =>
+      val keptWords =
+        if (r.getString(3).isEmpty) 0L
+        else r.getString(3).split("\\s+").length.toLong
+      assert(r.getLong(1) - r.getLong(2) == keptWords)
+    }
+    val b = graft.ops.Dedup.exactSubstrPrune(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "coverage + rebuild must be partitioning-invariant")
+  }
+
   // ---- perceptual dHash: stub (oracled) face (r11) ----
 
   test("imageDhashStub: hand-computed md5-hex dHash, positive, repartition-stable") {
