@@ -1626,6 +1626,11 @@ object SparkEntry {
       // codegen Levenshtein verify; no cross product ever forms
       graft.ops.Fuzzy.editJoin(
         Tables.table(s, dir, "supplier"), "s_suppkey", "s_name")),
+    "edit_cluster" -> ((s, dir) =>
+      // entity resolution over the ED-1 pair graph: pointer-jumping CC
+      // -> min-id keeper; every name returns, singletons keep themselves
+      graft.ops.Fuzzy.editCluster(
+        Tables.table(s, dir, "supplier"), "s_suppkey", "s_name")),
     "dsir_weights" -> ((s, dir) =>
       // DSIR importance weights: hashed unigram target/raw models, exact
       // decimal log-ratio sums, bounded feature table broadcast
@@ -4367,6 +4372,22 @@ object SparkEntry {
         "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey " +
         "AND abs(len(a.s_name) - len(b.s_name)) <= 1 " +
         "WHERE levenshtein(a.s_name, b.s_name) <= 1"),
+    // edit_cluster replay: the edit_join all-pairs oracle feeding the
+    // image_dedup recursive-CTE CC, min-id keeper, full spine
+    "edit_cluster" ->
+      ("WITH RECURSIVE pr AS (SELECT a.s_suppkey AS id1, b.s_suppkey AS id2 " +
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey " +
+        "AND abs(len(a.s_name) - len(b.s_name)) <= 1 " +
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS nid FROM edges), " +
+        "comp AS (SELECT nid, nid AS lbl FROM nodes " +
+        "UNION SELECT e.a AS nid, c.lbl FROM edges e JOIN comp c ON e.b = c.nid), " +
+        "labels AS (SELECT nid, min(lbl) AS cluster_id FROM comp GROUP BY 1) " +
+        "SELECT s.s_suppkey AS id, s.s_name AS s, " +
+        "COALESCE(l.cluster_id, s.s_suppkey) AS cluster_id, " +
+        "(s.s_suppkey = COALESCE(l.cluster_id, s.s_suppkey)) AS keep " +
+        "FROM supplier s LEFT JOIN labels l ON l.nid = s.s_suppkey"),
     // dHash image-dedup replay: the stub luma grid is md5-hex byte pairs
     // (position (2i mod 31)+1 — pure string/integer logic, no codec), the
     // 63-bit dHash a sum of shifted gradient-sign bits, banding/Hamming/

@@ -70,6 +70,33 @@ object Fuzzy {
       .where(col("dist") >= 0)
   }
 
+  /** Entity-resolution CLUSTERS over the [[editJoin]] pairs — the
+    * canonicalization step a catalog/crawl pipeline runs after the
+    * pair search: connected components over the ED-≤k graph (typo
+    * chains are transitive in PRACTICE even though edit distance is
+    * not — the standard ER convention, same as every dedup family
+    * here), labels from the shared pointer-jumping
+    * [[Dedup.clusters]], keeper = component min id (strings carry no
+    * quality score; the replay-stable convention). Every input row
+    * returns (singletons keep themselves). Emits
+    * (id, s, cluster_id, keep).
+    *
+    * Scale shape: pairs inherit [[editJoin]]'s profile; CC is one
+    * shuffle per round with pointer jumping (rounds ≤ log diameter);
+    * the label join back is component-scale.
+    */
+  def editCluster(df: DataFrame, idCol: String, strCol: String,
+      k: Int = 1): DataFrame = {
+    val base = graft.core.Materialize.once(
+      df.select(col(idCol).as("id"), col(strCol).as("s")))
+    val labels = Dedup.clusters(editJoin(base, "id", "s", k))
+    base.join(labels.select(col("doc_id").as("id"), col("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), col("s"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
   /** Reference semantics for [[editJoin]]: the all-pairs verify with no
     * candidate pruning. Spec-only (quadratic); the spec asserts set
     * equality against the FastSS path on adversarial inputs.

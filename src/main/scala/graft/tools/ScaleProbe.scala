@@ -626,6 +626,58 @@ object ScaleProbe {
     emb.unpersist()
   }
 
+  /** r11e: growth curves for the ExactSubstr/fuzzy wave, each on ITS
+    * axis. longest_repeat is the wave's most scale-sensitive kernel
+    * (global suffix order = a range sort over corpus×cap int arrays —
+    * expect sort-dominant growth). exactsubstr_prune shares the corpus
+    * axis but has NO sort (map-side-combined gram counts + anti-join —
+    * expect scan-linear, cheaper than the diagnostic). edit_join grows
+    * with the dictionary; replicated copies carry suffixes pairwise ≥2
+    * edits apart so no cross-copy ED-1 pairs form — output stays linear
+    * and the measurement is the input axis, not a pair explosion.
+    * Doc copies are word-salted (the amplifyDocs convention) so repeated-
+    * gram mass grows linearly with the corpus, not quadratically.
+    */
+  private def r11eOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"longest_repeat x$k ($nd docs)") {
+        graft.ops.Dedup.longestRepeat(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"exactsubstr_prune x$k") {
+        graft.ops.Dedup.exactSubstrPrune(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist()
+      // suffix "$i$i": any two distinct copies differ by ≥2 edits
+      // (equal-length suffixes need ≥2 substitutions, unequal ≥2 edits),
+      // so the only ED-1 pairs are within-copy — linear output
+      val sup = (0 until k).map { i =>
+        Tables.table(spark, dir, "supplier").select(
+          (col("s_suppkey") + lit(i * 1000000L)).as("s_suppkey"),
+          concat(col("s_name"), lit(s"_$i$i")).as("s_name"))
+      }.reduce(_ unionByName _).cache()
+      val ns = sup.count()
+      time(s"edit_join x$k ($ns names)") {
+        graft.ops.Fuzzy.editJoin(sup, "s_suppkey", "s_name").count()
+      }
+      sup.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -646,6 +698,7 @@ object ScaleProbe {
     if (args.contains("r11b")) { r11bOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11c")) { r11cOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 

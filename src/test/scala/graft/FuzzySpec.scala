@@ -54,6 +54,40 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("editCluster: typo chains close transitively, singletons keep " +
+    "themselves, keeper = component min id") {
+    // chain: "abcd" - "abcx" - "abxx" (pairwise ED 1, ends ED 2) must
+    // land in ONE cluster labeled by the min id, even though the ends
+    // are 2 edits apart; "zzzz" stays a singleton that keeps itself
+    val df = Seq((5L, "abcd"), (6L, "abcx"), (7L, "abxx"), (8L, "zzzz"))
+      .toDF("id", "s")
+    val r = Fuzzy.editCluster(df, "id", "s").collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Boolean]("keep")))).toMap
+    assert(r(5L) == ((5L, true)))
+    assert(r(6L) == ((5L, false)))
+    assert(r(7L) == ((5L, false)), "transitive closure over the chain")
+    assert(r(8L) == ((8L, true)), "singleton keeps itself")
+  }
+
+  test("editCluster: real supplier names — one keeper per component, " +
+    "every row returns, partitioning-invariant") {
+    val sup = Tables.table(spark, Sf0001, "supplier")
+    val out = Fuzzy.editCluster(sup, "s_suppkey", "s_name")
+    val a = out.orderBy("id").collect().toSeq
+    assert(a.size == sup.count(), "spine: one row per input name")
+    val byCluster = a.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) == 1,
+        s"exactly one keeper in cluster $cid")
+      assert(rows.map(_.getAs[Long]("id")).min == cid,
+        s"cluster label must be the member min id ($cid)")
+    }
+    val b = Fuzzy.editCluster(sup.repartition(7), "s_suppkey", "s_name")
+      .orderBy("id").collect().toSeq
+    assert(a == b, "CC labels must be partitioning-invariant")
+  }
+
   test("editJoin: real supplier names — matches brute force, " +
     "partitioning-invariant") {
     val sup = Tables.table(spark, Sf0001, "supplier")

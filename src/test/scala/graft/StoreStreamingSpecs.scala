@@ -1682,3 +1682,69 @@ class StreamingClassifierServeSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingEditScreenSpec extends SparkSpec {
+  test("stream-static fuzzy screening: exactly-once hits across shared " +
+    "signatures, threshold filter, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dict = Seq((10L, "abcd"), (11L, "wxyz")).toDF("id", "s")
+    // arrival 1: "abcd" is IDENTICAL to dict 10 — the pair shares all
+    // FIVE deletion signatures, so the emit-once guard must collapse
+    // five join hits to one row. arrival 2: "abed" is ED 1
+    // (substitution, one shared signature). arrival 3: "abef" is ED 2
+    // from "abcd" -> no emission at k=1.
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingEditScreen.run(
+      ms.toDF.toDF("id", "ts", "s"), dict)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("edit_screen").start()
+    try {
+      ms.addData((1L, ts(T0), "abcd"), (2L, ts(T0 + 1), "abed"),
+        (3L, ts(T0 + 2), "abef"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, dict_id, dist FROM edit_screen")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 10L, 0L), (2L, 10L, 1L)),
+        s"exactly one hit per matching arrival expected: $got")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the screen must run without a state store")
+    } finally q.stop()
+  }
+
+  test("screen emissions match batch editJoin pairs that cross a " +
+    "stream/static split of the supplier names") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sup = graft.core.Tables.table(spark, Sf0001, "supplier")
+      .selectExpr("s_suppkey AS id", "s_name AS s")
+    val streamSide = sup.where(col("id") % 2 === 0)
+    val dict = sup.where(col("id") % 2 =!= 0)
+    val truth = graft.ops.Fuzzy.editJoin(sup, "id", "s")
+      .as[(Long, Long, Long)].collect()
+      .collect {
+        case (a, b, d) if a % 2 == 0 && b % 2 != 0 => (a, b, d)
+        case (a, b, d) if b % 2 == 0 && a % 2 != 0 => (b, a, d)
+      }.toSet
+    assert(truth.nonEmpty, "cross-split ED-1 pairs must exist")
+    val rows = streamSide.as[(Long, String)].collect()
+      .map { case (id, s) => (id, ts(T0 + id), s) }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingEditScreen.run(
+      ms.toDF.toDF("id", "ts", "s"), dict)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("edit_screen_sup").start()
+    try {
+      rows.grouped((rows.length + 1) / 2).foreach { g =>
+        ms.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT id, dict_id, dist FROM edit_screen_sup")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == truth,
+        s"stream-only=${(got -- truth).take(3)} batch-only=${(truth -- got).take(3)}")
+    } finally q.stop()
+  }
+}
