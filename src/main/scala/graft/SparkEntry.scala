@@ -1621,6 +1621,11 @@ object SparkEntry {
       // ExactSubstr removal (Lee et al.): repeated-w-gram coverage ->
       // (doc,pos) anti-join -> doc rebuild; longest_repeat's ACTION
       graft.ops.Dedup.exactSubstrPrune(Tables.table(s, dir, "documents"))),
+    "decontam_scrub" -> ((s, dir) =>
+      // span-granular decontamination: benchmark-gram coverage scrubbed
+      // from corpus docs (decontaminate drops docs; this keeps the rest)
+      graft.ops.Dedup.spanScrub(
+        Tables.table(s, dir, "documents"), col("source") === "src0")),
     "edit_join" -> ((s, dir) =>
       // FastSS deletion-neighborhood candidates + threshold-bounded
       // codegen Levenshtein verify; no cross product ever forms
@@ -4360,6 +4365,23 @@ object SparkEntry {
         "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p FROM g JOIN rep USING (h))), " +
         "kept AS (SELECT wq.doc_id, wq.pos, wq.word FROM wq LEFT JOIN cov ON cov.doc_id = wq.doc_id AND cov.p = wq.pos WHERE cov.p IS NULL), " +
         "st AS (SELECT doc_id, COALESCE(CAST(len(ws) AS BIGINT), 0) AS n_words FROM dw), " +
+        "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY 1) " +
+        "SELECT st.doc_id AS doc_id, n_words, n_words - COALESCE(n_kept, 0) AS n_removed, " +
+        "COALESCE(rb.text, '') AS text FROM st LEFT JOIN rb USING (doc_id)"),
+    // span-scrub replay: the exactsubstr_prune rebuild with the repeat
+    // screen replaced by membership in the benchmark's distinct gram set
+    "decontam_scrub" ->
+      ("WITH dw AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), " +
+        "bgi AS (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM dw WHERE source = 'src0' AND len(ws) >= 8), " +
+        "bg AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')), 1, 8) AS BIGINT) AS h FROM bgi), " +
+        "cw AS (SELECT doc_id, ws FROM dw WHERE source <> 'src0'), " +
+        "wp0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM cw), " +
+        "wq AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word FROM wp0), " +
+        "gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM cw WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, i - 1 AS pos, CAST('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')), 1, 8) AS BIGINT) AS h FROM gi), " +
+        "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p FROM g JOIN bg USING (h))), " +
+        "kept AS (SELECT wq.doc_id, wq.pos, wq.word FROM wq LEFT JOIN cov ON cov.doc_id = wq.doc_id AND cov.p = wq.pos WHERE cov.p IS NULL), " +
+        "st AS (SELECT doc_id, COALESCE(CAST(len(ws) AS BIGINT), 0) AS n_words FROM cw), " +
         "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY 1) " +
         "SELECT st.doc_id AS doc_id, n_words, n_words - COALESCE(n_kept, 0) AS n_removed, " +
         "COALESCE(rb.text, '') AS text FROM st LEFT JOIN rb USING (doc_id)"),

@@ -1143,21 +1143,85 @@ object Dedup {
     require(w >= 2, "w >= 2")
     val wordsF = docs.select(col("doc_id"),
       filter(wordsOf(col("text")), _ =!= "").as("ws"))
-    // posexplode_outer keeps zero-word docs in the spine (null word row)
-    val wp = graft.core.Materialize.once(wordsF.select(col("doc_id"),
-      posexplode_outer(col("ws"))).toDF("doc_id", "pos", "word"))
-    val grams = graft.core.Materialize.once(
-      wordsF.where(size(col("ws")) >= w)
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), size(col("ws")) - w),
-            i => hash32(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
-        .toDF("doc_id", "pos", "h"))
+    val wp = graft.core.Materialize.once(wordStream(wordsF))
+    val grams = graft.core.Materialize.once(gramStream(wordsF, w))
     val repeated = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("h")
     val covered = grams.join(repeated, Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
       .distinct()
+    rebuildMinusCovered(wp, covered)
+  }
+
+  /** Benchmark SPAN-SCRUB — decontamination at SPAN granularity (the
+    * transform [[graft.ops.TextAnalysis.decontaminate]] can't do:
+    * doc-level drop loses the whole document when one quoted benchmark
+    * passage contaminates it; this removes exactly the quoted spans and
+    * keeps the rest): every word position of a corpus document covered
+    * by a `w`-gram that appears ANYWHERE in the benchmark partition
+    * (`benchPred`) is removed and the document rewritten — the
+    * [[exactSubstrPrune]] coverage semantics with "repeated in the
+    * corpus" replaced by "present in the benchmark".
+    *
+    * Scale shape: ONE materialized (doc_id, is_bench, ws) scan feeds the
+    * benchmark gram set AND the corpus word/gram streams; the benchmark
+    * gram set is dim-scale (eval suites, not crawls) and BROADCASTS into
+    * the coverage semi-join — the contaminationCheck convention; the
+    * rebuild is [[exactSubstrPrune]]'s anti-join + one doc-keyed
+    * aggregation. Emits (doc_id, n_words, n_removed, text) for every
+    * NON-benchmark document.
+    */
+  def spanScrub(docs: DataFrame, benchPred: Column, w: Int = 8): DataFrame = {
+    require(w >= 2, "w >= 2")
+    val base = graft.core.Materialize.once(docs.select(col("doc_id"),
+      benchPred.as("is_bench"),
+      filter(wordsOf(col("text")), _ =!= "").as("ws")))
+    val bench = gramStream(base.where(col("is_bench")), w)
+      .select(col("h")).distinct()
+    val corpus = base.where(!col("is_bench"))
+    val wp = graft.core.Materialize.once(wordStream(corpus))
+    val covered = gramStream(corpus, w).join(broadcast(bench), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+      .distinct()
+    rebuildMinusCovered(wp, covered)
+  }
+
+  /** (doc_id, pos, word) stream over a (doc_id, ws) frame;
+    * posexplode_outer keeps zero-word docs in the spine (null word row).
+    */
+  private def wordStream(wordsF: DataFrame): DataFrame =
+    wordsF.select(col("doc_id"), posexplode_outer(col("ws")))
+      .toDF("doc_id", "pos", "word")
+
+  /** (doc_id, pos, h) w-gram hash32 stream over a (doc_id, ws) frame —
+    * map-only, 8-byte gram keys (never text ×w through a shuffle).
+    */
+  private def gramStream(wordsF: DataFrame, w: Int): DataFrame =
+    wordsF.where(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - w),
+          i => hash32(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
+      .toDF("doc_id", "pos", "h")
+
+  /** One-row (dg: sorted array of distinct w-gram hash32s) dictionary
+    * frame — the broadcastable dictionary the streaming scrub crosses
+    * in (dim-scale contract: the array rides one broadcast variable).
+    */
+  private[graft] def dictGramArray(docs: DataFrame, w: Int = 8): DataFrame = {
+    val wordsF = docs.select(col("doc_id"),
+      filter(wordsOf(col("text")), _ =!= "").as("ws"))
+    gramStream(wordsF, w).select(col("h")).distinct()
+      .agg(sort_array(collect_list(col("h"))).as("dg"))
+  }
+
+  /** Rebuild documents from a (doc_id, pos, word) stream minus a covered
+    * (doc_id, pos) set: co-partitioned anti-join, then one doc-keyed
+    * sort_array aggregation bounded by each document's own length.
+    */
+  private def rebuildMinusCovered(wp: DataFrame,
+      covered: DataFrame): DataFrame = {
     val kept = wp.where(col("word").isNotNull)
       .join(covered, Seq("doc_id", "pos"), "left_anti")
     val stats = wp.groupBy(col("doc_id")).agg(count(col("word")).as("n_words"))

@@ -52,11 +52,20 @@ object Fuzzy {
     * distinct pairs. k ∈ {1, 2}.
     */
   def editJoin(df: DataFrame, idCol: String, strCol: String,
-      k: Int = 1): DataFrame = {
+      k: Int = 1): DataFrame =
+    joinPairs(graft.core.Materialize.once(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))), k)
+
+  /** Pair kernel over an already-materialized (id, s) cut — ONE source
+    * scan: both sides of the signature self-join read the cut; the
+    * neighborhood explode recomputes per side (cheap codegen) rather
+    * than storing the ×(L+1) fan-out. Two-step select: the lambda must
+    * reference the child's column, not a lateral alias born in the same
+    * projection.
+    */
+  private def joinPairs(base: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 2, "k in {1, 2}")
-    // two-step select: the lambda must reference the child's column,
-    // not a lateral alias born in the same projection
-    val sig = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val sig = base
       .select(col("id"), col("s"), explode(neighborhood(col("s"), k)).as("sig"))
     val cand = sig.join(
         sig.select(col("id").as("id2"), col("s").as("s2"), col("sig")),
@@ -89,7 +98,7 @@ object Fuzzy {
       k: Int = 1): DataFrame = {
     val base = graft.core.Materialize.once(
       df.select(col(idCol).as("id"), col(strCol).as("s")))
-    val labels = Dedup.clusters(editJoin(base, "id", "s", k))
+    val labels = Dedup.clusters(joinPairs(base, k))
     base.join(labels.select(col("doc_id").as("id"), col("cluster_id")),
         Seq("id"), "left")
       .select(col("id"), col("s"),

@@ -441,6 +441,41 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "coverage + rebuild must be partitioning-invariant")
   }
 
+  // ---- benchmark span-scrub (r11e) ----
+
+  test("spanScrub: quoted benchmark span removed at SPAN granularity; " +
+    "own repeats and novel text survive; benchmark docs drop from output") {
+    import spark.implicits._
+    val bench = (1 to 8).map(i => s"Q$i").mkString(" ")
+    val own = (1 to 8).map(i => s"R$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$bench intro words", "src0"),      // the benchmark doc
+      (1L, s"x y $bench u v", "web"),           // quotes the benchmark
+      (2L, s"$own z $own", "web"),              // own repeat: NOT scrubbed
+      (3L, "plain novel prose here", "web")).toDF("doc_id", "text", "source")
+    val r = graft.ops.Dedup.spanScrub(d, col("source") === "src0").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("text")))).toMap
+    assert(!r.contains(0L), "benchmark docs are not rewritten")
+    assert(r(1L) == ((12L, 8L, "x y u v")), "exactly the quoted span goes")
+    assert(r(2L) == ((17L, 0L, s"$own z $own")),
+      "within-corpus repeats are exactsubstr_prune's job, not scrub's")
+    assert(r(3L) == ((4L, 0L, "plain novel prose here")))
+  }
+
+  test("spanScrub: partitioning-invariant on the real corpus and " +
+    "does real work at w=8") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val a = graft.ops.Dedup.spanScrub(docs, col("source") === "src0")
+      .orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a.size ==
+      docs.where(col("source") =!= "src0").count())
+    val b = graft.ops.Dedup.spanScrub(docs.repartition(7),
+      col("source") === "src0").orderBy("doc_id").collect().toSeq
+    assert(a == b, "coverage + rebuild must be partitioning-invariant")
+  }
+
   // ---- perceptual dHash: stub (oracled) face (r11) ----
 
   test("imageDhashStub: hand-computed md5-hex dHash, positive, repartition-stable") {

@@ -791,6 +791,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p, "Scan ExistingRDD") == 2, p)
   }
 
+  test("r11e fuzzy/exactsubstr ops keep their scale shapes") {
+    // edit_join: candidates from the signature EQUI self-join over ONE
+    // materialized (id, s) cut — never a cartesian, never a window;
+    // verify is the codegen'd threshold levenshtein
+    val pj = planOf("edit_join")
+    assert(!pj.contains("FileScan"),
+      "both join sides must read the materialized cut\n" + pj)
+    assert(!pj.contains("CartesianProduct") &&
+      !pj.contains("BroadcastNestedLoopJoin"), pj)
+    assert(!pj.contains("Window"), pj)
+    assert(pj.contains("levenshtein"),
+      "codegen levenshtein verify expected\n" + pj)
+    // edit_cluster: keeper is a map-side comparison (id == cluster_id),
+    // no window; labels come from CC cuts, never a corpus re-scan
+    val pc = planOf("edit_cluster")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Window"), pc)
+    assert(!pc.contains("FileScan"), pc)
+    // exactsubstr_prune: coverage screen and rebuild read the two
+    // materialized cuts (word stream + gram stream); the corpus parquet
+    // was scanned during materialization only — no window, no cartesian
+    val pp = planOf("exactsubstr_prune")
+    assert(!pp.contains("FileScan"),
+      "consumers must read the materialized word/gram cuts\n" + pp)
+    assert(!pp.contains("Window") && !pp.contains("CartesianProduct"), pp)
+  }
+
   test("ann_filtered_pq: metadata rides the encode, never a corpus join") {
     // the label column is passed THROUGH the map-only encode
     // (ivfPqReconFrame passthrough) — no segment or final plan may join

@@ -1748,3 +1748,65 @@ class StreamingEditScreenSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingSpanScrubSpec extends SparkSpec {
+  test("live span-scrub: dictionary span removed in-row, novel and " +
+    "sub-w arrivals untouched, stateless and shuffle-free") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val span = (1 to 8).map(i => s"Q$i").mkString(" ")
+    val dict = Seq((0L, s"$span plus dictionary context")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingSpanScrub.run(
+      ms.toDF.toDF("doc_id", "ts", "text"), dict)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("span_scrub").start()
+    try {
+      ms.addData(
+        (1L, ts(T0), s"x y $span u v"),
+        (2L, ts(T0 + 1), "entirely novel arrival text with no dictionary overlap"),
+        (3L, ts(T0 + 2), "short one"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_words, n_removed, text FROM span_scrub")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got(0) == ((1L, 12L, 8L, "x y u v")), s"$got")
+      assert(got(1)._3 == 0L && got(1)._4.startsWith("entirely novel"))
+      assert(got(2) == ((3L, 2L, 0L, "short one")))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the scrub must run without a state store")
+    } finally q.stop()
+  }
+
+  test("streaming scrub equals batch spanScrub over the real corpus split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val truth = graft.ops.Dedup.spanScrub(docs, col("source") === "src0")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(truth.exists(_._3 > 0L), "some corpus doc must get scrubbed")
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val rows = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, ts(T0 + id), t) }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingSpanScrub.run(
+      ms.toDF.toDF("doc_id", "ts", "text"),
+      docs.where(col("source") === "src0"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("span_scrub_corpus").start()
+    try {
+      rows.grouped((rows.length + 1) / 2).foreach { g =>
+        ms.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+        "SELECT doc_id, n_words, n_removed, text FROM span_scrub_corpus")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == truth,
+        s"stream-only=${(got -- truth).take(2)} batch-only=${(truth -- got).take(2)}")
+    } finally q.stop()
+  }
+}
