@@ -678,6 +678,53 @@ object ScaleProbe {
     }
   }
 
+  /** r11f: growth curves for the decontamination/entity-resolution
+    * closers. decontam_scrub grows with the CORPUS at a fixed benchmark
+    * (the benchmark gram set stays one broadcast — expect the
+    * exactsubstr_prune scan-bound shape without the repeat count);
+    * edit_cluster adds the CC rounds on top of edit_join's flat join
+    * profile (copies suffixed ≥2 edits apart: component structure is
+    * per-copy, so rounds stay constant and growth is the edge volume).
+    */
+  private def r11fOpsCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(1, 8, 27).foreach { k =>
+      // corpus copies word-salted; the benchmark partition (source src0)
+      // kept ONLY in copy 0 so the dictionary is fixed while the corpus
+      // grows — the serving-shape axis
+      val docs = (0 until k).map { i =>
+        val base = Tables.table(spark, dir, "documents")
+        val c = if (i == 0) base else base.where(col("source") =!= "src0")
+        c.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_$i")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val nd = docs.count()
+      time(s"decontam_scrub x$k ($nd docs)") {
+        graft.ops.Dedup.spanScrub(docs, col("source") === "src0").count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist()
+      val sup = (0 until k).map { i =>
+        Tables.table(spark, dir, "supplier").select(
+          (col("s_suppkey") + lit(i * 1000000L)).as("s_suppkey"),
+          concat(col("s_name"), lit(s"_$i$i")).as("s_name"))
+      }.reduce(_ unionByName _).cache()
+      val ns = sup.count()
+      time(s"edit_cluster x$k ($ns names)") {
+        graft.ops.Fuzzy.editCluster(sup, "s_suppkey", "s_name").count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      sup.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -699,6 +746,7 @@ object ScaleProbe {
     if (args.contains("r11c")) { r11cOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 
