@@ -32,10 +32,15 @@ object SparkEntry {
 
   // ---- shared SQL fragments for the DuckDB oracles -------------------------
 
-  /** events → trade stream (SURVEY §1 domain mapping). */
+  /** events → trade stream (SURVEY §1 domain mapping). The WHERE mirrors
+    * Tables.trades' ingest boundary: malformed rows (null symbol/ts/
+    * price/size) drop — a no-op on well-formed feeds.
+    */
   private val TradesSql =
-    "SELECT event_type AS symbol, ts, value AS price, " +
-      "CAST(regexp_extract(props, '([0-9]+)', 1) AS DOUBLE) AS qty FROM events"
+    "SELECT * FROM (SELECT event_type AS symbol, ts, value AS price, " +
+      "CAST(regexp_extract(props, '([0-9]+)', 1) AS DOUBLE) AS qty FROM events) " +
+      "WHERE symbol IS NOT NULL AND ts IS NOT NULL " +
+      "AND price IS NOT NULL AND qty IS NOT NULL"
 
   /** OHLCV resample at a fixed width, mirroring Candles.fromTrades. */
   private def candlesSql(widthUs: Long, src: String = "t"): String =

@@ -65,10 +65,17 @@ object Tables {
     */
   def trades(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // malformed feed rows (null symbol/ts/price/size) drop at the ingest
+    // boundary — the reference fetcher's skip-bad-row contract; a null
+    // price reaching the typed per-symbol sweeps would crash them, and
+    // null-keyed candles answer no query. No-op on well-formed feeds;
+    // TradesSql mirrors the filter so the oracle replays it.
     events(spark, dir).select(
       col("event_type").as("symbol"),
       col("ts"),
       col("value").as("price"),
       regexp_extract(col("props"), "([0-9]+)", 1).cast("double").as("qty"))
+      .where(col("symbol").isNotNull && col("ts").isNotNull &&
+        col("price").isNotNull && col("qty").isNotNull)
   }
 }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Ivf {
 
+  // null embeddings (malformed feed rows) drop at the parse boundary —
+  // every collector below reads v with getSeq and would NPE otherwise
   private def vecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Map-only nearest-cell assignment via the fused native argmax.
     * Empty model (empty corpus at train time) → empty assignment with
@@ -212,8 +215,9 @@ object Ivf {
     */
   def labelConfusion(emb: DataFrame): DataFrame = {
     val d = org.apache.spark.sql.types.DecimalType(30, 15)
-    val e = emb.select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
+    val e = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
     val cents = localize(e
       .select(col("label").cast("int").as("cid"), posexplode(col("v")))
       .toDF("cid", "pos", "x")
@@ -460,9 +464,10 @@ object Ivf {
   def ivfPqReconFrame(emb: DataFrame, cents: Array[Array[Double]],
                       m: Int = 4, k: Int = 16,
                       passthrough: Seq[String] = Nil): DataFrame = {
-    val e = emb.select((Seq(col("vec_id"),
-      col("embedding").cast("array<double>").as("v")) ++
-      passthrough.map(col)): _*)
+    val e = emb.where(col("embedding").isNotNull)
+      .select((Seq(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")) ++
+        passthrough.map(col)): _*)
     ivfPqEncodedFrame(e, cents, m, k)
       .select((Seq("vec_id", "cid", "recon") ++ passthrough).map(col): _*)
   }

@@ -467,7 +467,10 @@ object Multimodal {
       (id, w, ht, 3L, feat)
     }
 
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // null payloads (malformed feed rows) drop at the decode boundary —
+    // there is nothing to decode, and the digest would NPE
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
         val (i, w, h, c, f) = fakeDecode(id, bytes)

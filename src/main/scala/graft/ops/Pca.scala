@@ -34,8 +34,10 @@ object Pca {
   case class Model(mean: Array[Double], components: Array[Array[Double]],
                    eigenvalues: Array[Double])
 
+  // null embeddings (malformed feed rows) drop at the parse boundary
   private def vecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** ONE distributed accumulation pass → driver-side Jacobi → Model.
     * `k` caps the returned components (k ≤ d).

@@ -77,7 +77,8 @@ object Retrieval {
   def mmrRerank(spark: SparkSession, emb: DataFrame, queries: DataFrame,
                 n: Int = 8, k: Int = 4, lambda: BigDecimal = BigDecimal("0.7"),
                 mu: BigDecimal = BigDecimal("0.3")): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // exact top-n per query, vectors re-attached for the pair matrix
     val cand = graft.core.Materialize.once(
       Similarity.bruteForceTopK(spark, emb, queries, n)

@@ -33,8 +33,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_sim(a, b)
 
+  // null embeddings (malformed feed rows) drop at the parse boundary
   private def vecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Map-side bounded top-k per query over a scored candidate frame
     * (qid, id2, cos) → (qid, id2, cos, rn). See TopKByScore for why this

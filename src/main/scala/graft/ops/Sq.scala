@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Sq {
 
+  // null embeddings (malformed feed rows) drop at the parse boundary
   private def vecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Per-dim (min, max), index order. Dim-scale model: d rows collected. */
   def trainMinMax(emb: DataFrame): (Array[Double], Array[Double]) = {

@@ -24,6 +24,22 @@ class EmptySweepSpec extends SparkSpec {
       fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
   }
 
+  test("every registry query tolerates null-dirtied rows") {
+    // each table carries extra rows whose string/floating/decimal/
+    // timestamp/array columns are NULL (keys survive) — the malformed-
+    // feed scenario. The r11 sweep found 38 crashes in three clusters,
+    // all fixed at shared boundaries: null embeddings drop at the vecs
+    // parse (getSeq NPE in every ANN/knn/semantic collector), null
+    // symbol/ts/price/qty trades drop at the ingest boundary (typed
+    // per-symbol sweeps assert non-null closes), null payloads drop at
+    // the stub decode (digest NPE).
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty").toString
+    graft.tools.NullSweep.writeDirty(spark, Sf0001, dir)
+    val fs = graft.tools.NullSweep.failures(spark, dir)
+    assert(fs.isEmpty, "queries crashing on null-dirtied rows:\n" +
+      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+  }
+
   test("every registry query tolerates a singleton corpus") {
     // one row per table: the n=1 edge where sample-variance and lag
     // denominators hit zero — ANSI mode turns those into crashes
