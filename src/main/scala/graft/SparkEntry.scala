@@ -2638,7 +2638,7 @@ object SparkEntry {
     "longest_repeat" ->
       ("WITH w AS (SELECT doc_id, list_transform(" +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), " +
-        "wd -> CAST('0x' || substr(md5(wd), 1, 8) AS BIGINT)) AS ws FROM documents), " +
+        "wd -> CAST(CAST('0x' || substr(md5(wd), 1, 8) AS BIGINT) & 2147483647 AS INTEGER)) AS ws FROM documents), " +
         "wf AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0), " +
         "ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wf), " +
         "suf AS (SELECT doc_id, i - 1 AS pos, ws[i : i + 31] AS sfx FROM ix), " +

@@ -924,7 +924,11 @@ object Dedup {
       .select(col("doc_id"),
         filter(col("ws"), _ =!= "").as("ws"))
       .where(size(col("ws")) > 0)
-      .select(col("doc_id"), transform(col("ws"), wd => hash32(wd)).as("hs"))
+      .select(col("doc_id"), transform(col("ws"),
+        // 31-bit mask packs tokens into INT arrays — halves the bytes the
+        // range sort and rank join ship (the dominant cost at scale);
+        // collision rate doubles off a 2^-32 base, identical both engines
+        wd => hash32(wd).bitwiseAND(lit(0x7FFFFFFFL)).cast("int")).as("hs"))
     val suf = w.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("hs")) - 1),
         i => slice(col("hs"), i + 1, lit(cap)))).as(Seq("pos", "sfx")))

@@ -1702,7 +1702,8 @@ class StreamingEditScreenSpec extends SparkSpec {
       .queryName("edit_screen").start()
     try {
       ms.addData((1L, ts(T0), "abcd"), (2L, ts(T0 + 1), "abed"),
-        (3L, ts(T0 + 2), "abef"))
+        (3L, ts(T0 + 2), "abef"),
+        (4L, ts(T0 + 3), null)) // malformed feed row: drops, no crash
       q.processAllAvailable()
       val got = spark.sql("SELECT id, dict_id, dist FROM edit_screen")
         .as[(Long, Long, Long)].collect().toSeq.sorted
@@ -1766,7 +1767,8 @@ class StreamingSpanScrubSpec extends SparkSpec {
       ms.addData(
         (1L, ts(T0), s"x y $span u v"),
         (2L, ts(T0 + 1), "entirely novel arrival text with no dictionary overlap"),
-        (3L, ts(T0 + 2), "short one"))
+        (3L, ts(T0 + 2), "short one"),
+        (4L, ts(T0 + 3), null)) // malformed feed row: survives as empty
       q.processAllAvailable()
       val got = spark.sql(
         "SELECT doc_id, n_words, n_removed, text FROM span_scrub")
@@ -1774,6 +1776,8 @@ class StreamingSpanScrubSpec extends SparkSpec {
       assert(got(0) == ((1L, 12L, 8L, "x y u v")), s"$got")
       assert(got(1)._3 == 0L && got(1)._4.startsWith("entirely novel"))
       assert(got(2) == ((3L, 2L, 0L, "short one")))
+      assert(got(3) == ((4L, 0L, 0L, "")),
+        "null text must emit the empty rewrite, not crash")
       assert(q.lastProgress.stateOperators.isEmpty,
         "the scrub must run without a state store")
     } finally q.stop()
