@@ -397,3 +397,63 @@ class ClustersAlgebraSpec extends SparkSpec {
     }
   }
 }
+
+/** Property checks for the r11e edit-distance family: the FastSS
+  * candidate argument (ED ≤ k ⇒ the ≤k-deletion neighborhoods
+  * intersect) is exactness-critical — a missed candidate is a silently
+  * missing pair. Seeded scalacheck dictionaries over a 2-letter
+  * alphabet maximize neighborhood collisions and near-miss pairs, far
+  * beyond FuzzySpec's hand dictionary.
+  */
+class FuzzyAlgebraSpec extends SparkSpec {
+  import org.scalacheck.{Gen, rng}
+  import spark.implicits._
+
+  private val genDict: Gen[List[String]] = for {
+    n <- Gen.chooseNum(8, 24)
+    strs <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)
+  } yield strs
+
+  test("editJoin == brute-force verify on seeded random dictionaries, k=1 and k=2") {
+    (0 until 6).foreach { seed =>
+      val dict = genDict.apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = dict.toDF("id", "s")
+      for (k <- Seq(1, 2)) {
+        val fast = graft.ops.Fuzzy.editJoin(df, "id", "s", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val brute = graft.ops.Fuzzy.editJoinBrute(df, "id", "s", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(fast == brute,
+          s"seed=$seed k=$k missing=${(brute -- fast).take(3)} " +
+            s"extra=${(fast -- brute).take(3)} dict=$dict")
+      }
+    }
+  }
+}
+
+/** Cross-kernel consistency: longestRepeat (suffix order + adjacent
+  * LCP) and exactSubstrPrune (w-gram occurrence counts) are INDEPENDENT
+  * derivations of the same repeated-span structure — a document has a
+  * repeated span of ≥ w words iff the prune removes something from it.
+  * Checking the sets against each other on the real corpus validates
+  * both kernels in one assertion.
+  */
+class ExactSubstrConsistencySpec extends SparkSpec {
+  test("prune removes from exactly the docs whose longest repeat reaches w") {
+    val docs = graft.core.Tables.table(spark, Sf0001, "documents")
+    val byRepeat = graft.ops.Dedup.longestRepeat(docs).collect()
+      .filter(_.getLong(1) >= 8L).map(_.getLong(0)).toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val byPrune = graft.ops.Dedup.exactSubstrPrune(docs).collect()
+      .filter(_.getAs[Long]("n_removed") > 0L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(byRepeat == byPrune,
+      s"repeat-only=${(byRepeat -- byPrune).take(5)} " +
+        s"prune-only=${(byPrune -- byRepeat).take(5)}")
+    assert(byRepeat.nonEmpty, "the corpus plants repeated spans")
+  }
+}
