@@ -44,6 +44,23 @@ object Dedup {
   private[graft] def hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Packed (id, idx) BIGINT key — the aroon/span_dedup idiom — with its
+    * documented headroom (0 ≤ idx < 2²⁰, 0 ≤ id < 2⁴³) enforced as a
+    * LOUD error: outside the headroom the packing silently collides,
+    * which at 100 TB is a wrong answer nobody sees, not an edge case.
+    * One branch per row (assert_true in codegen); the success-null folds
+    * into the arithmetic via coalesce.
+    */
+  private[graft] def packKey20(id: Column, idx: Column): Column = {
+    val guard = assert_true(
+      id >= 0 && id < lit(1L << 43) && idx >= 0 && idx < lit(1L << 20),
+      concat(lit("packed-key headroom exceeded (id < 2^43, idx < 2^20): id="),
+        id.cast("string"), lit(" idx="), idx.cast("string")))
+    // the guard wraps the multiplicand so it fires BEFORE the multiply
+    // can ANSI-overflow on an out-of-headroom id
+    coalesce(guard.cast("long"), id) * lit(1048576L) + idx
+  }
+
   /** Exact dedup: group identical texts by content hash. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text").cast("binary")).as("h"))
@@ -1102,7 +1119,7 @@ object Dedup {
       .toDF("doc_id", "idx", "span")
     val hashed = graft.core.Materialize.once(
       spans.withColumn("h", md5(col("span").cast("binary")))
-        .withColumn("pk", col("doc_id") * lit(1048576L) + col("idx")))
+        .withColumn("pk", packKey20(col("doc_id"), col("idx"))))
     val firsts = hashed.groupBy(col("h")).agg(min(col("pk")).as("first_pk"))
     hashed.join(firsts, Seq("h"))
       .withColumn("kept", col("pk") === col("first_pk"))

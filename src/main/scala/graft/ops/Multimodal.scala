@@ -438,7 +438,9 @@ object Multimodal {
                  payloadCol: String = "payload"): DataFrame =
     lumaGrid(
       frames.select(
-        (col(idCol).cast("long") * lit(1048576L) +
+        // guarded packing: a >2^20 frame_idx (or negative id) raises
+        // instead of silently colliding two clips' frames
+        Dedup.packKey20(col(idCol).cast("long"),
           col(frameCol).cast("long")).as("doc_id"),
         col(payloadCol).cast("binary").as("payload")))
       .select(expr("doc_id DIV 1048576").as("doc_id"),

@@ -441,6 +441,37 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "coverage + rebuild must be partitioning-invariant")
   }
 
+  // ---- guarded packed keys (r11g) ----
+
+  test("packKey20: valid keys pack exactly; headroom violations raise " +
+    "LOUDLY instead of silently colliding") {
+    import spark.implicits._
+    val ok = Seq((5L, 7L)).toDF("id", "idx")
+      .select(graft.ops.Dedup.packKey20(col("id"), col("idx")).as("pk"))
+      .head().getLong(0)
+    assert(ok == 5L * 1048576L + 7L)
+    for (bad <- Seq((1L, 1048576L), (1L, -1L), (-1L, 0L), (1L << 43, 0L))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("id", "idx")
+          .select(graft.ops.Dedup.packKey20(col("id"), col("idx")))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("headroom")), s"$bad: $e")
+    }
+    // the guarded face end-to-end: a >2^20 frame index raises
+    val e2 = intercept[Exception] {
+      graft.ops.Multimodal.frameDhash(
+        Seq((1L, 1048576L, Array[Byte](1, 2, 3)))
+          .toDF("doc_id", "frame_idx", "payload")).collect()
+    }
+    assert(String.valueOf(e2.getMessage).contains("headroom") ||
+      (e2.getCause != null &&
+        String.valueOf(e2.getCause.getMessage).contains("headroom")))
+  }
+
   // ---- benchmark span-scrub (r11e) ----
 
   test("spanScrub: quoted benchmark span removed at SPAN granularity; " +
