@@ -4374,12 +4374,14 @@ object SparkEntry {
         "SELECT st.doc_id AS doc_id, n_words, n_words - COALESCE(n_kept, 0) AS n_removed, " +
         "COALESCE(rb.text, '') AS text FROM st LEFT JOIN rb USING (doc_id)"),
     // span-scrub replay: the exactsubstr_prune rebuild with the repeat
-    // screen replaced by membership in the benchmark's distinct gram set
+    // screen replaced by membership in the benchmark's distinct gram set;
+    // corpus cut is IS DISTINCT FROM so a null source is CORPUS (the
+    // spanScrub null-fold contract), never silently dropped
     "decontam_scrub" ->
       ("WITH dw AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), " +
         "bgi AS (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM dw WHERE source = 'src0' AND len(ws) >= 8), " +
         "bg AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')), 1, 8) AS BIGINT) AS h FROM bgi), " +
-        "cw AS (SELECT doc_id, ws FROM dw WHERE source <> 'src0'), " +
+        "cw AS (SELECT doc_id, ws FROM dw WHERE source IS DISTINCT FROM 'src0'), " +
         "wp0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM cw), " +
         "wq AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word FROM wp0), " +
         "gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM cw WHERE len(ws) >= 8), " +

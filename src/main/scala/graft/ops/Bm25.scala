@@ -70,4 +70,48 @@ object Bm25 {
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
     scores(docs, terms, k1, b)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** Multi-query BM25 scores over ONE corpus scan: `queryTerms` is a
+    * (qid, term) frame — dim-scale (a serving batch of queries), so it
+    * BROADCASTS everywhere it appears. Per-(doc, term) tf and per-term
+    * df are computed once against the UNION of all query term sets and
+    * fan out to queries through the broadcast term join at the end —
+    * serving B queries costs the same postings pass as one (the whole
+    * point of a serve face). Scoring is [[scores]]' exact recipe
+    * verbatim (round-6 contributions, DECIMAL(18,6) sums), so per-qid
+    * results equal the single-query path bit-for-bit (spec-pinned).
+    * Emits (qid, doc_id, score) for docs matching ≥ 1 of that query's
+    * terms.
+    */
+  def scoresMulti(docs: DataFrame, queryTerms: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queryTerms.select(col("qid"), col("term"))
+    val lens = graft.core.Materialize.once(
+      docs.select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), "\\s+")).cast("long")).as("dl")))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+
+    val tf = graft.core.Materialize.once(
+      docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .join(broadcast(q.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+
+    val contrib = tf
+      .join(df, Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+              (col("tot").cast("double") / col("n")))), 6)
+          .cast(DecimalType(18, 6)).as("c"))
+
+    contrib.join(broadcast(q), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+  }
 }

@@ -1191,12 +1191,15 @@ object Dedup {
     * the coverage semi-join — the contaminationCheck convention; the
     * rebuild is [[exactSubstrPrune]]'s anti-join + one doc-keyed
     * aggregation. Emits (doc_id, n_words, n_removed, text) for every
-    * NON-benchmark document.
+    * NON-benchmark document. A NULL `benchPred` folds to FALSE — the
+    * row is CORPUS, scrubbed and emitted (without the fold, both
+    * `where(is_bench)` and `where(!is_bench)` drop the null row and a
+    * null-dirtied source column makes documents silently vanish).
     */
   def spanScrub(docs: DataFrame, benchPred: Column, w: Int = 8): DataFrame = {
     require(w >= 2, "w >= 2")
     val base = graft.core.Materialize.once(docs.select(col("doc_id"),
-      benchPred.as("is_bench"),
+      coalesce(benchPred, lit(false)).as("is_bench"),
       filter(wordsOf(col("text")), _ =!= "").as("ws")))
     val bench = gramStream(base.where(col("is_bench")), w)
       .select(col("h")).distinct()

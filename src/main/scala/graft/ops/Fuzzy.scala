@@ -31,10 +31,40 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** All strings formed by deleting exactly one character of `s`. */
+  /** The documented input contract: the L^k fan-out is priced for SHORT
+    * identity columns. Callers raise LOUDLY past this unless they widen
+    * it explicitly — the packed-key-headroom convention (see
+    * [[Dedup.packKey20]]): a silent fan-out explosion at 100 TB is an
+    * executor-OOM storm nobody attributes, not an edge case.
+    */
+  val DefaultMaxLen = 64
+
+  /** All strings formed by deleting exactly one character of `s`.
+    * Explicit empty guard: without it `sequence(1, 0)` produces Spark's
+    * DESCENDING [1, 0] and correctness would rest on negative-length
+    * `substr` collapsing the junk — two non-obvious engine behaviors
+    * (the shinglesFromWords guard convention).
+    */
   private[graft] def deletions(s: Column): Column =
-    transform(sequence(lit(1), length(s)),
-      i => concat(substr(s, lit(1), i - 1), substr(s, i + 1, length(s))))
+    when(coalesce(length(s), lit(0)) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(substr(s, lit(1), i - 1), substr(s, i + 1, length(s)))))
+
+  /** LOUD length-contract guard on the neighborhood input: raises per-row
+    * when `s` is longer than `maxLen` chars (a 10 KB string at k=2 is
+    * ~10⁸ neighborhood rows PER ROW — silent misuse, not data). NULLs
+    * pass through untouched (they explode to zero signature rows — the
+    * null-dirt robustness contract); the success-null of `assert_true`
+    * folds back into the string via coalesce, one codegen branch per row.
+    */
+  private[graft] def guarded(s: Column, maxLen: Int): Column = {
+    val guard = assert_true(coalesce(length(s), lit(0)) <= lit(maxLen),
+      concat(lit("editJoin input exceeds maxLen=" + maxLen +
+          " chars (the deletion-neighborhood fan-out is priced for short" +
+          " identity columns; pass maxLen explicitly to widen): length="),
+        length(s).cast("string"), lit(" s="), substring(s, 1, 40)))
+    coalesce(guard.cast("string"), s)
+  }
 
   /** The ≤k-deletion neighborhood of `s` (k ∈ {1, 2}), duplicates
     * removed map-side so the explode fan-out is minimal.
@@ -49,12 +79,14 @@ object Fuzzy {
 
   /** Edit-distance-≤-k similarity join of a table with itself on
     * `strCol`, identities from `idCol`. Emits (id1 < id2, dist ≤ k)
-    * distinct pairs. k ∈ {1, 2}.
+    * distinct pairs. k ∈ {1, 2}. Strings longer than `maxLen` raise
+    * loudly (see [[guarded]]); widen it deliberately, never implicitly.
     */
   def editJoin(df: DataFrame, idCol: String, strCol: String,
-      k: Int = 1): DataFrame =
+      k: Int = 1, maxLen: Int = DefaultMaxLen): DataFrame =
     joinPairs(graft.core.Materialize.once(
-      df.select(col(idCol).as("id"), col(strCol).as("s"))), k)
+      df.select(col(idCol).as("id"),
+        guarded(col(strCol), maxLen).as("s"))), k)
 
   /** Pair kernel over an already-materialized (id, s) cut — ONE source
     * scan: both sides of the signature self-join read the cut; the
@@ -95,9 +127,9 @@ object Fuzzy {
     * the label join back is component-scale.
     */
   def editCluster(df: DataFrame, idCol: String, strCol: String,
-      k: Int = 1): DataFrame = {
+      k: Int = 1, maxLen: Int = DefaultMaxLen): DataFrame = {
     val base = graft.core.Materialize.once(
-      df.select(col(idCol).as("id"), col(strCol).as("s")))
+      df.select(col(idCol).as("id"), guarded(col(strCol), maxLen).as("s")))
     val labels = Dedup.clusters(joinPairs(base, k))
     base.join(labels.select(col("doc_id").as("id"), col("cluster_id")),
         Seq("id"), "left")

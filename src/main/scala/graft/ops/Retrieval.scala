@@ -59,6 +59,70 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id")).limit(k)
   }
 
+  /** Multi-query hybrid RRF — the serving kernel under
+    * [[graft.streaming.StreamingHybridServe]]: a BATCH of hybrid queries
+    * (vec_id, terms: array<string>, embedding) fused in one pass.
+    * Lexical branch: [[Bm25.scoresMulti]] — ONE corpus postings scan for
+    * the whole batch, query terms broadcast. Semantic branch: exact
+    * cosine top-n per query (queries broadcast into the corpus scan).
+    * Fusion math is [[hybridRrf]]'s verbatim; per-qid results equal the
+    * single-query path (spec-pinned). Output: (qid, rn, doc_id, lex_rn,
+    * sem_rn, rrf), rn the per-qid RRF rank (ties to the smaller doc_id).
+    */
+  def hybridRrfMulti(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+                     n: Int = 20, k: Int = 10, c: Int = 60): DataFrame = {
+    val semTop = Similarity
+      .bruteForceTopK(docs.sparkSession, emb, queries, n)
+      .select(col("qid"), col("id2").as("doc_id"), col("rn").as("sem_rn"))
+    fuse(lexTopMulti(docs, queries, n), semTop, k, c)
+  }
+
+  /** [[hybridRrfMulti]] with the semantic branch served by a PRE-TRAINED
+    * IVF model (`Ivf.searchTopKWith` — probes prune the corpus to
+    * `nprobe` cells) instead of the exact scan: the scale path a serving
+    * job runs against a persisted index. At nprobe = numCells the probe
+    * scan degenerates to the exact scan, so results equal
+    * [[hybridRrfMulti]] (the spec's equality anchor).
+    */
+  def hybridRrfMultiWith(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+                         cents: Array[Array[Double]], nprobe: Int = 4,
+                         n: Int = 20, k: Int = 10, c: Int = 60): DataFrame = {
+    val semTop = Ivf.searchTopKWith(emb, queries, n, cents, nprobe)
+      .select(col("qid"), col("id2").as("doc_id"), col("rn").as("sem_rn"))
+    fuse(lexTopMulti(docs, queries, n), semTop, k, c)
+  }
+
+  /** Per-qid BM25 top-n over the batch's exploded (qid, term) frame. */
+  private def lexTopMulti(docs: DataFrame, queries: DataFrame,
+                          n: Int): DataFrame =
+    Similarity.topK(
+      Bm25.scoresMulti(docs,
+        queries.select(col("vec_id").as("qid"), explode(col("terms")).as("term")))
+        .select(col("qid"), col("doc_id").as("id2"), col("score").as("cos")), n)
+      .select(col("qid"), col("id2").as("doc_id"), col("rn").as("lex_rn"))
+
+  /** RRF fusion + per-qid top-k close shared by the multi faces: the
+    * full-outer rank join touches ≤ 2n rows per qid; the k-cut is the
+    * bounded-heap TopKByScore aggregate ((rrf desc, doc_id asc) — the
+    * single-query orderBy contract), never a global sort; the rank
+    * re-attach join is top-k-bounded.
+    */
+  private def fuse(lexTop: DataFrame, semTop: DataFrame, k: Int,
+                   c: Int): DataFrame = {
+    val fused = lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rn"), col("sem_rn"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("lex_rn")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c) + col("sem_rn")), lit(0.0)), 6)
+          .as("rrf"))
+    Similarity.topK(
+        fused.select(col("qid"), col("doc_id").as("id2"), col("rrf").as("cos")), k)
+      .select(col("qid"), col("id2").as("doc_id"), col("rn"))
+      .join(fused, Seq("qid", "doc_id"))
+      .select(col("qid"), col("rn"), col("doc_id"),
+        col("lex_rn"), col("sem_rn"), col("rrf"))
+  }
+
   /** MMR-diversified top-k per query: exact cosine top-n candidates,
     * then k greedy steps of λ·rel − μ·max-sim-to-selected (μ passed
     * explicitly, NOT computed as 1−λ — 1.0−0.7 is 0.30000000000000004 in

@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object StreamingEditScreen {
 
-  /** `stream`: streaming (id, ts, s); `dict`: static (id, s). k ∈ {1, 2}. */
-  def run(stream: DataFrame, dict: DataFrame, k: Int = 1): DataFrame = {
+  /** `stream`: streaming (id, ts, s); `dict`: static (id, s). k ∈ {1, 2}.
+    * Over-`maxLen` strings raise loudly on BOTH sides (the
+    * [[Fuzzy.guarded]] contract) — a live screen fed long text is the
+    * same silent fan-out misuse as the batch join.
+    */
+  def run(stream: DataFrame, dict: DataFrame, k: Int = 1,
+      maxLen: Int = Fuzzy.DefaultMaxLen): DataFrame = {
     require(k >= 1 && k <= 2, "k in {1, 2}")
-    val dsig = dict.select(col("id").as("dict_id"), col("s").as("ds"))
+    val dsig = dict.select(col("id").as("dict_id"),
+        Fuzzy.guarded(col("s"), maxLen).as("ds"))
       .select(col("dict_id"), col("ds"),
         explode(Fuzzy.neighborhood(col("ds"), k)).as("sig"))
-    stream.select(col("id"), col("ts"), col("s"))
+    stream.select(col("id"), col("ts"),
+        Fuzzy.guarded(col("s"), maxLen).as("s"))
       .select(col("id"), col("ts"), col("s"),
         explode(Fuzzy.neighborhood(col("s"), k)).as("sig"))
       .join(broadcast(dsig), Seq("sig"))

@@ -60,10 +60,26 @@ object NullSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft_null").toString
-    writeDirty(spark, src, dir)
-    val fs = failures(spark, dir)
-    if (fs.isEmpty) println("[nullsweep] clean: every query tolerates null-dirtied rows")
-    else fs.foreach { case (n, m) => println(s"[nullsweep] $n: $m") }
-    spark.stop()
+    try {
+      writeDirty(spark, src, dir)
+      val fs = failures(spark, dir)
+      if (fs.isEmpty) println("[nullsweep] clean: every query tolerates null-dirtied rows")
+      else fs.foreach { case (n, m) => println(s"[nullsweep] $n: $m") }
+    } finally {
+      deleteRecursively(dir)
+      spark.stop()
+    }
+  }
+
+  /** Remove a sweep's dirtied-parquet temp directory — repeated CI/test
+    * runs otherwise accumulate full corpus copies under /tmp.
+    */
+  def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
   }
 }

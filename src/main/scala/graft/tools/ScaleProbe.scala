@@ -725,6 +725,114 @@ object ScaleProbe {
     }
   }
 
+  /** Stage-metric tap: accumulates shuffle read/write bytes and spill
+    * across every completed stage, so a timed region's byte deltas ride
+    * next to its wall-clock — the r11 verdict's #1 ask (every 100 TB
+    * claim extrapolated from wall-clock alone).
+    */
+  private final class ByteTap extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val read = new AtomicLong
+    private val write = new AtomicLong
+    private val spill = new AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snap: (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
+  /** Drain the async listener bus so a ByteTap snapshot covers every
+    * stage of the action that just returned. private[spark] is public
+    * at the bytecode level, so plain reflection reaches the bus; the
+    * fallback sleep only matters if the API moves.
+    */
+  private def flushListeners(spark: SparkSession): Unit =
+    try {
+      val bus = classOf[org.apache.spark.SparkContext]
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(500) }
+
+  /** r12: scale evidence past 27× for the operators whose 100 TB story
+    * rests on the priciest primitives — longest_repeat (range sort),
+    * dedup_minhash (banded join), corpus_dedup(_stable) (iterative CC),
+    * knn_components (mutual-kNN + CC) — with shuffle-byte and spill
+    * accounting per leg. Doc copies are word-salted (constant dup rate,
+    * pure size growth); embeddings get √n quantizer cells (cells ∝ √n
+    * keeps BOTH the assignment flops and the cell-local candidate block
+    * subquadratic — the standard IVF sizing; assignment is map-only so
+    * the shuffle-byte columns isolate the CC rounds, the claim under
+    * test). Run: `runMain graft.tools.ScaleProbe r12` (legs 1/27/81) or
+    * `... r12x243` (the 243 leg alone — same curves, bigger box time).
+    */
+  private def r12ScaleCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      time(s"longest_repeat x$k ($nd docs)") {
+        graft.ops.Dedup.longestRepeat(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"dedup_minhash x$k") {
+        graft.ops.Dedup.minhashLsh(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"corpus_dedup x$k") {
+        graft.ops.Dedup.corpusDedup(docs).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"corpus_dedup_stable x$k") {
+        // the registry's nightly-replay shape: prior labels from the
+        // even-doc_id half, signatures computed once via corpusBase
+        val base = graft.ops.Dedup.corpusBase(docs)
+        val prior = graft.ops.Dedup
+          .corpusDedupFromBase(base.where(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), col("cluster_id"))
+        graft.ops.Dedup.corpusDedupStableFromBase(base, prior).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist(blocking = true)
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val cells = math.max(16, 16 * math.sqrt(k.toDouble)).toInt
+      time(s"knn_components x$k ($ne vecs, $cells cells)") {
+        graft.ops.Ivf.knnComponents(emb, numCells = cells).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -747,6 +855,8 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r12")) { r12ScaleCurves(spark, Seq(1, 27, 81)); spark.stop(); return }
+    if (args.contains("r12x243")) { r12ScaleCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.1"
 

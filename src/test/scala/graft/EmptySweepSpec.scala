@@ -14,14 +14,16 @@ class EmptySweepSpec extends SparkSpec {
 
   test("every registry query tolerates an empty corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$Sf0001/$t.parquet").limit(0)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    val fs = graft.tools.EmptySweep.failures(spark, dir)
-    assert(fs.isEmpty, "queries crashing on an empty corpus:\n" +
-      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$Sf0001/$t.parquet").limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      val fs = graft.tools.EmptySweep.failures(spark, dir)
+      assert(fs.isEmpty, "queries crashing on an empty corpus:\n" +
+        fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    } finally graft.tools.NullSweep.deleteRecursively(dir)
   }
 
   test("every registry query tolerates null-dirtied rows") {
@@ -34,10 +36,12 @@ class EmptySweepSpec extends SparkSpec {
     // per-symbol sweeps assert non-null closes), null payloads drop at
     // the stub decode (digest NPE).
     val dir = java.nio.file.Files.createTempDirectory("graft_dirty").toString
-    graft.tools.NullSweep.writeDirty(spark, Sf0001, dir)
-    val fs = graft.tools.NullSweep.failures(spark, dir)
-    assert(fs.isEmpty, "queries crashing on null-dirtied rows:\n" +
-      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    try {
+      graft.tools.NullSweep.writeDirty(spark, Sf0001, dir)
+      val fs = graft.tools.NullSweep.failures(spark, dir)
+      assert(fs.isEmpty, "queries crashing on null-dirtied rows:\n" +
+        fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    } finally graft.tools.NullSweep.deleteRecursively(dir)
   }
 
   test("every registry query tolerates a singleton corpus") {
@@ -45,13 +49,15 @@ class EmptySweepSpec extends SparkSpec {
     // denominators hit zero — ANSI mode turns those into crashes
     // (volume_anomaly's n-1 division was the r11 singleton finding)
     val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$Sf0001/$t.parquet").limit(1)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    val fs = graft.tools.EmptySweep.failures(spark, dir)
-    assert(fs.isEmpty, "queries crashing on a singleton corpus:\n" +
-      fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$Sf0001/$t.parquet").limit(1)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      val fs = graft.tools.EmptySweep.failures(spark, dir)
+      assert(fs.isEmpty, "queries crashing on a singleton corpus:\n" +
+        fs.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    } finally graft.tools.NullSweep.deleteRecursively(dir)
   }
 }

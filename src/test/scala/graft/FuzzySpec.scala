@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.ops.Fuzzy
+import org.apache.spark.sql.functions.col
 
 class FuzzySpec extends SparkSpec {
   import spark.implicits._
@@ -86,6 +87,36 @@ class FuzzySpec extends SparkSpec {
     val b = Fuzzy.editCluster(sup.repartition(7), "s_suppkey", "s_name")
       .orderBy("id").collect().toSeq
     assert(a == b, "CC labels must be partitioning-invariant")
+  }
+
+  test("editJoin raises LOUDLY past maxLen, passes in-contract and " +
+    "null strings — the packed-key-headroom convention") {
+    val long = Seq((1L, "a" * 65), (2L, "abcd")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Fuzzy.editJoin(long, "id", "s").collect()
+    }
+    assert(e.getMessage.contains("exceeds maxLen=64"),
+      s"raise must name the contract, got: ${e.getMessage}")
+    // widening the knob explicitly admits the same data
+    assert(Fuzzy.editJoin(long, "id", "s", 1, 128).count() == 0L)
+    // exactly-at-the-boundary strings are in contract
+    val edge = Seq((1L, "a" * 64), (2L, "a" * 63)).toDF("id", "s")
+    assert(pairs(edge, 1) == Set((1L, 2L, 1L)))
+    // null strings drop silently (zero signature rows), never raise
+    val withNull = Seq((1L, "abcd"), (2L, null), (3L, "abcx"))
+      .toDF("id", "s")
+    assert(pairs(withNull, 1) == Set((1L, 3L, 1L)))
+    // the guard rides editCluster and the streaming screen too
+    intercept[Exception] {
+      Fuzzy.editCluster(long, "id", "s").collect()
+    }
+  }
+
+  test("deletions: explicit empty-string guard (no reliance on the " +
+    "descending-sequence surprise)") {
+    val r = Seq(Tuple1("")).toDF("s")
+      .select(Fuzzy.deletions(col("s")).as("d")).head()
+    assert(r.getSeq[String](0).isEmpty, "deletions('') must be []")
   }
 
   test("editJoin: real supplier names — matches brute force, " +

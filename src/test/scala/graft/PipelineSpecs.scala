@@ -495,6 +495,22 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == ((4L, 0L, "plain novel prose here")))
   }
 
+  test("spanScrub: NULL benchPred folds to CORPUS — the row is scrubbed " +
+    "and emitted, never silently dropped") {
+    import spark.implicits._
+    val bench = (1 to 8).map(i => s"Q$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$bench tail", Some("src0")),
+      (1L, s"pre $bench post", None),          // null source: CORPUS
+      (2L, "novel words only here", None)).toDF("doc_id", "text", "source")
+    val r = graft.ops.Dedup.spanScrub(d, col("source") === "src0").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("text")))).toMap
+    assert(r.keySet == Set(1L, 2L), "null-pred rows must survive as corpus")
+    assert(r(1L) == ((8L, "pre post")), "and still get scrubbed")
+    assert(r(2L) == ((0L, "novel words only here")))
+  }
+
   test("spanScrub: partitioning-invariant on the real corpus and " +
     "does real work at w=8") {
     val docs = Tables.table(spark, Sf0001, "documents")

@@ -53,6 +53,34 @@ class RetrievalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("hybridRrfMulti: per qid equals the single-query hybridRrf; the " +
+    "IVF face at nprobe = numCells matches the exact face") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val qdefs = Seq(
+      (3L, Seq("spark", "join", "data")),
+      (7L, Seq("data", "model")),
+      (11L, Seq("the", "quick")))
+    val qframe = e
+      .join(qdefs.toDF("vec_id", "terms"), Seq("vec_id"))
+      .select(col("vec_id"), col("terms"), col("embedding"))
+    val multi = graft.ops.Retrieval.hybridRrfMulti(docs, e, qframe).collect()
+    qdefs.foreach { case (vid, terms) =>
+      val single = graft.ops.Retrieval.hybridRrf(docs, e, terms, vid)
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+      val ours = multi.filter(_.getLong(0) == vid).sortBy(_.getLong(1))
+        .map(r => (r.get(2), r.get(3), r.get(4), r.get(5))).toSeq
+      assert(ours == single,
+        s"qid $vid: the multi kernel must replay the single-query fusion")
+    }
+    val cents = graft.ops.Ivf.train(e, 8, iters = 1)
+    val ivf = graft.ops.Retrieval
+      .hybridRrfMultiWith(docs, e, qframe, cents, nprobe = 8)
+      .collect().map(_.toString).sorted
+    assert(ivf.sameElements(multi.map(_.toString).sorted),
+      "all cells probed ⇒ the index face equals the exact face")
+  }
+
   test("mmr_rerank: step 1 is pure relevance; step 2 trades rank for diversity") {
     // q = [1,0,0]; A (id 1) and its exact copy A' (id 2) plus the
     // mirror-image B (id 3) all have rel 0.9 — pure relevance would

@@ -1814,3 +1814,81 @@ class StreamingSpanScrubSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingHybridServeSpec extends SparkSpec {
+
+  private def qdefs = Seq(
+    (3L, Seq("spark", "join", "data")),
+    (7L, Seq("data", "model")),
+    (11L, Seq("the", "quick")))
+
+  test("streamed hybrid queries fuse to the batch hybridRrfMulti answer " +
+    "across micro-batches, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val emb = Tables.table(spark, Sf0001, "embeddings")
+    val qframe = emb.join(qdefs.toDF("vec_id", "terms"), Seq("vec_id"))
+      .select(col("vec_id"), col("terms"), col("embedding"))
+    val truth = graft.ops.Retrieval.hybridRrfMulti(docs, emb, qframe)
+      .collect().map(_.toString).toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val qrows = qframe
+      .select(col("vec_id"), col("terms"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[String], Seq[Double])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[String], Seq[Double])]
+    val got = scala.collection.mutable.Set[String]()
+    var sawState = false
+    val q = graft.streaming.StreamingHybridServe.serve(
+      ms.toDF.toDF("vec_id", "terms", "embedding"), docs, emb) { (topk, _) =>
+      got.synchronized { got ++= topk.collect().map(_.toString) }
+    }
+    try {
+      // two micro-batches: fusion must not depend on batching
+      ms.addData(qrows.take(1): _*)
+      q.processAllAvailable()
+      ms.addData(qrows.drop(1): _*)
+      q.processAllAvailable()
+      sawState = q.lastProgress.stateOperators.nonEmpty
+      assert(got.toSet == truth,
+        s"stream-only=${(got.toSet -- truth).take(2)} " +
+          s"batch-only=${(truth -- got).take(2)}")
+      assert(!sawState, "hybrid serving must not create a state store")
+    } finally q.stop()
+  }
+
+  test("persisted-IVF hybrid serving: save/load the model, all cells " +
+    "probed equals the exact fusion") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Ivf
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val emb = Tables.table(spark, Sf0001, "embeddings")
+    val qframe = emb.join(qdefs.toDF("vec_id", "terms"), Seq("vec_id"))
+      .select(col("vec_id"), col("terms"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_hybrid_model").toString
+    Ivf.saveModel(spark, Ivf.train(emb, k = 8, iters = 1), dir)
+    val model = Ivf.loadModel(spark, dir)
+    val exact = graft.ops.Retrieval.hybridRrfMulti(docs, emb, qframe)
+      .collect().map(_.toString).toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val qrows = qframe
+      .select(col("vec_id"), col("terms"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[String], Seq[Double])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[String], Seq[Double])]
+    val got = scala.collection.mutable.Set[String]()
+    val q = graft.streaming.StreamingHybridServe.serveIvf(
+      ms.toDF.toDF("vec_id", "terms", "embedding"), docs, emb, model,
+      nprobe = 8) { (topk, _) =>
+      got.synchronized { got ++= topk.collect().map(_.toString) }
+    }
+    try {
+      ms.addData(qrows: _*)
+      q.processAllAvailable()
+      assert(got.toSet == exact,
+        "all cells probed ⇒ the served fusion equals the exact fusion")
+    } finally q.stop()
+  }
+}
