@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded-buffer udaf aggregates must keep HASH aggregation past
+      // 128 keys (see GraftSession: the 49 GB knn spill finding)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

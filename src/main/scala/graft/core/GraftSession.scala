@@ -22,6 +22,17 @@ object GraftSession {
       // default; read as Long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // ObjectHashAggregate (every udaf aggregate: TopKByScore, the BM25
+      // term heap, ...) falls back to SORT-BASED aggregation after this
+      // many distinct keys in the in-memory map — the Spark default of
+      // 128 means ANY per-entity top-k (kNN graph: one group per corpus
+      // vector) abandons hash aggregation and SORTS its whole candidate
+      // stream: measured 49 GB of spill on the ×243 knn_components
+      // ScaleProbe leg, zero after raising it. Our aggregate buffers are
+      // bounded (k-element heaps), so 256k keys is ~100 MB per task at
+      // the worst — the right trade at any scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 18).toString)
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = builder().getOrCreate()

@@ -295,6 +295,107 @@ object Multimodal {
       .select(col("doc_id"), col("ok"),
         when(col("ok"), dhashFromLuma(col("luma"))).as("dhash"))
 
+  /** Row-major cosine table for the 32-point DCT-II the pHash face
+    * reduces with: ct(u)(y) = cos(π·(2y+1)·u / 64). StrictMath so the
+    * table — and with it every hash bit — is bit-identical on any JVM.
+    */
+  private lazy val dctTable: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, y) => StrictMath.cos(Math.PI * (2 * y + 1) * u / 64.0))
+
+  /** 63-bit DCT perceptual hash (pHash — Zauner 2010, "Implementation
+    * and Benchmarking of Perceptual Image Hash Functions") over REAL
+    * image payloads: average-pool the decode to a 32×32 integer luma
+    * grid (the [[lumaGrid]] BT.601 block-mean recipe at 32×32), take the
+    * 2-D DCT-II's top-left 8×8 LOW-FREQUENCY block, drop the DC term,
+    * and set bit i when AC coefficient i exceeds the median of the 63 —
+    * the global-structure hash that stays close under the SMALL
+    * rotations and crops that flip dHash's local gradient signs
+    * (spec-measured on generated PNGs: ≤ quarter-hash Hamming for
+    * 2-3° rotation / 10% crop, near-independent hashes for unrelated
+    * content). dHash remains the cheap first-line key; this face is the
+    * robustness extension riding the SAME [0, 2⁶³) space, so
+    * [[graft.ops.Dedup.dhashNearDup]]'s banding/Hamming/CC machinery
+    * serves both unchanged.
+    *
+    * Determinism: integer luma pooling (no float), then a fixed-order
+    * separable DCT in doubles with a StrictMath cosine table — IEEE ops
+    * in one fixed association order, bit-identical on any JVM/partitioning.
+    * Median threshold = element 31 of the 63 sorted AC coefficients;
+    * strict `>` keeps ties stable. Junk bytes / sub-32×32 images come
+    * back ok = false with a null hash (the decodeImage contract). Scale
+    * shape: pure mapPartitions over the payload scan — decode
+    * parallelism IS the table's partitioning, no shuffle.
+    */
+  def imagePhash(media: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ct = dctTable // local copy: the task closure must not drag the object
+    def hash(id: Long, bytes: Array[Byte]): (Long, Boolean, Option[Long]) =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth < 32 || img.getHeight < 32)
+          (id, false, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](1024)
+          val cnts = new Array[Long](1024)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            val r = y * 32 / h
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val c = x * 32 / w
+              val px = row(x)
+              sums(r * 32 + c) += (299 * ((px >> 16) & 0xFF) +
+                587 * ((px >> 8) & 0xFF) + 114 * (px & 0xFF)) / 1000
+              cnts(r * 32 + c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val luma = Array.tabulate(1024)(i => (sums(i) / cnts(i)).toDouble)
+          // separable DCT-II: rows → 32×8 partials, then columns → 8×8
+          val rowsD = Array.ofDim[Double](32, 8)
+          var r = 0
+          while (r < 32) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0; var x = 0
+              while (x < 32) { s += luma(r * 32 + x) * ct(v)(x); x += 1 }
+              rowsD(r)(v) = s; v += 1
+            }
+            r += 1
+          }
+          val coef = new Array[Double](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0; var yy = 0
+              while (yy < 32) { s += rowsD(yy)(v) * ct(u)(yy); yy += 1 }
+              coef(u * 8 + v) = s; v += 1
+            }
+            u += 1
+          }
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+          val med = sorted(31)
+          var bits = 0L; var i = 0
+          while (i < 63) { if (ac(i) > med) bits |= (1L << i); i += 1 }
+          (id, true, Some(bits))
+        }
+      } catch { case _: Exception => (id, false, None) }
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        hash(id, if (bytes == null) Array.emptyByteArray else bytes)
+      }))
+      .toDF("doc_id", "ok", "dhash")
+  }
+
   /** AUDIO perceptual fingerprint — the envelope analogue of the image
     * dHash, over the REAL javax.sound WAV/AIFF/AU decode boundary
     * ([[decodeAudio]]'s codecs): the 16-bit PCM stream splits into 64

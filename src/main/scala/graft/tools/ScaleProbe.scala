@@ -833,6 +833,43 @@ object ScaleProbe {
     }
   }
 
+  /** knn_components legs alone (27/81/243) — the r12 spill fix A/B: the
+    * ×243 leg measured 49 GB of sort-fallback spill under the default
+    * ObjectHashAggregate threshold of 128 keys; this rerun rides the
+    * session-level raised threshold. Run: `runMain graft.tools.ScaleProbe
+    * r12knn`.
+    */
+  private def r12KnnCurves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    Seq(27, 81, 243).foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val cells = math.max(16, 16 * math.sqrt(k.toDouble)).toInt
+      time(s"knn_components x$k ($ne vecs, $cells cells)") {
+        graft.ops.Ivf.knnComponents(emb, numCells = cells).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -840,6 +877,9 @@ object ScaleProbe {
       // events.parquet stores TIMESTAMP(NANOS): same setting Verify/Bench use
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded-buffer udaf aggregates must keep HASH aggregation past
+      // 128 keys (see GraftSession: the 49 GB knn spill finding)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("recall")) { recallCurves(spark); spark.stop(); return }
@@ -855,6 +895,7 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r12knn")) { r12KnnCurves(spark); spark.stop(); return }
     if (args.contains("r12")) { r12ScaleCurves(spark, Seq(1, 27, 81)); spark.stop(); return }
     if (args.contains("r12x243")) { r12ScaleCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }

@@ -1280,6 +1280,79 @@ class MultimodalSpec extends SparkSpec {
     assert(got.keySet.forall(k => again(k) == got(k).toSeq))
   }
 
+  test("imagePhash: DCT hash clusters small rotation/crop/brightness " +
+    "variants of a real PNG; unrelated content lands far; junk is ok=false") {
+    import java.awt.image.BufferedImage
+    // low-frequency structure (gradient + disc) OVER a 24 px checkerboard
+    // texture: the texture dominates adjacent-block gradient signs (the
+    // dHash bits) but sits ABOVE the DCT low-frequency cutoff — real
+    // images have texture, and alignment changes scramble it
+    def scene(phase: Int)(x: Int, y: Int): Int = {
+      val cx = 100 + phase * 56; val cy = 120 + phase * 40
+      val g = math.min(195, (x + y) / 2)
+      val t = if (((x / 12) + (y / 12)) % 2 == 0) 30 else -30
+      val v0 = if ((x - cx) * (x - cx) + (y - cy) * (y - cy) < 3600) 225
+               else g + t
+      val v = math.max(0, math.min(255, v0))
+      (v << 16) | (v << 8) | v
+    }
+    def buf(rgb: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 256; x <- 0 until 256) img.setRGB(x, y, rgb(x, y))
+      img
+    }
+    def enc(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = buf(scene(0))
+    def rotated(deg: Double): Array[Byte] = {
+      val dst = new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      g2.setColor(new java.awt.Color(128, 128, 128)); g2.fillRect(0, 0, 256, 256)
+      g2.rotate(math.toRadians(deg), 128, 128)
+      g2.drawImage(base, 0, 0, null); g2.dispose()
+      enc(dst)
+    }
+    val cropped = enc(base.getSubimage(12, 12, 232, 232))
+    val brightened = enc(buf((x, y) => {
+      val v = math.min(255, (scene(0)(x, y) & 0xFF) + 25)
+      (v << 16) | (v << 8) | v
+    }))
+    val rows = Seq(
+      (1L, enc(base)), (2L, rotated(2.5)), (3L, cropped), (4L, brightened),
+      (5L, enc(buf(scene(1)))),                      // unrelated scene
+      (6L, "not an image".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val got = Multimodal.imagePhash(df).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) Some(r.getLong(2)) else None))
+      .toMap
+    assert(got(6L).isEmpty, "junk bytes: ok=false, null hash, no crash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h1 = got(1L).get
+    assert(h1 > 0L && h1 < Long.MaxValue, "hash lives in [0, 2^63)")
+    for ((id, label) <- Seq(2L -> "2.5° rotation", 3L -> "10% crop",
+      4L -> "brightness shift")) {
+      assert(ham(h1, got(id).get) <= 12,
+        s"$label must stay within a quarter-hash of the base " +
+          s"(got ${ham(h1, got(id).get)})")
+    }
+    assert(ham(h1, got(5L).get) >= 20,
+      s"unrelated content must land far (got ${ham(h1, got(5L).get)})")
+    // measured honestly: on these synthetic scenes BOTH faces stay close
+    // under the small transforms (dHash's coarse pooling is itself quite
+    // stable); the DCT face's contract here is the ABSOLUTE robustness
+    // bound above plus landing in the same [0, 2^63) space — it extends
+    // coverage (global structure vs local gradients) rather than
+    // dominating dHash on every transform
+    // partitioning-invariant (pure per-row decode + fixed-order DCT)
+    val again = Multimodal.imagePhash(df.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) Some(r.getLong(2)) else None))
+      .toMap
+    assert(again == got)
+  }
+
   private def wav(rate: Float, nFrames: Int)(sample: Int => Short): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val data = new Array[Byte](nFrames * 2)
