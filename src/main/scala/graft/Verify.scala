@@ -41,7 +41,12 @@ object Verify {
         val ntz = df.schema.fields.collect {
           case f if f.dataType == TimestampType => f.name
         }.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast(TimestampNTZType)))
-        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // repartition(1), NOT coalesce(1): coalesce propagates up to the
+        // previous exchange, so a query whose final stage is a join/agg ran
+        // that ENTIRE stage in one task — invisible at sf0.01, a serial
+        // wall at the ×27 full-registry verify. repartition inserts an
+        // exchange: upstream keeps its parallelism, output stays one file.
+        ntz.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

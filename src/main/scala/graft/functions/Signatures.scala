@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -320,6 +320,97 @@ case class NearestCell(child: Expression, centroids: Array[Double], k: Int, dim:
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Two-level nearest-centroid refinement: (array<double> vector, int cid1)
+  * → int GLOBAL sub-cell id maximizing cosine against the cid1-th block of
+  * a row-major (k1·k2 × dim) sub-centroid matrix — the argmax runs ONLY
+  * over rows [cid1·k2, (cid1+1)·k2), so per-row assignment cost is k2, not
+  * k1·k2. Combined with the coarse [[NearestCell]] pass this makes total
+  * assignment cost k1 + k2 per vector while the EFFECTIVE cell count is
+  * k1·k2 — the "cells ∝ n at constant cell size" configuration the flat
+  * quantizer can't reach (its per-row cost is the full cell count).
+  *
+  * Same determinism contract as [[NearestCell]]: cosines rounded to 6
+  * decimals (half away from zero) before the argmax, ties to the lowest
+  * sub-cell id. Out-of-range cid1 (corrupt upstream) clamps into [0, k1).
+  */
+case class NearestSubCell(left: Expression, right: Expression,
+                          centroids: Array[Double], k1: Int, k2: Int, dim: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.DoubleArrayIntInputs {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any, cidIn: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val cid1 = java.lang.Math.min(java.lang.Math.max(
+      cidIn.asInstanceOf[Int], 0), k1 - 1)
+    val d = java.lang.Math.min(dim, v.numElements())
+    var nv = 0.0
+    var j = 0
+    while (j < d) { val x = v.getDouble(j); nv += x * x; j += 1 }
+    val base = cid1 * k2
+    var best = base
+    var bestC = java.lang.Double.NEGATIVE_INFINITY
+    var cell = base
+    while (cell < base + k2) {
+      var dot = 0.0; var nc = 0.0
+      j = 0
+      while (j < d) {
+        val c = centroids(cell * dim + j)
+        dot += c * v.getDouble(j); nc += c * c
+        j += 1
+      }
+      val cos = dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      var r = java.lang.Math.floor(java.lang.Math.abs(cos) * 1.0e6 + 0.5) / 1.0e6
+      if (cos < 0) r = -r
+      if (r > bestC) { bestC = r; best = cell }
+      cell += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("subCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, (in, cidIn) => {
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val nv = ctx.freshName("nv"); val x = ctx.freshName("x")
+      val base = ctx.freshName("base"); val c1 = ctx.freshName("c1")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val cell = ctx.freshName("cell"); val dot = ctx.freshName("dot")
+      val nc = ctx.freshName("nc"); val cv = ctx.freshName("cv")
+      val cos = ctx.freshName("cos"); val r = ctx.freshName("r")
+      s"""
+         |int $d = java.lang.Math.min($dim, $in.numElements());
+         |double $nv = 0.0;
+         |for (int $j = 0; $j < $d; $j++) {
+         |  double $x = $in.getDouble($j); $nv += $x * $x;
+         |}
+         |int $c1 = java.lang.Math.min(java.lang.Math.max($cidIn, 0), ${k1 - 1});
+         |int $base = $c1 * $k2;
+         |int $best = $base;
+         |double $bestC = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $cell = $base; $cell < $base + $k2; $cell++) {
+         |  double $dot = 0.0; double $nc = 0.0;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    double $cv = $cRef[$cell * $dim + $j];
+         |    $dot += $cv * $in.getDouble($j); $nc += $cv * $cv;
+         |  }
+         |  double $cos = $dot / (java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nc));
+         |  double $r = java.lang.Math.floor(java.lang.Math.abs($cos) * 1.0e6 + 0.5) / 1.0e6;
+         |  if ($cos < 0) $r = -$r;
+         |  if ($r > $bestC) { $bestC = $r; $best = $cell; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash: array<long> token hashes → long. Bit j of the result is

@@ -39,4 +39,10 @@ package object functions {
   /** Native nearest-centroid cell column (see NearestCell). */
   def nearest_cell(v: Column, centroids: Array[Double], k: Int, dim: Int): Column =
     toColumn(NearestCell(toExpression(v), centroids, k, dim))
+
+  /** Native two-level sub-cell refinement column (see NearestSubCell). */
+  def nearest_sub_cell(v: Column, cid1: Column, centroids: Array[Double],
+                       k1: Int, k2: Int, dim: Int): Column =
+    toColumn(NearestSubCell(toExpression(v), toExpression(cid1),
+      centroids, k1, k2, dim))
 }

@@ -943,10 +943,17 @@ object Analytics {
   /** Gap fill with LINEAR interpolation between the surrounding real
     * closes (forward fill for trailing gaps, backward for leading ones) —
     * the resampling mode quant pipelines want when a step function biases
-    * indicators. Two unbounded windows per symbol (last/first IGNORE
-    * NULLS carry O(1) state each); the interpolation weight is a ratio of
-    * integer microsecond offsets, so the arithmetic replays exactly in
-    * any engine; rounded to 6 decimals.
+    * indicators. Two RUNNING windows per symbol, each with O(1) state per
+    * row: the backward fill is the ascending running frame, and the
+    * forward fill is `last IGNORE NULLS` over the DESCENDING running
+    * frame — NOT `first ... rows between current and unbounded following`,
+    * which Spark executes as UnboundedFollowingWindowFunctionFrame:
+    * the tail frame is RE-AGGREGATED for every row, O(n²) per partition
+    * (caught live at the ×27 full-registry verify, where one task spent
+    * 20+ min in AggregateProcessor under that frame; the descending form
+    * costs one extra sort, O(n log n)). Same values row for row. The
+    * interpolation weight is a ratio of integer microsecond offsets, so
+    * the arithmetic replays exactly in any engine; rounded to 6 decimals.
     */
   def gapFillLinear(candles: DataFrame, widthMicros: Long): DataFrame = {
     val spine = candles.groupBy(col("symbol"))
@@ -955,14 +962,14 @@ object Analytics {
         expr(s"INTERVAL ${widthMicros / 1000000} SECOND"))).as("bucket_ts"))
     val wb = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    val wf = Window.partitionBy(col("symbol")).orderBy(col("bucket_ts").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val us = unix_micros(col("bucket_ts"))
     val realTs = when(col("close").isNotNull, us)
     val prevC = last(col("close"), ignoreNulls = true).over(wb)
     val prevT = last(realTs, ignoreNulls = true).over(wb)
-    val nextC = first(col("close"), ignoreNulls = true).over(wf)
-    val nextT = first(realTs, ignoreNulls = true).over(wf)
+    val nextC = last(col("close"), ignoreNulls = true).over(wf)
+    val nextT = last(realTs, ignoreNulls = true).over(wf)
     spine
       .join(candles.select(col("symbol"), col("bucket_ts"), col("close")),
         Seq("symbol", "bucket_ts"), "left")

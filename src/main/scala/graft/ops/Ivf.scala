@@ -633,12 +633,20 @@ object Ivf {
   /** [[knnGraph]] against a PRE-TRAINED quantizer (train-once/reuse). */
   def knnGraphWith(emb: DataFrame, cents: Array[Array[Double]],
                    k: Int = 5): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     if (cents.isEmpty) // empty model → no cells → empty graph (not a crash)
       return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
         lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
-    val cells = assignedCells(vecs(emb), cents)
+    knnGraphOnCells(assignedCells(vecs(emb), cents), k)
+  }
+
+  /** The kNN-graph kernel over an assigned-and-materialized (cid, vec_id,
+    * v) frame — shared by the flat and two-level quantizer faces (the
+    * cell equi-join + bounded TopKByScore heap documented on
+    * [[knnGraph]]).
+    */
+  private def knnGraphOnCells(cells: DataFrame, k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val agg = udaf(new TopKByScore(k), ExpressionEncoder[ScoredId]())
     cells.select(col("cid"), col("vec_id"), col("v"))
       .join(cells.select(col("cid"), col("vec_id").as("nid"),
@@ -668,10 +676,15 @@ object Ivf {
     * is a self left-semi equi-join on (a, b); CC inherits clusters'
     * bounded-round guarantees.
     */
-  def knnComponents(emb: DataFrame, numCells: Int = 16, k: Int = 5): DataFrame = {
+  def knnComponents(emb: DataFrame, numCells: Int = 16, k: Int = 5): DataFrame =
+    componentsOfGraph(knnGraph(emb, numCells, k))
+
+  /** The mutual-kNN + connected-components kernel over a kNN graph frame
+    * — shared by the flat and two-level quantizer faces.
+    */
+  private def componentsOfGraph(graph: DataFrame): DataFrame = {
     val g = graft.core.Materialize.once(
-      knnGraph(emb, numCells, k)
-        .select(col("vec_id").as("a"), col("neighbor_id").as("b")))
+      graph.select(col("vec_id").as("a"), col("neighbor_id").as("b")))
     val mutual = g
       .join(g.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
       .where(col("a") < col("b"))
@@ -679,6 +692,143 @@ object Ivf {
     Dedup.clusters(mutual)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
+
+  // ──────────────────── two-level (hierarchical) quantizer ────────────────────
+
+  /** Two-level coarse quantizer model: `l1` routes (k1 cells), `l2` is the
+    * (k1·k2)-row sub-centroid matrix, block c covering rows
+    * [c·k2, (c+1)·k2). Effective cell id = cid1·k2 + local.
+    *
+    * This is the "cells ∝ n at constant cell size" configuration the flat
+    * quantizer deliberately does not grow into (see the ×243 ScaleProbe
+    * finding in BENCH_NOTES): flat assignment costs k per row, so holding
+    * cell size constant (k = n/c) makes assignment itself quadratic in n;
+    * two-level routing costs k1 + k2 per row — O(√(n/c)) — while the
+    * effective cell count k1·k2 still grows linearly with n. Both levels
+    * stay driver-side matrices (the MLlib model altitude; FAISS holds the
+    * same matrix in RAM at 1e6 cells).
+    */
+  case class TwoLevelModel(l1: Array[Array[Double]],
+                           l2: Array[Array[Double]], k2: Int) {
+    def k1: Int = l1.length
+    def isEmpty: Boolean = l1.isEmpty
+  }
+
+  /** Train the two-level quantizer: L1 via [[train]] (k1 cells), then per
+    * L1 cell k2 sub-centroids seeded from the cell's k2 LOWEST vec_ids
+    * (the [[train]] seeding convention, applied per block via a bounded
+    * TopKByScore heap — never a per-cell window over an unbounded cell).
+    * `iters` Lloyd rounds then refine ALL k1·k2 sub-centroids in ONE
+    * distributed pass each: sub-assignment is the fused
+    * [[graft.functions.NearestSubCell]] argmax (map-only, k2 candidates
+    * per row), means are the same exact DECIMAL(30,15) partial sums as
+    * [[train]], so every round is bit-identical under any shuffle order.
+    *
+    * Deviations from [[train]], both deliberate: sub-cells that lose every
+    * member KEEP their previous centroid (no compaction — cid1 = scid/k2
+    * routing must stay stable), and under-full blocks pad with their first
+    * seed (a duplicate centroid never wins the tie-to-lowest argmax);
+    * empty blocks pad with the L1 centroid (they receive no vectors).
+    * With k1 = 1 and iters = 0 the model degenerates to [[train]]'s seed
+    * matrix exactly (spec-pinned), so the flat faces are the k1 = 1 case.
+    */
+  def trainTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                    iters: Int = 0): TwoLevelModel = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val cents1 = train(emb, k1, iters)
+    if (cents1.isEmpty) return TwoLevelModel(cents1, Array.empty, k2)
+    val k1c = cents1.length
+    val dim = cents1.head.length
+    val a1 = graft.core.Materialize.once(assign(vecs(emb), cents1))
+    // seed ids: the k2 lowest vec_ids per L1 cell — bounded heap keyed on
+    // -vec_id (exact in a double up to 2^53, far past any corpus id), then
+    // one skinny (≤ k1·k2 row) join back for the seed vectors
+    val heap = udaf(new TopKByScore(k2), ExpressionEncoder[ScoredId]())
+    val seeds = a1.groupBy(col("cid"))
+      .agg(heap((-col("vec_id")).cast("double"),
+        col("vec_id").cast("long")).as("top"))
+      .select(col("cid"), explode(col("top.id")).as("vec_id"))
+      .join(a1.select(col("vec_id").cast("long").as("vec_id"), col("v")),
+        Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val byCell = seeds.groupBy(_._1)
+    var l2m = new Array[Double](k1c * k2 * dim)
+    var c = 0
+    while (c < k1c) {
+      val cell = byCell.getOrElse(c, Array.empty).sortBy(_._2).map(_._3)
+      var s = 0
+      while (s < k2) {
+        val src =
+          if (cell.isEmpty) cents1(c)
+          else cell(java.lang.Math.min(s, cell.length - 1))
+        System.arraycopy(src, 0, l2m, (c * k2 + s) * dim, dim)
+        s += 1
+      }
+      c += 1
+    }
+    val d = DecimalType(30, 15)
+    (1 to iters).foreach { _ =>
+      val means = a1.withColumn("scid", graft.functions.nearest_sub_cell(
+          col("v"), col("cid"), l2m, k1c, k2, dim))
+        .select(col("scid"), posexplode(col("v")))
+        .toDF("scid", "pos", "x")
+        .groupBy(col("scid"), col("pos"))
+        .agg((sum(col("x").cast(d)).cast("double") / count(lit(1))).as("x"))
+        .collect()
+      val next = l2m.clone()
+      means.foreach(r => next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+      l2m = next
+    }
+    TwoLevelModel(cents1,
+      Array.tabulate(k1c * k2)(i =>
+        java.util.Arrays.copyOfRange(l2m, i * dim, (i + 1) * dim)), k2)
+  }
+
+  /** Map-only two-level assignment: coarse [[assign]] (k1 candidates per
+    * row), then the fused sub-block argmax (k2 candidates) — emits both
+    * `cid` (L1) and the global `scid`. Empty model → empty assignment with
+    * the full schema (the [[assign]] empty contract).
+    */
+  def assignTwoLevel(e: DataFrame, m: TwoLevelModel): DataFrame =
+    if (m.isEmpty)
+      e.limit(0).withColumn("cid", lit(0).cast("int"))
+        .withColumn("scid", lit(0).cast("int"))
+    else assign(e, m.l1).withColumn("scid", graft.functions.nearest_sub_cell(
+      col("v"), col("cid"), m.l2.flatten, m.k1, m.k2, m.l1.head.length))
+
+  /** [[knnGraph]] on the two-level quantizer — same emit contract, but the
+    * cell structure scales: k1·k2 effective cells at k1 + k2 per-row
+    * assignment cost, so cell SIZE (the Σ|cell|² candidate-join bound,
+    * hence per-vector candidate count) stays constant as the corpus grows
+    * instead of √n. Cross-cell true neighbors remain the recall price,
+    * now tuned by (k1, k2).
+    */
+  def knnGraphTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                       k: Int = 5): DataFrame =
+    knnGraphWithTwoLevel(emb, trainTwoLevel(emb, k1, k2, iters = 0), k)
+
+  /** [[knnGraphTwoLevel]] against a PRE-TRAINED two-level model. */
+  def knnGraphWithTwoLevel(emb: DataFrame, m: TwoLevelModel,
+                           k: Int = 5): DataFrame = {
+    if (m.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+        lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+    val cells = graft.core.Materialize.once(
+      assignTwoLevel(vecs(emb), m)
+        .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
+    knnGraphOnCells(cells, k)
+  }
+
+  /** [[knnComponents]] on the two-level quantizer — the mutual-kNN + CC
+    * kernel unchanged; only the cell structure (and so the candidate
+    * volume) scales differently.
+    */
+  def knnComponentsTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                            k: Int = 5): DataFrame =
+    componentsOfGraph(knnGraphTwoLevel(emb, k1, k2, k))
 
   /** CENTROID-DISTANCE OUTLIER screen per quantizer cell — the embedding-
     * space face of mad_outliers: score every vector by its rounded cosine

@@ -76,6 +76,17 @@ private[graft] object VectorRegistry {
       // mutual-kNN clustering: edges kept only when BOTH endpoints rank
       // each other top-k (hub pruning), then pointer-jumping CC
       graft.ops.Ivf.knnComponents(Tables.table(s, dir, "embeddings"))),
+    "knn_graph_2level" -> ((s, dir) =>
+      // knn_graph on the TWO-LEVEL quantizer (4×4 cells): per-row routing
+      // costs k1+k2 flops, so effective cells can grow ∝ corpus at
+      // constant cell size — the 100 TB configuration (ScaleProbe r12b)
+      graft.ops.Ivf.knnGraphTwoLevel(Tables.table(s, dir, "embeddings"),
+        k1 = 4, k2 = 4)),
+    "knn_components_2level" -> ((s, dir) =>
+      // mutual-kNN components over the two-level cell structure — the
+      // kernel unchanged (shared componentsOfGraph), only the cells scale
+      graft.ops.Ivf.knnComponentsTwoLevel(Tables.table(s, dir, "embeddings"),
+        k1 = 4, k2 = 4)),
     "knn_pagerank" -> ((s, dir) =>
       // integer-scaled fixed-iteration PageRank over the kNN graph —
       // centrality for density-weighted curation; every intermediate an
@@ -226,7 +237,51 @@ private[graft] object VectorRegistry {
     })
   )
 
+  // Two-level (4×4) quantizer replay shared by the 2level faces: L1 =
+  // the knn_graph seed/assignment CTEs at k1=4; sub-centroids = each L1
+  // cell's 4 lowest vec_ids (scid = cid·4 + local, the trainTwoLevel
+  // block layout — under-full cells just rank fewer candidates, which is
+  // exactly what the Spark side's pad-with-first-seed argmax computes);
+  // sub-assignment = ranked join against the OWN cell's block only.
+  private val TwoLevelAssignSql: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      "FROM e ORDER BY vec_id LIMIT 4), " +
+      "assigned AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
+      "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
+      "subcents AS (SELECT cid, CAST(cid * 4 + srn - 1 AS INTEGER) AS scid, v AS svec FROM (" +
+      "SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS srn " +
+      "FROM assigned) WHERE srn <= 4), " +
+      "sassigned AS (SELECT vec_id, v, scid FROM (" +
+      "SELECT a.vec_id, a.v, sc.scid, row_number() OVER (PARTITION BY a.vec_id " +
+      "ORDER BY round(list_cosine_similarity(a.v, sc.svec), 6) DESC, sc.scid) AS srn2 " +
+      "FROM assigned a JOIN subcents sc ON sc.cid = a.cid) WHERE srn2 = 1), " +
+      "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+      "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id <> b.vec_id), "
+
   val oracles: Map[String, String] = Map(
+    "knn_graph_2level" ->
+      ("WITH " + TwoLevelAssignSql +
+        "r AS (SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM p) " +
+        "SELECT vec_id, neighbor_id, cos, rn FROM r WHERE rn <= 5"),
+    "knn_components_2level" ->
+      ("WITH RECURSIVE " + TwoLevelAssignSql +
+        "r AS (SELECT vec_id, neighbor_id FROM (" +
+        "SELECT vec_id, neighbor_id, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM p) " +
+        "WHERE rn <= 5), " +
+        "mut AS (SELECT a.vec_id AS id1, a.neighbor_id AS id2 FROM r a " +
+        "JOIN r b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id " +
+        "WHERE a.vec_id < a.neighbor_id), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM mut UNION SELECT id2, id1 FROM mut), " +
+        "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
+        "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +
+        "UNION SELECT g.a AS vec_id, c.lbl FROM edges g JOIN comp c ON g.b = c.vec_id) " +
+        "SELECT vec_id, min(lbl) AS cluster_id FROM comp GROUP BY 1"),
 
     "hybrid_rrf" -> hybridRrfSql,
     "mmr_rerank" -> mmrRerankSql(),

@@ -870,6 +870,53 @@ object ScaleProbe {
     }
   }
 
+  /** r12b: the two-level quantizer A/B — the measured answer to the ×243
+    * finding ("the remaining wall is the honest compute cost of the √n-
+    * cells configuration"). Flat knnComponents at √n cells (cell size
+    * grows as √n → per-vector candidates grow as √n → total n^1.5) vs
+    * knnComponentsTwoLevel at CONSTANT cell size ≈250 (k1 = k2 =
+    * ⌈√(n/250)⌉ → effective cells ∝ n → total candidates ∝ n, and per-row
+    * assignment cost k1 + k2 = O(√cells), which is what makes cells ∝ n
+    * affordable at all — flat assignment at n/250 cells would itself be
+    * quadratic). Same byte tap as r12. Run: `runMain graft.tools.ScaleProbe
+    * r12b` (legs 27/81) or `... r12bx243`.
+    */
+  private def r12TwoLevelCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val flatCells = math.max(16, 16 * math.sqrt(k.toDouble)).toInt
+      time(s"knn_components flat x$k ($ne vecs, $flatCells cells)") {
+        graft.ops.Ivf.knnComponents(emb, numCells = flatCells).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      val k12 = math.ceil(math.sqrt(ne / 250.0)).toInt
+      time(s"knn_components 2level x$k (${k12}x$k12 cells)") {
+        graft.ops.Ivf.knnComponentsTwoLevel(emb, k1 = k12, k2 = k12).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -896,6 +943,8 @@ object ScaleProbe {
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
     if (args.contains("r12knn")) { r12KnnCurves(spark); spark.stop(); return }
+    if (args.contains("r12bx243")) { r12TwoLevelCurves(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r12b")) { r12TwoLevelCurves(spark, Seq(27, 81)); spark.stop(); return }
     if (args.contains("r12")) { r12ScaleCurves(spark, Seq(1, 27, 81)); spark.stop(); return }
     if (args.contains("r12x243")) { r12ScaleCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("rerank")) { rerankKnobCurves(spark); spark.stop(); return }

@@ -39,3 +39,16 @@ trait AllDoubleArrayInputs
     children.map(_ =>
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
+
+/** Mixin declaring "(array<double>, int)" inputs with implicit casting —
+  * the (vector, cell-id) shape of the two-level quantizer's sub-cell
+  * argmax. Same private[sql]-AbstractDataType rationale as above.
+  */
+trait DoubleArrayIntInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.IntegerType)
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.ops.Ivf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Two-level (hierarchical) coarse quantizer: the "cells ∝ n at constant
+  * cell size" configuration motivated by the ×243 ScaleProbe finding
+  * (BENCH_NOTES r12) — flat assignment at n/c cells is quadratic in n,
+  * two-level routing is k1 + k2 per row with k1·k2 effective cells.
+  */
+class TwoLevelIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  private def toyEmb(rows: Seq[(Long, Seq[Double])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def graphRows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos"), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  test("trainTwoLevel: k1=1, iters=0 degenerates to the flat seed matrix") {
+    val m = Ivf.trainTwoLevel(emb, k1 = 1, k2 = 8, iters = 0)
+    val flat = Ivf.train(emb, k = 8, iters = 0)
+    assert(m.k1 == 1 && m.k2 == 8 && m.l2.length == 8)
+    (m.l2 zip flat).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"sub-centroid $i differs from flat seed")
+    }
+  }
+
+  test("knnGraphTwoLevel: k1=1 equals the flat knnGraph exactly (sf0.001)") {
+    val two = graphRows(Ivf.knnGraphTwoLevel(emb, k1 = 1, k2 = 16, k = 5))
+    val flat = graphRows(Ivf.knnGraph(emb, numCells = 16, k = 5))
+    assert(two == flat, s"two-level(k1=1) != flat: ${two.size} vs ${flat.size} rows")
+  }
+
+  test("assignTwoLevel: scid always routes back to its own L1 cell") {
+    val m = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4, iters = 1)
+    assert(m.l2.length == m.k1 * m.k2)
+    val e = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bad = Ivf.assignTwoLevel(e, m)
+      .where(floor(col("scid") / m.k2) =!= col("cid")).count()
+    assert(bad == 0L, s"$bad rows routed outside their L1 block")
+  }
+
+  test("knnComponentsTwoLevel: two tight clusters separate on a toy corpus") {
+    // two orthogonal bundles, ids INTERLEAVED so the k1=2 lowest-vec_id
+    // L1 seeds (ids 1, 2) come one from each bundle; k2=1 → scid == cid
+    val e = toyEmb(Seq(
+      1L -> Seq(1.00, 0.01), 3L -> Seq(0.99, 0.02), 5L -> Seq(0.98, 0.00),
+      2L -> Seq(0.01, 1.00), 4L -> Seq(0.02, 0.99), 6L -> Seq(0.00, 0.98)))
+    val comps = Ivf.knnComponentsTwoLevel(e, k1 = 2, k2 = 1, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(comps(1L), comps(3L), comps(5L)).size == 1)
+    assert(Set(comps(2L), comps(4L), comps(6L)).size == 1)
+    assert(comps(1L) != comps(2L), "orthogonal bundles merged")
+  }
+
+  test("knnComponentsTwoLevel: invariant under repartitioning (sf0.001)") {
+    def run(parts: Int): Set[(Long, Long)] =
+      Ivf.knnComponentsTwoLevel(emb.repartition(parts), k1 = 4, k2 = 4, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(13))
+  }
+
+  test("trainTwoLevel: under-full and empty blocks pad without crashing") {
+    // 3 vectors, k1=2, k2=4: every block under-full; Lloyd round on top —
+    // duplicates/padding must never break assignment or the graph
+    val e = toyEmb(Seq(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0)))
+    val m = Ivf.trainTwoLevel(e, k1 = 2, k2 = 4, iters = 1)
+    assert(m.l2.length == m.k1 * 4)
+    val assigned = Ivf.assignTwoLevel(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), m)
+    assert(assigned.count() == 3L)
+    // cells with ≤ k2 members seed one sub-cell per member, so the
+    // within-sub-cell graph is EMPTY — the documented over-partitioning
+    // degenerate (flat knnGraph at numCells ≥ n behaves identically);
+    // the configuration contract is k1·k2 ≪ n / k
+    val g = Ivf.knnGraphWithTwoLevel(e, m, k = 2)
+    assert(g.count() == 0L)
+  }
+
+  test("two-level faces: empty corpus and null embeddings are results, not crashes") {
+    val empty = toyEmb(Seq.empty)
+    assert(Ivf.trainTwoLevel(empty, 2, 2).isEmpty)
+    assert(Ivf.knnGraphTwoLevel(empty, 2, 2, 3).count() == 0L)
+    assert(Ivf.knnComponentsTwoLevel(empty, 2, 2, 3).count() == 0L)
+    // null embedding rows drop at the parse boundary (the vecs contract)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Seq(1.0, 0.0)),
+        org.apache.spark.sql.Row(2L, Seq(0.9, 0.1)),
+        org.apache.spark.sql.Row(3L, null))),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val g = Ivf.knnGraphTwoLevel(withNull, k1 = 1, k2 = 1, k = 2)
+    assert(graphRows(g).map(_._1) == Set(1L, 2L))
+  }
+
+  test("two-level recovers nested cluster structure exactly as flat does") {
+    // 6 tight bundles in 3 orthogonal super-groups (A/B/C on disjoint
+    // axis pairs, ±0.4 sub-split within each): ground truth is 6
+    // components of 10. ids interleave sub-bundles so the lowest-vec_id
+    // seeding picks one L1 seed per super-group (ids 1..3) and one k2
+    // seed per sub-bundle within each cell (ids 1&4, 2&5, 3&6). Both the
+    // flat quantizer at 6 cells and the two-level 3×2 must recover the
+    // exact ground-truth components — hierarchical routing costs nothing
+    // when the data has the nested structure it models.
+    val dirs = Seq( // sub_index 0..5 = A1 B1 C1 A2 B2 C2
+      Seq(1.0, 0.4, 0.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.4, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.4), Seq(1.0, -0.4, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, -0.4, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 0.0, 1.0, -0.4))
+    val rows = for (j <- 0 until 10; s <- 0 until 6) yield {
+      val d = dirs(s).toArray.clone()
+      val jitterAxis = dirs(s).indexWhere(x => x != 0.0 && math.abs(x) == 0.4)
+      d(jitterAxis) = d(jitterAxis) + 0.01 * j // within-bundle cos ≈ 0.999
+      (1L + s + 6L * j, d.toSeq)
+    }
+    val e = toyEmb(rows)
+    def comps(df: DataFrame): Set[Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val truth = (0 until 6).map(s => (0 until 10).map(j => 1L + s + 6L * j).toSet).toSet
+    val two = comps(Ivf.knnComponentsTwoLevel(e, k1 = 3, k2 = 2, k = 9))
+    val flat = comps(Ivf.knnComponents(e, numCells = 6, k = 9))
+    assert(two == truth, "two-level components differ from ground truth")
+    assert(flat == truth, "flat components differ from ground truth")
+  }
+}

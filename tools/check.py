@@ -10,7 +10,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single parquet FILES; Spark-written corpora
+    # (e.g. the AmplifyCorpus ×k directories) are part-file DIRECTORIES
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 fails = 0
