@@ -734,13 +734,25 @@ object Ivf {
     */
   def trainTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
                     iters: Int = 0): TwoLevelModel = {
-    import graft.functions.{ScoredId, TopKByScore}
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val cents1 = train(emb, k1, iters)
     if (cents1.isEmpty) return TwoLevelModel(cents1, Array.empty, k2)
+    trainTwoLevelOn(
+      graft.core.Materialize.once(assign(vecs(emb), cents1)),
+      cents1, k2, iters)
+  }
+
+  /** The L2 trainer over an ALREADY materialized L1 assignment — split
+    * out so the graph faces can reuse ONE assignment scan for training,
+    * sub-assignment, and the candidate join (the flat faces' one-scan
+    * convention; before the split the end-to-end path paid the L1 corpus
+    * argmax twice).
+    */
+  private def trainTwoLevelOn(a1: DataFrame, cents1: Array[Array[Double]],
+                              k2: Int, iters: Int): TwoLevelModel = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val k1c = cents1.length
     val dim = cents1.head.length
-    val a1 = graft.core.Materialize.once(assign(vecs(emb), cents1))
     // seed ids: the k2 lowest vec_ids per L1 cell — bounded heap keyed on
     // -vec_id (exact in a double up to 2^53, far past any corpus id), then
     // one skinny (≤ k1·k2 row) join back for the seed vectors
@@ -807,8 +819,22 @@ object Ivf {
     * now tuned by (k1, k2).
     */
   def knnGraphTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
-                       k: Int = 5): DataFrame =
-    knnGraphWithTwoLevel(emb, trainTwoLevel(emb, k1, k2, iters = 0), k)
+                       k: Int = 5): DataFrame = {
+    // one-scan path: the SAME materialized L1 assignment feeds seed
+    // selection, sub-assignment, and both candidate-join sides (with-
+    // model serving re-assigns by necessity; end-to-end must not)
+    val cents1 = train(emb, k1, iters = 0)
+    if (cents1.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+        lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+    val a1 = graft.core.Materialize.once(assign(vecs(emb), cents1))
+    val m = trainTwoLevelOn(a1, cents1, k2, iters = 0)
+    val cells = graft.core.Materialize.once(
+      a1.withColumn("scid", graft.functions.nearest_sub_cell(
+          col("v"), col("cid"), m.l2.flatten, m.k1, m.k2, cents1.head.length))
+        .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
+    knnGraphOnCells(cells, k)
+  }
 
   /** [[knnGraphTwoLevel]] against a PRE-TRAINED two-level model. */
   def knnGraphWithTwoLevel(emb: DataFrame, m: TwoLevelModel,
@@ -829,6 +855,34 @@ object Ivf {
   def knnComponentsTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
                             k: Int = 5): DataFrame =
     componentsOfGraph(knnGraphTwoLevel(emb, k1, k2, k))
+
+  /** Persist a two-level model: one parquet of (level, cid, cvec) rows —
+    * level 1 = the k1 router centroids, level 2 = the k1·k2 sub-centroid
+    * blocks keyed by global scid (the train-once/serve-nightly shape,
+    * mirroring [[saveModel]]).
+    */
+  def saveTwoLevelModel(spark: SparkSession, m: TwoLevelModel,
+                        path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      m.l1.zipWithIndex.map { case (c, i) => (1, i, c.toSeq) } ++
+        m.l2.zipWithIndex.map { case (c, i) => (2, i, c.toSeq) }
+    rows.toSeq.toDF("level", "cid", "cvec")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveTwoLevelModel]] (blocks sorted by id —
+    * the same layout [[trainTwoLevel]] returns; k2 recovered from the
+    * level-2/level-1 row ratio).
+    */
+  def loadTwoLevelModel(spark: SparkSession, path: String): TwoLevelModel = {
+    val df = spark.read.parquet(path)
+      .select(col("level").cast("int"), col("cid").cast("int"),
+        col("cvec").cast("array<double>"))
+    val l1 = localize(df.where(col("level") === 1).select(col("cid"), col("cvec")))
+    val l2 = localize(df.where(col("level") === 2).select(col("cid"), col("cvec")))
+    TwoLevelModel(l1, l2, if (l1.isEmpty) 0 else l2.length / l1.length)
+  }
 
   /** CENTROID-DISTANCE OUTLIER screen per quantizer cell — the embedding-
     * space face of mad_outliers: score every vector by its rounded cosine

@@ -107,6 +107,21 @@ class TwoLevelIvfSpec extends SparkSpec {
     assert(graphRows(g).map(_._1) == Set(1L, 2L))
   }
 
+  test("two-level model round-trips through save/load; graph identical") {
+    val m = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tlm")
+    try {
+      val path = s"$dir/m"
+      Ivf.saveTwoLevelModel(spark, m, path)
+      val m2 = Ivf.loadTwoLevelModel(spark, path)
+      assert(m2.k1 == m.k1 && m2.k2 == m.k2)
+      assert((m.l1 zip m2.l1).forall { case (a, b) => a.sameElements(b) })
+      assert((m.l2 zip m2.l2).forall { case (a, b) => a.sameElements(b) })
+      assert(graphRows(Ivf.knnGraphWithTwoLevel(emb, m2, 5)) ==
+        graphRows(Ivf.knnGraphWithTwoLevel(emb, m, 5)))
+    } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
+  }
+
   test("two-level recovers nested cluster structure exactly as flat does") {
     // 6 tight bundles in 3 orthogonal super-groups (A/B/C on disjoint
     // axis pairs, ±0.4 sub-split within each): ground truth is 6
