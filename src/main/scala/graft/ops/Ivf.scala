@@ -726,8 +726,11 @@ object Ivf {
     *
     * Deviations from [[train]], both deliberate: sub-cells that lose every
     * member KEEP their previous centroid (no compaction — cid1 = scid/k2
-    * routing must stay stable), and under-full blocks pad with their first
-    * seed (a duplicate centroid never wins the tie-to-lowest argmax);
+    * routing must stay stable), and under-full blocks pad with their LAST
+    * real seed (at init a duplicate ties with its source and loses to the
+    * lower scid, so padded slots start empty; under iters ≥ 1 they are
+    * ordinary centroids that may attract members once their source moves —
+    * legitimate k-means with duplicate inits, still deterministic);
     * empty blocks pad with the L1 centroid (they receive no vectors).
     * With k1 = 1 and iters = 0 the model degenerates to [[train]]'s seed
     * matrix exactly (spec-pinned), so the flat faces are the k1 = 1 case.
@@ -818,23 +821,76 @@ object Ivf {
     * instead of √n. Cross-cell true neighbors remain the recall price,
     * now tuned by (k1, k2).
     */
-  def knnGraphTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
-                       k: Int = 5): DataFrame = {
-    // one-scan path: the SAME materialized L1 assignment feeds seed
-    // selection, sub-assignment, and both candidate-join sides (with-
-    // model serving re-assigns by necessity; end-to-end must not)
+  /** The one-scan two-level cell structure shared by every end-to-end
+    * two-level face: train L1, materialize ONE L1 assignment, train L2
+    * on it, sub-assign the SAME frame (with-model serving re-assigns by
+    * necessity; end-to-end paths must not — the ×81 A/B inversion was
+    * exactly this pass paid twice). Returns the materialized
+    * (cid = global scid, vec_id, v) frame — the assignedCells shape —
+    * plus the model; None on an empty corpus.
+    */
+  private def twoLevelCells(emb: DataFrame, k1: Int, k2: Int)
+      : Option[(DataFrame, TwoLevelModel)] = {
     val cents1 = train(emb, k1, iters = 0)
-    if (cents1.isEmpty)
-      return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
-        lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+    if (cents1.isEmpty) return None
     val a1 = graft.core.Materialize.once(assign(vecs(emb), cents1))
     val m = trainTwoLevelOn(a1, cents1, k2, iters = 0)
     val cells = graft.core.Materialize.once(
       a1.withColumn("scid", graft.functions.nearest_sub_cell(
           col("v"), col("cid"), m.l2.flatten, m.k1, m.k2, cents1.head.length))
         .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
-    knnGraphOnCells(cells, k)
+    Some((cells, m))
   }
+
+  def knnGraphTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                       k: Int = 5): DataFrame =
+    twoLevelCells(emb, k1, k2) match {
+      case None =>
+        emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+          lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+      case Some((cells, _)) => knnGraphOnCells(cells, k)
+    }
+
+  /** [[semanticNearDup]] on the two-level quantizer — the Σ|cell|² pair
+    * bound is where constant cell size matters MOST: at flat √n cells
+    * the within-cell pair volume grows as n^1.5; at cells ∝ n it stays
+    * n·c. Emits the same (cid, id1, id2, cos) rows, cid = global scid.
+    */
+  def semanticNearDupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                              threshold: Double = 0.4): DataFrame =
+    twoLevelCells(emb, k1, k2) match {
+      case None =>
+        emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
+          col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
+      case Some((cells, _)) => cellPairs(cells, threshold)
+    }
+
+  /** [[semanticDedup]] on the two-level quantizer: the same within-cell
+    * pairs → CC → diversity-keeper pipeline, with the keeper scored
+    * against its SUB-centroid (the member's actual region prototype).
+    * One materialized cell scan feeds pairs and keeper score, as in the
+    * flat face.
+    */
+  def semanticDedupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                            threshold: Double = 0.4): DataFrame =
+    twoLevelCells(emb, k1, k2) match {
+      case None =>
+        emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
+          lit(true).as("keep")).limit(0)
+      case Some((cells, m)) =>
+        val cl = centLit(m.l2)
+        val comp = Dedup.clusters(
+          cellPairs(cells, threshold).select(col("id1"), col("id2")))
+        val scored = comp.join(
+          cells.select(col("vec_id").as("doc_id"),
+            round(graft.functions.cosine_sim(col("v"),
+              element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+          "doc_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ccos"), col("doc_id"))
+        scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+    }
 
   /** [[knnGraphTwoLevel]] against a PRE-TRAINED two-level model. */
   def knnGraphWithTwoLevel(emb: DataFrame, m: TwoLevelModel,

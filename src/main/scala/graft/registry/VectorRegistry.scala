@@ -87,6 +87,16 @@ private[graft] object VectorRegistry {
       // kernel unchanged (shared componentsOfGraph), only the cells scale
       graft.ops.Ivf.knnComponentsTwoLevel(Tables.table(s, dir, "embeddings"),
         k1 = 4, k2 = 4)),
+    "semantic_neardup_2level" -> ((s, dir) =>
+      // SemDeDup pairs over two-level cells: the Σ|cell|² bound at
+      // CONSTANT cell size — n·c total pairs instead of flat √n's n^1.5
+      graft.ops.Ivf.semanticNearDupTwoLevel(Tables.table(s, dir, "embeddings"),
+        k1 = 4, k2 = 4)),
+    "semantic_dedup_2level" -> ((s, dir) =>
+      // SemDeDup end-to-end over two-level cells; keeper scored against
+      // its SUB-centroid (the member's actual region prototype)
+      graft.ops.Ivf.semanticDedupTwoLevel(Tables.table(s, dir, "embeddings"),
+        k1 = 4, k2 = 4)),
     "knn_pagerank" -> ((s, dir) =>
       // integer-scaled fixed-iteration PageRank over the kNN graph —
       // centrality for density-weighted curation; every intermediate an
@@ -268,6 +278,28 @@ private[graft] object VectorRegistry {
         "r AS (SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (" +
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM p) " +
         "SELECT vec_id, neighbor_id, cos, rn FROM r WHERE rn <= 5"),
+    "semantic_neardup_2level" ->
+      ("WITH " + TwoLevelAssignSql +
+        "pairs AS (SELECT CAST(a.scid AS BIGINT) AS cid, a.vec_id AS id1, " +
+        "b.vec_id AS id2, round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4) " +
+        "SELECT cid, id1, id2, cos FROM pairs"),
+    "semantic_dedup_2level" ->
+      ("WITH RECURSIVE " + TwoLevelAssignSql +
+        "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
+        "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
+        "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +
+        "UNION SELECT g.a AS vec_id, c.lbl FROM edges g JOIN comp c ON g.b = c.vec_id), " +
+        "labels AS (SELECT vec_id, min(lbl) AS cluster_id FROM comp GROUP BY 1), " +
+        "sc AS (SELECT a.vec_id, round(list_cosine_similarity(a.v, s.svec), 6) AS ccos " +
+        "FROM sassigned a JOIN subcents s ON s.scid = a.scid) " +
+        "SELECT l.vec_id, l.cluster_id, (row_number() OVER (" +
+        "PARTITION BY l.cluster_id ORDER BY s.ccos, l.vec_id) = 1) AS keep " +
+        "FROM labels l JOIN sc s ON s.vec_id = l.vec_id"),
     "knn_components_2level" ->
       ("WITH RECURSIVE " + TwoLevelAssignSql +
         "r AS (SELECT vec_id, neighbor_id FROM (" +

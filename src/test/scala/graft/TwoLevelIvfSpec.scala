@@ -107,6 +107,23 @@ class TwoLevelIvfSpec extends SparkSpec {
     assert(graphRows(g).map(_._1) == Set(1L, 2L))
   }
 
+  test("semantic faces: k1=1 equals the flat SemDeDup faces exactly") {
+    // k1=1 → sub-seeds are the 16 lowest vec_ids = the flat seed matrix,
+    // scid = local id = flat cid, keeper sub-centroid = flat centroid
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Ivf.semanticNearDupTwoLevel(emb, k1 = 1, k2 = 16)) ==
+      rows(Ivf.semanticNearDup(emb, numCells = 16)))
+    assert(rows(Ivf.semanticDedupTwoLevel(emb, k1 = 1, k2 = 16)) ==
+      rows(Ivf.semanticDedup(emb, numCells = 16)))
+  }
+
+  test("semantic 2level faces: empty corpus is a result, not a crash") {
+    val empty = toyEmb(Seq.empty)
+    assert(Ivf.semanticNearDupTwoLevel(empty, 2, 2).count() == 0L)
+    assert(Ivf.semanticDedupTwoLevel(empty, 2, 2).count() == 0L)
+  }
+
   test("two-level model round-trips through save/load; graph identical") {
     val m = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_tlm")
