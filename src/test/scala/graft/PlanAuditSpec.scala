@@ -416,6 +416,16 @@ class PlanAuditSpec extends SparkSpec {
     val pk = planOf("knn_graph")
     assert(pk.toLowerCase.contains("topkbyscore"), pk)
     assert(!pk.contains("Window"), pk)
+    // knn_graph_2level: selection stays the bounded heap, never a
+    // per-vector window, and the candidate join is the cell equi-join
+    // over the ONE materialized assignment cut (both fused argmax levels
+    // live BEHIND that cut — the final plan reads the checkpointed RDD,
+    // so like knn_graph's audit this pins the post-cut shape)
+    val p2 = planOf("knn_graph_2level")
+    assert(p2.toLowerCase.contains("topkbyscore"), p2)
+    assert(!p2.contains("Window"), p2)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
 
   test("ann top-k paths aggregate map-side instead of windowing the scored set") {
