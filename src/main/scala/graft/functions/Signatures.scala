@@ -333,7 +333,11 @@ case class NearestCell(child: Expression, centroids: Array[Double], k: Int, dim:
   *
   * Same determinism contract as [[NearestCell]]: cosines rounded to 6
   * decimals (half away from zero) before the argmax, ties to the lowest
-  * sub-cell id. Out-of-range cid1 (corrupt upstream) clamps into [0, k1).
+  * sub-cell id. Out-of-range cid1 FAILS LOUDLY (IllegalArgumentException):
+  * every in-repo caller supplies cid from assign() over the same model,
+  * so a stray id can only mean a corrupt assignment or a model/assignment
+  * pairing from different trainings — silently clamping it would make
+  * downstream graphs quietly wrong instead of failing the job.
   */
 case class NearestSubCell(left: Expression, right: Expression,
                           centroids: Array[Double], k1: Int, k2: Int, dim: Int)
@@ -345,8 +349,11 @@ case class NearestSubCell(left: Expression, right: Expression,
 
   override def nullSafeEval(input: Any, cidIn: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val cid1 = java.lang.Math.min(java.lang.Math.max(
-      cidIn.asInstanceOf[Int], 0), k1 - 1)
+    val cid1 = cidIn.asInstanceOf[Int]
+    if (cid1 < 0 || cid1 >= k1)
+      throw new IllegalArgumentException(
+        s"NearestSubCell: cid1 $cid1 out of [0, $k1) — corrupt assignment " +
+          "or model/assignment pairing from different trainings")
     val d = java.lang.Math.min(dim, v.numElements())
     var nv = 0.0
     var j = 0
@@ -388,7 +395,12 @@ case class NearestSubCell(left: Expression, right: Expression,
          |for (int $j = 0; $j < $d; $j++) {
          |  double $x = $in.getDouble($j); $nv += $x * $x;
          |}
-         |int $c1 = java.lang.Math.min(java.lang.Math.max($cidIn, 0), ${k1 - 1});
+         |int $c1 = $cidIn;
+         |if ($c1 < 0 || $c1 >= $k1) {
+         |  throw new IllegalArgumentException(
+         |    "NearestSubCell: cid1 " + $c1 + " out of [0, $k1) — corrupt " +
+         |    "assignment or model/assignment pairing from different trainings");
+         |}
          |int $base = $c1 * $k2;
          |int $best = $base;
          |double $bestC = java.lang.Double.NEGATIVE_INFINITY;

@@ -878,13 +878,21 @@ object Ivf {
         emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
           lit(true).as("keep")).limit(0)
       case Some((cells, m)) =>
-        val cl = centLit(m.l2)
+        // keeper score via a broadcast (scid, svec) join, NOT a
+        // k1·k2-element centLit literal: the whole point of the two-level
+        // structure is LARGE effective cell counts (FAISS-scale 1e6),
+        // where a literal array blows up the expression tree / forces
+        // codegen fallback — the sub-centroid frame is model-scale
+        // (k1·k2 rows) and broadcasts for free
+        val sc = broadcast(
+          centroidsDf(emb.sparkSession, m.l2)
+            .select(col("cid").cast("long").as("cid"), col("cvec").as("svec")))
         val comp = Dedup.clusters(
           cellPairs(cells, threshold).select(col("id1"), col("id2")))
         val scored = comp.join(
-          cells.select(col("vec_id").as("doc_id"),
-            round(graft.functions.cosine_sim(col("v"),
-              element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+          cells.join(sc, "cid")
+            .select(col("vec_id").as("doc_id"),
+              round(graft.functions.cosine_sim(col("v"), col("svec")), 6).as("ccos")),
           "doc_id")
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("ccos"), col("doc_id"))
@@ -937,6 +945,15 @@ object Ivf {
         col("cvec").cast("array<double>"))
     val l1 = localize(df.where(col("level") === 1).select(col("cid"), col("cvec")))
     val l2 = localize(df.where(col("level") === 2).select(col("cid"), col("cvec")))
+    // a truncated/hand-edited model whose level-2 count is not an exact
+    // multiple of k1 would otherwise load silently into a model whose
+    // block arithmetic (scid = cid·k2 + local) routes garbage; dims must
+    // agree for the same reason
+    require(l1.isEmpty || l2.length % l1.length == 0,
+      s"two-level model at $path is corrupt: ${l2.length} sub-centroids " +
+        s"is not a multiple of k1=${l1.length}")
+    require(l1.isEmpty || (l1 ++ l2).forall(_.length == l1.head.length),
+      s"two-level model at $path is corrupt: mixed centroid dims")
     TwoLevelModel(l1, l2, if (l1.isEmpty) 0 else l2.length / l1.length)
   }
 

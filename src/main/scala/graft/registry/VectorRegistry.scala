@@ -81,22 +81,22 @@ private[graft] object VectorRegistry {
       // costs k1+k2 flops, so effective cells can grow ∝ corpus at
       // constant cell size — the 100 TB configuration (ScaleProbe r12b)
       graft.ops.Ivf.knnGraphTwoLevel(Tables.table(s, dir, "embeddings"),
-        k1 = 4, k2 = 4)),
+        k1 = TL_K, k2 = TL_K)),
     "knn_components_2level" -> ((s, dir) =>
       // mutual-kNN components over the two-level cell structure — the
       // kernel unchanged (shared componentsOfGraph), only the cells scale
       graft.ops.Ivf.knnComponentsTwoLevel(Tables.table(s, dir, "embeddings"),
-        k1 = 4, k2 = 4)),
+        k1 = TL_K, k2 = TL_K)),
     "semantic_neardup_2level" -> ((s, dir) =>
       // SemDeDup pairs over two-level cells: the Σ|cell|² bound at
       // CONSTANT cell size — n·c total pairs instead of flat √n's n^1.5
       graft.ops.Ivf.semanticNearDupTwoLevel(Tables.table(s, dir, "embeddings"),
-        k1 = 4, k2 = 4)),
+        k1 = TL_K, k2 = TL_K)),
     "semantic_dedup_2level" -> ((s, dir) =>
       // SemDeDup end-to-end over two-level cells; keeper scored against
       // its SUB-centroid (the member's actual region prototype)
       graft.ops.Ivf.semanticDedupTwoLevel(Tables.table(s, dir, "embeddings"),
-        k1 = 4, k2 = 4)),
+        k1 = TL_K, k2 = TL_K)),
     "knn_pagerank" -> ((s, dir) =>
       // integer-scaled fixed-iteration PageRank over the kNN graph —
       // centrality for density-weighted curation; every intermediate an
@@ -247,23 +247,30 @@ private[graft] object VectorRegistry {
     })
   )
 
-  // Two-level (4×4) quantizer replay shared by the 2level faces: L1 =
-  // the knn_graph seed/assignment CTEs at k1=4; sub-centroids = each L1
-  // cell's 4 lowest vec_ids (scid = cid·4 + local, the trainTwoLevel
-  // block layout — under-full cells just rank fewer candidates, which is
-  // exactly what the Spark side's pad-with-first-seed argmax computes);
-  // sub-assignment = ranked join against the OWN cell's block only.
+  // The ONE 4×4 configuration constant shared by the four two-level
+  // Scala faces AND the SQL replay below — interpolated into the CTE
+  // string so changing either side alone is impossible (the oracle and
+  // the query cannot silently diverge onto different cell structures).
+  private val TL_K = 4
+
+  // Two-level (TL_K × TL_K) quantizer replay shared by the 2level faces:
+  // L1 = the knn_graph seed/assignment CTEs at k1=TL_K; sub-centroids =
+  // each L1 cell's TL_K lowest vec_ids (scid = cid·TL_K + local, the
+  // trainTwoLevel block layout — under-full cells just rank fewer
+  // candidates, which is exactly what the Spark side's
+  // pad-with-first-seed argmax computes); sub-assignment = ranked join
+  // against the OWN cell's block only.
   private val TwoLevelAssignSql: String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
-      "FROM e ORDER BY vec_id LIMIT 4), " +
+      s"FROM e ORDER BY vec_id LIMIT $TL_K), " +
       "assigned AS (SELECT vec_id, v, cid FROM (" +
       "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
       "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
       "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-      "subcents AS (SELECT cid, CAST(cid * 4 + srn - 1 AS INTEGER) AS scid, v AS svec FROM (" +
+      s"subcents AS (SELECT cid, CAST(cid * $TL_K + srn - 1 AS INTEGER) AS scid, v AS svec FROM (" +
       "SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS srn " +
-      "FROM assigned) WHERE srn <= 4), " +
+      s"FROM assigned) WHERE srn <= $TL_K), " +
       "sassigned AS (SELECT vec_id, v, scid FROM (" +
       "SELECT a.vec_id, a.v, sc.scid, row_number() OVER (PARTITION BY a.vec_id " +
       "ORDER BY round(list_cosine_similarity(a.v, sc.svec), 6) DESC, sc.scid) AS srn2 " +

@@ -63,25 +63,57 @@ object PlanLint {
     */
   val udfOk: Set[String] = Set("dedup_bloom")
 
+  /** Frames executed by Spark's UnboundedFollowingWindowFunctionFrame —
+    * `(x, UNBOUNDED FOLLOWING)` with x ≠ UNBOUNDED PRECEDING: unlike every
+    * other frame processor it RESCANS the rest of the partition for every
+    * row, so the window is O(n²) per partition. This is the gapFillLinear
+    * scale-bug class the ×27 full-registry verify caught live in r12;
+    * rewrite as the mirrored running frame over the reversed ordering
+    * (e.g. last IGNORE NULLS over orderBy desc, UNBOUNDED PRECEDING..CURRENT).
+    * `(UNBOUNDED PRECEDING, UNBOUNDED FOLLOWING)` is fine — computed once
+    * per partition, O(n).
+    */
+  private def unboundedFollowingFrames(
+      w: WindowExec): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
+      WindowExpression}
+    w.windowExpression.flatMap(_.collect {
+      case WindowExpression(_, spec) => spec.frameSpecification
+    }).collect {
+      case SpecifiedWindowFrame(ft, lower, UnboundedFollowing)
+          if lower != UnboundedPreceding =>
+        s"$ft frame ($lower, UNBOUNDED FOLLOWING)"
+    }
+  }
+
   def violationsIn(p: SparkPlan, query: String, where: String,
                    strict: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
     val allowed = !strict && dimScaleOk.contains(query)
-    p.foreach {
-      case _: CartesianProductExec =>
-        out += s"$query [$where]: CartesianProductExec (use broadcast() on the dim side)"
-      case w: WindowExec if w.partitionSpec.isEmpty && !allowed =>
-        out += s"$query [$where]: unpartitioned WindowExec (single-task window)"
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowed =>
-        out += s"$query [$where]: unpartitioned WindowGroupLimitExec"
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition && !allowed =>
-        out += s"$query [$where]: ShuffleExchange(SinglePartition) funnel"
-      case node if (strict || !udfOk.contains(query)) &&
+    p.foreach { node =>
+      node match {
+        case _: CartesianProductExec =>
+          out += s"$query [$where]: CartesianProductExec (use broadcast() on the dim side)"
+        case w: WindowExec =>
+          if (w.partitionSpec.isEmpty && !allowed)
+            out += s"$query [$where]: unpartitioned WindowExec (single-task window)"
+          unboundedFollowingFrames(w).foreach(f =>
+            out += s"$query [$where]: $f — O(n²) per partition " +
+              "(UnboundedFollowingWindowFunctionFrame rescans the rest of " +
+              "the partition per row; mirror it as a running frame over " +
+              "the reversed ordering)")
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowed =>
+          out += s"$query [$where]: unpartitioned WindowGroupLimitExec"
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition && !allowed =>
+          out += s"$query [$where]: ShuffleExchange(SinglePartition) funnel"
+        case _ => ()
+      }
+      if ((strict || !udfOk.contains(query)) &&
         node.expressions.exists(_.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])) =>
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
         out += s"$query [$where]: ScalaUDF in the plan (breaks codegen; " +
           "use a native expression or org.apache.spark.sql.functions)"
-      case _ => ()
     }
     out.toSeq
   }

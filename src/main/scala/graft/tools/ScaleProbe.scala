@@ -747,6 +747,48 @@ object ScaleProbe {
     def snap: (Long, Long, Long) = (read.get, write.get, spill.get)
   }
 
+  /** Per-stage task histograms — duration, GC time, shuffle bytes PER
+    * TASK — the r13 ask-#1 instrumentation for the longest_repeat ×243
+    * wall anomaly: ByteTap said the PLAN is linear (bytes exactly ∝ n,
+    * zero spill) while the wall grew 10× for 3× data, so the explanation
+    * must live at task granularity — skew (p99 ≫ p50 in one stage), GC
+    * churn (gc share of run time), or stragglers (max ≫ p99).
+    */
+  private final class TaskTap extends org.apache.spark.scheduler.SparkListener {
+    import scala.collection.mutable.ArrayBuffer
+    private final case class T(dur: Long, gc: Long, sr: Long, sw: Long)
+    // listener events arrive on one bus thread — plain maps are safe
+    private val tasks = scala.collection.mutable.Map.empty[Int, ArrayBuffer[T]]
+    private val names = scala.collection.mutable.Map.empty[Int, String]
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null)
+        tasks.getOrElseUpdate(e.stageId, ArrayBuffer.empty) += T(
+          m.executorRunTime, m.jvmGCTime,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten)
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+    def reset(): Unit = { tasks.clear(); names.clear() }
+    def report(): Unit = {
+      def pct(a: Seq[Long], p: Double): Long =
+        if (a.isEmpty) 0L
+        else a.sorted.apply(math.min(a.size - 1, (p * a.size).toInt))
+      tasks.toSeq.sortBy(_._1).foreach { case (sid, ts) =>
+        val d = ts.map(_.dur).toSeq; val g = ts.map(_.gc).toSeq
+        println(f"[task] stage $sid%4d ${names.getOrElse(sid, "?").take(40)}%-40s " +
+          f"n=${ts.size}%4d run ${d.sum / 1e3}%8.1fs " +
+          f"p50 ${pct(d, .5) / 1e3}%7.2f p99 ${pct(d, .99) / 1e3}%7.2f " +
+          f"max ${d.max / 1e3}%7.2f " +
+          f"gc ${g.sum / 1e3}%7.1fs (${100.0 * g.sum / math.max(1L, d.sum)}%4.1f%%) " +
+          f"shufR ${ts.map(_.sr).sum / 1e6}%9.1fMB shufW ${ts.map(_.sw).sum / 1e6}%9.1fMB")
+      }
+    }
+  }
+
   /** Drain the async listener bus so a ByteTap snapshot covers every
     * stage of the action that just returned. private[spark] is public
     * at the bytecode level, so plain reflection reaches the bus; the
@@ -917,6 +959,47 @@ object ScaleProbe {
     }
   }
 
+  /** r13 ask #1: longest_repeat ×81/×243 with per-stage task histograms
+    * (TaskTap) on top of the byte tap — root-causing the ×243 wall
+    * (305.5 s vs 31.6 s at ×81 in r12, 10× for 3× data, bytes linear,
+    * zero spill). Run: `runMain graft.tools.ScaleProbe r13lr` (81+243)
+    * or `... r13lrx243` / `... r13lrx81` (one leg).
+    */
+  private def r13LongestRepeatCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    val tt = new TaskTap
+    spark.sparkContext.addSparkListener(tap)
+    spark.sparkContext.addSparkListener(tt)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val docs = (0 until k).map { i =>
+        Tables.table(spark, dir, "documents").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      flushListeners(spark); tt.reset()
+      time(s"longest_repeat x$k ($nd docs)") {
+        graft.ops.Dedup.longestRepeat(docs).count()
+      }
+      flushListeners(spark); tt.report()
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      docs.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -942,6 +1025,9 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r13lrx243")) { r13LongestRepeatCurves(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r13lrx81")) { r13LongestRepeatCurves(spark, Seq(81)); spark.stop(); return }
+    if (args.contains("r13lr")) { r13LongestRepeatCurves(spark, Seq(81, 243)); spark.stop(); return }
     if (args.contains("r12knn")) { r12KnnCurves(spark); spark.stop(); return }
     if (args.contains("r12bx243")) { r12TwoLevelCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r12b")) { r12TwoLevelCurves(spark, Seq(27, 81)); spark.stop(); return }

@@ -850,6 +850,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("window-frame lint: (x, UNBOUNDED FOLLOWING) frames flagged red") {
+    // the gapFillLinear O(n²) class (caught live in the r12 ×27 verify):
+    // Spark executes (x, UNBOUNDED FOLLOWING) frames with
+    // UnboundedFollowingWindowFunctionFrame, which rescans the rest of
+    // the partition PER ROW — a deliberately bad frame must be flagged…
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "x")
+    val bad = df.withColumn("nxt",
+      first(col("x"), ignoreNulls = true).over(
+        Window.partitionBy(col("t") % 2).orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val vs = graft.tools.PlanLint.violationsIn(
+      bad.queryExecution.sparkPlan, "bad_frame", "final")
+    assert(vs.exists(_.contains("UNBOUNDED FOLLOWING")),
+      "lint must reject the O(n²) frame:\n" + vs.mkString("\n"))
+    // …while the O(n) mirror (last IGNORE NULLS over the reversed running
+    // frame — the gapFillLinear fix) and the computed-once whole-partition
+    // frame both pass
+    val good = df
+      .withColumn("nxt", last(col("x"), ignoreNulls = true).over(
+        Window.partitionBy(col("t") % 2).orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mx", max(col("x")).over(
+        Window.partitionBy(col("t") % 2)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val gvs = graft.tools.PlanLint.violationsIn(
+      good.queryExecution.sparkPlan, "good_frame", "final")
+    assert(gvs.isEmpty, "false positives:\n" + gvs.mkString("\n"))
+  }
+
   test("full registry plan lint: no single-partition shapes anywhere") {
     // EVERY query in the registry — final plan AND the plans hidden
     // behind Materialize cuts — must plan zero CartesianProductExec,

@@ -139,6 +139,45 @@ class TwoLevelIvfSpec extends SparkSpec {
     } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
   }
 
+  test("loadTwoLevelModel: a truncated model fails loudly, not silently") {
+    // a level-2 row count that is not an exact multiple of k1 means the
+    // scid = cid·k2 + local block arithmetic would route garbage — the
+    // load must raise, never return a plausible-looking model
+    val m = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tlm_bad")
+    try {
+      val path = s"$dir/m"
+      Ivf.saveTwoLevelModel(spark, m, path)
+      val truncated = s"$dir/trunc"
+      spark.read.parquet(path)
+        .where(!(col("level") === 2 && col("cid") === 15))
+        .write.parquet(truncated)
+      val ex = intercept[IllegalArgumentException] {
+        Ivf.loadTwoLevelModel(spark, truncated)
+      }
+      assert(ex.getMessage.contains("not a multiple of k1"))
+    } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
+  }
+
+  test("NearestSubCell: an out-of-range cid1 fails the job loudly") {
+    // the only in-repo caller supplies cid from assign() over the same
+    // model, so a stray id can only mean a corrupt assignment or a
+    // model/assignment pairing from different trainings — silently
+    // clamping it would make downstream graphs quietly wrong
+    val m = Ivf.trainTwoLevel(emb, k1 = 2, k2 = 2, iters = 0)
+    val e = toyEmb(Seq(1L -> Seq.fill(64)(0.5)))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        lit(7).as("cid")) // out of [0, 2)
+    val ex = intercept[Exception] { // SparkException or the raw IAE,
+      // depending on whether the expression runs in a task or driver-side
+      e.withColumn("scid", graft.functions.nearest_sub_cell(
+          col("v"), col("cid"), m.l2.flatten, m.k1, m.k2, m.l1.head.length))
+        .collect()
+    }
+    assert(ex.getMessage.contains("out of [0, 2)") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of [0, 2)")))
+  }
+
   test("two-level recovers nested cluster structure exactly as flat does") {
     // 6 tight bundles in 3 orthogonal super-groups (A/B/C on disjoint
     // axis pairs, ±0.4 sub-split within each): ground truth is 6
