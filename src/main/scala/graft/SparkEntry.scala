@@ -244,6 +244,33 @@ object SparkEntry {
         "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
         s"SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $from) " +
         "GROUP BY cid, pos) GROUP BY cid) x)"
+    val rounds = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"ta${i - 1}", s"cents${i - 1}"), meanCte(s"cents$i", s"ta${i - 1}"))
+    }.mkString(", ")
+    val fin = s"cents$iters"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
+      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
+      rounds + ", " +
+      assignCte("af", fin) + ", " +
+      s"resid AS (SELECT a.vec_id, a.v, a.cid, " +
+      s"list_transform(generate_series(1, $dim), i -> a.v[i] - c.cvec[i]) AS res " +
+      s"FROM af a JOIN $fin c ON c.cid = a.cid), " +
+      pqResidualCtes(m, k, dim,
+        baseJoin = s"JOIN $fin cc ON cc.cid = resid.cid", baseVec = "cc.cvec")
+  }
+
+  /** The residual-PQ CTE chain shared by the flat and two-level IVF-PQ
+    * replays (mirrors Ivf.pqCodeResiduals — the codebook math never sees
+    * which coarse quantizer produced the residuals): assumes CTEs `e` and
+    * `resid(vec_id, v, cid, res)` exist upstream, emits seeds → seed
+    * books → one decimal-exact Lloyd round → code picks → `r` with
+    * recon = coarse base + concatenated chosen residual centroids, where
+    * the base row joins via `baseJoin` and contributes `baseVec`.
+    */
+  private[graft] def pqResidualCtes(m: Int, k: Int, dim: Int,
+                                    baseJoin: String, baseVec: String): String = {
+    val sub = dim / m
     // NaN-guarded per-subspace code pick against codebook `book`
     def codePick(name: String, book: String, outCol: String, s: Int): String = {
       val cs = s"round(list_cosine_similarity(r0.res[${s * sub + 1}:${(s + 1) * sub}], c.cvec), 6)"
@@ -252,10 +279,6 @@ object SparkEntry {
         s"ORDER BY (CASE WHEN isnan($cs) THEN -2 ELSE $cs END) DESC, c.scid) AS rn " +
         s"FROM resid r0 CROSS JOIN $book c) WHERE rn = 1)"
     }
-    val rounds = (1 to iters).flatMap { i =>
-      Seq(assignCte(s"ta${i - 1}", s"cents${i - 1}"), meanCte(s"cents$i", s"ta${i - 1}"))
-    }.mkString(", ")
-    val fin = s"cents$iters"
     // seed books → seed-code pick → one decimal-exact Lloyd round on the
     // residual slices (mirrors ivfPqEncodedFrame's bookIters = 1 default)
     val seedBooks = (0 until m).map(s =>
@@ -277,21 +300,13 @@ object SparkEntry {
     val joins = (0 until m).map(s => s"JOIN pa$s ON pa$s.vec_id = resid.vec_id").mkString(" ") +
       " " + (0 until m).map(s => s"JOIN cb$s c$s ON c$s.scid = pa$s.code$s").mkString(" ")
     val rr = (0 until m).map(s => s"c$s.cvec").mkString(" || ")
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      "cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
-      s"FROM e ORDER BY vec_id LIMIT $numCells), " +
-      rounds + ", " +
-      assignCte("af", fin) + ", " +
-      s"resid AS (SELECT a.vec_id, a.v, a.cid, " +
-      s"list_transform(generate_series(1, $dim), i -> a.v[i] - c.cvec[i]) AS res " +
-      s"FROM af a JOIN $fin c ON c.cid = a.cid), " +
-      "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
+    "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
       s"FROM (SELECT vec_id, res FROM resid ORDER BY vec_id LIMIT $k)), " +
       seedBooks + ", " + seedPicks + ", " + cbs + ", " + assigns + ", " +
       "r AS (SELECT resid.vec_id, resid.v, resid.cid, " +
       (0 until m).map(s => s"CAST(pa$s.code$s AS BIGINT) AS code$s").mkString(", ") +
-      s", list_transform(generate_series(1, $dim), i -> cc.cvec[i] + ($rr)[i]) AS recon " +
-      s"FROM resid $joins JOIN $fin cc ON cc.cid = resid.cid)"
+      s", list_transform(generate_series(1, $dim), i -> $baseVec[i] + ($rr)[i]) AS recon " +
+      s"FROM resid $joins $baseJoin)"
   }
 
   private[graft] def ivfPqEncodeOracleSql(m: Int, k: Int, dim: Int, numCells: Int,

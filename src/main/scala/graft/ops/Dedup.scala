@@ -937,6 +937,13 @@ object Dedup {
     * max.
     */
   def longestRepeat(docs: DataFrame, cap: Int = 32): DataFrame = {
+    // NOT cut before the range sort (measured and rejected, r13): the
+    // suffix pipeline below IS evaluated twice (repartitionByRange's
+    // sampling pass + the real exchange), but the task histograms show
+    // the per-pass cost is the slice-explode itself, not this frame's
+    // regex+hash — cutting it changed neither pass's runtime and the
+    // extra block-manager residency squeezed the downstream
+    // sort+checkpoint stage's GC 76 s → 201 s (×243 wall 67.6 → 77.3 s).
     val w = docs.select(col("doc_id"), wordsOf(col("text")).as("ws"))
       .select(col("doc_id"),
         filter(col("ws"), _ =!= "").as("ws"))

@@ -383,8 +383,6 @@ object Ivf {
         df.withColumn(s"code$s", lit(0).cast("int"))
       }.withColumn("recon", col("v"))
     val dim = cents.head.length
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val sub = dim / m
     val cl = centLit(cents)
     // ONE materialized assign+residual scan (the assignedCells pattern):
     // the codebook seeds, every Lloyd round, and the final code/recon
@@ -394,6 +392,26 @@ object Ivf {
     val res = graft.core.Materialize.once(assign(e, cents)
       .withColumn("res", zip_with(col("v"),
         element_at(cl, (col("cid") + 1).cast("int")), (a, b) => a - b)))
+    pqCodeResiduals(res, m, k, dim, bookIters)
+      .withColumn("recon", zip_with(
+        element_at(cl, (col("cid") + 1).cast("int")), col("rescon"),
+        (a, b) => a + b))
+      .drop("rescon")
+  }
+
+  /** The residual-PQ codebook kernel shared VERBATIM by the flat and
+    * two-level encodes (the codebook math never sees which coarse
+    * quantizer produced the residuals): given a MATERIALIZED
+    * (vec_id, v, cid, res) frame, seed per-subspace codebooks from the k
+    * lowest vec_ids' residual slices (the Ivf seed contract), refine with
+    * `bookIters` decimal-exact Lloyd rounds, code every row, and emit the
+    * input columns plus code0..m-1 and `rescon` — the concatenated chosen
+    * residual centroids (callers add their coarse base to finish recon).
+    */
+  private def pqCodeResiduals(res: DataFrame, m: Int, k: Int, dim: Int,
+                              bookIters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
     val seeds = res.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("long").as("vec_id"), col("res"))
       .collect()
@@ -429,11 +447,8 @@ object Ivf {
         slice(col("res"), s * sub + 1, sub), books(s).flatten,
         books(s).length, sub))
     }
-    coded.withColumn("recon", zip_with(
-      element_at(cl, (col("cid") + 1).cast("int")),
-      concat((0 until m).map(s =>
-        element_at(centLit(books(s)), col(s"code$s") + 1)): _*),
-      (a, b) => a + b))
+    coded.withColumn("rescon", concat((0 until m).map(s =>
+      element_at(centLit(books(s)), col(s"code$s") + 1)): _*))
   }
 
   /** IVF-PQ top-k search: probe the query's `nprobe` nearest cells and
@@ -474,13 +489,18 @@ object Ivf {
 
   /** IVF-PQ top-k against an ALREADY-ENCODED corpus frame. */
   def ivfPqSearchWith(enc: DataFrame, cents: Array[Array[Double]],
-                      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val probes = probeFrame(queries, cents, nprobe)
+                      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    adcTopK(enc, probeFrame(queries, cents, nprobe), k)
+
+  /** The ADC serving scan shared by the flat and two-level searches:
+    * broadcast the (qid, qv, cid) probe frame onto the encoded corpus,
+    * score reconstructions, close with the bounded top-k heap.
+    */
+  private def adcTopK(enc: DataFrame, probes: DataFrame, k: Int): DataFrame =
     Similarity.topK(enc.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("id2"),
         round(graft.functions.cosine_sim(col("qv"), col("recon")), 6).as("cos")), k)
-  }
 
   /** IVF-PQ search with an exact re-rank stage — the standard last mile
     * of the compressed serving story: the ADC scan surfaces top-k′
@@ -517,9 +537,18 @@ object Ivf {
     */
   def ivfPqRerankWith(enc: DataFrame, emb: DataFrame,
                       cents: Array[Array[Double]], queries: DataFrame,
-                      k: Int, nprobe: Int = 4, kFactor: Int = 4): DataFrame = {
-    val adc = ivfPqSearchWith(enc, cents, queries, k * kFactor, nprobe)
-      .select(col("qid"), col("id2"))
+                      k: Int, nprobe: Int = 4, kFactor: Int = 4): DataFrame =
+    exactRerank(
+      ivfPqSearchWith(enc, cents, queries, k * kFactor, nprobe), emb, queries, k)
+
+  /** The exact re-rank last mile shared by the flat and two-level rerank
+    * paths: the |q|·k′ ADC candidate pairs broadcast onto the raw vector
+    * table (a semi-join-shaped hash probe of the corpus scan, never a
+    * shuffle of it), exact rounded cosines keep the final top-k.
+    */
+  private def exactRerank(adcTop: DataFrame, emb: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val adc = adcTop.select(col("qid"), col("id2"))
     val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
     Similarity.topK(vecs(emb).select(col("vec_id").as("id2"), col("v"))
       .join(broadcast(adc), Seq("id2"))
@@ -919,6 +948,164 @@ object Ivf {
   def knnComponentsTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
                             k: Int = 5): DataFrame =
     componentsOfGraph(knnGraphTwoLevel(emb, k1, k2, k))
+
+  /** The (scid, svec) sub-centroid table of a two-level model as a local
+    * DataFrame — the broadcast-join form of every sub-centroid lookup
+    * (NEVER a k1·k2-element literal array: the structure exists for
+    * FAISS-scale effective cell counts, where centLit's expression tree
+    * blows up / falls out of codegen; the frame stays model-scale).
+    */
+  private def subCentroidsDf(spark: SparkSession, m: TwoLevelModel): DataFrame =
+    centroidsDf(spark, m.l2)
+      .select(col("cid").as("scid"), col("cvec").as("svec"))
+
+  /** IVF-PQ on the TWO-LEVEL coarse quantizer — the serving-family answer
+    * to the r12 ×243 finding (flat √n-cells is the wrong structure past
+    * ~×100; reference point: FAISS's IVF_HNSW/IMI coarse quantizers exist
+    * for exactly this regime). Residuals are taken against the member's
+    * SUB-centroid (v − l2[scid], the member's actual region prototype, so
+    * residual variance shrinks with cell size exactly as in the flat
+    * index), codebooks train on those residuals via the shared
+    * [[pqCodeResiduals]] kernel, and the emitted `cid` IS the global scid
+    * — so every encoded-frame consumer (search/rerank/filtered) joins
+    * candidates exactly as the flat index does. With k1 = 1 the model
+    * degenerates to the flat seed matrix (trainTwoLevel contract) and
+    * every face below equals its flat iters=0 sibling row-for-row
+    * (spec-pinned in TwoLevelIvfSpec).
+    */
+  private def ivfPqEncodedFrameTwoLevel(e: DataFrame, tl: TwoLevelModel,
+                                        m: Int, k: Int,
+                                        bookIters: Int = 1): DataFrame = {
+    if (tl.isEmpty)
+      return (0 until m).foldLeft(
+        e.limit(0).withColumn("cid", lit(0).cast("int"))
+          .withColumn("res", col("v"))) { (df, s) =>
+        df.withColumn(s"code$s", lit(0).cast("int"))
+      }.withColumn("recon", col("v"))
+    val dim = tl.l1.head.length
+    val sc = broadcast(subCentroidsDf(e.sparkSession, tl))
+    // ONE materialized route+residual scan, like the flat encode; the
+    // sub-centroid subtraction rides the broadcast (scid, svec) join
+    val res = graft.core.Materialize.once(assignTwoLevel(e, tl)
+      .join(sc, "scid")
+      .select(col("vec_id"), col("v"), col("scid").cast("int").as("cid"),
+        zip_with(col("v"), col("svec"), (a, b) => a - b).as("res")))
+    pqCodeResiduals(res, m, k, dim, bookIters)
+      .join(sc, col("cid") === col("scid"))
+      .withColumn("recon", zip_with(col("svec"), col("rescon"), (a, b) => a + b))
+      .drop("rescon", "svec", "scid")
+  }
+
+  /** [[ivfPqEncode]] on the two-level quantizer: (vec_id, cid = global
+    * scid, code0..m-1, recon_cos) in one fused route+encode pass.
+    */
+  def ivfPqEncodeTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
+                          m: Int = 4, k: Int = 16): DataFrame =
+    ivfPqEncodeWithTwoLevel(emb, trainTwoLevel(emb, k1, k2, iters = 0), m, k)
+
+  /** [[ivfPqEncodeTwoLevel]] against a PRE-TRAINED two-level model. */
+  def ivfPqEncodeWithTwoLevel(emb: DataFrame, tl: TwoLevelModel,
+                              m: Int = 4, k: Int = 16): DataFrame =
+    ivfPqEncodedFrameTwoLevel(vecs(emb), tl, m, k)
+      .select(Seq(col("vec_id"), col("cid").cast("long").as("cid")) ++
+        (0 until m).map(s => col(s"code$s").cast("long").as(s"code$s")) :+
+        round(graft.functions.cosine_sim(col("v"), col("recon")), 6).as("recon_cos"): _*)
+
+  /** The (vec_id, cid = scid, recon) compressed-corpus frame for two-level
+    * serving — [[ivfPqReconFrame]]'s sibling, same `passthrough` contract
+    * (metadata rides the map-only encode; joining it on afterwards costs
+    * a corpus-scale equi-join).
+    */
+  def ivfPqReconFrameTwoLevel(emb: DataFrame, tl: TwoLevelModel,
+                              m: Int = 4, k: Int = 16,
+                              passthrough: Seq[String] = Nil): DataFrame = {
+    val e = emb.where(col("embedding").isNotNull)
+      .select((Seq(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")) ++
+        passthrough.map(col)): _*)
+    ivfPqEncodedFrameTwoLevel(e, tl, m, k)
+      .select((Seq("vec_id", "cid", "recon") ++ passthrough).map(col): _*)
+  }
+
+  /** Two-level query-side probe ranking: `nprobe1` nearest L1 blocks per
+    * query (k1 candidates), then the best `nprobe` SUB-cells across those
+    * blocks (nprobe1·k2 candidates, ranked per query by rounded cosine
+    * desc, scid asc — the flat probe contract). Per-query probe cost is
+    * k1 + nprobe1·k2 flops instead of the flat path's full effective cell
+    * count — what keeps query routing affordable when cells ∝ n. Ranks
+    * run over ALL k1·k2 sub-centroids of the probed blocks, padded slots
+    * included (trainTwoLevel's pad-with-last-seed duplicates tie and lose
+    * to their source on the scid tiebreak in ASSIGNMENT, but legitimately
+    * occupy probe ranks — the oracle replays the same padded table).
+    * Emits (qid, qv, cid = scid); |q| × probes rows, dim-scale.
+    */
+  private def probeFrameTwoLevel(queries: DataFrame, tl: TwoLevelModel,
+                                 nprobe1: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val wq1 = Window.partitionBy(col("qid")).orderBy(col("c1").desc, col("cid1"))
+    val l1 = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(centroidsDf(spark, tl.l1)
+        .select(col("cid").as("cid1"), col("cvec"))))
+      .select(col("qid"), col("qv"), col("cid1"),
+        round(graft.functions.cosine_sim(col("qv"), col("cvec")), 6).as("c1"))
+      .withColumn("rn1", row_number().over(wq1))
+      .where(col("rn1") <= nprobe1)
+      .select(col("qid"), col("qv"), col("cid1"))
+    val sc = broadcast(subCentroidsDf(spark, tl)
+      .withColumn("cid1", floor(col("scid") / tl.k2).cast("int")))
+    val wq2 = Window.partitionBy(col("qid")).orderBy(col("c2").desc, col("scid"))
+    l1.join(sc, "cid1")
+      .select(col("qid"), col("qv"), col("scid"),
+        round(graft.functions.cosine_sim(col("qv"), col("svec")), 6).as("c2"))
+      .withColumn("rn2", row_number().over(wq2))
+      .where(col("rn2") <= nprobe)
+      .select(col("qid"), col("qv"), col("scid").as("cid"))
+  }
+
+  /** IVF-PQ top-k on the two-level index, self-contained (trains in
+    * place; the oracle replays everything). For serving, train once and
+    * feed [[ivfPqSearchWithTwoLevel]] a persisted
+    * [[ivfPqReconFrameTwoLevel]] + [[loadTwoLevelModel]].
+    */
+  def ivfPqSearchTwoLevel(emb: DataFrame, queries: DataFrame, k: Int,
+                          k1: Int = 16, k2: Int = 16, m: Int = 4,
+                          kCode: Int = 16, nprobe1: Int = 2,
+                          nprobe: Int = 4): DataFrame = {
+    val tl = trainTwoLevel(emb, k1, k2, iters = 0)
+    ivfPqSearchWithTwoLevel(ivfPqReconFrameTwoLevel(emb, tl, m, kCode), tl,
+      queries, k, nprobe1, nprobe)
+  }
+
+  /** [[ivfPqSearchTwoLevel]] against an ALREADY-ENCODED corpus frame. */
+  def ivfPqSearchWithTwoLevel(enc: DataFrame, tl: TwoLevelModel,
+                              queries: DataFrame, k: Int, nprobe1: Int = 2,
+                              nprobe: Int = 4): DataFrame =
+    adcTopK(enc, probeFrameTwoLevel(queries, tl, nprobe1, nprobe), k)
+
+  /** Two-level IVF-PQ search with the exact re-rank last mile — the
+    * [[ivfPqSearchRerank]] quality contract on the scalable coarse
+    * structure (ADC top-k′ from the compressed frame, bounded raw-vector
+    * gather, exact-cosine final top-k via the shared [[exactRerank]]).
+    */
+  def ivfPqSearchRerankTwoLevel(emb: DataFrame, queries: DataFrame, k: Int,
+                                k1: Int = 16, k2: Int = 16, m: Int = 4,
+                                kCode: Int = 16, nprobe1: Int = 2,
+                                nprobe: Int = 4, kFactor: Int = 4): DataFrame = {
+    val tl = trainTwoLevel(emb, k1, k2, iters = 0)
+    ivfPqRerankWithTwoLevel(ivfPqReconFrameTwoLevel(emb, tl, m, kCode), emb,
+      tl, queries, k, nprobe1, nprobe, kFactor)
+  }
+
+  /** [[ivfPqSearchRerankTwoLevel]] against the serving pair (compressed
+    * index + raw vector table).
+    */
+  def ivfPqRerankWithTwoLevel(enc: DataFrame, emb: DataFrame,
+                              tl: TwoLevelModel, queries: DataFrame, k: Int,
+                              nprobe1: Int = 2, nprobe: Int = 4,
+                              kFactor: Int = 4): DataFrame =
+    exactRerank(
+      ivfPqSearchWithTwoLevel(enc, tl, queries, k * kFactor, nprobe1, nprobe),
+      emb, queries, k)
 
   /** Persist a two-level model: one parquet of (level, cid, cvec) rows —
     * level 1 = the k1 router centroids, level 2 = the k1·k2 sub-centroid

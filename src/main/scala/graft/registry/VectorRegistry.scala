@@ -220,6 +220,23 @@ private[graft] object VectorRegistry {
       val e = Tables.table(s, dir, "embeddings")
       graft.ops.Ivf.ivfPqSearchRerank(e, e.where(col("vec_id") < 10), 5)
     }),
+    "ann_ivfpq_2level" -> ((s, dir) => {
+      // IVF-PQ on the TWO-LEVEL coarse quantizer — the serving family on
+      // the scalable cell structure (flat √n cells measured n^1.5 at
+      // ×243; two-level holds cell size constant): residuals against the
+      // member's SUB-centroid, hierarchical probe (2 L1 blocks → best 4
+      // sub-cells), ADC over the residual reconstruction
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.ivfPqSearchTwoLevel(e, e.where(col("vec_id") < 10), 5,
+        k1 = TL_K, k2 = TL_K, nprobe1 = 2, nprobe = 4)
+    }),
+    "ann_ivfpq_rerank_2level" -> ((s, dir) => {
+      // the exact re-rank last mile on the two-level index: ADC top-k'
+      // (4k) -> bounded raw-vector gather -> exact-cosine final top-k
+      val e = Tables.table(s, dir, "embeddings")
+      graft.ops.Ivf.ivfPqSearchRerankTwoLevel(e, e.where(col("vec_id") < 10),
+        5, k1 = TL_K, k2 = TL_K, nprobe1 = 2, nprobe = 4)
+    }),
     "ann_filtered" -> ((s, dir) => {
       // metadata-predicate ANN: top-k WHERE label = 7 with the predicate
       // INSIDE the candidate scan (pushed to the corpus parquet read) and
@@ -255,12 +272,16 @@ private[graft] object VectorRegistry {
 
   // Two-level (TL_K × TL_K) quantizer replay shared by the 2level faces:
   // L1 = the knn_graph seed/assignment CTEs at k1=TL_K; sub-centroids =
-  // each L1 cell's TL_K lowest vec_ids (scid = cid·TL_K + local, the
-  // trainTwoLevel block layout — under-full cells just rank fewer
-  // candidates, which is exactly what the Spark side's
-  // pad-with-first-seed argmax computes); sub-assignment = ranked join
+  // the FULL k1·k2 padded matrix exactly as trainTwoLevel lays it out
+  // (scid = cid·TL_K + slot): each L1 cell's TL_K lowest vec_ids,
+  // under-full cells repeating their LAST real seed, empty cells falling
+  // back to the L1 centroid. Padding never changes ASSIGNMENT (a padded
+  // duplicate ties with its source and loses on the scid tiebreak) but
+  // probe RANKING over sub-cells legitimately sees the padded slots —
+  // the IVF-PQ faces rank probes over this table, so it must mirror the
+  // Spark side's matrix slot-for-slot. Sub-assignment = ranked join
   // against the OWN cell's block only.
-  private val TwoLevelAssignSql: String =
+  private val TwoLevelBaseSql: String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
       s"FROM e ORDER BY vec_id LIMIT $TL_K), " +
@@ -268,16 +289,75 @@ private[graft] object VectorRegistry {
       "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
       "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
       "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-      s"subcents AS (SELECT cid, CAST(cid * $TL_K + srn - 1 AS INTEGER) AS scid, v AS svec FROM (" +
+      "subcents0 AS (SELECT cid, v AS svec, srn FROM (" +
       "SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS srn " +
       s"FROM assigned) WHERE srn <= $TL_K), " +
+      "scnt AS (SELECT cid, max(srn) AS mx FROM subcents0 GROUP BY 1), " +
+      "slots AS (SELECT c.cid, c.cvec, gs.slot FROM cents c CROSS JOIN (" +
+      s"SELECT unnest(generate_series(1, $TL_K)) AS slot) gs), " +
+      s"subcents AS (SELECT sl.cid, CAST(sl.cid * $TL_K + sl.slot - 1 AS INTEGER) AS scid, " +
+      "COALESCE(s0.svec, sl.cvec) AS svec FROM slots sl " +
+      "LEFT JOIN scnt ON scnt.cid = sl.cid " +
+      "LEFT JOIN subcents0 s0 ON s0.cid = sl.cid AND s0.srn = LEAST(sl.slot, scnt.mx)), " +
       "sassigned AS (SELECT vec_id, v, scid FROM (" +
       "SELECT a.vec_id, a.v, sc.scid, row_number() OVER (PARTITION BY a.vec_id " +
       "ORDER BY round(list_cosine_similarity(a.v, sc.svec), 6) DESC, sc.scid) AS srn2 " +
-      "FROM assigned a JOIN subcents sc ON sc.cid = a.cid) WHERE srn2 = 1), " +
+      "FROM assigned a JOIN subcents sc ON sc.cid = a.cid) WHERE srn2 = 1)"
+
+  private val TwoLevelAssignSql: String =
+    TwoLevelBaseSql + ", " +
       "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
       "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
       "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id <> b.vec_id), "
+
+  /** DuckDB replay of Ivf.ivfPqSearchTwoLevel: the two-level base CTEs
+    * route residuals to SUB-centroids, the shared residual-PQ chain
+    * (SparkEntry.pqResidualCtes) trains/codes against them, and the probe
+    * is hierarchical — nprobe1 L1 blocks, then the best `nprobe` sub-cells
+    * across those blocks' PADDED slots (the trainTwoLevel matrix).
+    */
+  private def ivfPqTwoLevelCtes(m: Int, k: Int, dim: Int,
+                                nprobe1: Int, nprobe: Int): String =
+    "WITH " + TwoLevelBaseSql + ", " +
+      "resid AS (SELECT a.vec_id, a.v, CAST(a.scid AS INTEGER) AS cid, " +
+      s"list_transform(generate_series(1, $dim), i -> a.v[i] - sc.svec[i]) AS res " +
+      "FROM sassigned a JOIN subcents sc ON sc.scid = a.scid), " +
+      graft.SparkEntry.pqResidualCtes(m, k, dim,
+        baseJoin = "JOIN subcents cc ON cc.scid = resid.cid",
+        baseVec = "cc.svec") + ", " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "probes1 AS (SELECT qid, qv, cid FROM (" +
+      "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
+      s"FROM q CROSS JOIN cents c) WHERE prn <= $nprobe1), " +
+      "probes AS (SELECT qid, qv, scid FROM (" +
+      "SELECT p1.qid, p1.qv, sc.scid, row_number() OVER (PARTITION BY p1.qid " +
+      "ORDER BY round(list_cosine_similarity(p1.qv, sc.svec), 6) DESC, sc.scid) AS prn2 " +
+      s"FROM probes1 p1 JOIN subcents sc ON sc.cid = p1.cid) WHERE prn2 <= $nprobe), " +
+      "cand AS (SELECT p.qid, r.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, r.recon), 6) AS cos " +
+      "FROM r JOIN probes p ON r.cid = p.scid WHERE r.vec_id <> p.qid)"
+
+  private def ivfPqTwoLevelOracleSql(m: Int, k: Int, dim: Int, nprobe1: Int,
+                                     nprobe: Int, topK: Int): String =
+    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + " " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= $topK"
+
+  private def ivfPqTwoLevelRerankOracleSql(m: Int, k: Int, dim: Int,
+                                           nprobe1: Int, nprobe: Int,
+                                           topK: Int, kFactor: Int): String =
+    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + ", " +
+      "adc AS (SELECT qid, id2 FROM (" +
+      "SELECT qid, id2, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM cand) WHERE rn <= ${topK * kFactor}), " +
+      "rer AS (SELECT a.qid, a.id2, " +
+      "round(list_cosine_similarity(q.qv, e2.v), 6) AS cos " +
+      "FROM adc a JOIN q ON q.qid = a.qid JOIN e e2 ON e2.vec_id = a.id2) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM rer) WHERE rn <= $topK"
 
   val oracles: Map[String, String] = Map(
     "knn_graph_2level" ->
@@ -663,6 +743,10 @@ private[graft] object VectorRegistry {
       numCells = 16, iters = 1, nprobe = 4, topK = 5),
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql(m = 4, k = 16, dim = 64,
       numCells = 16, iters = 1, nprobe = 4, topK = 5, kFactor = 4),
+    "ann_ivfpq_2level" -> ivfPqTwoLevelOracleSql(m = 4, k = 16, dim = 64,
+      nprobe1 = 2, nprobe = 4, topK = 5),
+    "ann_ivfpq_rerank_2level" -> ivfPqTwoLevelRerankOracleSql(m = 4, k = 16,
+      dim = 64, nprobe1 = 2, nprobe = 4, topK = 5, kFactor = 4),
     "ann_filtered" -> annIvfFilteredOracleSql(k = 10, numCells = 16,
       nprobe = 4, label = 7),
     "ann_filtered_pq" -> ivfPqFilteredOracleSql(m = 4, k = 16, dim = 64,

@@ -171,6 +171,30 @@ object StreamingAnnServe {
       }
       .start()
 
+  /** Serve two-level IVF-PQ top-k per arriving query — the serving path
+    * on the SCALABLE coarse structure (cells ∝ n at constant cell size;
+    * the r12 ×243 A/B showed flat √n-cells is the wrong quantizer past
+    * ~×100): each micro-batch replays the batch
+    * `Ivf.ivfPqSearchWithTwoLevel` kernel against the pre-encoded
+    * (vec_id, cid = scid, recon) frame from `Ivf.ivfPqReconFrameTwoLevel`
+    * plus the persisted two-level model (`Ivf.loadTwoLevelModel`) — the
+    * hierarchical probe (nprobe1 L1 blocks → best nprobe sub-cells) and
+    * the broadcast sub-centroid join happen inside the kernel, so stream
+    * results equal the batch answer by construction. Zero state, no
+    * watermark; same distinct-qid-per-stream assumption as [[serve]].
+    */
+  def serveIvfPqTwoLevel(queries: DataFrame, enc: DataFrame,
+                         tl: Ivf.TwoLevelModel, k: Int, nprobe1: Int = 2,
+                         nprobe: Int = 4)
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Ivf.ivfPqSearchWithTwoLevel(enc, tl, batch, k, nprobe1, nprobe),
+          batchId)
+      }
+      .start()
+
   /** Serve IVF-PQ top-k WITH the exact re-rank stage — the quality
     * serving path matching batch `Ivf.ivfPqRerankWith`: per micro-batch,
     * the ADC scan surfaces top-k′ (kFactor·k) candidates from the

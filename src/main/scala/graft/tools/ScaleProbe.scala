@@ -1000,6 +1000,154 @@ object ScaleProbe {
     }
   }
 
+  /** r13 ask #3: the two-level SEMANTIC faces A/B'd END-TO-END at
+    * ×27/×81/×243 (pairs → CC → keeper) with the byte tap — r12 A/B'd
+    * only the knn pair, and SemDeDup's keeper join and CC rounds ride
+    * different shuffles than the graph kernel. Flat √n cells vs
+    * two-level constant-cell (≈250) at the same corpus, the r12b sizing.
+    * Run: `... r13sem` (27+81) or `... r13semx243`.
+    */
+  private def r13SemanticCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val flatCells = math.max(16, 16 * math.sqrt(k.toDouble)).toInt
+      time(s"semantic_dedup flat x$k ($ne vecs, $flatCells cells)") {
+        graft.ops.Ivf.semanticDedup(emb, numCells = flatCells).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      val k12 = math.ceil(math.sqrt(ne / 250.0)).toInt
+      time(s"semantic_dedup 2level x$k (${k12}x$k12 cells)") {
+        graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k12, k2 = k12).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
+  /** r13 ask #2 measurement: the IVF-PQ SERVING family A/B — flat coarse
+    * quantizer (√n cells, the r12b sizing) vs two-level (constant cell
+    * size ≈250) at ×27/×81/×243, end-to-end index build (train + residual
+    * encode over the full corpus) + a 10-query ADC search. Both sides
+    * iters=0 so the A/B isolates the STRUCTURE (routing flops + candidate
+    * volume), not Lloyd rounds. Run: `... r13pq` (27+81) or `r13pqx243`.
+    */
+  private def r13PqCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val q = emb.where(col("vec_id") < 10)
+      val flatCells = math.max(16, 16 * math.sqrt(k.toDouble)).toInt
+      time(s"ann_ivfpq flat x$k ($ne vecs, $flatCells cells)") {
+        graft.ops.Ivf.ivfPqSearch(emb, q, 5,
+          numCells = flatCells, iters = 0, nprobe = 4).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      val k12 = math.ceil(math.sqrt(ne / 250.0)).toInt
+      time(s"ann_ivfpq 2level x$k (${k12}x$k12 cells)") {
+        graft.ops.Ivf.ivfPqSearchTwoLevel(emb, q, 5,
+          k1 = k12, k2 = k12, nprobe1 = 2, nprobe = 4).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
+  /** r13 ask #6: the ×729 leg for the hierarchy's headline pair —
+    * knn_components_2level (does the near-flat wall hold another 3×?)
+    * and corpus_dedup_stable (do the CC rounds bend?) — with byte/spill
+    * columns AND the TaskTap histograms, so any wall bend gets the
+    * ask-#1 treatment in the same run. Run: `... r13x729`.
+    */
+  private def r13x729Curves(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val k = 729
+    val tap = new ByteTap
+    val tt = new TaskTap
+    spark.sparkContext.addSparkListener(tap)
+    spark.sparkContext.addSparkListener(tt)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val emb = (0 until k).map(i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ne = emb.count()
+    val k12 = math.ceil(math.sqrt(ne / 250.0)).toInt
+    flushListeners(spark); tt.reset()
+    time(s"knn_components 2level x$k ($ne vecs, ${k12}x$k12)") {
+      graft.ops.Ivf.knnComponentsTwoLevel(emb, k1 = k12, k2 = k12).count()
+    }
+    flushListeners(spark); tt.report()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    emb.unpersist(blocking = true)
+    val docs = (0 until k).map { i =>
+      Tables.table(spark, dir, "documents").select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = docs.count()
+    flushListeners(spark); tt.reset()
+    time(s"corpus_dedup_stable x$k ($nd docs)") {
+      val base = graft.ops.Dedup.corpusBase(docs)
+      val prior = graft.ops.Dedup
+        .corpusDedupFromBase(base.where(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("cluster_id"))
+      graft.ops.Dedup.corpusDedupStableFromBase(base, prior).count()
+    }
+    flushListeners(spark); tt.report()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    docs.unpersist(blocking = true)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -1025,6 +1173,11 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r13pqx243")) { r13PqCurves(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r13pq")) { r13PqCurves(spark, Seq(27, 81)); spark.stop(); return }
+    if (args.contains("r13semx243")) { r13SemanticCurves(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r13sem")) { r13SemanticCurves(spark, Seq(27, 81)); spark.stop(); return }
+    if (args.contains("r13x729")) { r13x729Curves(spark); spark.stop(); return }
     if (args.contains("r13lrx243")) { r13LongestRepeatCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r13lrx81")) { r13LongestRepeatCurves(spark, Seq(81)); spark.stop(); return }
     if (args.contains("r13lr")) { r13LongestRepeatCurves(spark, Seq(81, 243)); spark.stop(); return }

@@ -1292,6 +1292,38 @@ class StreamingAnnServeSpec extends SparkSpec {
     } finally { q.stop(); enc.unpersist() }
   }
 
+  test("streamed two-level IVF-PQ serving: hierarchical probe equals batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = embeddings
+    // index once per corpus snapshot: two-level model + residual frame
+    // encoded against SUB-centroids (cid = global scid)
+    val tl = Ivf.trainTwoLevel(emb, k1 = 3, k2 = 3, iters = 0)
+    val enc = Ivf.ivfPqReconFrameTwoLevel(emb, tl).cache()
+    val batchTruth = Ivf.ivfPqSearchWithTwoLevel(
+      enc, tl, emb.where(col("vec_id") < 5), 5, nprobe1 = 2, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = graft.streaming.StreamingAnnServe.serveIvfPqTwoLevel(
+      stream.toDF.toDF("vec_id", "embedding"), enc, tl, k = 5,
+      nprobe1 = 2, nprobe = 3) { (topk, _) =>
+      got.synchronized { got ++= topk.as[(Long, Long, Double, Long)].collect() }
+    }
+    try {
+      val qs = queryRows(5)
+      stream.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchTruth,
+        "stream-served two-level IVF-PQ top-k must equal the batch answer")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "two-level IVF-PQ serving must stay stateless")
+    } finally { q.stop(); enc.unpersist(); graft.core.Materialize.releaseAll(spark) }
+  }
+
   test("streamed IVF-PQ re-rank serving: exact-cosine stage equals batch, stateless") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

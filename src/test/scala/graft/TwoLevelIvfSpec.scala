@@ -139,6 +139,35 @@ class TwoLevelIvfSpec extends SparkSpec {
     } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
   }
 
+  test("ivfPq two-level faces: k1=1 equals the flat iters=0 faces exactly") {
+    // with k1 = 1 the two-level model degenerates to the flat seed matrix
+    // (pinned above), the hierarchical probe (1 block → nprobe sub-cells)
+    // degenerates to the flat probe ranking over the same cells, and the
+    // residuals/codebooks are identical — so both serving faces must
+    // equal their flat iters=0 siblings ROW-FOR-ROW
+    val q = emb.where(col("vec_id") < 10)
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val twoS = rows(Ivf.ivfPqSearchTwoLevel(emb, q, 5,
+      k1 = 1, k2 = 16, nprobe1 = 1, nprobe = 4))
+    val flatS = rows(Ivf.ivfPqSearch(emb, q, 5,
+      numCells = 16, iters = 0, nprobe = 4))
+    assert(twoS == flatS, "two-level ADC search (k1=1) != flat")
+    val twoR = rows(Ivf.ivfPqSearchRerankTwoLevel(emb, q, 5,
+      k1 = 1, k2 = 16, nprobe1 = 1, nprobe = 4))
+    val flatR = rows(Ivf.ivfPqSearchRerank(emb, q, 5,
+      numCells = 16, iters = 0, nprobe = 4))
+    assert(twoR == flatR, "two-level rerank (k1=1) != flat")
+  }
+
+  test("ivfPq two-level faces: empty corpus is a result, not a crash") {
+    val empty = toyEmb(Seq.empty)
+    assert(Ivf.ivfPqSearchTwoLevel(empty, empty, 5, k1 = 2, k2 = 2).count() == 0L)
+    assert(Ivf.ivfPqEncodeTwoLevel(empty, k1 = 2, k2 = 2).count() == 0L)
+  }
+
   test("loadTwoLevelModel: a truncated model fails loudly, not silently") {
     // a level-2 row count that is not an exact multiple of k1 means the
     // scid = cid·k2 + local block arithmetic would route garbage — the
