@@ -789,10 +789,14 @@ object Ivf {
     // -vec_id (exact in a double up to 2^53, far past any corpus id), then
     // one skinny (≤ k1·k2 row) join back for the seed vectors
     val heap = udaf(new TopKByScore(k2), ExpressionEncoder[ScoredId]())
-    val seeds = a1.groupBy(col("cid"))
+    // the seed-id frame is ≤ k1·k2 rows — BROADCAST it onto the corpus
+    // scan for the seed-vector gather (without the hint Spark's unknown
+    // size estimate after the udaf picks a corpus-scale vec_id exchange:
+    // measured 200 MB shuffled at the ×243 leg, for a model-scale join)
+    val seeds = broadcast(a1.groupBy(col("cid"))
       .agg(heap((-col("vec_id")).cast("double"),
         col("vec_id").cast("long")).as("top"))
-      .select(col("cid"), explode(col("top.id")).as("vec_id"))
+      .select(col("cid"), explode(col("top.id")).as("vec_id")))
       .join(a1.select(col("vec_id").cast("long").as("vec_id"), col("v")),
         Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("v"))
@@ -1062,19 +1066,51 @@ object Ivf {
       .select(col("qid"), col("qv"), col("scid").as("cid"))
   }
 
+  /** IVF-PQ encode over an ALREADY-materialized two-level cell frame
+    * (cid = global scid, the [[twoLevelCells]] shape) — the one-scan
+    * discipline extended to the PQ encode: the self-contained
+    * search/rerank faces must NOT re-pay the corpus routing argmax the
+    * training pass already materialized (the r12 ×81-inversion class,
+    * measured again on the r13pq legs). The residual subtraction is a
+    * map-only broadcast join over the cut, so `res` needs no second cut:
+    * each codebook pass re-pays only a broadcast zip_with.
+    */
+  private def ivfPqEncodedFrameOnCells(cells: DataFrame, tl: TwoLevelModel,
+                                       m: Int, k: Int,
+                                       bookIters: Int = 1): DataFrame = {
+    val dim = tl.l1.head.length
+    val sc = broadcast(subCentroidsDf(cells.sparkSession, tl)
+      .select(col("scid").cast("long").as("cid"), col("svec")))
+    val res = cells.join(sc, "cid")
+      .select(col("vec_id"), col("v"), col("cid"),
+        zip_with(col("v"), col("svec"), (a, b) => a - b).as("res"))
+    pqCodeResiduals(res, m, k, dim, bookIters)
+      .join(sc, "cid")
+      .withColumn("recon", zip_with(col("svec"), col("rescon"), (a, b) => a + b))
+      .drop("rescon", "svec")
+  }
+
   /** IVF-PQ top-k on the two-level index, self-contained (trains in
-    * place; the oracle replays everything). For serving, train once and
-    * feed [[ivfPqSearchWithTwoLevel]] a persisted
+    * place; the oracle replays everything): ONE materialized routing scan
+    * feeds L2 training, the residual encode, and the candidate join. For
+    * serving, train once and feed [[ivfPqSearchWithTwoLevel]] a persisted
     * [[ivfPqReconFrameTwoLevel]] + [[loadTwoLevelModel]].
     */
   def ivfPqSearchTwoLevel(emb: DataFrame, queries: DataFrame, k: Int,
                           k1: Int = 16, k2: Int = 16, m: Int = 4,
                           kCode: Int = 16, nprobe1: Int = 2,
-                          nprobe: Int = 4): DataFrame = {
-    val tl = trainTwoLevel(emb, k1, k2, iters = 0)
-    ivfPqSearchWithTwoLevel(ivfPqReconFrameTwoLevel(emb, tl, m, kCode), tl,
-      queries, k, nprobe1, nprobe)
-  }
+                          nprobe: Int = 4): DataFrame =
+    twoLevelCells(emb, k1, k2) match {
+      case None =>
+        vecs(queries).select(col("vec_id").as("qid"),
+          col("vec_id").as("id2"), lit(0d).as("cos"), lit(0L).as("rn"))
+          .limit(0)
+      case Some((cells, tl)) =>
+        adcTopK(
+          ivfPqEncodedFrameOnCells(cells, tl, m, kCode)
+            .select(col("vec_id"), col("cid"), col("recon")),
+          probeFrameTwoLevel(queries, tl, nprobe1, nprobe), k)
+    }
 
   /** [[ivfPqSearchTwoLevel]] against an ALREADY-ENCODED corpus frame. */
   def ivfPqSearchWithTwoLevel(enc: DataFrame, tl: TwoLevelModel,
@@ -1090,11 +1126,11 @@ object Ivf {
   def ivfPqSearchRerankTwoLevel(emb: DataFrame, queries: DataFrame, k: Int,
                                 k1: Int = 16, k2: Int = 16, m: Int = 4,
                                 kCode: Int = 16, nprobe1: Int = 2,
-                                nprobe: Int = 4, kFactor: Int = 4): DataFrame = {
-    val tl = trainTwoLevel(emb, k1, k2, iters = 0)
-    ivfPqRerankWithTwoLevel(ivfPqReconFrameTwoLevel(emb, tl, m, kCode), emb,
-      tl, queries, k, nprobe1, nprobe, kFactor)
-  }
+                                nprobe: Int = 4, kFactor: Int = 4): DataFrame =
+    exactRerank(
+      ivfPqSearchTwoLevel(emb, queries, k * kFactor, k1, k2, m, kCode,
+        nprobe1, nprobe),
+      emb, queries, k)
 
   /** [[ivfPqSearchRerankTwoLevel]] against the serving pair (compressed
     * index + raw vector table).

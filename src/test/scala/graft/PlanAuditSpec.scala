@@ -850,6 +850,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq_2level: serving joins broadcast, candidates never shuffle") {
+    // the two-level serving scan must keep the flat path's shape: the
+    // encoded corpus joins the dim-scale probe frame via BROADCAST hash
+    // joins only — a SortMergeJoin/ShuffledHashJoin would mean the
+    // corpus-scale candidate frame is being exchanged
+    graft.core.Materialize.inScope { scope =>
+      try {
+        val (df, segs) = graft.core.Materialize.recordingSegmentPlans(
+          SparkEntry.queries("ann_ivfpq_2level")(spark, Sf0001))
+        (segs :+ df.queryExecution.sparkPlan).foreach { p =>
+          p.foreach {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+              fail("corpus-scale SMJ in the two-level serving path:\n" + j)
+            case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+              fail("corpus-scale shuffled-hash join in the two-level serving path:\n" + j)
+            case _ => ()
+          }
+        }
+      } finally scope.release(spark, blocking = true)
+    }
+  }
+
   test("window-frame lint: (x, UNBOUNDED FOLLOWING) frames flagged red") {
     // the gapFillLinear O(n²) class (caught live in the r12 ×27 verify):
     // Spark executes (x, UNBOUNDED FOLLOWING) frames with
