@@ -989,11 +989,15 @@ object Ivf {
     val dim = tl.l1.head.length
     val sc = broadcast(subCentroidsDf(e.sparkSession, tl))
     // ONE materialized route+residual scan, like the flat encode; the
-    // sub-centroid subtraction rides the broadcast (scid, svec) join
+    // sub-centroid subtraction rides the broadcast (scid, svec) join.
+    // e's OTHER columns (the reconFrame passthrough contract) survive —
+    // drop only the routing/join internals.
     val res = graft.core.Materialize.once(assignTwoLevel(e, tl)
       .join(sc, "scid")
-      .select(col("vec_id"), col("v"), col("scid").cast("int").as("cid"),
-        zip_with(col("v"), col("svec"), (a, b) => a - b).as("res")))
+      .drop("cid") // the L1 block id; the emitted cid is the global scid
+      .withColumn("cid", col("scid").cast("int"))
+      .withColumn("res", zip_with(col("v"), col("svec"), (a, b) => a - b))
+      .drop("scid", "svec"))
     pqCodeResiduals(res, m, k, dim, bookIters)
       .join(sc, col("cid") === col("scid"))
       .withColumn("recon", zip_with(col("svec"), col("rescon"), (a, b) => a + b))
@@ -1521,9 +1525,19 @@ object Ivf {
     */
   private def filteredTopK(cells: DataFrame, q: DataFrame,
                            cents: Array[Array[Double]], k: Int,
-                           nprobe: Int, scoreCol: String = "v"): DataFrame = {
-    val probes = probeFrame(q.select(col("qid").as("vec_id"),
-      col("qv").as("embedding")), cents, nprobe)
+                           nprobe: Int, scoreCol: String = "v"): DataFrame =
+    filteredTopKOnProbes(cells, q,
+      probeFrame(q.select(col("qid").as("vec_id"),
+        col("qv").as("embedding")), cents, nprobe), k, scoreCol)
+
+  /** The probe+rescue kernel with the PROBE FRAME as a parameter — the
+    * flat path builds it from the centroid matrix, the two-level path
+    * from the hierarchical (L1 → sub-cell) ranking; the k-guarantee and
+    * the rescue contract are identical.
+    */
+  private def filteredTopKOnProbes(cells: DataFrame, q: DataFrame,
+                                   probes: DataFrame, k: Int,
+                                   scoreCol: String = "v"): DataFrame = {
     val cand = graft.core.Materialize.once(
       cells.join(broadcast(probes), Seq("cid"))
         .where(col("vec_id") =!= col("qid"))
@@ -1557,6 +1571,24 @@ object Ivf {
                               nprobe: Int = 4): DataFrame = {
     val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
     filteredTopK(enc.where(pred), q, cents, k, nprobe, scoreCol = "recon")
+  }
+
+  /** FILTERED two-level IVF-PQ top-k — the metadata-predicate serving
+    * path on the scalable coarse structure: `pred` filters the ENCODED
+    * two-level frame (metadata carried through the map-only encode via
+    * `ivfPqReconFrameTwoLevel(passthrough = …)` — never a corpus-scale
+    * metadata join), the hierarchical probe supplies the candidate cells,
+    * and underfilled queries take the exact-ADC rescue over ALL survivors
+    * — the same probe+rescue kernel ([[filteredTopKOnProbes]]) and the
+    * same k-guarantee as the flat [[ivfPqSearchFilteredWith]].
+    */
+  def ivfPqSearchFilteredWithTwoLevel(enc: DataFrame, tl: TwoLevelModel,
+                                      queries: DataFrame, k: Int,
+                                      pred: Column, nprobe1: Int = 2,
+                                      nprobe: Int = 4): DataFrame = {
+    val q = vecs(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    filteredTopKOnProbes(enc.where(pred), q,
+      probeFrameTwoLevel(queries, tl, nprobe1, nprobe), k, scoreCol = "recon")
   }
 
   /** FILTERED IVF-PQ search with the exact re-rank last mile: the

@@ -237,6 +237,19 @@ private[graft] object VectorRegistry {
       graft.ops.Ivf.ivfPqSearchRerankTwoLevel(e, e.where(col("vec_id") < 10),
         5, k1 = TL_K, k2 = TL_K, nprobe1 = 2, nprobe = 4)
     }),
+    "ann_filtered_pq_2level" -> ((s, dir) => {
+      // the metadata-predicate serving path on the scalable coarse
+      // structure: predicate filters the two-level ENCODED frame (label
+      // carried through the map-only encode), hierarchical probe +
+      // exact-ADC rescue guarantee k rows wherever >= k survivors exist
+      val e = Tables.table(s, dir, "embeddings")
+      val tl = graft.ops.Ivf.trainTwoLevel(e, TL_K, TL_K, iters = 0)
+      val enc = graft.ops.Ivf.ivfPqReconFrameTwoLevel(e, tl,
+        passthrough = Seq("label"))
+      graft.ops.Ivf.ivfPqSearchFilteredWithTwoLevel(enc, tl,
+        e.where(col("vec_id") < 10), 10, col("label") === 7,
+        nprobe1 = 2, nprobe = 4)
+    }),
     "ann_filtered" -> ((s, dir) => {
       // metadata-predicate ANN: top-k WHERE label = 7 with the predicate
       // INSIDE the candidate scan (pushed to the corpus parquet read) and
@@ -333,22 +346,53 @@ private[graft] object VectorRegistry {
       "probes AS (SELECT qid, qv, scid FROM (" +
       "SELECT p1.qid, p1.qv, sc.scid, row_number() OVER (PARTITION BY p1.qid " +
       "ORDER BY round(list_cosine_similarity(p1.qv, sc.svec), 6) DESC, sc.scid) AS prn2 " +
-      s"FROM probes1 p1 JOIN subcents sc ON sc.cid = p1.cid) WHERE prn2 <= $nprobe), " +
-      "cand AS (SELECT p.qid, r.vec_id AS id2, " +
+      s"FROM probes1 p1 JOIN subcents sc ON sc.cid = p1.cid) WHERE prn2 <= $nprobe)"
+
+  // the unfiltered candidate CTE appended by the search/rerank replays
+  // (the filtered face builds its own over the predicate-filtered index)
+  private val TwoLevelCandSql: String =
+    ", cand AS (SELECT p.qid, r.vec_id AS id2, " +
       "round(list_cosine_similarity(p.qv, r.recon), 6) AS cos " +
       "FROM r JOIN probes p ON r.cid = p.scid WHERE r.vec_id <> p.qid)"
 
   private def ivfPqTwoLevelOracleSql(m: Int, k: Int, dim: Int, nprobe1: Int,
                                      nprobe: Int, topK: Int): String =
-    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + " " +
+    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + TwoLevelCandSql + " " +
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM cand) WHERE rn <= $topK"
 
+  /** DuckDB replay of Ivf.ivfPqSearchFilteredWithTwoLevel: the two-level
+    * encode chain, index rows filtered by the metadata join, hierarchical
+    * probes + rescue both scoring ADC reconstructions — the flat
+    * ivfPqFilteredOracleSql shape on the padded two-level CTEs.
+    */
+  private def ivfPqTwoLevelFilteredOracleSql(m: Int, k: Int, dim: Int,
+                                             nprobe1: Int, nprobe: Int,
+                                             topK: Int, label: Int): String =
+    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + ", " +
+      "lbl AS (SELECT vec_id, label FROM embeddings), " +
+      "rs AS (SELECT r.vec_id, r.cid, r.recon FROM r " +
+      s"JOIN lbl ON lbl.vec_id = r.vec_id WHERE lbl.label = $label), " +
+      "cand AS (SELECT p.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(p.qv, rs.recon), 6) AS cos " +
+      "FROM rs JOIN probes p ON rs.cid = p.scid WHERE rs.vec_id <> p.qid), " +
+      "cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY 1), " +
+      "under AS (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
+      s"WHERE coalesce(cnt.n, 0) < $topK), " +
+      "resc AS (SELECT u.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos " +
+      "FROM rs JOIN under u ON rs.vec_id <> u.qid), " +
+      "fin AS (SELECT * FROM cand WHERE qid NOT IN (SELECT qid FROM under) " +
+      "UNION ALL SELECT * FROM resc) " +
+      "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
+      s"FROM fin) WHERE rn <= $topK"
+
   private def ivfPqTwoLevelRerankOracleSql(m: Int, k: Int, dim: Int,
                                            nprobe1: Int, nprobe: Int,
                                            topK: Int, kFactor: Int): String =
-    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + ", " +
+    ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + TwoLevelCandSql + ", " +
       "adc AS (SELECT qid, id2 FROM (" +
       "SELECT qid, id2, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM cand) WHERE rn <= ${topK * kFactor}), " +
@@ -747,6 +791,8 @@ private[graft] object VectorRegistry {
       nprobe1 = 2, nprobe = 4, topK = 5),
     "ann_ivfpq_rerank_2level" -> ivfPqTwoLevelRerankOracleSql(m = 4, k = 16,
       dim = 64, nprobe1 = 2, nprobe = 4, topK = 5, kFactor = 4),
+    "ann_filtered_pq_2level" -> ivfPqTwoLevelFilteredOracleSql(m = 4, k = 16,
+      dim = 64, nprobe1 = 2, nprobe = 4, topK = 10, label = 7),
     "ann_filtered" -> annIvfFilteredOracleSql(k = 10, numCells = 16,
       nprobe = 4, label = 7),
     "ann_filtered_pq" -> ivfPqFilteredOracleSql(m = 4, k = 16, dim = 64,

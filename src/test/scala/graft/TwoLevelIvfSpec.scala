@@ -162,6 +162,23 @@ class TwoLevelIvfSpec extends SparkSpec {
     assert(twoR == flatR, "two-level rerank (k1=1) != flat")
   }
 
+  test("filtered two-level IVF-PQ: k1=1 equals the flat filtered face") {
+    val q = emb.where(col("vec_id") < 10)
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val tl = Ivf.trainTwoLevel(emb, k1 = 1, k2 = 16, iters = 0)
+    val encTl = Ivf.ivfPqReconFrameTwoLevel(emb, tl, passthrough = Seq("label"))
+    val two = rows(Ivf.ivfPqSearchFilteredWithTwoLevel(encTl, tl, q, 10,
+      col("label") === 7, nprobe1 = 1, nprobe = 4))
+    val cents = Ivf.train(emb, 16, iters = 0)
+    val encFlat = Ivf.ivfPqReconFrame(emb, cents, passthrough = Seq("label"))
+    val flat = rows(Ivf.ivfPqSearchFilteredWith(encFlat, cents, q, 10,
+      col("label") === 7, nprobe = 4))
+    assert(two == flat, "filtered two-level (k1=1) != flat filtered")
+  }
+
   test("ivfPq two-level faces: empty corpus is a result, not a crash") {
     val empty = toyEmb(Seq.empty)
     assert(Ivf.ivfPqSearchTwoLevel(empty, empty, 5, k1 = 2, k2 = 2).count() == 0L)
