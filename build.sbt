@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // the second REAL JDBC driver for the JdbcSink roundtrip spec (the
+  // sqlite-jdbc drop-in is not in the offline cache; this is) — test
+  // scope only, the sink itself stays driver-agnostic
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Executor-CPU tap: sums taskMetrics.executorCpuTime (ns) across task
+    * ends. Unlike the process-CPU clock below (which also counts driver
+    * work, GC, and listener threads), per-query EXECUTOR cpu is the
+    * box-state-proof channel the r13 verdict asked for: two rounds
+    * running, separating "code got slower" from "box was loaded" needed
+    * a same-box binary A/B; cpu-per-query makes the r14↔r13 comparison
+    * one artifact read (wall grows + ecpu flat ⇒ box; both grow ⇒ code).
+    */
+  private final class CpuTap extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,6 +62,16 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuSec: Double = osBean.getProcessCpuTime / 1e9
+    val tap = new CpuTap
+    spark.sparkContext.addSparkListener(tap)
+    // drain the async listener bus so a tap snapshot covers every task of
+    // the action that just returned (the ScaleProbe flush, inlined)
+    def flushBus(): Unit =
+      try {
+        val bus = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(300) }
     val cpu0 = cpuSec
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -56,6 +84,8 @@ object Bench {
         // and late-alphabet queries run under eviction pressure — the
         // round-4 dedup_minhash/simhash regression.
         graft.core.Materialize.inScope { scope =>
+          flushBus()
+          val e0 = tap.cpuNs.get
           val c0 = cpuSec
           val t0 = System.nanoTime()
           // a failing query must be VISIBLE in the log (its wall time alone
@@ -67,6 +97,8 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           val dc = cpuSec - c0
+          flushBus()
+          val de = (tap.cpuNs.get - e0) / 1e9
           scope.release(spark, blocking = true)
           // a cut made OFF the query thread (e.g. a future foreachBatch-
           // based query) lands in the default scope and would leak past
@@ -78,7 +110,7 @@ object Bench {
               "blocks past its scope; falling back to releaseAll")
             graft.core.Materialize.releaseAll(spark, blocking = true)
           }
-          (dt, dc)
+          (dt, dc, de)
         }
       }
       val best = times.minBy(_._1)
@@ -87,24 +119,28 @@ object Bench {
       // on a flat-cpu query is box noise, not a regression
       val spread = times.map(_._1).max - times.map(_._1).min
       System.err.println(f"[bench] $name%-20s ${times.map(t => f"${t._1}%.2f").mkString(" ")} s" +
-        f" -> min ${best._1}%.2f (cpu ${best._2}%.2f s)")
-      (name, best._1, best._2, spread)
+        f" -> min ${best._1}%.2f (cpu ${best._2}%.2f s, ecpu ${best._3}%.2f s)")
+      (name, best._1, best._2, spread, best._3)
     }
     // 4-decimal times keep the closing JSON line compact (BENCH_r03's
     // full-precision doubles overflowed the driver's bounded output tail
     // and truncated the per-query map); the same line is also written to a
     // file so the artifact survives any stdout capture limit.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query process-CPU seconds (file artifact only — the stdout tail
     // is size-bounded): wall >> cpu/ncpu on a query that was flat in r-1
     // means box load, not regression
-    val cpuQs = results.map { case (k, _, c, _) => s"\"" + k + "\":" + fmt(c) }
+    val cpuQs = results.map { case (k, _, c, _, _) => s"\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    // per-query EXECUTOR cpu seconds (task-metric channel — excludes
+    // driver/GC/listener time): the box-proof round-over-round comparator
+    val ecpuQs = results.map { case (k, _, _, _, e) => s"\"" + k + "\":" + fmt(e) }
       .mkString("{", ",", "}")
     // per-query max−min over the repeat draws (file artifact): reads as
     // "how contended was THIS query's measurement" next to the min
-    val spreadQs = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + fmt(sp) }
+    val spreadQs = results.map { case (k, _, _, sp, _) => s"\"" + k + "\":" + fmt(sp) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val spreadSum = results.map(_._4).sum
@@ -126,7 +162,7 @@ object Bench {
         s""""spread_sum":${fmt(spreadSum)},""" +
         s""""sys_load_avg":${fmt(osBean.getSystemLoadAverage)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"spread":$spreadQs,"load":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"ecpu":$ecpuQs,"spread":$spreadQs,"load":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
@@ -137,9 +173,16 @@ object Bench {
     // widens (BENCH_r04 lost the total + 39 queries). Emit a final compact
     // summary — total + load signal + the 15 heaviest queries — that
     // always survives.
-    val heavy = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load":$load,"top":$heavy,"sf":"$sfDir"}""")
+    val heaviest = results.sortBy(-_._2).take(15)
+    val heavy = heaviest
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // executor-cpu for the same 15: the compact line is what survives the
+    // driver's bounded stdout tail, so the box-proof channel must ride in
+    // it (the full 274-query ecpu map lives in the file artifact above)
+    val heavyEcpu = heaviest
+      .map { case (k, _, _, _, e) => s"\"" + k + "\":" + fmt(e) }.mkString("{", ",", "}")
+    val ecpuSum = results.map(_._5).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"ecpu_sum":${fmt(ecpuSum)},"load":$load,"top":$heavy,"top_ecpu":$heavyEcpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -639,6 +639,57 @@ object Ivf {
         round(graft.functions.cosine_sim(col("v1"), col("v2")), 6).as("cos"))
       .where(col("cos") >= threshold)
 
+  /** Capped within-cell pair generation for the CC consumers
+    * ([[semanticDedup]] family) — the oversized-cell guard [[cellPairs]]
+    * deliberately lacks. A quantizer bounds the AVERAGE cell, but
+    * near-identical vectors all land in the SAME cell regardless of
+    * (k1, k2): one boilerplate mega-cluster of m docs makes all-pairs
+    * emission O(m²) (the ×243 semantic A/B measured the byte step at
+    * 4.6× for 3× data under verbatim amplification). Connected
+    * components does not need all m² edges — connectivity through a
+    * bounded representative set suffices — so each cell contributes
+    * ≤ `maxCell` hash-sampled representatives ([[screenOnCells]], the
+    * portable md5-prefix order the oracle replays): representatives
+    * cross-pair among themselves (≤ maxCell² per cell) and every
+    * non-representative attaches to its cell's representatives
+    * (m·maxCell), all still verified at the exact rounded-cosine
+    * threshold. Total ≤ O(n·maxCell) edges; a cell at or under
+    * `maxCell` is ALL representatives, so small-cell output is
+    * bit-identical to [[cellPairs]].
+    *
+    * The recall price is explicit, same contract as the LSH
+    * oversized-bucket cap (Dedup.minhashLsh): a sub-cluster holding
+    * fraction f of an oversized cell is missed by all maxCell reps with
+    * probability ≈ (1−f)^maxCell — and one in-cluster rep hub is enough
+    * for CC to reunite the whole cluster. The all-pairs diagnostic face
+    * ([[semanticNearDup]]) stays uncapped: its output IS the pairs, so
+    * it is legitimately output-bound. Emits (id1, id2) — the CC edge
+    * shape; pair-level cos is a verification predicate here, not an
+    * output column.
+    */
+  private[graft] def cellPairsCapped(cells: DataFrame, threshold: Double,
+                                     maxCell: Int): DataFrame = {
+    val reps = screenOnCells(cells, maxCell)
+    val repPairs = reps
+      .select(col("cid"), col("cvid").as("id1"), col("cv").as("v1"))
+      .join(reps.select(col("cid"), col("cvid").as("id2"), col("cv").as("v2")),
+        Seq("cid"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+    // members NOT picked as representatives (empty for cells ≤ maxCell)
+    val nonReps = cells.join(
+      reps.select(col("cid"), col("cvid").as("vec_id")),
+      Seq("cid", "vec_id"), "left_anti")
+    val attachPairs = nonReps.join(reps, Seq("cid"))
+      .select(least(col("vec_id"), col("cvid")).as("id1"),
+        greatest(col("vec_id"), col("cvid")).as("id2"),
+        col("v").as("v1"), col("cv").as("v2"))
+    repPairs.unionByName(attachPairs)
+      .where(round(graft.functions.cosine_sim(col("v1"), col("v2")), 6)
+        >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
   /** Approximate k-NN GRAPH over the whole corpus — the rung between
     * point search (`ann_*`: k neighbors of a few queries) and the pair
     * threshold (`semantic_neardup`: all pairs above a cosine): EVERY
@@ -741,6 +792,31 @@ object Ivf {
                            l2: Array[Array[Double]], k2: Int) {
     def k1: Int = l1.length
     def isEmpty: Boolean = l1.isEmpty
+  }
+
+  /** The (k1, k2) sizing policy for a corpus of `n` vectors at a target
+    * cell size `targetCell` — the documented function a 100 TB user calls
+    * instead of hand-picking 4×4: effective cells ≈ n / targetCell, split
+    * evenly across the two levels, so k1 = k2 = ⌈√(n / targetCell)⌉.
+    * That keeps per-row routing at k1 + k2 = O(√(n/c)) flops while the
+    * effective cell count k1·k2 ≥ n/c grows linearly with the corpus at
+    * (at most) constant expected cell size — the exact configuration the
+    * ×243 ScaleProbe finding motivated (flat assignment at n/c cells is
+    * quadratic in n). Guarantees k1·k2·targetCell ≥ n (cells never
+    * UNDER-provisioned by rounding) and k1 = k2 ≥ 1; tiny corpora
+    * degenerate to (1, 1) — one cell, which IS the flat k=1 case.
+    *
+    * Registry faces deliberately keep the fixed TL_K = 4 constant
+    * (oracle determinism: the DuckDB replay interpolates the same
+    * literal); ScaleProbe legs and library users size with this.
+    */
+  def twoLevelSizing(n: Long, targetCell: Int = 256): (Int, Int) = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    require(n >= 0, s"corpus size must be non-negative, got $n")
+    val cells = math.max(1.0, n.toDouble / targetCell)
+    val k = math.max(1L, math.ceil(math.sqrt(cells)).toLong)
+    require(k <= Int.MaxValue, s"sizing overflow: k1=k2=$k")
+    (k.toInt, k.toInt)
   }
 
   /** Train the two-level quantizer: L1 via [[train]] (k1 cells), then per
@@ -905,7 +981,8 @@ object Ivf {
     * flat face.
     */
   def semanticDedupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
-                            threshold: Double = 0.4): DataFrame =
+                            threshold: Double = 0.4,
+                            maxCell: Int = 64): DataFrame =
     twoLevelCells(emb, k1, k2) match {
       case None =>
         emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
@@ -920,8 +997,7 @@ object Ivf {
         val sc = broadcast(
           centroidsDf(emb.sparkSession, m.l2)
             .select(col("cid").cast("long").as("cid"), col("cvec").as("svec")))
-        val comp = Dedup.clusters(
-          cellPairs(cells, threshold).select(col("id1"), col("id2")))
+        val comp = Dedup.clusters(cellPairsCapped(cells, threshold, maxCell))
         val scored = comp.join(
           cells.join(sc, "cid")
             .select(col("vec_id").as("doc_id"),
@@ -932,6 +1008,22 @@ object Ivf {
         scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
           .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
     }
+
+  /** [[semanticNearDupTwoLevel]] against a PRE-TRAINED two-level model —
+    * the serving-side sibling (train once per corpus snapshot, screen
+    * many), and the batch comparator the streaming two-level screen
+    * (StreamingSemanticNearDup.runTwoLevel) is spec-pinned against.
+    */
+  def semanticNearDupWithTwoLevel(emb: DataFrame, m: TwoLevelModel,
+                                  threshold: Double = 0.4): DataFrame = {
+    if (m.isEmpty)
+      return emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
+        col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
+    val cells = graft.core.Materialize.once(
+      assignTwoLevel(vecs(emb), m)
+        .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
+    cellPairs(cells, threshold)
+  }
 
   /** [[knnGraphTwoLevel]] against a PRE-TRAINED two-level model. */
   def knnGraphWithTwoLevel(emb: DataFrame, m: TwoLevelModel,
@@ -1179,6 +1271,14 @@ object Ivf {
     require(l1.isEmpty || l2.length % l1.length == 0,
       s"two-level model at $path is corrupt: ${l2.length} sub-centroids " +
         s"is not a multiple of k1=${l1.length}")
+    // 0 % k1 == 0, so the multiple check alone admits a model whose
+    // level-2 rows are entirely MISSING — k2=0 would route every row to
+    // scid 0 (NearestSubCell's candidate loop never runs) and the probe's
+    // /k2 divides by zero: exactly the silent-garbage class these guards
+    // exist to close
+    require(l1.isEmpty || l2.nonEmpty,
+      s"two-level model at $path is corrupt: no level-2 rows " +
+        s"(k1=${l1.length}, k2 would be 0)")
     require(l1.isEmpty || (l1 ++ l2).forall(_.length == l1.head.length),
       s"two-level model at $path is corrupt: mixed centroid dims")
     TwoLevelModel(l1, l2, if (l1.isEmpty) 0 else l2.length / l1.length)
@@ -1249,24 +1349,26 @@ object Ivf {
     *
     * Scale design: the ONE materialized assignment scan feeds both pair
     * sides AND the keeper score (no re-assignment pass); pair generation
-    * stays bounded at Σ|cell|²; the keeper window partitions by
-    * cluster_id — near-dup clusters are small by construction, the same
-    * bounded-partition argument corpusDedup makes.
+    * rides [[cellPairsCapped]] — ≤ O(n·maxCell) edges even when a
+    * boilerplate mega-cluster lands a single oversized cell (the
+    * quantizer bounds the average cell, never the dup-skew cell); the
+    * keeper window partitions by cluster_id, an O(m log m) sort per
+    * cluster, not the O(m²) pair emission the cap retired.
     */
   def semanticDedup(emb: DataFrame, numCells: Int = 16,
-                    threshold: Double = 0.4): DataFrame =
-    semanticDedupWith(emb, train(emb, numCells, iters = 0), threshold)
+                    threshold: Double = 0.4, maxCell: Int = 64): DataFrame =
+    semanticDedupWith(emb, train(emb, numCells, iters = 0), threshold, maxCell)
 
   /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
   def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4, maxCell: Int = 64): DataFrame = {
     // empty model → nothing clusters: empty frame, full output schema
     if (cents.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(true).as("keep")).limit(0)
     val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
-    val comp = Dedup.clusters(cellPairs(cells, threshold).select(col("id1"), col("id2")))
+    val comp = Dedup.clusters(cellPairsCapped(cells, threshold, maxCell))
     // centroid-cosine keeper score via literal-array lookup (no join) over
     // the SAME materialized cells frame the pairs came from
     val scored = comp.join(
@@ -1287,20 +1389,22 @@ object Ivf {
     */
   def semanticDedupStable(emb: DataFrame, prior: DataFrame,
                           numCells: Int = 16,
-                          threshold: Double = 0.4): DataFrame =
-    semanticDedupStableWith(emb, prior, train(emb, numCells, iters = 0), threshold)
+                          threshold: Double = 0.4, maxCell: Int = 64): DataFrame =
+    semanticDedupStableWith(emb, prior, train(emb, numCells, iters = 0),
+      threshold, maxCell)
 
   /** [[semanticDedupStable]] against a PRE-TRAINED quantizer. */
   def semanticDedupStableWith(emb: DataFrame, prior: DataFrame,
                               cents: Array[Array[Double]],
-                              threshold: Double = 0.4): DataFrame = {
+                              threshold: Double = 0.4,
+                              maxCell: Int = 64): DataFrame = {
     if (cents.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(true).as("keep")).limit(0)
     val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
     val comp = Dedup.clustersStable(
-      cellPairs(cells, threshold).select(col("id1"), col("id2")),
+      cellPairsCapped(cells, threshold, maxCell),
       prior.select(col("vec_id").as("doc_id"), col("cluster_id")))
     val scored = comp.join(
       cells.select(col("vec_id").as("doc_id"),
@@ -1352,10 +1456,19 @@ object Ivf {
     * by [[incrementalSemanticWith]] and the streaming screen.
     */
   private[graft] def screenSet(corpus: DataFrame, cents: Array[Array[Double]],
-                               maxCell: Int): DataFrame = {
+                               maxCell: Int): DataFrame =
+    screenOnCells(assignedCells(vecs(corpus), cents), maxCell)
+
+  /** The per-cell ≤ maxCell hash-sampled representative set over an
+    * ALREADY-ASSIGNED (cid, vec_id, v) frame — the [[screenSet]] kernel,
+    * factored out so the batch semantic-dedup cap ([[cellPairsCapped]])
+    * and the incremental screen share one implementation (and one
+    * portable pick order: md5-prefix asc, vec_id asc — replayable by the
+    * oracle's row_number window). Emits (cid, cvid, cv).
+    */
+  private[graft] def screenOnCells(cells: DataFrame, maxCell: Int): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val cells = assignedCells(vecs(corpus), cents)
     val agg = udaf(new TopKByScore(maxCell), ExpressionEncoder[ScoredId]())
     cells
       .select(col("cid"), col("vec_id"),

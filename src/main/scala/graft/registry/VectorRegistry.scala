@@ -65,9 +65,12 @@ private[graft] object VectorRegistry {
       // cell join bounds pair generation at sum(|cell|^2), not n^2
       graft.ops.Ivf.semanticNearDup(Tables.table(s, dir, "embeddings"))),
     "semantic_dedup" -> ((s, dir) =>
-      // SemDeDup end-to-end: within-cell pairs -> connected components ->
-      // keeper = farthest-from-centroid member (the curation decision)
-      graft.ops.Ivf.semanticDedup(Tables.table(s, dir, "embeddings"))),
+      // SemDeDup end-to-end: CAPPED within-cell pairs (<= SD_MAXCELL
+      // hash-sampled representatives per cell — the oversized-cell guard
+      // against O(m^2) boilerplate mega-clusters) -> connected components
+      // -> keeper = farthest-from-centroid member (the curation decision)
+      graft.ops.Ivf.semanticDedup(Tables.table(s, dir, "embeddings"),
+        maxCell = SD_MAXCELL)),
     "knn_graph" -> ((s, dir) =>
       // approximate k-NN graph: every vector's top-5 within its quantizer
       // cell — candidates cell-bounded, selection via the bounded heap
@@ -93,10 +96,11 @@ private[graft] object VectorRegistry {
       graft.ops.Ivf.semanticNearDupTwoLevel(Tables.table(s, dir, "embeddings"),
         k1 = TL_K, k2 = TL_K)),
     "semantic_dedup_2level" -> ((s, dir) =>
-      // SemDeDup end-to-end over two-level cells; keeper scored against
-      // its SUB-centroid (the member's actual region prototype)
+      // SemDeDup end-to-end over two-level cells (capped pair feed, same
+      // SD_MAXCELL guard); keeper scored against its SUB-centroid (the
+      // member's actual region prototype)
       graft.ops.Ivf.semanticDedupTwoLevel(Tables.table(s, dir, "embeddings"),
-        k1 = TL_K, k2 = TL_K)),
+        k1 = TL_K, k2 = TL_K, maxCell = SD_MAXCELL)),
     "knn_pagerank" -> ((s, dir) =>
       // integer-scaled fixed-iteration PageRank over the kNN graph —
       // centrality for density-weighted curation; every intermediate an
@@ -283,6 +287,35 @@ private[graft] object VectorRegistry {
   // the query cannot silently diverge onto different cell structures).
   private val TL_K = 4
 
+  // The ONE oversized-cell cap shared by the semantic_dedup Scala faces
+  // and their SQL replays (same cross-wiring rationale as TL_K). 64 keeps
+  // sf0.1's ~125-member average cells ON the capped path, so the oracle
+  // gate genuinely exercises the representative logic, not just the
+  // small-cell identity case.
+  private val SD_MAXCELL = 64
+
+  /** The cellPairsCapped replay (Ivf.scala): per-cell ≤ SD_MAXCELL
+    * representatives in portable (md5-prefix, vec_id) order; rep×rep
+    * (id1 < id2) plus nonrep→rep attach pairs, both verified at the
+    * rounded-cosine threshold. `src` must expose (vec_id, v, cellCol).
+    * Emits the reps/nonreps/pairs CTE chain ending in pairs(id1, id2),
+    * with a trailing ", ".
+    */
+  private def cappedPairsSql(src: String, cellCol: String): String =
+    s"reps AS (SELECT $cellCol AS rcid, vec_id, v FROM (" +
+      s"SELECT $cellCol, vec_id, v, row_number() OVER (PARTITION BY $cellCol " +
+      "ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id) AS hr " +
+      s"FROM $src) WHERE hr <= $SD_MAXCELL), " +
+      s"nonreps AS (SELECT a.$cellCol AS rcid, a.vec_id, a.v FROM $src a " +
+      s"LEFT JOIN reps r ON r.rcid = a.$cellCol AND r.vec_id = a.vec_id " +
+      "WHERE r.vec_id IS NULL), " +
+      "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM reps a " +
+      "JOIN reps b ON a.rcid = b.rcid AND a.vec_id < b.vec_id " +
+      "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4 " +
+      "UNION ALL SELECT LEAST(m.vec_id, r.vec_id), GREATEST(m.vec_id, r.vec_id) " +
+      "FROM nonreps m JOIN reps r ON r.rcid = m.rcid " +
+      "WHERE round(list_cosine_similarity(m.v, r.v), 6) >= 0.4), "
+
   // Two-level (TL_K × TL_K) quantizer replay shared by the 2level faces:
   // L1 = the knn_graph seed/assignment CTEs at k1=TL_K; sub-centroids =
   // the FULL k1·k2 padded matrix exactly as trainTwoLevel lays it out
@@ -418,9 +451,7 @@ private[graft] object VectorRegistry {
         "SELECT cid, id1, id2, cos FROM pairs"),
     "semantic_dedup_2level" ->
       ("WITH RECURSIVE " + TwoLevelAssignSql +
-        "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
-        "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id < b.vec_id " +
-        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4), " +
+        cappedPairsSql("sassigned", "scid") +
         "edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs), " +
         "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
         "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +
@@ -692,7 +723,10 @@ private[graft] object VectorRegistry {
         "SELECT qid, id2, cos, CAST(row_number() OVER (" +
         "PARTITION BY qid ORDER BY cos DESC, id2) AS BIGINT) AS rn " +
         "FROM sc) WHERE rn <= 5"),
-    // semanticDedup replay: the semantic_neardup pair CTEs + recursive
+    // semanticDedup replay: the semantic_neardup assignment CTEs + the
+    // CAPPED pair feed (each cell's <= SD_MAXCELL md5-hash-order
+    // representatives cross-pair; non-representatives attach to their
+    // cell's representatives — cellPairsCapped's exact shape) + recursive
     // min-label reachability (the corpus_dedup CC mold) + the
     // farthest-from-centroid keeper (ccos asc, vec_id asc)
     "semantic_dedup" ->
@@ -703,9 +737,7 @@ private[graft] object VectorRegistry {
         "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
         "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-        "pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
-        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
-        "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4), " +
+        cappedPairsSql("assigned", "cid") +
         "edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs), " +
         "nodes AS (SELECT DISTINCT a AS vec_id FROM edges), " +
         "comp AS (SELECT vec_id, vec_id AS lbl FROM nodes " +

@@ -153,6 +153,25 @@ object SqliteExport {
   */
 object JdbcSink {
 
+  /** Minimal DuckDB dialect: Spark 4.x's `tableExists` probe RETHROWS the
+    * driver's SQLException unless the dialect classifies it as
+    * object-not-found (`isObjectNotFoundException`; the default checks
+    * SQLState codes, which DuckDB's JDBC driver does not set) — without
+    * this, `SaveMode.Overwrite`/table creation against a fresh DuckDB
+    * file fails on the probe instead of creating the table. Everything
+    * else rides the default dialect (double-quote identifier quoting and
+    * TEXT/BIGINT mappings are DuckDB-compatible).
+    */
+  private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      e.getMessage != null && e.getMessage.contains("does not exist")
+  }
+  // registration is idempotent per JVM (the dialect registry is a list
+  // probed newest-first; registering once at object init is enough)
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
   /** Write candles in the reference's table shape (epoch-ms INTEGER
     * timestamp + TEXT prices).
     */

@@ -61,16 +61,53 @@ object StreamingSemanticNearDup {
           idleRetentionMs: Long = 3600000L): Dataset[Pair] = {
     require(cents.nonEmpty, "streaming semantic near-dup needs a non-empty " +
       "pre-trained quantizer (Ivf.train on a corpus snapshot)")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val assigned = emb.withWatermark("ts", watermark)
       .select(col("vec_id"), col("ts"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("cid", graft.functions.nearest_cell(
         col("v"), cents.flatten, cents.length, cents.head.length).cast("long"))
       .select(col("cid"), col("vec_id"), col("ts"), col("v"))
-      .as[Arrived]
-    assigned.groupByKey(_.cid)
+    pairsByCell(assigned, threshold, maxCell, idleRetentionMs)
+  }
+
+  /** [[run]] on a pre-trained TWO-LEVEL quantizer (Ivf.trainTwoLevel /
+    * Ivf.loadTwoLevelModel): the state key is the global sub-cell id
+    * (scid), assigned by the same fused L1-argmax → own-block L2-argmax
+    * chain as the batch face, so emitted pairs are value-identical to
+    * `Ivf.semanticNearDupWithTwoLevel` on the same data (spec-pinned
+    * across micro-batch splits). Per-row routing costs k1 + k2 flops
+    * while state stays ≤ (live cells)·maxCell — the cells ∝ n serving
+    * configuration, streamed.
+    */
+  def runTwoLevel(emb: DataFrame, m: graft.ops.Ivf.TwoLevelModel,
+                  threshold: Double = 0.4, maxCell: Int = 1000,
+                  watermark: String = "10 minutes",
+                  idleRetentionMs: Long = 3600000L): Dataset[Pair] = {
+    require(!m.isEmpty, "streaming two-level semantic near-dup needs a " +
+      "non-empty pre-trained model (Ivf.trainTwoLevel on a corpus snapshot)")
+    val dim = m.l1.head.length
+    val assigned = emb.withWatermark("ts", watermark)
+      .select(col("vec_id"), col("ts"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid1", graft.functions.nearest_cell(
+        col("v"), m.l1.flatten, m.l1.length, dim))
+      .withColumn("cid", graft.functions.nearest_sub_cell(
+        col("v"), col("cid1"), m.l2.flatten, m.k1, m.k2, dim).cast("long"))
+      .select(col("cid"), col("vec_id"), col("ts"), col("v"))
+    pairsByCell(assigned, threshold, maxCell, idleRetentionMs)
+  }
+
+  /** The shared cell-keyed GroupState core: score each arrival against
+    * the ≤ maxCell retained members of its cell, retain until the cap,
+    * time out idle cells. The cell-id column is whatever quantizer the
+    * caller routed with (flat cid or two-level scid).
+    */
+  private def pairsByCell(assigned: DataFrame, threshold: Double,
+                          maxCell: Int,
+                          idleRetentionMs: Long): Dataset[Pair] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.as[Arrived].groupByKey(_.cid)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (cid: Long, evts: Iterator[Arrived], state: GroupState[CellState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }

@@ -109,6 +109,11 @@ object PlanLint {
           out += s"$query [$where]: ShuffleExchange(SinglePartition) funnel"
         case _ => ()
       }
+      // deliberately OUTSIDE the match above: a node that already drew a
+      // shape violation (cartesian, unpartitioned window, funnel) still
+      // reports its UDF separately — both defects need fixing, so both
+      // appear in the output (counts asserted in PlanAuditSpec reflect
+      // this two-violations-per-node possibility)
       if ((strict || !udfOk.contains(query)) &&
         node.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))

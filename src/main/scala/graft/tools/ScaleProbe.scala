@@ -757,29 +757,41 @@ object ScaleProbe {
   private final class TaskTap extends org.apache.spark.scheduler.SparkListener {
     import scala.collection.mutable.ArrayBuffer
     private final case class T(dur: Long, gc: Long, sr: Long, sw: Long)
-    // listener events arrive on one bus thread — plain maps are safe
+    // listener events arrive on one bus thread, but reset()/report() run
+    // on the MAIN thread — flushListeners drains the queue yet creates no
+    // happens-before edge, so every access synchronizes on the maps' lock
+    // (the r13 ADVICE finding: unsynchronized cross-thread reads could
+    // see stale or mid-update state)
+    private val lock = new Object
     private val tasks = scala.collection.mutable.Map.empty[Int, ArrayBuffer[T]]
     private val names = scala.collection.mutable.Map.empty[Int, String]
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null)
+      if (m != null) lock.synchronized {
         tasks.getOrElseUpdate(e.stageId, ArrayBuffer.empty) += T(
           m.executorRunTime, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten)
+      }
     }
     override def onStageCompleted(
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
-    def reset(): Unit = { tasks.clear(); names.clear() }
+      lock.synchronized {
+        names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+      }
+    def reset(): Unit = lock.synchronized { tasks.clear(); names.clear() }
     def report(): Unit = {
       def pct(a: Seq[Long], p: Double): Long =
         if (a.isEmpty) 0L
         else a.sorted.apply(math.min(a.size - 1, (p * a.size).toInt))
-      tasks.toSeq.sortBy(_._1).foreach { case (sid, ts) =>
+      val (snap, nm) = lock.synchronized {
+        (tasks.toSeq.map { case (sid, ts) => (sid, ts.toVector) },
+          names.toMap)
+      }
+      snap.sortBy(_._1).foreach { case (sid, ts) =>
         val d = ts.map(_.dur).toSeq; val g = ts.map(_.gc).toSeq
-        println(f"[task] stage $sid%4d ${names.getOrElse(sid, "?").take(40)}%-40s " +
+        println(f"[task] stage $sid%4d ${nm.getOrElse(sid, "?").take(40)}%-40s " +
           f"n=${ts.size}%4d run ${d.sum / 1e3}%8.1fs " +
           f"p50 ${pct(d, .5) / 1e3}%7.2f p99 ${pct(d, .99) / 1e3}%7.2f " +
           f"max ${d.max / 1e3}%7.2f " +
@@ -1148,6 +1160,117 @@ object ScaleProbe {
     docs.unpersist(blocking = true)
   }
 
+  /** r14 ask #1 measurement: the CAPPED semantic dedup byte curve under
+    * VERBATIM amplification (every copy is an exact dup, so dup-cluster
+    * size grows ∝ k — the regime whose ×81→×243 byte step measured 4.6×
+    * for 3× data in r13sem), A/B'd against the effectively-uncapped
+    * control (maxCell = 2²⁰ ≥ any cell) on the same frame, plus the
+    * RECALL FLOOR: of the vectors the uncapped face drops (keep=false),
+    * the fraction the capped face also drops — the curation-decision
+    * recall, the §4 LSH methodology applied to cells.
+    * Run: `... r14sem` (27+81) or `r14semx243`.
+    */
+  private def r14SemanticCapCurves(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+      time(s"semantic_dedup 2level CAPPED x$k ($ne vecs, ${k1}x$k2)") {
+        graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+          maxCell = 64).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      time(s"semantic_dedup 2level UNCAPPED x$k (${k1}x$k2)") {
+        graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+          maxCell = 1 << 20).count()
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      // recall floor: dropped-set agreement, computed distributed (the
+      // pair space is quadratic inside dup clusters; the DECISION set is
+      // linear). keep=false rows are the curation action.
+      val capped = graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+        maxCell = 64).where(!col("keep")).select(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uncapped = graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+        maxCell = 1 << 20).where(!col("keep")).select(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nu = uncapped.count(); val nc = capped.count()
+      val hit = capped.join(uncapped, Seq("vec_id"), "left_semi").count()
+      println(f"[recall] x$k drop-decisions: uncapped $nu%9d  capped $nc%9d  " +
+        f"agree $hit%9d  recall ${if (nu == 0) 1.0 else hit.toDouble / nu}%.4f")
+      capped.unpersist(blocking = true); uncapped.unpersist(blocking = true)
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
+  /** r13 verdict ask #4: MEASURED recall for the two-level IVF-PQ serving
+    * family at a cells-∝-n sizing (the 4×4 registry config is
+    * oracle-determinism-scale) — recall@5 of `ivfPqSearchTwoLevel` (and
+    * the rerank face) vs exact brute force, at ×27+, two (k1,k2) sizings
+    * via [[graft.ops.Ivf.twoLevelSizing]], nprobe1 swept. Run: `... r14recall`.
+    */
+  private def r14PqRecallTable(spark: SparkSession, legs: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    legs.foreach { k =>
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val q = emb.where(col("vec_id") < 10)
+      val truth = graft.ops.Similarity.bruteForceTopK(spark, emb, q, 5)
+        .select(col("qid"), col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      for (targetCell <- Seq(250, 1000); nprobe1 <- Seq(1, 2, 4)) {
+        val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell)
+        val nprobe = 4
+        def recallOf(got: org.apache.spark.sql.DataFrame): Double = {
+          val hits = got.select(col("qid"), col("id2"))
+            .join(truth, Seq("qid", "id2"), "left_semi").count()
+          hits.toDouble / nTruth
+        }
+        val t0 = System.nanoTime()
+        val adc = recallOf(graft.ops.Ivf.ivfPqSearchTwoLevel(emb, q, 5,
+          k1 = k1, k2 = k2, nprobe1 = nprobe1, nprobe = nprobe))
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        val t1 = System.nanoTime()
+        val rr = recallOf(graft.ops.Ivf.ivfPqSearchRerankTwoLevel(emb, q, 5,
+          k1 = k1, k2 = k2, nprobe1 = nprobe1, nprobe = nprobe))
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        val t2 = System.nanoTime()
+        println(f"[recall] x$k ($ne vecs) cells ${k1}x$k2 (target $targetCell) " +
+          f"nprobe1=$nprobe1 nprobe=$nprobe: adc@5 $adc%.3f (${(t1 - t0) / 1e9}%6.1f s)  " +
+          f"rerank@5 $rr%.3f (${(t2 - t1) / 1e9}%6.1f s)")
+      }
+      truth.unpersist(blocking = true)
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions) // ASOF SQL + native fns
@@ -1173,6 +1296,11 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r14semx243")) { r14SemanticCapCurves(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r14sem")) { r14SemanticCapCurves(spark, Seq(27, 81)); spark.stop(); return }
+    if (args.contains("r14recallx81")) { r14PqRecallTable(spark, Seq(81)); spark.stop(); return }
+    if (args.contains("r14recall")) { r14PqRecallTable(spark, Seq(27)); spark.stop(); return }
+    if (args.contains("r14pqx729")) { r13PqCurves(spark, Seq(729)); spark.stop(); return }
     if (args.contains("r13pqx243")) { r13PqCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r13pq")) { r13PqCurves(spark, Seq(27, 81)); spark.stop(); return }
     if (args.contains("r13semx243")) { r13SemanticCurves(spark, Seq(243)); spark.stop(); return }

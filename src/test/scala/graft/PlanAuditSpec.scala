@@ -904,6 +904,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(gvs.isEmpty, "false positives:\n" + gvs.mkString("\n"))
   }
 
+  test("plan lint: a node with BOTH a shape violation and a UDF reports both") {
+    // pins the (intended) r13 refactor: the ScalaUDF check sits outside
+    // the shape match, so one node can draw two violations — both
+    // defects need fixing, so both must appear
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val u = udf((x: Double) => x + 1.0)
+    // spark.range, NOT a local Seq: ConvertToLocalRelation would evaluate
+    // a Project over a LocalRelation (UDF included) at optimize time and
+    // the lint would never see it
+    val df = spark.range(2)
+      .select(col("id").as("t"), col("id").cast("double").as("x"))
+      .withColumn("r", first(u(col("x"))).over(Window.orderBy(col("t"))))
+    val vs = graft.tools.PlanLint.violationsIn(
+      df.queryExecution.sparkPlan, "bad_both", "final")
+    assert(vs.exists(_.contains("unpartitioned WindowExec")),
+      "shape violation missing:\n" + vs.mkString("\n"))
+    assert(vs.exists(_.contains("ScalaUDF")),
+      "UDF violation missing:\n" + vs.mkString("\n"))
+  }
+
   test("full registry plan lint: no single-partition shapes anywhere") {
     // EVERY query in the registry — final plan AND the plans hidden
     // behind Materialize cuts — must plan zero CartesianProductExec,

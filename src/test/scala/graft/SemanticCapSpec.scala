@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{Dedup, Ivf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The oversized-cell cap on the semantic-dedup pair feed (r13 verdict
+  * ask #1): `cellPairsCapped` bounds a cell's pair emission at
+  * ≤ maxCell representatives cross-pairing + every non-representative
+  * attaching to the representatives — O(m·maxCell) edges instead of the
+  * O(m²) a boilerplate mega-cluster costs under all-pairs, with CC
+  * connectivity preserved through the representative hubs.
+  */
+class SemanticCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cellsOf(rows: Seq[(Long, Long, Seq[Double])]): DataFrame =
+    rows.toDF("cid", "vec_id", "v")
+      .select(col("cid").cast("long"), col("vec_id").cast("long"),
+        col("v").cast("array<double>"))
+
+  // m near-identical vectors (cos ≈ 1 pairwise) in ONE cell — the
+  // boilerplate mega-cluster that routes to a single scid regardless of
+  // quantizer structure
+  private def megaCell(m: Int): Seq[(Long, Long, Seq[Double])] =
+    (1 to m).map(i => (0L, i.toLong, Seq(1.0, 1e-6 * i, 0.0)))
+
+  test("mega-cell: pair feed is O(m·maxCell), never O(m²)") {
+    val m = 300
+    val maxCell = 16
+    val pairs = Ivf.cellPairsCapped(cellsOf(megaCell(m)), 0.4, maxCell)
+    val n = pairs.count()
+    // reps cross-pair (≤ C(maxCell,2)) + each non-rep attaches to ≤
+    // maxCell reps; all cosines here pass the threshold so the bound is
+    // tight — and it is ~60× below the all-pairs C(300,2) = 44 850
+    val bound = maxCell.toLong * (maxCell - 1) / 2 +
+      (m - maxCell).toLong * maxCell
+    assert(n == bound, s"expected the exact capped bound $bound, got $n")
+    assert(n < m.toLong * (m - 1) / 2 / 8, "cap did not bite")
+  }
+
+  test("mega-cell: CC connectivity survives the cap (one cluster, one keeper)") {
+    val m = 300
+    val comp = Dedup.clusters(
+      Ivf.cellPairsCapped(cellsOf(megaCell(m)), 0.4, maxCell = 16))
+    val rows = comp.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == m, s"all $m members must cluster, got ${rows.length}")
+    assert(rows.map(_._2).distinct.length == 1,
+      "a near-identical mega-cluster must stay ONE component under the cap")
+  }
+
+  test("cells at or under maxCell: capped == uncapped all-pairs exactly") {
+    // two small cells (sizes 5 and 3, both ≤ maxCell): every member is a
+    // representative, so the capped feed IS the triangular all-pairs set
+    val cells = cellsOf(
+      (1 to 5).map(i => (0L, i.toLong, Seq(1.0, 0.01 * i, 0.0))) ++
+      (1 to 3).map(i => (1L, (100 + i).toLong, Seq(0.0, 0.01 * i, 1.0))))
+    val capped = Ivf.cellPairsCapped(cells, 0.4, maxCell = 16)
+      .as[(Long, Long)].collect().toSet
+    val allPairs = (for {
+      ids <- Seq((1 to 5).map(_.toLong), (1 to 3).map(i => (100 + i).toLong))
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).toSet // all cosines within a bundle are ≈ 1 ≥ 0.4
+    assert(capped == allPairs,
+      s"small-cell output must be bit-identical to all-pairs: " +
+        s"${capped.size} vs ${allPairs.size}")
+  }
+
+  test("cap respects the cosine threshold on BOTH pair kinds") {
+    // one cell of 4: two near-identical (1, 2), two orthogonal strays
+    // (3, 4) — with maxCell = 2 the hash order decides reps, but no
+    // orthogonal pair may ever pass the 0.4 threshold
+    val cells = cellsOf(Seq(
+      (0L, 1L, Seq(1.0, 0.0, 0.0)), (0L, 2L, Seq(0.999, 0.001, 0.0)),
+      (0L, 3L, Seq(0.0, 1.0, 0.0)), (0L, 4L, Seq(0.0, 0.0, 1.0))))
+    val pairs = Ivf.cellPairsCapped(cells, 0.4, maxCell = 2)
+      .as[(Long, Long)].collect().toSet
+    pairs.foreach { case (a, b) =>
+      assert(Set(Set(1L, 2L)).contains(Set(a, b)),
+        s"pair ($a,$b) is below the threshold and must not be emitted")
+    }
+  }
+
+  test("semanticDedup: the capped face still closes the NEARDUP graph on real data") {
+    // the RankEventsSpecs closure contract re-stated against the capped
+    // face at a cap SMALLER than some cells (sf0.001, 4 cells → ~125
+    // members each, cap 16): every uncapped near-dup pair whose members
+    // the capped CC clustered must land in ONE cluster — the cap may
+    // drop members entirely (recall price, measured in BENCH_NOTES), but
+    // must never SPLIT a surviving pair
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = Ivf.train(emb, 4, iters = 0)
+    val truth = Ivf.semanticNearDupWith(emb, cents, 0.4)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    val dd = Ivf.semanticDedupWith(emb, cents, 0.4, maxCell = 16)
+      .as[(Long, Long, Boolean)].collect()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    val cluster = dd.map(r => r._1 -> r._2).toMap
+    val both = truth.filter { case (a, b) =>
+      cluster.contains(a) && cluster.contains(b) }
+    assert(both.nonEmpty, "fixture degenerate: no surviving pairs")
+    both.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"capped CC split pair ($a,$b)")
+    }
+    // one keeper per cluster, the dedup contract
+    dd.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.count(_._3) == 1, s"cluster $cid keeper count != 1")
+    }
+  }
+}

@@ -1521,6 +1521,43 @@ class StreamingSemanticNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-level: stream pair union == batch semanticNearDupWithTwoLevel " +
+    "across micro-batch splits") {
+    // the two-level port (r13 verdict ask #7): state keyed by the global
+    // sub-cell id, routed by the same L1-argmax → own-block L2-argmax
+    // chain as the batch face — union of emissions must equal the batch
+    // two-level pairs bit-for-bit, cosines included
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val m = graft.ops.Ivf.trainTwoLevel(emb, k1 = 3, k2 = 3, iters = 0)
+    val truth = graft.ops.Ivf.semanticNearDupWithTwoLevel(emb, m, 0.4)
+      .select(col("cid"), col("id1"), col("id2"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(truth.nonEmpty)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, ts(T0 + id), v.map(_.toDouble)) }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val pairs = graft.streaming.StreamingSemanticNearDup.runTwoLevel(
+      stream.toDF.toDF("vec_id", "ts", "embedding"), m,
+      watermark = "1 hour")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("sem_nd2_out").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        stream.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT cid, id1, id2, cos FROM sem_nd2_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == truth,
+        s"stream/batch mismatch: stream-only=${(got -- truth).take(3)} " +
+          s"batch-only=${(truth -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("cell cap: post-cap arrivals score against state but are not retained") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

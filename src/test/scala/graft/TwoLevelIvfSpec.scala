@@ -118,6 +118,46 @@ class TwoLevelIvfSpec extends SparkSpec {
       rows(Ivf.semanticDedup(emb, numCells = 16)))
   }
 
+  test("twoLevelSizing: cells ∝ n at (at most) the target cell size") {
+    // the r13 ask-#5 policy: k1 = k2 = ceil(sqrt(n / c)) — enough cells
+    // for the target size, per-row routing O(sqrt(n/c)) flops
+    for (n <- Seq(0L, 1L, 255L, 256L, 257L, 100000L, 3645000L, 1000000000L);
+         c <- Seq(64, 256, 1024)) {
+      val (k1, k2) = Ivf.twoLevelSizing(n, c)
+      assert(k1 == k2 && k1 >= 1, s"n=$n c=$c -> ($k1,$k2)")
+      assert(k1.toLong * k2 * c >= n,
+        s"under-provisioned: n=$n c=$c cells=${k1.toLong * k2}")
+      // never grossly over-provisioned either: one ceil step of slack
+      // on each level (k-1 on either axis would already be too few cells)
+      if (n > c)
+        assert((k1 - 1).toLong * (k2 - 1) * c < n,
+          s"over-provisioned: n=$n c=$c k=$k1")
+    }
+    assert(Ivf.twoLevelSizing(0L) == (1, 1))
+    assert(Ivf.twoLevelSizing(1L) == (1, 1))
+    // monotone in n at fixed c
+    val ks = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(n => Ivf.twoLevelSizing(n, 256)._1)
+    assert(ks == ks.sorted, s"not monotone: $ks")
+    intercept[IllegalArgumentException](Ivf.twoLevelSizing(10L, 0))
+    intercept[IllegalArgumentException](Ivf.twoLevelSizing(-1L, 256))
+  }
+
+  test("twoLevelSizing: trainTwoLevel accepts the sized (k1, k2) end-to-end") {
+    val (k1, k2) = Ivf.twoLevelSizing(500L, targetCell = 64)
+    assert(k1 == 3 && k2 == 3) // ceil(sqrt(500/64)) = ceil(2.79...)
+    val m = Ivf.trainTwoLevel(emb, k1, k2, iters = 0)
+    assert(m.k1 == k1 && m.k2 == k2 && m.l2.length == k1 * k2)
+    val cells = Ivf.assignTwoLevel(
+      emb.where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      m)
+    // expected cell size ≈ 500/9 ≈ 56 ≤ target; the QUANTIZER can't bound
+    // the max cell (dup skew goes to one cell — that's what the dedup
+    // cap is for), so pin the count, not the distribution
+    assert(cells.select(col("scid")).distinct().count() <= (k1 * k2).toLong)
+  }
+
   test("semantic 2level faces: empty corpus is a result, not a crash") {
     val empty = toyEmb(Seq.empty)
     assert(Ivf.semanticNearDupTwoLevel(empty, 2, 2).count() == 0L)
@@ -202,6 +242,16 @@ class TwoLevelIvfSpec extends SparkSpec {
         Ivf.loadTwoLevelModel(spark, truncated)
       }
       assert(ex.getMessage.contains("not a multiple of k1"))
+      // 0 % k1 == 0, so entirely-missing level-2 rows slip the multiple
+      // check (the r13 ADVICE finding): k2=0 would silently route every
+      // row to scid 0 and the probe would divide by zero — must raise
+      val noL2 = s"$dir/nol2"
+      spark.read.parquet(path).where(col("level") === 1)
+        .write.parquet(noL2)
+      val ex2 = intercept[IllegalArgumentException] {
+        Ivf.loadTwoLevelModel(spark, noL2)
+      }
+      assert(ex2.getMessage.contains("no level-2 rows"))
     } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
   }
 

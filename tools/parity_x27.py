@@ -91,11 +91,32 @@ def run_with_budget(con, sql, budget):
     t.join(budget)
     if t.is_alive():
         con.interrupt()
-        t.join(60)
+        # Loop-join until the worker actually exits: closing the
+        # connection while the daemon thread is still executing on it can
+        # crash or wedge the gate mid-run instead of recording a clean
+        # FAIL. interrupt() aborts the query promptly in practice; the
+        # loop is the safety net. If the worker STILL hasn't exited after
+        # the grace window, poison the connection so the caller leaks it
+        # rather than closing under a live thread.
+        deadline = time.time() + 600
+        while t.is_alive() and time.time() < deadline:
+            t.join(10)
+        if t.is_alive():
+            _POISONED.add(id(con))
         return None, "timeout"
     if "err" in out:
         return None, out["err"]
     return out["df"], None
+
+
+# connections whose worker thread never exited after interrupt(): never
+# close these (leaking one idle connection beats a mid-run native crash)
+_POISONED = set()
+
+
+def safe_close(con):
+    if id(con) not in _POISONED:
+        con.close()
 
 
 def norm(v):
@@ -167,7 +188,7 @@ def main():
             # on a fresh connection, unbounded time, double memory (the
             # iters=1 IVF-PQ Lloyd CTEs and the double-corpus recursive CC
             # legitimately exceed the per-oracle cap at x27)
-            con.close()
+            safe_close(con)
             big = f"{2 * int(''.join(filter(str.isdigit, args.memory_limit)))}GB"
             con = connect(args.sfdir, big)
             print(f"...  {name}: {err} under {args.budget:.0f}s/"
@@ -177,14 +198,14 @@ def main():
         if err is not None:
             print(f"FAIL {name}: oracle error {err}")
             fails += 1
-            con.close()
+            safe_close(con)
             continue
         try:
             spark = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: spark read error {e}")
             fails += 1
-            con.close()
+            safe_close(con)
             continue
         bad = compare(name, duck, spark)
         dt = time.time() - t0
@@ -194,7 +215,7 @@ def main():
             fails += 1
         else:
             print(f"OK   {name} ({len(duck)} rows) [{dt:.1f}s]{tag}")
-        con.close()
+        safe_close(con)
     print("PARITY OK" if fails == 0 else f"{fails} PARITY FAILURES")
     sys.exit(1 if fails else 0)
 
