@@ -1222,6 +1222,40 @@ object ScaleProbe {
     }
   }
 
+  /** Stage-attribution diagnostic for the capped semantic byte curve:
+    * ONE capped leg with TaskTap per-stage histograms, so a superlinear
+    * byte step can be pinned to its stage. Run: `... r14semdiag81` /
+    * `r14semdiag243`.
+    */
+  private def r14SemanticDiag(spark: SparkSession, k: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    val tt = new TaskTap
+    spark.sparkContext.addSparkListener(tap)
+    spark.sparkContext.addSparkListener(tt)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val emb = (0 until k).map(i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ne = emb.count()
+    val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+    flushListeners(spark); tt.reset(); val (r0, w0, s0) = tap.snap
+    val t0 = System.nanoTime()
+    val n = graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+      maxCell = 64).count()
+    flushListeners(spark); val (r1, w1, s1) = tap.snap
+    println(f"[scale] semantic_dedup 2level CAPPED x$k (${k1}x$k2) " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows) " +
+      f"shufR ${mb(r1 - r0)} shufW ${mb(w1 - w0)} spill ${mb(s1 - s0)}")
+    tt.report()
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    emb.unpersist(blocking = true)
+  }
+
   /** r13 verdict ask #4: MEASURED recall for the two-level IVF-PQ serving
     * family at a cells-∝-n sizing (the 4×4 registry config is
     * oracle-determinism-scale) — recall@5 of `ivfPqSearchTwoLevel` (and
@@ -1296,6 +1330,9 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r14semx729")) { r14SemanticCapCurves(spark, Seq(729)); spark.stop(); return }
+    if (args.contains("r14semdiag81")) { r14SemanticDiag(spark, 81); spark.stop(); return }
+    if (args.contains("r14semdiag243")) { r14SemanticDiag(spark, 243); spark.stop(); return }
     if (args.contains("r14semx243")) { r14SemanticCapCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r14sem")) { r14SemanticCapCurves(spark, Seq(27, 81)); spark.stop(); return }
     if (args.contains("r14recallx81")) { r14PqRecallTable(spark, Seq(81)); spark.stop(); return }
