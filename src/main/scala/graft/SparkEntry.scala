@@ -300,8 +300,14 @@ object SparkEntry {
     val joins = (0 until m).map(s => s"JOIN pa$s ON pa$s.vec_id = resid.vec_id").mkString(" ") +
       " " + (0 until m).map(s => s"JOIN cb$s c$s ON c$s.scid = pa$s.code$s").mkString(" ")
     val rr = (0 until m).map(s => s"c$s.cvec").mkString(" || ")
+    // codebook seeds in portable md5-prefix hash order (pqCodeResiduals'
+    // fix for the degenerate lowest-vec_id pick — those ids are the
+    // coarse quantizer's own seeds, residuals ~zero); slot order stays
+    // vec_id asc, mirroring the Scala side's sortBy after collect
     "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
-      s"FROM (SELECT vec_id, res FROM resid ORDER BY vec_id LIMIT $k)), " +
+      "FROM (SELECT vec_id, res FROM resid " +
+      "ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id " +
+      s"LIMIT $k)), " +
       seedBooks + ", " + seedPicks + ", " + cbs + ", " + assigns + ", " +
       "r AS (SELECT resid.vec_id, resid.v, resid.cid, " +
       (0 until m).map(s => s"CAST(pa$s.code$s AS BIGINT) AS code$s").mkString(", ") +

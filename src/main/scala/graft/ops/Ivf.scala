@@ -412,7 +412,22 @@ object Ivf {
                               bookIters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
-    val seeds = res.orderBy(col("vec_id")).limit(k)
+    // Codebook seeds picked in the portable md5-prefix hash order, NOT
+    // by lowest vec_id: the k lowest vec_ids are exactly the COARSE
+    // quantizer's seed members, whose residuals are ~zero (identically
+    // zero at iters = 0) — k copies of the zero vector as Lloyd seeds
+    // collapse the whole book to ONE effective code, recon degenerates
+    // to svec + the global mean residual, and every candidate in a cell
+    // ties at the same rounded ADC score (the r14 recall table measured
+    // adc@5 = 0.04, invariant in m, before this fix; 16/16 codes live
+    // and recall restored after). Hash order is the same engine-wide
+    // portable pick (semanticSample/screenSet) and the oracle replays it
+    // verbatim; slot order stays (vec_id asc) so the codebook layout is
+    // deterministic regardless of pick order.
+    val seeds = res
+      .orderBy(graft.functions.md5_prefix_long(col("vec_id").cast("string"), 8),
+        col("vec_id"))
+      .limit(k)
       .select(col("vec_id").cast("long").as("vec_id"), col("res"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

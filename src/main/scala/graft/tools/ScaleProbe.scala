@@ -1266,10 +1266,25 @@ object ScaleProbe {
     val dir = "/root/testdata/sf0.1"
     spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
     legs.foreach { k =>
+      // PERTURBED amplification (±0.2% deterministic per copy×dim), NOT
+      // verbatim: the first run of this table measured recall 0.000
+      // across the board under verbatim copies — 27 exact dups of every
+      // vector make the m=4 PQ reconstruction tie hundreds of candidates
+      // at the same rounded-6 score, and the (cos desc, id2 asc) order
+      // then returns the cell's LOWEST IDS, not the true neighbors. That
+      // is a real serving property worth its ledger note (an exact-dup
+      // flood degrades PQ ranking to id order — dedup BEFORE indexing,
+      // which is what semantic_dedup is for), but it measures the tie
+      // pathology, not recall. Perturbed copies are near-dups with
+      // distinct exact cosines, so the index must actually rank.
       val emb = (0 until k).map(i =>
         Tables.table(spark, dir, "embeddings").select(
           (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-          col("embedding"), col("label")))
+          transform(col("embedding").cast("array<double>"),
+            (x, pos) => x * (lit(1.0) + lit(0.002) *
+              (((lit(i * 37) + pos * 13) % 17) - lit(8)) / lit(8.0)))
+            .as("embedding"),
+          col("label")))
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ne = emb.count()
@@ -1281,23 +1296,46 @@ object ScaleProbe {
       for (targetCell <- Seq(250, 1000); nprobe1 <- Seq(1, 2, 4)) {
         val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell)
         val nprobe = 4
-        def recallOf(got: org.apache.spark.sql.DataFrame): Double = {
-          val hits = got.select(col("qid"), col("id2"))
-            .join(truth, Seq("qid", "id2"), "left_semi").count()
-          hits.toDouble / nTruth
+        // raw recall@5 (exact id match) AND family recall@5 (id mod 1e6:
+        // "found the right CONTENT, any copy"). On the amplified legs the
+        // exact truth asks the index to rank 26 near-identical copies at
+        // 1e-6 cosine resolution — no compressed index answers that, so
+        // family recall is the serving-quality number there; on the ×1
+        // leg the two coincide.
+        def recallOf(got: org.apache.spark.sql.DataFrame): (Double, Double) = {
+          val g = got.select(col("qid"), col("id2"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val hits = g.join(truth, Seq("qid", "id2"), "left_semi").count()
+          val gf = g.select(col("qid").as("gqid"),
+            (col("id2") % 1000000L).as("fam")).distinct()
+          val famHits = truth
+            .join(gf, truth("qid") === gf("gqid") &&
+              truth("id2") % 1000000L === gf("fam"), "left_semi")
+            .count()
+          g.unpersist(blocking = false)
+          (hits.toDouble / nTruth, famHits.toDouble / nTruth)
         }
         val t0 = System.nanoTime()
-        val adc = recallOf(graft.ops.Ivf.ivfPqSearchTwoLevel(emb, q, 5,
+        val (adc, adcF) = recallOf(graft.ops.Ivf.ivfPqSearchTwoLevel(emb, q, 5,
           k1 = k1, k2 = k2, nprobe1 = nprobe1, nprobe = nprobe))
         graft.core.Materialize.releaseAll(spark, blocking = true)
         val t1 = System.nanoTime()
-        val rr = recallOf(graft.ops.Ivf.ivfPqSearchRerankTwoLevel(emb, q, 5,
+        val (rr, rrF) = recallOf(graft.ops.Ivf.ivfPqSearchRerankTwoLevel(emb, q, 5,
           k1 = k1, k2 = k2, nprobe1 = nprobe1, nprobe = nprobe))
         graft.core.Materialize.releaseAll(spark, blocking = true)
         val t2 = System.nanoTime()
+        // the serving-quality-vs-compute knob: a 16× ADC overfetch before
+        // the exact re-rank (k' = 80 raw-vector gathers per query — still
+        // bounded, still broadcastable)
+        val (rrW, rrWF) = recallOf(graft.ops.Ivf.ivfPqSearchRerankTwoLevel(emb, q, 5,
+          k1 = k1, k2 = k2, nprobe1 = nprobe1, nprobe = nprobe, kFactor = 16))
+        graft.core.Materialize.releaseAll(spark, blocking = true)
+        val t3 = System.nanoTime()
         println(f"[recall] x$k ($ne vecs) cells ${k1}x$k2 (target $targetCell) " +
-          f"nprobe1=$nprobe1 nprobe=$nprobe: adc@5 $adc%.3f (${(t1 - t0) / 1e9}%6.1f s)  " +
-          f"rerank@5 $rr%.3f (${(t2 - t1) / 1e9}%6.1f s)")
+          f"nprobe1=$nprobe1 nprobe=$nprobe: adc@5 $adc%.3f fam $adcF%.3f " +
+          f"(${(t1 - t0) / 1e9}%5.1f s)  rerank@5 $rr%.3f fam $rrF%.3f " +
+          f"(${(t2 - t1) / 1e9}%5.1f s)  rerank16x@5 $rrW%.3f fam $rrWF%.3f " +
+          f"(${(t3 - t2) / 1e9}%5.1f s)")
       }
       truth.unpersist(blocking = true)
       graft.core.Materialize.releaseAll(spark, blocking = true)
@@ -1336,7 +1374,7 @@ object ScaleProbe {
     if (args.contains("r14semx243")) { r14SemanticCapCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r14sem")) { r14SemanticCapCurves(spark, Seq(27, 81)); spark.stop(); return }
     if (args.contains("r14recallx81")) { r14PqRecallTable(spark, Seq(81)); spark.stop(); return }
-    if (args.contains("r14recall")) { r14PqRecallTable(spark, Seq(27)); spark.stop(); return }
+    if (args.contains("r14recall")) { r14PqRecallTable(spark, Seq(1, 27)); spark.stop(); return }
     if (args.contains("r14pqx729")) { r13PqCurves(spark, Seq(729)); spark.stop(); return }
     if (args.contains("r13pqx243")) { r13PqCurves(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r13pq")) { r13PqCurves(spark, Seq(27, 81)); spark.stop(); return }

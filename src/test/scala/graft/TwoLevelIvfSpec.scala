@@ -225,6 +225,24 @@ class TwoLevelIvfSpec extends SparkSpec {
     assert(Ivf.ivfPqEncodeTwoLevel(empty, k1 = 2, k2 = 2).count() == 0L)
   }
 
+  test("residual PQ codebooks are non-degenerate at iters = 0") {
+    // the r14 recall-table find: codebook seeds used to be the residuals
+    // of the k LOWEST vec_ids — exactly the coarse quantizer's seed
+    // members, whose residuals are identically ZERO at iters = 0 — so
+    // Lloyd collapsed every book to ONE effective code and all ADC
+    // scores in a cell tied (measured adc@5 = 0.04, invariant in m).
+    // Seeds now come in portable md5-hash order; codes must actually
+    // spread. Pre-fix this assertion reads countDistinct(code0) == 1.
+    val enc = Ivf.ivfPqEncode(emb, numCells = 16, iters = 0)
+    val distinctCodes = enc.select(countDistinct(col("code0"))).head().getLong(0)
+    assert(distinctCodes >= 8,
+      s"code0 uses only $distinctCodes of 16 codebook entries — degenerate book")
+    val encTl = Ivf.ivfPqEncodeTwoLevel(emb, k1 = 4, k2 = 4)
+    val distinctTl = encTl.select(countDistinct(col("code0"))).head().getLong(0)
+    assert(distinctTl >= 8,
+      s"two-level code0 uses only $distinctTl of 16 entries — degenerate book")
+  }
+
   test("loadTwoLevelModel: a truncated model fails loudly, not silently") {
     // a level-2 row count that is not an exact multiple of k1 means the
     // scid = cid·k2 + local block arithmetic would route garbage — the
