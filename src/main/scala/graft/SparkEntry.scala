@@ -57,6 +57,20 @@ object SparkEntry {
     * `g(src, dst)` — shared by the graph-analytics oracles
     * (knn_pagerank, knn_communities).
     */
+  /** The knn candidate CTE pair: per-cell ≤ Ivf.KnnMaxCand hash-order
+    * candidates (the dup-flood cap — exact within-cell kNN whenever the
+    * cell fits the cap; knnGraphOnCells' replay) + the capped candidate
+    * scoring join. `src` must expose (vec_id, v, cellCol).
+    */
+  private[graft] def knnCandSql(src: String, cellCol: String): String =
+    s"kreps AS (SELECT $cellCol AS kcid, vec_id, v FROM (" +
+      s"SELECT $cellCol, vec_id, v, row_number() OVER (PARTITION BY $cellCol " +
+      "ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id) AS hr " +
+      s"FROM $src) WHERE hr <= ${graft.ops.Ivf.KnnMaxCand}), " +
+      "p AS (SELECT a.vec_id, r.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(a.v, r.v), 6) AS cos " +
+      s"FROM $src a JOIN kreps r ON r.kcid = a.$cellCol AND r.vec_id <> a.vec_id), "
+
   private[graft] val KnnGraphSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
@@ -65,9 +79,7 @@ object SparkEntry {
       "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
       "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
       "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-      "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
-      "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
-      "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+      knnCandSql("assigned", "cid") +
       "g AS (SELECT vec_id AS src, neighbor_id AS dst FROM (" +
       "SELECT vec_id, neighbor_id, row_number() OVER (" +
       "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn " +

@@ -716,11 +716,14 @@ object Ivf {
     * graph-sided). Emits (vec_id, neighbor_id, cos, rn), rn 1-based by
     * (cos desc, neighbor_id asc).
     *
-    * Scale design: candidates bounded at Σ|cell|² by the cell equi-join
-    * (semanticNearDup's argument) off ONE materialized assignment scan;
-    * the per-vector selection is the bounded TopKByScore heap — map
-    * tasks reduce to ≤k rows per vector BEFORE the shuffle, never a
-    * row_number window sorting a giant candidate partition.
+    * Scale design: candidates bounded at Σ|cell|·min(|cell|, KnnMaxCand)
+    * by the cell equi-join against the hash-sampled candidate set
+    * ([[knnGraphOnCells]] — exact within-cell kNN for every cell at or
+    * under the cap, the dup-flood guard above it) off ONE materialized
+    * assignment scan; the per-vector selection is the bounded
+    * TopKByScore heap — map tasks reduce to ≤k rows per vector BEFORE
+    * the shuffle, never a row_number window sorting a giant candidate
+    * partition.
     */
   def knnGraph(emb: DataFrame, numCells: Int = 16, k: Int = 5): DataFrame =
     knnGraphWith(emb, train(emb, numCells, iters = 0), k)
@@ -734,22 +737,42 @@ object Ivf {
     knnGraphOnCells(assignedCells(vecs(emb), cents), k)
   }
 
-  /** The kNN-graph kernel over an assigned-and-materialized (cid, vec_id,
-    * v) frame — shared by the flat and two-level quantizer faces (the
-    * cell equi-join + bounded TopKByScore heap documented on
-    * [[knnGraph]]).
+  /** The per-cell CANDIDATE cap for the kNN-graph kernel — the
+    * [[cellPairsCapped]] hot-cell argument applied to neighbor
+    * generation: a dup-flooded mega-cell makes the within-cell
+    * candidate join O(m²) CPU even though the heap bounds the OUTPUT at
+    * k rows per vector. Each vector scores against ≤ KnnMaxCand
+    * hash-sampled cell members instead of all of them; cells at or
+    * under the cap keep exact within-cell kNN (every member is a
+    * candidate — bit-identical to the uncapped kernel, which is the
+    * regime every healthy cells-∝-n sizing targets). Above the cap the
+    * neighbor list is top-k of a uniform 256-member sample — the
+    * explicit approximate-kNN recall price, same contract as the LSH
+    * bucket cap, and in the near-identical mega-cells that overflow a
+    * quantizer cell the sampled neighbors are statistically
+    * indistinguishable from the exact ones (all cosines ≈ 1). The
+    * oracle CTEs interpolate this SAME constant (KnnGraphSql /
+    * TwoLevelAssignSql), so engine and replay cannot diverge.
     */
-  private def knnGraphOnCells(cells: DataFrame, k: Int): DataFrame = {
+  val KnnMaxCand: Int = 256
+
+  /** The kNN-graph kernel over an assigned-and-materialized (cid, vec_id,
+    * v) frame — shared by the flat and two-level quantizer faces: the
+    * cell equi-join against the ≤ [[KnnMaxCand]] hash-sampled candidate
+    * set + the bounded TopKByScore heap documented on [[knnGraph]]).
+    */
+  private[graft] def knnGraphOnCells(cells: DataFrame, k: Int,
+                                     maxCand: Int = KnnMaxCand): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val agg = udaf(new TopKByScore(k), ExpressionEncoder[ScoredId]())
+    val cand = screenOnCells(cells, maxCand)
     cells.select(col("cid"), col("vec_id"), col("v"))
-      .join(cells.select(col("cid"), col("vec_id").as("nid"),
-        col("v").as("nv")), Seq("cid"))
-      .where(col("vec_id") =!= col("nid"))
+      .join(cand, Seq("cid"))
+      .where(col("vec_id") =!= col("cvid"))
       .select(col("vec_id"),
-        round(graft.functions.cosine_sim(col("v"), col("nv")), 6).as("cos"),
-        col("nid"))
+        round(graft.functions.cosine_sim(col("v"), col("cv")), 6).as("cos"),
+        col("cvid").as("nid"))
       .groupBy(col("vec_id"))
       .agg(agg(col("cos"), col("nid")).as("top"))
       .select(col("vec_id"), posexplode(col("top")))

@@ -352,9 +352,7 @@ private[graft] object VectorRegistry {
 
   private val TwoLevelAssignSql: String =
     TwoLevelBaseSql + ", " +
-      "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
-      "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
-      "FROM sassigned a JOIN sassigned b ON a.scid = b.scid AND a.vec_id <> b.vec_id), "
+      graft.SparkEntry.knnCandSql("sassigned", "scid")
 
   /** DuckDB replay of Ivf.ivfPqSearchTwoLevel: the two-level base CTEs
     * route residuals to SUB-centroids, the shared residual-PQ chain
@@ -568,9 +566,8 @@ private[graft] object VectorRegistry {
         "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
         "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-        "p0 AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
-        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+        graft.SparkEntry.knnCandSql("assigned", "cid")
+          .replace("p AS (", "p0 AS (") +
         "p AS (SELECT vec_id, neighbor_id FROM (" +
         "SELECT vec_id, neighbor_id, row_number() OVER (" +
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM p0) " +
@@ -594,8 +591,9 @@ private[graft] object VectorRegistry {
         "(CAST(sum(b.xq) AS DOUBLE) / count(*))) / 1000000000000.0, 6) + 0.0 AS cov " +
         "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i " +
         "GROUP BY 1, 2"),
-    // knnGraph replay: the semantic_neardup assignment CTEs + a full
-    // within-cell join ranked per vector (cos desc, neighbor asc) ≤ k
+    // knnGraph replay: the semantic_neardup assignment CTEs + the CAPPED
+    // within-cell candidate join (knnCandSql — ≤ KnnMaxCand hash-order
+    // candidates per cell) ranked per vector (cos desc, neighbor asc) ≤ k
     "knn_graph" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cvec " +
@@ -604,9 +602,7 @@ private[graft] object VectorRegistry {
         "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS arn " +
         "FROM e CROSS JOIN cents c) WHERE arn = 1), " +
-        "p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, " +
-        "round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
-        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id) " +
+        graft.SparkEntry.knnCandSql("assigned", "cid").stripSuffix(", ") + " " +
         "SELECT vec_id, neighbor_id, cos, rn FROM (" +
         "SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (" +
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn " +

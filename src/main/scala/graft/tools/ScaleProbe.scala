@@ -1222,6 +1222,52 @@ object ScaleProbe {
     }
   }
 
+  /** r14 knn candidate-cap A/B under verbatim dup-flood: at ×729 with
+    * cells-∝-n sizing every dup family (729 copies) overflows its
+    * ~250-target cell, so the uncapped kernel pays m² per cell while the
+    * capped one pays m·256. Run: `... r14knn729`.
+    */
+  private def r14KnnCapCurve(spark: SparkSession, k: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    def time(label: String)(f: => Long): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime(); val n = f
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] $label%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+        f"spill ${mb(s1 - s0)}")
+    }
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val emb = (0 until k).map(i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ne = emb.count()
+    val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+    val tl = graft.ops.Ivf.trainTwoLevel(emb, k1, k2, iters = 0)
+    val cells = graft.core.Materialize.once(
+      graft.ops.Ivf.assignTwoLevel(
+        emb.where(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        tl)
+        .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
+    cells.count()
+    time(s"knn_graph CAPPED(256) x$k ($ne vecs, ${k1}x$k2)") {
+      graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 256).count()
+    }
+    // NO release between legs: both read the one materialized cell frame
+    time(s"knn_graph UNCAPPED x$k (${k1}x$k2)") {
+      graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 1 << 20).count()
+    }
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    emb.unpersist(blocking = true)
+  }
+
   /** Stage-attribution diagnostic for the capped semantic byte curve:
     * ONE capped leg with TaskTap per-stage histograms, so a superlinear
     * byte step can be pinned to its stage. Run: `... r14semdiag81` /
@@ -1368,6 +1414,7 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r14knn729")) { r14KnnCapCurve(spark, 729); spark.stop(); return }
     if (args.contains("r14semx729")) { r14SemanticCapCurves(spark, Seq(729)); spark.stop(); return }
     if (args.contains("r14semdiag81")) { r14SemanticDiag(spark, 81); spark.stop(); return }
     if (args.contains("r14semdiag243")) { r14SemanticDiag(spark, 243); spark.stop(); return }

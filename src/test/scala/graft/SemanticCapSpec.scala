@@ -81,6 +81,33 @@ class SemanticCapSpec extends SparkSpec {
     }
   }
 
+  test("knn candidate cap: small cells keep exact within-cell kNN") {
+    // two cells of 5 and 3 ≤ maxCand: the capped kernel must equal the
+    // effectively-uncapped one bit-for-bit (every member is a candidate)
+    val cells = cellsOf(
+      (1 to 5).map(i => (0L, i.toLong, Seq(1.0, 0.02 * i, 0.0))) ++
+      (1 to 3).map(i => (1L, (100 + i).toLong, Seq(0.0, 0.02 * i, 1.0))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(Ivf.knnGraphOnCells(cells, 3, maxCand = 16)) ==
+      rows(Ivf.knnGraphOnCells(cells, 3, maxCand = 1 << 20)))
+  }
+
+  test("knn candidate cap: a mega-cell scores against reps only, never all-pairs") {
+    // 300 near-identical vectors, cap 16: every vector still gets its k
+    // neighbors (all cos ≈ 1) but the candidate set is the 16
+    // hash-sampled representatives — observable as neighbor ids drawn
+    // from ≤ 16 distinct vectors, O(m·16) work instead of O(m²)
+    val m = 300
+    val g = Ivf.knnGraphOnCells(cellsOf(megaCell(m)), 3, maxCand = 16)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(g.length == m * 3, s"every vector gets k=3 neighbors: ${g.length}")
+    val distinctNeighbors = g.map(_._2).distinct.length
+    assert(distinctNeighbors <= 16,
+      s"neighbors must come from the ≤16 reps, saw $distinctNeighbors")
+    assert(g.forall(_._3 > 0.99), "near-identical cell: all cosines ≈ 1")
+  }
+
   test("semanticDedup: the capped face still closes the NEARDUP graph on real data") {
     // the RankEventsSpecs closure contract re-stated against the capped
     // face at a cap SMALLER than some cells (sf0.001, 4 cells → ~125
