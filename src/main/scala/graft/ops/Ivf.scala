@@ -622,18 +622,22 @@ object Ivf {
     * Emits (cid, id1, id2, cos).
     */
   def semanticNearDup(emb: DataFrame, numCells: Int = 16,
-                      threshold: Double = 0.4): DataFrame =
-    semanticNearDupWith(emb, train(emb, numCells, iters = 0), threshold)
+                      threshold: Double = 0.4,
+                      maxCellGuard: Int = NearDupMaxCellGuard): DataFrame =
+    semanticNearDupWith(emb, train(emb, numCells, iters = 0), threshold,
+      maxCellGuard)
 
   /** [[semanticNearDup]] against a PRE-TRAINED quantizer — the
     * train-once/reuse sibling, like `searchTopKWith`.
     */
   def semanticNearDupWith(emb: DataFrame, cents: Array[Array[Double]],
-                          threshold: Double = 0.4): DataFrame =
+                          threshold: Double = 0.4,
+                          maxCellGuard: Int = NearDupMaxCellGuard): DataFrame =
     if (cents.isEmpty) // empty model → no cells → no pairs (not a crash)
       emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
         col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
-    else cellPairs(assignedCells(vecs(emb), cents), threshold)
+    else cellPairs(guardCells(assignedCells(vecs(emb), cents),
+      maxCellGuard, "semanticNearDup"), threshold)
 
   /** ONE materialized argmax-assignment scan — both sides of the
     * within-cell pair join (and semanticDedup's keeper scoring) derive
@@ -643,6 +647,45 @@ object Ivf {
   private def assignedCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
     graft.core.Materialize.once(assign(e, cents)
       .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v")))
+
+  /** Default oversized-cell bound for the UNCAPPED diagnostic faces
+    * ([[semanticNearDup]] family): a cell of m members emits m(m−1)/2
+    * within-cell pairs, so 10 000 members ≈ 5·10⁷ candidate pairs from
+    * ONE cell — the edge of what a task set absorbs without the
+    * quadratic-edge OOM the ×729 dup-flood measured (~530 M edges killed
+    * a 110 GB JVM). Callers who accept the quadratic cost (diagnostic
+    * sweeps on amplified corpora) raise the guard explicitly.
+    */
+  val NearDupMaxCellGuard = 10000
+
+  /** Fail-fast oversized-cell guard for the uncapped all-pairs faces.
+    * [[semanticNearDup]]'s output IS the pair set, so the op is
+    * legitimately output-bound and CANNOT cap silently — but a
+    * dup-flooded corpus fed to it gets the exact quadratic-edge OOM the
+    * capped dedup faces were redesigned around, with no warning. One
+    * cheap count-by-cell aggregation over the already-materialized
+    * assignment raises BEFORE pair emission, naming the capped
+    * production path ([[semanticDedup]] via [[cellPairsCapped]]) a
+    * dedup caller should be on instead. Below the bound the face is
+    * untouched (oracle output unchanged — spec-pinned).
+    */
+  private def guardCells(cells: DataFrame, maxCell: Int,
+                         face: String): DataFrame = {
+    val over = cells.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxCell)
+      .agg(count(lit(1)).as("cells"), max(col("n")).as("biggest")).head()
+    if (over.getLong(0) > 0L)
+      throw new IllegalStateException(
+        s"$face: ${over.getLong(0)} quantizer cell(s) exceed the " +
+          s"$maxCell-member guard (largest: ${over.getLong(1)} members, " +
+          s"≈${over.getLong(1) * (over.getLong(1) - 1) / 2} within-cell " +
+          "pairs). All-pairs emission at this size is the measured " +
+          "quadratic-edge OOM. For dedup decisions use semanticDedup " +
+          "(capped via cellPairsCapped — connectivity-preserving, " +
+          "O(maxCell·n) edges); to run this diagnostic face anyway, " +
+          "raise maxCellGuard explicitly.")
+    cells
+  }
 
   /** Within-cell (id1 < id2) pairs at the rounded-cosine threshold. */
   private def cellPairs(cells: DataFrame, threshold: Double): DataFrame =
@@ -853,7 +896,14 @@ object Ivf {
     require(n >= 0, s"corpus size must be non-negative, got $n")
     val cells = math.max(1.0, n.toDouble / targetCell)
     val k = math.max(1L, math.ceil(math.sqrt(cells)).toLong)
-    require(k <= Int.MaxValue, s"sizing overflow: k1=k2=$k")
+    // downstream layouts index the k1·k2 effective-cell space with Int
+    // products (trainTwoLevel's l2 array, scid = cid1·k2 + cid2), so the
+    // sizing boundary must reject any pair whose PRODUCT overflows — not
+    // just each factor (k = 46 341 passes k ≤ Int.MaxValue yet k² wraps
+    // negative downstream). k ≤ Int.MaxValue ⇒ k·k fits a Long exactly.
+    require(k * k <= Int.MaxValue,
+      s"sizing overflow: k1=k2=$k gives k1*k2=${k * k} > Int.MaxValue " +
+        s"effective cells; raise targetCell (n=$n, targetCell=$targetCell)")
     (k.toInt, k.toInt)
   }
 
@@ -1004,12 +1054,15 @@ object Ivf {
     * n·c. Emits the same (cid, id1, id2, cos) rows, cid = global scid.
     */
   def semanticNearDupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
-                              threshold: Double = 0.4): DataFrame =
+                              threshold: Double = 0.4,
+                              maxCellGuard: Int = NearDupMaxCellGuard): DataFrame =
     twoLevelCells(emb, k1, k2) match {
       case None =>
         emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
           col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
-      case Some((cells, _)) => cellPairs(cells, threshold)
+      case Some((cells, _)) =>
+        cellPairs(guardCells(cells, maxCellGuard,
+          "semanticNearDupTwoLevel"), threshold)
     }
 
   /** [[semanticDedup]] on the two-level quantizer: the same within-cell
@@ -1053,14 +1106,16 @@ object Ivf {
     * (StreamingSemanticNearDup.runTwoLevel) is spec-pinned against.
     */
   def semanticNearDupWithTwoLevel(emb: DataFrame, m: TwoLevelModel,
-                                  threshold: Double = 0.4): DataFrame = {
+                                  threshold: Double = 0.4,
+                                  maxCellGuard: Int = NearDupMaxCellGuard): DataFrame = {
     if (m.isEmpty)
       return emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
         col("vec_id").as("id2"), lit(0d).as("cos")).limit(0)
     val cells = graft.core.Materialize.once(
       assignTwoLevel(vecs(emb), m)
         .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
-    cellPairs(cells, threshold)
+    cellPairs(guardCells(cells, maxCellGuard,
+      "semanticNearDupWithTwoLevel"), threshold)
   }
 
   /** [[knnGraphTwoLevel]] against a PRE-TRAINED two-level model. */

@@ -165,8 +165,15 @@ object JdbcSink {
   private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
     override def canHandle(url: String): Boolean =
       url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
+    // Match ONLY DuckDB's missing-TABLE phrasing ("Catalog Error: Table
+    // with name <t> does not exist"): a broad "does not exist" test would
+    // also classify missing-column/schema errors during real queries as
+    // object-not-found, which Spark's existence probe then swallows
+    // silently instead of surfacing. Anything else rethrows (the default).
+    private val TableMissing =
+      java.util.regex.Pattern.compile("Table with name .* does not exist")
     override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
-      e.getMessage != null && e.getMessage.contains("does not exist")
+      e.getMessage != null && TableMissing.matcher(e.getMessage).find()
   }
   // registration is idempotent per JVM (the dialect registry is a list
   // probed newest-first; registering once at object init is enough)

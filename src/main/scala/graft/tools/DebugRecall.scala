@@ -4,9 +4,11 @@ import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Disposable diagnostic: decompose the r14recall numbers into routing
-  * loss (exact scoring in probed cells) vs PQ loss (ADC scoring), flat
-  * vs two-level, on the natural ×1 corpus.
+/** Recall-decomposition diagnostic (kept as a maintained tool, not a
+  * scratch main): splits ANN recall into routing loss (exact scoring in
+  * probed cells) vs PQ loss (ADC scoring), flat vs two-level. Data dir
+  * comes from SPARK_GRAFT_SF_DIR like the other mains, so the tool runs
+  * against any corpus and does not rot onto a hardcoded path.
   */
 object DebugRecall {
   def main(args: Array[String]): Unit = {
@@ -18,7 +20,7 @@ object DebugRecall {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val emb = Tables.table(spark, dir, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()

@@ -134,4 +134,54 @@ class SemanticCapSpec extends SparkSpec {
       assert(ms.count(_._3) == 1, s"cluster $cid keeper count != 1")
     }
   }
+
+  // ---- fail-fast guard on the UNCAPPED diagnostic faces (r14 ask #3):
+  // semanticNearDup's output IS the pair set (legitimately output-bound),
+  // so instead of capping silently it must REFUSE a dup-flooded corpus
+  // before emitting the quadratic pair set that OOM'd the ×729 control.
+
+  // a flood of near-identical embeddings (jitter small enough that every
+  // pairwise ROUNDED cosine is 1.0): ties break to the lowest cid, so all
+  // m vectors route to ONE quantizer cell regardless of the structure
+  private def floodEmb(m: Int) =
+    (1 to m).map(i => (i.toLong, Array(1.0f, 1e-7f * i, 0.0f)))
+      .toDF("vec_id", "embedding")
+
+  test("neardup guard: a cell over maxCellGuard raises BEFORE pair emission, " +
+       "naming the capped production path") {
+    val ex = intercept[IllegalStateException] {
+      Ivf.semanticNearDup(floodEmb(40), numCells = 4, threshold = 0.4,
+        maxCellGuard = 16).count()
+    }
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(ex.getMessage.contains("semanticDedup"),
+      s"guard must point at the capped path, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains("cellPairsCapped"),
+      "guard must name the capped kernel")
+    assert(ex.getMessage.contains("maxCellGuard"),
+      "guard must name the explicit override")
+  }
+
+  test("neardup guard: two-level face raises the same way") {
+    val ex = intercept[IllegalStateException] {
+      Ivf.semanticNearDupTwoLevel(floodEmb(40), k1 = 2, k2 = 2,
+        threshold = 0.4, maxCellGuard = 16).count()
+    }
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(ex.getMessage.contains("semanticDedup"))
+  }
+
+  test("neardup guard: below the bound the face is untouched (pairs " +
+       "bit-identical to an unguarded run)") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = Ivf.train(emb, 4, iters = 0)
+    val guarded = Ivf.semanticNearDupWith(emb, cents, 0.4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val unguarded = Ivf.semanticNearDupWith(emb, cents, 0.4,
+        maxCellGuard = Int.MaxValue)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(guarded.nonEmpty && guarded == unguarded,
+      "default guard must not change sub-bound output")
+  }
 }

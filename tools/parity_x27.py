@@ -102,7 +102,7 @@ def run_with_budget(con, sql, budget):
         while t.is_alive() and time.time() < deadline:
             t.join(10)
         if t.is_alive():
-            _POISONED.add(id(con))
+            _POISONED.append(con)
         return None, "timeout"
     if "err" in out:
         return None, out["err"]
@@ -110,12 +110,16 @@ def run_with_budget(con, sql, budget):
 
 
 # connections whose worker thread never exited after interrupt(): never
-# close these (leaking one idle connection beats a mid-run native crash)
-_POISONED = set()
+# close these (leaking one idle connection beats a mid-run native crash).
+# STRONG references on purpose: an id()-keyed set would let the poisoned
+# connection be collected and its id reused by a fresh connection, which
+# safe_close would then wrongly skip — the list pins each object (and so
+# its id) for the process lifetime, and membership is by identity.
+_POISONED = []
 
 
 def safe_close(con):
-    if id(con) not in _POISONED:
+    if not any(p is con for p in _POISONED):
         con.close()
 
 
