@@ -265,7 +265,7 @@ object SparkEntry {
       s"FROM e ORDER BY vec_id LIMIT $numCells), " +
       rounds + ", " +
       assignCte("af", fin) + ", " +
-      s"resid AS (SELECT a.vec_id, a.v, a.cid, " +
+      s"resid AS MATERIALIZED (SELECT a.vec_id, a.v, a.cid, " +
       s"list_transform(generate_series(1, $dim), i -> a.v[i] - c.cvec[i]) AS res " +
       s"FROM af a JOIN $fin c ON c.cid = a.cid), " +
       pqResidualCtes(m, k, dim,
@@ -279,6 +279,14 @@ object SparkEntry {
     * books → one decimal-exact Lloyd round → code picks → `r` with
     * recon = coarse base + concatenated chosen residual centroids, where
     * the base row joins via `baseJoin` and contributes `baseVec`.
+    *
+    * The multiply-referenced stages (`resid` — read by seeds, m seed
+    * picks, m codebook means, m code assigns, and `r`; the codebooks;
+    * `r` itself) are MATERIALIZED: DuckDB 1.0 inlines CTEs once per
+    * reference, so without the hints the corpus-scale argmax windows
+    * re-execute ~3m+2 times and the ×27 filtered replays exhausted
+    * >77 GB of temp (r14 verdict ask #2). Same result rows either way —
+    * only the replay's execution strategy changes.
     */
   private[graft] def pqResidualCtes(m: Int, k: Int, dim: Int,
                                     baseJoin: String, baseVec: String): String = {
@@ -299,7 +307,7 @@ object SparkEntry {
     val seedPicks = (0 until m).map(s => codePick(s"pb$s", s"sb$s", "cid", s))
       .mkString(", ")
     val cbs = (0 until m).map { s =>
-      s"cb$s AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS scid, cvec FROM (" +
+      s"cb$s AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS scid, cvec FROM (" +
         "SELECT cid, list(xm ORDER BY pos) AS cvec FROM (" +
         "SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS xm FROM (" +
         s"SELECT pb$s.cid, unnest(r1.res[${s * sub + 1}:${(s + 1) * sub}]) AS x, " +
@@ -316,12 +324,12 @@ object SparkEntry {
     // fix for the degenerate lowest-vec_id pick — those ids are the
     // coarse quantizer's own seeds, residuals ~zero); slot order stays
     // vec_id asc, mirroring the Scala side's sortBy after collect
-    "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
+    "seeds AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS scid, res " +
       "FROM (SELECT vec_id, res FROM resid " +
       "ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8) AS BIGINT), vec_id " +
       s"LIMIT $k)), " +
       seedBooks + ", " + seedPicks + ", " + cbs + ", " + assigns + ", " +
-      "r AS (SELECT resid.vec_id, resid.v, resid.cid, " +
+      "r AS MATERIALIZED (SELECT resid.vec_id, resid.v, resid.cid, " +
       (0 until m).map(s => s"CAST(pa$s.code$s AS BIGINT) AS code$s").mkString(", ") +
       s", list_transform(generate_series(1, $dim), i -> $baseVec[i] + ($rr)[i]) AS recon " +
       s"FROM resid $joins $baseJoin)"
@@ -416,30 +424,49 @@ object SparkEntry {
     * encode chain, index rows filtered by the metadata join, probe +
     * rescue both scoring ADC reconstructions — the compressed-index
     * sibling of [[annIvfFilteredOracleSql]].
+    *
+    * Replay shape (r14 verdict ask #2 — the ×27 parity gate): the
+    * survivor recon frame and every CTE referenced more than once are
+    * MATERIALIZED — DuckDB 1.0 inlines CTEs per reference, so the old
+    * form re-planned the whole encode chain (m code-pick windows over
+    * corpus × codebook cross joins) once per consumer, multiplicatively
+    * through rs→cand→cnt→under→fin, exhausting >77 GB of temp at ×27
+    * where the data itself is ~7 MB. Each branch is also CUT per query
+    * to topK by the FINAL ordering keys inside its own CTE (a query's
+    * fin rows come from exactly one branch, so the cut is
+    * output-identical) — the bounded per-query candidate list the
+    * engine's probe+rescue actually computes, never a carried
+    * |underfilled|×|survivors| cross-score.
     */
   private[graft] def ivfPqFilteredOracleSql(m: Int, k: Int, dim: Int, numCells: Int,
                                      iters: Int, nprobe: Int, topK: Int,
                                      label: Int): String =
     s"WITH ${ivfPqCtes(m, k, dim, numCells, iters)}, " +
       "lbl AS (SELECT vec_id, label FROM embeddings), " +
-      "rs AS (SELECT r.vec_id, r.cid, r.recon FROM r " +
+      "rs AS MATERIALIZED (SELECT r.vec_id, r.cid, r.recon FROM r " +
       s"JOIN lbl ON lbl.vec_id = r.vec_id WHERE lbl.label = $label), " +
-      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      "q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
       "probes AS (SELECT qid, qv, cid FROM (" +
       "SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid " +
       "ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS prn " +
       s"FROM q CROSS JOIN cents$iters c) WHERE prn <= $nprobe), " +
-      "cand AS (SELECT p.qid, rs.vec_id AS id2, " +
+      "cand AS MATERIALIZED (SELECT p.qid, rs.vec_id AS id2, " +
       "round(list_cosine_similarity(p.qv, rs.recon), 6) AS cos " +
       "FROM rs JOIN probes p ON rs.cid = p.cid WHERE rs.vec_id <> p.qid), " +
       "cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY 1), " +
-      "under AS (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
+      "under AS MATERIALIZED (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
       s"WHERE coalesce(cnt.n, 0) < $topK), " +
-      "resc AS (SELECT u.qid, rs.vec_id AS id2, " +
-      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos " +
-      "FROM rs JOIN under u ON rs.vec_id <> u.qid), " +
-      "fin AS (SELECT * FROM cand WHERE qid NOT IN (SELECT qid FROM under) " +
-      "UNION ALL SELECT * FROM resc) " +
+      "cand_top AS (SELECT qid, id2, cos FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, id2) AS crn FROM cand " +
+      s"WHERE qid NOT IN (SELECT qid FROM under)) WHERE crn <= $topK), " +
+      "resc AS (SELECT qid, id2, cos FROM (" +
+      "SELECT u.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos, " +
+      "row_number() OVER (PARTITION BY u.qid " +
+      "ORDER BY round(list_cosine_similarity(u.qv, rs.recon), 6) DESC, rs.vec_id) AS rrn " +
+      s"FROM rs JOIN under u ON rs.vec_id <> u.qid) WHERE rrn <= $topK), " +
+      "fin AS (SELECT * FROM cand_top UNION ALL SELECT * FROM resc) " +
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM fin) WHERE rn <= $topK"

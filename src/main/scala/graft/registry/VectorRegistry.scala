@@ -363,7 +363,7 @@ private[graft] object VectorRegistry {
   private def ivfPqTwoLevelCtes(m: Int, k: Int, dim: Int,
                                 nprobe1: Int, nprobe: Int): String =
     "WITH " + TwoLevelBaseSql + ", " +
-      "resid AS (SELECT a.vec_id, a.v, CAST(a.scid AS INTEGER) AS cid, " +
+      "resid AS MATERIALIZED (SELECT a.vec_id, a.v, CAST(a.scid AS INTEGER) AS cid, " +
       s"list_transform(generate_series(1, $dim), i -> a.v[i] - sc.svec[i]) AS res " +
       "FROM sassigned a JOIN subcents sc ON sc.scid = a.scid), " +
       graft.SparkEntry.pqResidualCtes(m, k, dim,
@@ -398,24 +398,37 @@ private[graft] object VectorRegistry {
     * probes + rescue both scoring ADC reconstructions — the flat
     * ivfPqFilteredOracleSql shape on the padded two-level CTEs.
     */
+  /** Two-level filtered-PQ replay in the bounded shape of
+    * SparkEntry.ivfPqFilteredOracleSql (r14 verdict ask #2): shared CTEs
+    * MATERIALIZED against DuckDB's per-reference inlining, each branch
+    * cut per query to topK by the final ordering keys inside its own
+    * CTE — output-identical (a query's fin rows come from exactly one
+    * branch), never a carried |underfilled|×|survivors| cross-score.
+    */
   private def ivfPqTwoLevelFilteredOracleSql(m: Int, k: Int, dim: Int,
                                              nprobe1: Int, nprobe: Int,
                                              topK: Int, label: Int): String =
     ivfPqTwoLevelCtes(m, k, dim, nprobe1, nprobe) + ", " +
       "lbl AS (SELECT vec_id, label FROM embeddings), " +
-      "rs AS (SELECT r.vec_id, r.cid, r.recon FROM r " +
+      "rs AS MATERIALIZED (SELECT r.vec_id, r.cid, r.recon FROM r " +
       s"JOIN lbl ON lbl.vec_id = r.vec_id WHERE lbl.label = $label), " +
-      "cand AS (SELECT p.qid, rs.vec_id AS id2, " +
+      "cand AS MATERIALIZED (SELECT p.qid, rs.vec_id AS id2, " +
       "round(list_cosine_similarity(p.qv, rs.recon), 6) AS cos " +
       "FROM rs JOIN probes p ON rs.cid = p.scid WHERE rs.vec_id <> p.qid), " +
       "cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY 1), " +
-      "under AS (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
+      "under AS MATERIALIZED (SELECT q.qid, q.qv FROM q LEFT JOIN cnt ON cnt.qid = q.qid " +
       s"WHERE coalesce(cnt.n, 0) < $topK), " +
-      "resc AS (SELECT u.qid, rs.vec_id AS id2, " +
-      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos " +
-      "FROM rs JOIN under u ON rs.vec_id <> u.qid), " +
-      "fin AS (SELECT * FROM cand WHERE qid NOT IN (SELECT qid FROM under) " +
-      "UNION ALL SELECT * FROM resc) " +
+      "cand_top AS (SELECT qid, id2, cos FROM (" +
+      "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, id2) AS crn FROM cand " +
+      s"WHERE qid NOT IN (SELECT qid FROM under)) WHERE crn <= $topK), " +
+      "resc AS (SELECT qid, id2, cos FROM (" +
+      "SELECT u.qid, rs.vec_id AS id2, " +
+      "round(list_cosine_similarity(u.qv, rs.recon), 6) AS cos, " +
+      "row_number() OVER (PARTITION BY u.qid " +
+      "ORDER BY round(list_cosine_similarity(u.qv, rs.recon), 6) DESC, rs.vec_id) AS rrn " +
+      s"FROM rs JOIN under u ON rs.vec_id <> u.qid) WHERE rrn <= $topK), " +
+      "fin AS (SELECT * FROM cand_top UNION ALL SELECT * FROM resc) " +
       "SELECT qid, id2, cos, CAST(rn AS BIGINT) AS rn FROM (" +
       "SELECT qid, id2, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id2) AS rn " +
       s"FROM fin) WHERE rn <= $topK"

@@ -114,7 +114,7 @@ object SqliteSource {
       val base = pageOff(rootPage)
       val hdr = base + (if (rootPage == 1) 100 else 0)
       val pageType = data(hdr) & 0xff
-      val nCells = u16(hdr + 1)
+      val nCells = u16(hdr + 3) // [type:1][freeblock:2][ncells:2][content:2][frag:1]
       pageType match {
         case 0x05 => // table interior: children left-to-right + rightmost
           var i = 0

@@ -1227,6 +1227,121 @@ object ScaleProbe {
     * ~250-target cell, so the uncapped kernel pays m² per cell while the
     * capped one pays m·256. Run: `... r14knn729`.
     */
+  /** r15 verdict ask #4: close the kNN-graph candidate cap's QUALITY
+    * measurement the way r14sem closed the semantic cap's — the r14knn
+    * commit measured walls (52.1 vs 76.8 s at ×729) but not what the cap
+    * costs in neighbors. At scales where the UNCAPPED kernel still runs,
+    * measure (a) edge recall: the fraction of uncapped top-k edges the
+    * capped graph keeps, (b) score recall: the mean per-vector cosine
+    * gap between capped and uncapped neighbor lists (in a near-identical
+    * dup family the specific neighbor ids are interchangeable — the
+    * CURATION-relevant question is whether the kept neighbors are as
+    * close, not whether they are the same rows), and (c) the byte curve
+    * of both legs. Run: `... r15knnrecall` (×27) / `r15knnrecallx243`.
+    */
+  private def r15KnnRecall(spark: SparkSession, ks: Seq[Int]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    for (k <- ks) {
+      val emb = (0 until k).map(i =>
+        Tables.table(spark, dir, "embeddings").select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = emb.count()
+      val (k1, k2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+      val tl = graft.ops.Ivf.trainTwoLevel(emb, k1, k2, iters = 0)
+      val cells = graft.core.Materialize.once(
+        graft.ops.Ivf.assignTwoLevel(
+          emb.where(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          tl)
+          .select(col("scid").cast("long").as("cid"), col("vec_id"), col("v")))
+      cells.count()
+      val over = cells.groupBy(col("cid")).count()
+        .where(col("count") > 256).count()
+      def leg(label: String)(f: => org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        flushListeners(spark); val (r0, w0, s0) = tap.snap
+        val t0 = System.nanoTime()
+        val out = graft.core.Materialize.once(f)
+        val n = out.count()
+        flushListeners(spark); val (r1, w1, s1) = tap.snap
+        println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+          f"($n%9d rows)  shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  " +
+          f"spill ${mb(s1 - s0)}")
+        out
+      }
+      println(s"[scale] x$k: $ne vecs, ${k1}x$k2 cells, $over cells over the 256 cap")
+      val capped = leg(s"knn_graph CAPPED(256) x$k") {
+        graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 256)
+      }
+      val unc = leg(s"knn_graph UNCAPPED x$k") {
+        graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 1 << 20)
+      }
+      val nUnc = unc.count()
+      val kept = unc.select(col("vec_id"), col("neighbor_id"))
+        .join(capped.select(col("vec_id"), col("neighbor_id")),
+          Seq("vec_id", "neighbor_id"), "left_semi").count()
+      // score recall: per-vector mean neighbor cosine, capped vs uncapped
+      def meanCos(g: org.apache.spark.sql.DataFrame) = g.groupBy(col("vec_id"))
+        .agg(avg(col("cos")).as("mc"))
+      val gap = meanCos(capped).withColumnRenamed("mc", "mc_cap")
+        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
+        .agg(avg(col("mc_unc") - col("mc_cap")).as("mean_gap"),
+          max(col("mc_unc") - col("mc_cap")).as("max_gap")).head()
+      println(f"[scale] knn cap quality x$k: edge-recall@5 ${kept.toDouble / nUnc}%.4f " +
+        f"($kept%d / $nUnc%d)  neighbor-cos gap mean ${gap.getDouble(0)}%.6f " +
+        f"max ${gap.getDouble(1)}%.6f")
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+      emb.unpersist(blocking = true)
+    }
+  }
+
+  /** r15 verdict ask #6: validate the twoLevelSizing POLICY end-to-end at
+    * ×729 — registries pin TL_K = 4 for oracle determinism, but a 100 TB
+    * user calls the sizing helper; this leg runs the semantic-dedup face
+    * (capped feed) at sized (k1,k2) for targetCell ∈ {250, 1000} against
+    * the fixed 4×4 control and records wall/bytes/spill for each.
+    * Run: `... r15tl729`.
+    */
+  private def r15SizingSemantic(spark: SparkSession, k: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val emb = (0 until k).map(i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ne = emb.count()
+    def leg(label: String, k1: Int, k2: Int): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime()
+      val n = graft.ops.Ivf.semanticDedupTwoLevel(emb, k1 = k1, k2 = k2,
+        maxCell = 64).count()
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] semantic_dedup_2level x$k $label%-22s (${k1}x$k2) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n%9d rows)  " +
+        f"shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  spill ${mb(s1 - s0)}")
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+    }
+    val (a1, a2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+    val (b1, b2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 1000)
+    println(s"[scale] x$k: $ne vecs; sized(250)=${a1}x$a2 sized(1000)=${b1}x$b2 control=4x4")
+    leg("SIZED targetCell=250", a1, a2)
+    leg("SIZED targetCell=1000", b1, b2)
+    leg("FIXED 4x4 control", 4, 4)
+    emb.unpersist(blocking = true)
+  }
+
   private def r14KnnCapCurve(spark: SparkSession, k: Int): Unit = {
     val dir = "/root/testdata/sf0.1"
     val tap = new ByteTap
@@ -1414,6 +1529,9 @@ object ScaleProbe {
     if (args.contains("r11d")) { r11dOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11e")) { r11eOpsCurves(spark); spark.stop(); return }
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
+    if (args.contains("r15knnrecallx243")) { r15KnnRecall(spark, Seq(243)); spark.stop(); return }
+    if (args.contains("r15knnrecall")) { r15KnnRecall(spark, Seq(27)); spark.stop(); return }
+    if (args.contains("r15tl729")) { r15SizingSemantic(spark, 729); spark.stop(); return }
     if (args.contains("r14knn729")) { r14KnnCapCurve(spark, 729); spark.stop(); return }
     if (args.contains("r14semx729")) { r14SemanticCapCurves(spark, Seq(729)); spark.stop(); return }
     if (args.contains("r14semdiag81")) { r14SemanticDiag(spark, 81); spark.stop(); return }

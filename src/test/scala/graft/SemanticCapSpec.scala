@@ -108,6 +108,38 @@ class SemanticCapSpec extends SparkSpec {
     assert(g.forall(_._3 > 0.99), "near-identical cell: all cosines ≈ 1")
   }
 
+  test("knn candidate cap: neighbor QUALITY floor — capped neighbor lists " +
+       "are as close as uncapped on a structured mega-cell") {
+    // r14 verdict ask #4: the cap's quality claim ("sampled neighbors are
+    // statistically indistinguishable") spec-pinned, not just asserted.
+    // A 300-member cell with REAL internal structure (two sub-directions
+    // + per-member jitter — not all-identical, so cosines genuinely
+    // order): for every vector, the capped top-k's mean neighbor cosine
+    // may trail the uncapped top-k's by at most 0.01 — the cap may swap
+    // WHICH near-duplicates it returns, never HOW CLOSE they are.
+    val m = 300
+    val rows = (1 to m).map { i =>
+      val a = if (i % 2 == 0) 1e-3 else -1e-3
+      (0L, i.toLong, Seq(1.0, a + 1e-5 * (i % 17), 1e-5 * (i % 13)))
+    }
+    val capped = Ivf.knnGraphOnCells(cellsOf(rows), 5, maxCand = 32)
+      .as[(Long, Long, Double, Long)].collect()
+    val unc = Ivf.knnGraphOnCells(cellsOf(rows), 5, maxCand = 1 << 20)
+      .as[(Long, Long, Double, Long)].collect()
+    val mc = capped.groupBy(_._1).view.mapValues(g => g.map(_._3).sum / g.size)
+    val mu = unc.groupBy(_._1).view.mapValues(g => g.map(_._3).sum / g.size)
+    assert(mc.keySet == mu.keySet, "capped graph must cover every vector")
+    val worst = mu.map { case (v, u) => u - mc(v) }.max
+    assert(worst <= 0.01,
+      f"capped neighbors degrade mean cosine by $worst%.6f > 0.01 somewhere")
+    // and edge recall is printable context, not the contract: in a dup
+    // family the ids are interchangeable — quality is the cosine floor
+    val uncEdges = unc.map(e => (e._1, e._2)).toSet
+    val kept = capped.map(e => (e._1, e._2)).count(uncEdges.contains)
+    info(f"[quality] mega-cell edge recall ${kept.toDouble / uncEdges.size}%.3f, " +
+      f"worst mean-cos gap $worst%.6f")
+  }
+
   test("semanticDedup: the capped face still closes the NEARDUP graph on real data") {
     // the RankEventsSpecs closure contract re-stated against the capped
     // face at a cap SMALLER than some cells (sf0.001, 4 cells → ~125
