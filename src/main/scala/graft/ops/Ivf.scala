@@ -823,6 +823,89 @@ object Ivf {
         col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** [[knnGraph]] with EXACT-DUPLICATE COLLAPSE — the r15 answer to the
+    * measured candidate-cap quality tail: at ×27 the capped kernel's
+    * per-vector mean-neighbor-cosine gap concentrates in cells 4× over
+    * the cap that hold ~40 distinct duplicate FAMILIES each (verbatim
+    * copies of distinct vectors), where a per-cell uniform 256-sample
+    * under-covers individual families (expected ~6 sampled copies per
+    * family — often < k). The flood hazard is EXACT duplicates by
+    * construction, so collapse them first:
+    *
+    *  1. family table: one row per distinct (cid, v) with the MIN member
+    *     id as representative, the multiplicity, and the k+1 smallest
+    *     member ids (a bounded TopKByScore heap — never a member list);
+    *  2. the kNN kernel runs on DISTINCT vectors only — a dup flood of
+    *     ANY size leaves candidate volume at distinct-scale, and the
+    *     256-cap now bites on distinct counts (rarely);
+    *  3. exact expansion: each member's candidates are its own family's
+    *     head ids at the sibling cosine (identical vectors — rounded 1)
+    *     plus its representative's top-k neighbor FAMILIES, each
+    *     contributing its k smallest member ids at the family cosine;
+    *     merged through the same (cos desc, id asc) bounded heap. A
+    *     member needs at most k siblings and no family below the k best
+    *     can place a member above them, so the candidate set covers the
+    *     true top-k — O(k²) candidate rows per member, all bounded.
+    *
+    * Equal to the UNCAPPED kernel bit-for-bit whenever distinct-level
+    * cosines are tie-free at 6 decimals (spec-pinned on a constructed
+    * flood AND on real data); under an exact cross-family rounded-cosine
+    * tie at the k-th slot it may swap equal-cosine neighbors — the same
+    * contract class as the cap, with the gap measured at 0.
+    */
+  def knnGraphCollapsed(emb: DataFrame, numCells: Int = 16,
+                        k: Int = 5): DataFrame = {
+    val cents = train(emb, numCells, iters = 0)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+        lit(0d).as("cos"), lit(0L).as("rn")).limit(0)
+    knnGraphCollapsedOnCells(assignedCells(vecs(emb), cents), k)
+  }
+
+  private[graft] def knnGraphCollapsedOnCells(cells: DataFrame, k: Int,
+                                              maxCand: Int = KnnMaxCand): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val idHeap = udaf(new TopKByScore(k + 1), ExpressionEncoder[ScoredId]())
+    // ids < 2^53 are exact in a double, so score = −id gives (id asc)
+    // under the heap's (score desc, id asc) order — the screenOnCells
+    // convention
+    val fams = graft.core.Materialize.once(
+      cells.groupBy(col("cid"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m"),
+          idHeap((-col("vec_id")).cast("double"), col("vec_id")).as("heads")))
+    val dg = knnGraphOnCells(
+      fams.select(col("cid"), col("rep_id").as("vec_id"), col("v")), k, maxCand)
+    val members = cells.select(col("cid"), col("vec_id"), col("v"))
+      .join(fams.select(col("cid"), col("v"), col("rep_id"),
+        col("heads").as("famHeads")), Seq("cid", "v"))
+    // sibling candidates at the actual sibling cosine (identical arrays —
+    // the same expression the uncapped kernel evaluates, so the merged
+    // ordering is bit-compatible)
+    val sib = members
+      .select(col("vec_id"),
+        round(graft.functions.cosine_sim(col("v"), col("v")), 6).as("cos"),
+        explode(col("famHeads")).as("h"))
+      .where(col("h.id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cos"), col("h.id").as("nid"))
+    // cross-family candidates: rep's top-k neighbor families × their k+1
+    // smallest member ids (k² bounded rows per member)
+    val cross = members.select(col("vec_id"), col("rep_id"))
+      .join(dg.select(col("vec_id").as("rep_id"), col("neighbor_id").as("nrep"),
+          col("cos"))
+        .join(fams.select(col("rep_id").as("nrep"), col("heads").as("nHeads")),
+          Seq("nrep")), Seq("rep_id"))
+      .select(col("vec_id"), col("cos"), explode(col("nHeads")).as("h"))
+      .select(col("vec_id"), col("cos"), col("h.id").as("nid"))
+    val topAgg = udaf(new TopKByScore(k), ExpressionEncoder[ScoredId]())
+    sib.unionByName(cross)
+      .groupBy(col("vec_id"))
+      .agg(topAgg(col("cos"), col("nid")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Mutual-kNN clustering — [[knnGraph]] turned into a curation
     * grouping: an edge survives only if EACH endpoint ranks the other in
     * its own top-k (mutuality prunes hub vertices — the classic density

@@ -1280,9 +1280,17 @@ object ScaleProbe {
       val capped = leg(s"knn_graph CAPPED(256) x$k") {
         graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 256)
       }
+      val coll = leg(s"knn_graph COLLAPSED(256) x$k") {
+        graft.ops.Ivf.knnGraphCollapsedOnCells(cells, 5, maxCand = 256)
+      }
       val unc = leg(s"knn_graph UNCAPPED x$k") {
         graft.ops.Ivf.knnGraphOnCells(cells, 5, maxCand = 1 << 20)
       }
+      val collExact = unc.select(col("vec_id"), col("neighbor_id"), col("cos"), col("rn"))
+        .exceptAll(coll.select(col("vec_id"), col("neighbor_id"), col("cos"), col("rn")))
+        .count()
+      println(f"[scale] knn COLLAPSED vs UNCAPPED x$k: $collExact%d differing rows " +
+        "(0 = bit-exact)")
       val nUnc = unc.count()
       val kept = unc.select(col("vec_id"), col("neighbor_id"))
         .join(capped.select(col("vec_id"), col("neighbor_id")),
@@ -1297,6 +1305,24 @@ object ScaleProbe {
       println(f"[scale] knn cap quality x$k: edge-recall@5 ${kept.toDouble / nUnc}%.4f " +
         f"($kept%d / $nUnc%d)  neighbor-cos gap mean ${gap.getDouble(0)}%.6f " +
         f"max ${gap.getDouble(1)}%.6f")
+      // attribution for the tail: the worst-gap vectors with their cell
+      // size — is the loss concentrated where the cap bites, and why?
+      val worst = meanCos(capped).withColumnRenamed("mc", "mc_cap")
+        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
+        .select(col("vec_id"), (col("mc_unc") - col("mc_cap")).as("gap"))
+        .join(cells.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .join(cells.groupBy(col("cid")).count(), Seq("cid"))
+        .orderBy(col("gap").desc).limit(8).collect()
+      worst.foreach { r =>
+        println(f"[scale]   worst gap: vec ${r.getLong(1)}%9d  cell ${r.getLong(0)}%5d " +
+          f"(size ${r.getLong(3)}%5d)  gap ${r.getDouble(2)}%.6f")
+      }
+      // gap distribution: how many vectors lose more than eps at all
+      val dist = meanCos(capped).withColumnRenamed("mc", "mc_cap")
+        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
+        .select(((col("mc_unc") - col("mc_cap")) > 0.01).cast("int").as("lossy"))
+        .agg(sum(col("lossy")), count(lit(1))).head()
+      println(f"[scale]   vectors with gap > 0.01: ${dist.getLong(0)} / ${dist.getLong(1)}")
       graft.core.Materialize.releaseAll(spark, blocking = true)
       emb.unpersist(blocking = true)
     }

@@ -140,6 +140,53 @@ class SemanticCapSpec extends SparkSpec {
       f"worst mean-cos gap $worst%.6f")
   }
 
+  test("knnGraphCollapsed: dup-flood exactness — collapse+expand equals the " +
+       "UNCAPPED kernel bit-for-bit where the capped kernel loses quality") {
+    // three duplicate families (40 identical copies each) + two
+    // singletons in ONE cell: 122 members, distinct count 5. The capped
+    // kernel at cap 16 samples 16 of 122 and under-covers families; the
+    // collapsed kernel runs on 5 distinct vectors and expands exactly.
+    def unit(xs: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum); xs.map(_ / n).toSeq
+    }
+    val protos = Seq(
+      unit(Array(1.0, 0.1, 0.0)), unit(Array(1.0, 0.0, 0.2)),
+      unit(Array(0.9, 0.3, 0.1)))
+    val rows =
+      (for (f <- 0 until 3; i <- 0 until 40)
+        yield (0L, (f * 1000 + i).toLong, protos(f))) ++
+      Seq((0L, 5000L, unit(Array(0.8, 0.4, 0.3))),
+          (0L, 6000L, unit(Array(0.7, 0.5, 0.2))))
+    val cells = cellsOf(rows)
+    def g(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    val uncapped = g(Ivf.knnGraphOnCells(cells, 5, maxCand = 1 << 20))
+    val collapsed = g(Ivf.knnGraphCollapsedOnCells(cells, 5, maxCand = 16))
+    assert(collapsed == uncapped,
+      "collapse+expand must equal the uncapped kernel on a dup flood")
+    // and the plain capped kernel at the same cap really does lose
+    // quality here — the collapse is doing real work, not vacuously true
+    val capped = g(Ivf.knnGraphOnCells(cells, 5, maxCand = 16))
+    assert(capped != uncapped, "fixture too easy: cap 16 should bite on 122 members")
+  }
+
+  test("knnGraphCollapsed: on all-distinct real data it equals the uncapped " +
+       "kernel (families of one — collapse is the identity)") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = Ivf.train(emb, 4, iters = 0)
+    val cells = graft.core.Materialize.once(
+      Ivf.assign(emb.where(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        cents)
+        .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v")))
+    def g(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    val a = g(Ivf.knnGraphOnCells(cells, 5, maxCand = 1 << 20))
+    val b = g(Ivf.knnGraphCollapsedOnCells(cells, 5, maxCand = 1 << 20))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(a == b, "collapsed kernel must be the identity on distinct data")
+  }
+
   test("semanticDedup: the capped face still closes the NEARDUP graph on real data") {
     // the RankEventsSpecs closure contract re-stated against the capped
     // face at a cap SMALLER than some cells (sf0.001, 4 cells → ~125
