@@ -140,8 +140,15 @@ object SqliteSource {
     }
   }
 
-  /** Decode one record into SqlValues (the writer's encoding inverted). */
-  private[graft] def decodeRecord(rec: Array[Byte]): IndexedSeq[SqliteFile.SqlValue] = {
+  /** Decode one record into SqlValues (the writer's encoding inverted).
+    * `keep(i)` false skips column i WITHOUT materializing its body — the
+    * serial header fixes every column's width, so pruning a TEXT/BLOB
+    * column costs an offset bump instead of a string/array allocation
+    * (the column-pruning contract the DSv2 face pushes down).
+    */
+  private[graft] def decodeRecord(rec: Array[Byte],
+                                  keep: Int => Boolean = _ => true)
+      : IndexedSeq[SqliteFile.SqlValue] = {
     import SqliteFile.{SqlBlob, SqlInt, SqlNull, SqlReal, SqlText, SqlValue}
     val (hdrLen, n0) = varint(rec, 0)
     var at = n0
@@ -152,7 +159,7 @@ object SqliteSource {
       at += n
     }
     var body = hdrLen.toInt
-    serials.result().map { s =>
+    serials.result().zipWithIndex.map { case (s, ix) =>
       def int(n: Int): SqlValue = {
         var v = rec(body).toLong // sign-extends
         var i = 1
@@ -160,27 +167,38 @@ object SqliteSource {
         body += n
         SqlInt(v)
       }
+      def skip(n: Int): SqlValue = { body += n; SqlNull }
+      val wanted = keep(ix)
       s match {
         case 0 => SqlNull
-        case 1 => int(1)
-        case 2 => int(2)
-        case 3 => int(3)
-        case 4 => int(4)
-        case 5 => int(6)
-        case 6 => int(8)
+        case 1 => if (wanted) int(1) else skip(1)
+        case 2 => if (wanted) int(2) else skip(2)
+        case 3 => if (wanted) int(3) else skip(3)
+        case 4 => if (wanted) int(4) else skip(4)
+        case 5 => if (wanted) int(6) else skip(6)
+        case 6 => if (wanted) int(8) else skip(8)
         case 7 =>
-          val v = ByteBuffer.wrap(rec, body, 8).getDouble; body += 8
-          SqlReal(v)
+          if (!wanted) skip(8)
+          else {
+            val v = ByteBuffer.wrap(rec, body, 8).getDouble; body += 8
+            SqlReal(v)
+          }
         case 8 => SqlInt(0L)
         case 9 => SqlInt(1L)
         case s if s >= 13 && s % 2 == 1 =>
           val n = ((s - 13) / 2).toInt
-          val v = new String(rec, body, n, StandardCharsets.UTF_8); body += n
-          SqlText(v)
+          if (!wanted) skip(n)
+          else {
+            val v = new String(rec, body, n, StandardCharsets.UTF_8); body += n
+            SqlText(v)
+          }
         case s if s >= 12 =>
           val n = ((s - 12) / 2).toInt
-          val v = java.util.Arrays.copyOfRange(rec, body, body + n); body += n
-          SqlBlob(v)
+          if (!wanted) skip(n)
+          else {
+            val v = java.util.Arrays.copyOfRange(rec, body, body + n); body += n
+            SqlBlob(v)
+          }
         case other =>
           throw new IllegalStateException(s"reserved serial type $other")
       }
@@ -291,7 +309,8 @@ object SqliteSource {
     * PRIMARY KEY column (rowid alias) is materialized from the rowid —
     * the record stores NULL there, per the format spec.
     */
-  private[graft] def decodeTable(data: Array[Byte], table: String)
+  private[graft] def decodeTable(data: Array[Byte], table: String,
+                                 keep: Int => Boolean = _ => true)
       : (StructType, Seq[Row]) = {
     val db = new Db(data)
     val info = tables(data).find(_.name == table).getOrElse(
@@ -303,9 +322,10 @@ object SqliteSource {
     })
     val rows = Seq.newBuilder[Row]
     db.walkTable(info.rootPage) { (rowid, rec) =>
-      val vs = decodeRecord(rec)
+      val vs = decodeRecord(rec, keep)
       rows += Row.fromSeq(cols.zipWithIndex.map { case ((_, d, ipk), i) =>
         if (ipk) rowid
+        else if (!keep(i)) null
         else if (i < vs.length) coerce(vs(i), affinity(d))
         else null // columns ADDed after old rows were written
       })

@@ -423,3 +423,73 @@ class SqliteSourceSpec extends SparkSpec {
     } finally graft.tools.NullSweep.deleteRecursively(dir.toString)
   }
 }
+
+/** The DSv2 `format("sqlite")` face: the same walker planned as a proper
+  * Spark source — one input partition per store file, schema inferred
+  * from CREATE TABLE via affinity rules, and column pruning pushed into
+  * the record decoder (unneeded TEXT/BLOB bodies are never allocated).
+  */
+class SqliteDataSourceSpec extends SparkSpec {
+  import graft.sources.SqliteSource
+
+  private def exportTree(): (String, org.apache.spark.sql.DataFrame) = {
+    val candles = Candles.fromTrades(Tables.trades(spark, Sf0001),
+      Timeframe.parse("1h"))
+    val root = java.nio.file.Files.createTempDirectory("sqlite-dsv2").toString
+    SqliteExport.export(candles, "binance", Timeframe.parse("1h"), root)
+    (root, candles)
+  }
+
+  test("spark.read.format(sqlite) over a store tree equals the functional " +
+       "reader, one partition per file") {
+    val (root, candles) = exportTree()
+    try {
+      val df = spark.read.format("sqlite").option("table", "candles").load(root)
+      assert(df.schema.fieldNames.toSeq ==
+        Seq("timestamp", "open", "high", "low", "close", "volume"))
+      val nFiles = candles.select("symbol").distinct().count()
+      assert(df.rdd.getNumPartitions == nFiles,
+        s"one input partition per series file: ${df.rdd.getNumPartitions} vs $nFiles")
+      val a = df.select(col("timestamp"), col("close"))
+        .orderBy(col("timestamp"), col("close"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = SqliteSource.readCandleTree(spark, root)
+        .select(col("timestamp"), col("close"))
+        .orderBy(col("timestamp"), col("close"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(a == b && a.nonEmpty)
+    } finally graft.tools.NullSweep.deleteRecursively(root)
+  }
+
+  test("column pruning reaches the sqlite scan (select(close) decodes one column)") {
+    val (root, _) = exportTree()
+    try {
+      val df = spark.read.format("sqlite").option("table", "candles").load(root)
+        .select(col("close"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("columns=close"),
+        s"scan description must show the pruned column set, got:\n$plan")
+      assert(!plan.contains("columns=timestamp,"),
+        "pruned scan must not carry the full column list")
+      assert(df.count() > 0 && df.collect().forall(!_.isNullAt(0)))
+    } finally graft.tools.NullSweep.deleteRecursively(root)
+  }
+
+  test("single-file load works and aggregates push through the source") {
+    val (root, candles) = exportTree()
+    try {
+      val file = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".sqlite")) Seq(f) else Nil
+        walk(new java.io.File(root)).head
+      }
+      val df = spark.read.format("sqlite").option("table", "candles")
+        .load(file.getAbsolutePath)
+      val n = df.count()
+      assert(n > 0 && n <= candles.count())
+      // the rowid-alias PK column materializes as a non-null long
+      assert(df.select(min(col("timestamp"))).head().getLong(0) > 0)
+    } finally graft.tools.NullSweep.deleteRecursively(root)
+  }
+}
