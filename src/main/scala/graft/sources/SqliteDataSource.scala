@@ -99,36 +99,84 @@ private[sources] class SqliteTable(schema: StructType, files: Seq[String],
 
 private[sources] class SqliteScanBuilder(full: StructType, files: Seq[String],
                                          table: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  // the rowid-alias column is the ONLY one whose predicates prune the
+  // b-tree walk (the tree is keyed by it); derived from the first file
+  private lazy val ipk: Option[String] = SqliteSource.ipkColumn(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head)), table)
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the FILE's column order so ordinal decoding stays aligned
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new SqliteScan(full, required, files, table)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def long(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val accepted = filters.filter { f =>
+      ipk.exists { pk =>
+        f match {
+          case EqualTo(`pk`, v) => long(v).exists { l =>
+            lo = math.max(lo, l); hi = math.min(hi, l); true }
+          case GreaterThan(`pk`, v) => long(v).exists { l =>
+            lo = math.max(lo, l + 1); true }
+          case GreaterThanOrEqual(`pk`, v) => long(v).exists { l =>
+            lo = math.max(lo, l); true }
+          case LessThan(`pk`, v) => long(v).exists { l =>
+            hi = math.min(hi, l - 1); true }
+          case LessThanOrEqual(`pk`, v) => long(v).exists { l =>
+            hi = math.min(hi, l); true }
+          case _ => false
+        }
+      }
+    }
+    pushed = accepted
+    // everything is returned as residual: Spark re-applies the rowid
+    // predicates post-scan (idempotent) and evaluates the rest itself
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SqliteScan(full, required, files, table, lo, hi)
 }
 
 private[sources] class SqliteScan(full: StructType, required: StructType,
-                                  files: Seq[String], table: String)
+                                  files: Seq[String], table: String,
+                                  lo: Long, hi: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SqliteInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(full, required, table)
-  override def description(): String =
-    s"sqlite table=$table files=${files.size} columns=${required.fieldNames.mkString(",")}"
+    new SqliteReaderFactory(full, required, table, lo, hi)
+  override def description(): String = {
+    val range =
+      if (lo == Long.MinValue && hi == Long.MaxValue) ""
+      else s" rowid=[${if (lo == Long.MinValue) "" else lo}..${if (hi == Long.MaxValue) "" else hi}]"
+    s"sqlite table=$table files=${files.size} columns=${required.fieldNames.mkString(",")}$range"
+  }
 }
 
 private[sources] case class SqliteInputPartition(path: String) extends InputPartition
 
 private[sources] class SqliteReaderFactory(full: StructType, required: StructType,
-                                           table: String)
+                                           table: String, lo: Long, hi: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SqliteInputPartition].path
-    new SqlitePartitionReader(path, full, required, table)
+    new SqlitePartitionReader(path, full, required, table, lo, hi)
   }
 }
 
@@ -137,12 +185,13 @@ private[sources] class SqliteReaderFactory(full: StructType, required: StructTyp
   * the export contract); rows stream to Spark through the iterator.
   */
 private[sources] class SqlitePartitionReader(path: String, full: StructType,
-                                             required: StructType, table: String)
+                                             required: StructType, table: String,
+                                             lo: Long, hi: Long)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
     val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val wanted = required.fieldNames.map(full.fieldIndex).toSet
-    val (schema, decoded) = SqliteSource.decodeTable(data, table, wanted.contains)
+    val (schema, decoded) = SqliteSource.decodeTable(data, table, wanted.contains, lo, hi)
     require(schema.fieldNames.sameElements(full.fieldNames),
       s"$path: schema ${schema.fieldNames.mkString(",")} does not match the " +
         s"inferred ${full.fieldNames.mkString(",")} — heterogeneous store tree")

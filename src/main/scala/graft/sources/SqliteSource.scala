@@ -108,31 +108,48 @@ object SqliteSource {
     }
 
     /** Depth-first walk of a table b-tree, emitting (rowid, record bytes)
-      * in rowid order.
+      * in rowid order for rowids within [lo, hi]. The tree is KEYED by
+      * rowid, so an interior cell's key (= the max rowid in its child
+      * subtree) prunes whole subtrees: children entirely below `lo` are
+      * skipped, and the walk stops at the first child whose key reaches
+      * `hi` — a bounded range costs a root-to-leaf descent plus the
+      * matching leaf run, not a full-file scan (the `resume_since`
+      * access pattern: read each store's tail). Returns the number of
+      * LEAF pages visited — the pruning proof the spec pins.
       */
-    def walkTable(rootPage: Int)(emit: (Long, Array[Byte]) => Unit): Unit = {
+    def walkTable(rootPage: Int, lo: Long = Long.MinValue,
+                  hi: Long = Long.MaxValue)
+                 (emit: (Long, Array[Byte]) => Unit): Long = {
       val base = pageOff(rootPage)
       val hdr = base + (if (rootPage == 1) 100 else 0)
       val pageType = data(hdr) & 0xff
       val nCells = u16(hdr + 3) // [type:1][freeblock:2][ncells:2][content:2][frag:1]
       pageType match {
         case 0x05 => // table interior: children left-to-right + rightmost
+          var visited = 0L
           var i = 0
-          while (i < nCells) {
+          var done = false
+          while (i < nCells && !done) {
             val cellOff = base + u16(hdr + 12 + 2 * i)
-            walkTable(u32(cellOff))(emit)
+            val key = varint(data, cellOff + 4)._1 // max rowid in the child
+            if (key >= lo) visited += walkTable(u32(cellOff), lo, hi)(emit)
+            if (key >= hi) done = true // later children hold rowids > hi
             i += 1
           }
-          walkTable(u32(hdr + 8))(emit)
+          if (!done) visited += walkTable(u32(hdr + 8), lo, hi)(emit)
+          visited
         case 0x0d => // table leaf
           var i = 0
-          while (i < nCells) {
+          var stop = false
+          while (i < nCells && !stop) {
             val cellOff = base + u16(hdr + 8 + 2 * i)
             val (p, n1) = varint(data, cellOff)
             val (rowid, n2) = varint(data, cellOff + n1)
-            emit(rowid, payload(cellOff, p, n1 + n2))
+            if (rowid > hi) stop = true
+            else if (rowid >= lo) emit(rowid, payload(cellOff, p, n1 + n2))
             i += 1
           }
+          1L
         case other =>
           throw new IllegalStateException(
             f"page $rootPage is not a table b-tree page (type 0x$other%02x)")
@@ -310,8 +327,20 @@ object SqliteSource {
     * the record stores NULL there, per the format spec.
     */
   private[graft] def decodeTable(data: Array[Byte], table: String,
-                                 keep: Int => Boolean = _ => true)
-      : (StructType, Seq[Row]) = {
+                                 keep: Int => Boolean = _ => true,
+                                 lo: Long = Long.MinValue,
+                                 hi: Long = Long.MaxValue)
+      : (StructType, Seq[Row]) =
+    decodeTableCounted(data, table, keep, lo, hi)._1
+
+  /** [[decodeTable]] plus the leaf-pages-visited count — the observable
+    * that proves rowid-range pushdown prunes the b-tree walk.
+    */
+  private[graft] def decodeTableCounted(data: Array[Byte], table: String,
+                                        keep: Int => Boolean = _ => true,
+                                        lo: Long = Long.MinValue,
+                                        hi: Long = Long.MaxValue)
+      : ((StructType, Seq[Row]), Long) = {
     val db = new Db(data)
     val info = tables(data).find(_.name == table).getOrElse(
       throw new IllegalArgumentException(
@@ -321,7 +350,7 @@ object SqliteSource {
       StructField(n, if (ipk) LongType else affinity(d), nullable = !ipk)
     })
     val rows = Seq.newBuilder[Row]
-    db.walkTable(info.rootPage) { (rowid, rec) =>
+    val visited = db.walkTable(info.rootPage, lo, hi) { (rowid, rec) =>
       val vs = decodeRecord(rec, keep)
       rows += Row.fromSeq(cols.zipWithIndex.map { case ((_, d, ipk), i) =>
         if (ipk) rowid
@@ -330,8 +359,15 @@ object SqliteSource {
         else null // columns ADDed after old rows were written
       })
     }
-    (schema, rows.result())
+    ((schema, rows.result()), visited)
   }
+
+  /** Name of the INTEGER PRIMARY KEY (rowid alias) column, if any — the
+    * only column rowid-range filters can push into the b-tree walk.
+    */
+  private[graft] def ipkColumn(data: Array[Byte], table: String): Option[String] =
+    tables(data).find(_.name == table)
+      .flatMap(i => parseColumns(i.createSql).find(_._3).map(_._1))
 
   // ---- DataFrame faces ---------------------------------------------------
 

@@ -493,3 +493,63 @@ class SqliteDataSourceSpec extends SparkSpec {
     } finally graft.tools.NullSweep.deleteRecursively(root)
   }
 }
+
+/** Rowid-range filter pushdown (r15): the store b-tree is KEYED by the
+  * INTEGER-PRIMARY-KEY rowid, so timestamp-range predicates — the
+  * reference's hottest access pattern (`resume_since` reads each
+  * store's tail) — prune whole subtrees instead of scanning the file.
+  */
+class SqlitePushdownSpec extends SparkSpec {
+  import graft.sources.SqliteSource
+
+  test("timestamp-range filters push into the scan and results are exact") {
+    val candles = Candles.fromTrades(Tables.trades(spark, Sf0001),
+      Timeframe.parse("1h"))
+    val root = java.nio.file.Files.createTempDirectory("sqlite-push").toString
+    try {
+      SqliteExport.export(candles, "binance", Timeframe.parse("1h"), root)
+      val df = spark.read.format("sqlite").option("table", "candles").load(root)
+      val cut = df.agg(expr("percentile(timestamp, 0.9)")).head().getDouble(0).toLong
+      val filtered = df.where(col("timestamp") >= cut)
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains(s"rowid=[$cut..]"),
+        s"scan description must carry the pushed rowid range, got:\n$plan")
+      val a = filtered.select(col("timestamp"), col("close"))
+        .orderBy(col("timestamp"), col("close"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = df.select(col("timestamp"), col("close"))
+        .collect().filter(_.getLong(0) >= cut)
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(a == b && a.nonEmpty, "pushed range must not change results")
+      // a closed range via two predicates lands as [lo..hi]
+      val both = df.where(col("timestamp") >= cut && col("timestamp") <= cut)
+      assert(both.queryExecution.executedPlan.toString.contains(s"rowid=[$cut..$cut]"))
+    } finally graft.tools.NullSweep.deleteRecursively(root)
+  }
+
+  test("the b-tree walk PROVABLY prunes: a tail range visits a fraction " +
+       "of the leaf pages a full scan does") {
+    // 6000 rows ≈ dozens of leaf pages under the 4 KB page format
+    import spark.implicits._
+    val df = (1L to 6000L)
+      .map(i => (i, s"row-$i-${"pad" * 20}", i * 1.5)).toDF("id", "t", "d")
+    val f = new java.io.File(
+      java.nio.file.Files.createTempDirectory("sqlite-prune").toFile, "p.sqlite")
+    SqliteExport.exportTable(df, "t", "id", f)
+    val data = java.nio.file.Files.readAllBytes(f.toPath)
+    val ((_, all), fullLeaves) = SqliteSource.decodeTableCounted(data, "t")
+    val ((_, tail), tailLeaves) =
+      SqliteSource.decodeTableCounted(data, "t", lo = 5900L)
+    assert(all.size == 6000 && tail.size == 101)
+    assert(tail.map(_.getLong(0)).min == 5900L)
+    assert(fullLeaves >= 20, s"fixture too small to prove pruning: $fullLeaves leaves")
+    assert(tailLeaves * 5 <= fullLeaves,
+      s"tail read should visit a fraction of the tree: $tailLeaves of $fullLeaves")
+    // interior ranges too: a middle slice is exact and cheap
+    val ((_, mid), midLeaves) =
+      SqliteSource.decodeTableCounted(data, "t", lo = 3000L, hi = 3099L)
+    assert(mid.size == 100 && mid.map(_.getLong(0)).min == 3000L &&
+      mid.map(_.getLong(0)).max == 3099L)
+    assert(midLeaves * 5 <= fullLeaves)
+  }
+}
