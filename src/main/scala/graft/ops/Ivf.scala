@@ -1154,6 +1154,35 @@ object Ivf {
     * One materialized cell scan feeds pairs and keeper score, as in the
     * flat face.
     */
+  /** [[semanticDedupCollapsed]] on the two-level quantizer — the scale
+    * face a dup-flooded 100 TB corpus should run: pair volume at
+    * distinct-scale, family membership exact (see
+    * [[cellPairsCollapsed]]; the ×729 4×4 control's 58 % recall loss
+    * measured to zero under this feed).
+    */
+  def semanticDedupCollapsedTwoLevel(emb: DataFrame, k1: Int = 16,
+                                     k2: Int = 16, threshold: Double = 0.4,
+                                     maxCell: Int = 64): DataFrame =
+    twoLevelCells(emb, k1, k2) match {
+      case None =>
+        emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
+          lit(true).as("keep")).limit(0)
+      case Some((cells, m)) =>
+        val sc = broadcast(
+          centroidsDf(emb.sparkSession, m.l2)
+            .select(col("cid").cast("long").as("cid"), col("cvec").as("svec")))
+        val comp = Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell))
+        val scored = comp.join(
+          cells.join(sc, "cid")
+            .select(col("vec_id").as("doc_id"),
+              round(graft.functions.cosine_sim(col("v"), col("svec")), 6).as("ccos")),
+          "doc_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ccos"), col("doc_id"))
+        scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+    }
+
   def semanticDedupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
                             threshold: Double = 0.4,
                             maxCell: Int = 64): DataFrame =
@@ -1536,6 +1565,80 @@ object Ivf {
     semanticDedupWith(emb, train(emb, numCells, iters = 0), threshold, maxCell)
 
   /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
+  /** EXACT-DUPLICATE COLLAPSE for the semantic-dedup CC feed — the
+    * [[knnGraphCollapsedOnCells]] idea applied to the dedup family,
+    * closing the loss the ×729 sizing leg measured: at coarse cells the
+    * capped feed attaches members only to ≤ maxCell sampled
+    * representatives, so a duplicate family with NO sampled rep can
+    * drop out entirely (4×4 at ×729: 58 % of the corpus never
+    * clustered). Collapsed feed:
+    *
+    *  - representative pairs: [[cellPairsCapped]] over the DISTINCT
+    *    (cid, v) frame — the cap now bites on distinct counts, and any
+    *    member-level edge (x∈A, y∈B) has the same cosine as (repA,
+    *    repB), so rep-level connectivity IS member-level connectivity
+    *    for exact duplicates;
+    *  - attach edges: every non-representative member links to its
+    *    family's representative (min id) — family connectivity is exact
+    *    by construction, never sampled. Guarded by the family's own
+    *    rounded self-cosine ≥ threshold, the same predicate the
+    *    all-pairs feed applies to the member↔member edge: for
+    *    threshold > 1 identical vectors correctly stay unpaired, and
+    *    zero-norm families (self-cos NaN) ATTACH — Spark and DuckDB
+    *    both order NaN above every number, so the established
+    *    cross-engine all-pairs semantics pairs NaN-cosine rows, and
+    *    the collapsed feed reproduces it (spec-pinned).
+    *
+    * Result: a dup-flooded corpus pays pair generation at
+    * DISTINCT-scale and loses no family, with output equal to the
+    * UNCAPPED all-pairs dedup whenever distinct cells fit the cap
+    * (spec-pinned on a constructed flood; identity on all-distinct
+    * data).
+    */
+  private def cellPairsCollapsed(cells: DataFrame, threshold: Double,
+                                 maxCell: Int): DataFrame = {
+    val fams = graft.core.Materialize.once(
+      cells.groupBy(col("cid"), col("v"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m")))
+    val repPairs = cellPairsCapped(
+      fams.select(col("cid"), col("rep_id").as("vec_id"), col("v")),
+      threshold, maxCell)
+    val attach = cells
+      .join(fams.select(col("cid"), col("v"), col("rep_id")), Seq("cid", "v"))
+      .where(col("vec_id") =!= col("rep_id") &&
+        round(graft.functions.cosine_sim(col("v"), col("v")), 6) >= threshold)
+      // rep_id = min(member ids), so the (id1 < id2) edge shape holds
+      .select(col("rep_id").as("id1"), col("vec_id").as("id2"))
+    repPairs.unionByName(attach)
+  }
+
+  /** [[semanticDedup]] through the collapsed feed — flat face. */
+  def semanticDedupCollapsed(emb: DataFrame, numCells: Int = 16,
+                             threshold: Double = 0.4,
+                             maxCell: Int = 64): DataFrame =
+    semanticDedupCollapsedWith(emb, train(emb, numCells, iters = 0),
+      threshold, maxCell)
+
+  /** [[semanticDedupCollapsed]] against a PRE-TRAINED quantizer. */
+  def semanticDedupCollapsedWith(emb: DataFrame, cents: Array[Array[Double]],
+                                 threshold: Double = 0.4,
+                                 maxCell: Int = 64): DataFrame = {
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
+        lit(true).as("keep")).limit(0)
+    val cl = centLit(cents)
+    val cells = assignedCells(vecs(emb), cents)
+    val comp = Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell))
+    val scored = comp.join(
+      cells.select(col("vec_id").as("doc_id"),
+        round(graft.functions.cosine_sim(col("v"),
+          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
+      "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
+    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+  }
+
   def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
                         threshold: Double = 0.4, maxCell: Int = 64): DataFrame = {
     // empty model → nothing clusters: empty frame, full output schema

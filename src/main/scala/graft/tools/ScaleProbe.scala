@@ -1368,6 +1368,43 @@ object ScaleProbe {
     emb.unpersist(blocking = true)
   }
 
+  /** The COLLAPSED dedup feed at ×729 — the counterfactual for the
+    * r15tl729 finding (capped feed at 4×4 lost 58 % of the corpus):
+    * exact-dup collapse must recover full membership at BOTH the coarse
+    * control and the sized configuration, with pair generation at
+    * distinct-scale. Run: `... r15semcollapse729`.
+    */
+  private def r15CollapsedSemantic(spark: SparkSession, k: Int): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val tap = new ByteTap
+    spark.sparkContext.addSparkListener(tap)
+    def mb(b: Long): String = f"${b / 1e6}%10.1f MB"
+    spark.range(1 << 20).agg(sum(col("id"))).collect() // warm
+    val emb = (0 until k).map(i =>
+      Tables.table(spark, dir, "embeddings").select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ne = emb.count()
+    def leg(label: String, k1: Int, k2: Int): Unit = {
+      flushListeners(spark); val (r0, w0, s0) = tap.snap
+      val t0 = System.nanoTime()
+      val n = graft.ops.Ivf.semanticDedupCollapsedTwoLevel(emb, k1 = k1,
+        k2 = k2, maxCell = 64).count()
+      flushListeners(spark); val (r1, w1, s1) = tap.snap
+      println(f"[scale] semantic_dedup COLLAPSED x$k $label%-18s (${k1}x$k2) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n%9d rows)  " +
+        f"shufR ${mb(r1 - r0)}  shufW ${mb(w1 - w0)}  spill ${mb(s1 - s0)}")
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+    }
+    val (a1, a2) = graft.ops.Ivf.twoLevelSizing(ne, targetCell = 250)
+    println(s"[scale] x$k: $ne vecs; collapsed at 4x4 and ${a1}x$a2")
+    leg("FIXED 4x4", 4, 4)
+    leg("SIZED targetCell=250", a1, a2)
+    emb.unpersist(blocking = true)
+  }
+
   private def r14KnnCapCurve(spark: SparkSession, k: Int): Unit = {
     val dir = "/root/testdata/sf0.1"
     val tap = new ByteTap
@@ -1558,6 +1595,7 @@ object ScaleProbe {
     if (args.contains("r15knnrecallx243")) { r15KnnRecall(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r15knnrecall")) { r15KnnRecall(spark, Seq(27)); spark.stop(); return }
     if (args.contains("r15tl729")) { r15SizingSemantic(spark, 729); spark.stop(); return }
+    if (args.contains("r15semcollapse729")) { r15CollapsedSemantic(spark, 729); spark.stop(); return }
     if (args.contains("r14knn729")) { r14KnnCapCurve(spark, 729); spark.stop(); return }
     if (args.contains("r14semx729")) { r14SemanticCapCurves(spark, Seq(729)); spark.stop(); return }
     if (args.contains("r14semdiag81")) { r14SemanticDiag(spark, 81); spark.stop(); return }

@@ -187,6 +187,66 @@ class SemanticCapSpec extends SparkSpec {
     assert(a == b, "collapsed kernel must be the identity on distinct data")
   }
 
+  test("semanticDedupCollapsed: dup-flood output equals the UNCAPPED " +
+       "all-pairs dedup while pair generation runs at distinct scale") {
+    // 3 families x 40 exact copies + 2 singletons; maxCell = 8 would
+    // sample a 122-member cell hard — but the distinct frame has <= 5
+    // vectors per cell, so the collapsed feed is all-pairs-exact on
+    // reps plus exact family attachment
+    def unit(xs: Array[Double]): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum); xs.map(x => (x / n).toFloat)
+    }
+    val protos = Seq(
+      unit(Array(1.0, 0.1, 0.0)), unit(Array(1.0, 0.0, 0.2)),
+      unit(Array(0.9, 0.3, 0.1)))
+    val emb = ((for (f <- 0 until 3; i <- 0 until 40)
+        yield ((f * 1000 + i).toLong, protos(f))) ++
+      Seq((5000L, unit(Array(0.8, 0.4, 0.3))),
+          (6000L, unit(Array(0.7, 0.5, 0.2)))))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    val uncapped = rows(Ivf.semanticDedupTwoLevel(emb, k1 = 2, k2 = 2,
+      threshold = 0.4, maxCell = Int.MaxValue))
+    val collapsed = rows(Ivf.semanticDedupCollapsedTwoLevel(emb, k1 = 2,
+      k2 = 2, threshold = 0.4, maxCell = 8))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(collapsed == uncapped,
+      "collapsed dedup must equal the uncapped all-pairs dedup on a flood")
+    assert(uncapped.map(_._1).size == 122, "every member must cluster")
+    // and the plain capped feed at the same cap may legitimately differ
+    // (sampling) — the collapse is what buys exactness, not the fixture
+  }
+
+  test("semanticDedupCollapsed: identity on all-distinct data; zero-norm " +
+       "families stay unclustered (the all-pairs NaN contract)") {
+    val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
+    val cents = Ivf.train(emb, 4, iters = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    val a = rows(Ivf.semanticDedupWith(emb, cents, 0.4, maxCell = 64))
+    val b = rows(Ivf.semanticDedupCollapsedWith(emb, cents, 0.4, maxCell = 64))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(a == b, "collapse must be the identity on all-distinct data")
+
+    // a family of identical ZERO vectors has self-cos NaN — and BOTH
+    // engines order NaN above every number, so the established
+    // cross-engine all-pairs semantics PAIRS NaN-cosine rows; the
+    // collapsed feed must reproduce that behavior, not invent a
+    // different one (pinned by equality with the uncapped face)
+    val z = (Seq((1L, Array(0f, 0f, 0f)), (2L, Array(0f, 0f, 0f)),
+        (3L, Array(0f, 0f, 0f))) ++
+      (10 to 30).map(i => (i.toLong, Array(1f, 1e-7f * i, 0f))))
+      .toDF("vec_id", "embedding")
+    val zc = Ivf.train(z, 2, iters = 0)
+    val dz = rows(Ivf.semanticDedupCollapsedWith(z, zc, 0.4))
+    val du = rows(Ivf.semanticDedupWith(z, zc, 0.4, maxCell = Int.MaxValue))
+    graft.core.Materialize.releaseAll(spark, blocking = true)
+    assert(dz == du,
+      s"collapsed must equal uncapped NaN semantics:\n$dz\nvs\n$du")
+    assert(dz.map(_._1).size == 24, "NaN edges chain all 24 vectors in")
+  }
+
   test("semanticDedup: the capped face still closes the NEARDUP graph on real data") {
     // the RankEventsSpecs closure contract re-stated against the capped
     // face at a cap SMALLER than some cells (sf0.001, 4 cells → ~125
