@@ -78,12 +78,25 @@ object Bench {
           .getMethod("listenerBus").invoke(spark.sparkContext)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       } catch {
+        // Method.invoke wraps the callee's throw in
+        // InvocationTargetException, so an interrupt inside
+        // waitUntilEmpty arrives as ITE(cause = InterruptedException) —
+        // unwrap BEFORE classifying, or the interrupt would be
+        // misreported as "drain broke" and swallowed by the sleep
+        case e: java.lang.reflect.InvocationTargetException
+            if e.getCause.isInstanceOf[InterruptedException] =>
+          Thread.currentThread().interrupt()
         case _: InterruptedException => Thread.currentThread().interrupt()
         case scala.util.control.NonFatal(e) =>
           if (!flushBusWarned) {
             flushBusWarned = true
+            val root = e match {
+              case ite: java.lang.reflect.InvocationTargetException
+                  if ite.getCause != null => ite.getCause
+              case other => other
+            }
             System.err.println(s"[bench] listener-bus drain broke " +
-              s"(${e.getClass.getSimpleName}: ${e.getMessage}); falling " +
+              s"(${root.getClass.getSimpleName}: ${root.getMessage}); falling " +
               "back to fixed 300 ms sleeps — ecpu attribution is degraded")
           }
           Thread.sleep(300)

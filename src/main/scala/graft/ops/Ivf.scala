@@ -1171,16 +1171,8 @@ object Ivf {
         val sc = broadcast(
           centroidsDf(emb.sparkSession, m.l2)
             .select(col("cid").cast("long").as("cid"), col("cvec").as("svec")))
-        val comp = Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell))
-        val scored = comp.join(
-          cells.join(sc, "cid")
-            .select(col("vec_id").as("doc_id"),
-              round(graft.functions.cosine_sim(col("v"), col("svec")), 6).as("ccos")),
-          "doc_id")
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("ccos"), col("doc_id"))
-        scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
-          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+        keeperOf(Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell)),
+          subCcos(cells, sc))
     }
 
   def semanticDedupTwoLevel(emb: DataFrame, k1: Int = 16, k2: Int = 16,
@@ -1200,16 +1192,8 @@ object Ivf {
         val sc = broadcast(
           centroidsDf(emb.sparkSession, m.l2)
             .select(col("cid").cast("long").as("cid"), col("cvec").as("svec")))
-        val comp = Dedup.clusters(cellPairsCapped(cells, threshold, maxCell))
-        val scored = comp.join(
-          cells.join(sc, "cid")
-            .select(col("vec_id").as("doc_id"),
-              round(graft.functions.cosine_sim(col("v"), col("svec")), 6).as("ccos")),
-          "doc_id")
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("ccos"), col("doc_id"))
-        scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
-          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+        keeperOf(Dedup.clusters(cellPairsCapped(cells, threshold, maxCell)),
+          subCcos(cells, sc))
     }
 
   /** [[semanticNearDupTwoLevel]] against a PRE-TRAINED two-level model —
@@ -1565,6 +1549,33 @@ object Ivf {
     semanticDedupWith(emb, train(emb, numCells, iters = 0), threshold, maxCell)
 
   /** [[semanticDedup]] against a PRE-TRAINED quantizer. */
+  /** The ONE keeper tail all five dedup faces share (comp + per-doc
+    * centroid-cosine scores → keep = first by (ccos asc, doc_id asc) per
+    * cluster): factored so keeper semantics can never silently diverge
+    * between the flat / stable / two-level / collapsed faces.
+    */
+  private def keeperOf(comp: DataFrame, scoredDocs: DataFrame): DataFrame = {
+    val scored = comp.join(scoredDocs, "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
+    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+  }
+
+  /** Flat-face keeper scores: rounded cosine vs the member's L1 centroid
+    * through the literal-array lookup (no join). */
+  private def flatCcos(cells: DataFrame, cl: Column): DataFrame =
+    cells.select(col("vec_id").as("doc_id"),
+      round(graft.functions.cosine_sim(col("v"),
+        element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos"))
+
+  /** Two-level keeper scores vs the broadcast (scid → sub-centroid)
+    * frame — model-scale, broadcasts for free (see semanticDedupTwoLevel's
+    * rationale for frame-over-literal at large k1·k2). */
+  private def subCcos(cells: DataFrame, sc: DataFrame): DataFrame =
+    cells.join(sc, "cid")
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.cosine_sim(col("v"), col("svec")), 6).as("ccos"))
+
   /** EXACT-DUPLICATE COLLAPSE for the semantic-dedup CC feed — the
     * [[knnGraphCollapsedOnCells]] idea applied to the dedup family,
     * closing the loss the ×729 sizing leg measured: at coarse cells the
@@ -1626,17 +1637,9 @@ object Ivf {
     if (cents.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(true).as("keep")).limit(0)
-    val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
-    val comp = Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell))
-    val scored = comp.join(
-      cells.select(col("vec_id").as("doc_id"),
-        round(graft.functions.cosine_sim(col("v"),
-          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
-      "doc_id")
-    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
-    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+    keeperOf(Dedup.clusters(cellPairsCollapsed(cells, threshold, maxCell)),
+      flatCcos(cells, centLit(cents)))
   }
 
   def semanticDedupWith(emb: DataFrame, cents: Array[Array[Double]],
@@ -1645,19 +1648,11 @@ object Ivf {
     if (cents.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(true).as("keep")).limit(0)
-    val cl = centLit(cents)
+    // centroid-cosine keeper score over the SAME materialized cells frame
+    // the pairs came from
     val cells = assignedCells(vecs(emb), cents)
-    val comp = Dedup.clusters(cellPairsCapped(cells, threshold, maxCell))
-    // centroid-cosine keeper score via literal-array lookup (no join) over
-    // the SAME materialized cells frame the pairs came from
-    val scored = comp.join(
-      cells.select(col("vec_id").as("doc_id"),
-        round(graft.functions.cosine_sim(col("v"),
-          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
-      "doc_id")
-    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
-    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+    keeperOf(Dedup.clusters(cellPairsCapped(cells, threshold, maxCell)),
+      flatCcos(cells, centLit(cents)))
   }
 
   /** [[semanticDedup]] with STABLE cluster ids across incremental runs
@@ -1680,19 +1675,12 @@ object Ivf {
     if (cents.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cluster_id"),
         lit(true).as("keep")).limit(0)
-    val cl = centLit(cents)
     val cells = assignedCells(vecs(emb), cents)
-    val comp = Dedup.clustersStable(
-      cellPairsCapped(cells, threshold, maxCell),
-      prior.select(col("vec_id").as("doc_id"), col("cluster_id")))
-    val scored = comp.join(
-      cells.select(col("vec_id").as("doc_id"),
-        round(graft.functions.cosine_sim(col("v"),
-          element_at(cl, (col("cid") + 1).cast("int"))), 6).as("ccos")),
-      "doc_id")
-    val w = Window.partitionBy(col("cluster_id")).orderBy(col("ccos"), col("doc_id"))
-    scored.withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+    keeperOf(
+      Dedup.clustersStable(
+        cellPairsCapped(cells, threshold, maxCell),
+        prior.select(col("vec_id").as("doc_id"), col("cluster_id"))),
+      flatCcos(cells, centLit(cents)))
   }
 
   /** Incremental semantic screening — the embedding-side sibling of

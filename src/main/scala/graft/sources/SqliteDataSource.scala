@@ -59,14 +59,9 @@ private[sources] object SqliteDataSource {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("sqlite source requires a path"))
     val root = new java.io.File(path)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName).flatMap(walk)
-      else if (f.getName.endsWith(".sqlite") || f.getName.endsWith(".db") ||
-        f.getName.endsWith(".sqlite3")) Seq(f)
-      else Nil
     val files =
       if (root.isFile) Seq(root.getAbsolutePath)
-      else walk(root).map(_.getAbsolutePath)
+      else SqliteSource.storeFiles(root).map(_.getAbsolutePath)
     if (files.isEmpty) throw new IllegalArgumentException(
       s"no .sqlite/.db files under $path")
     files
@@ -148,19 +143,20 @@ private[sources] class SqliteScanBuilder(full: StructType, files: Seq[String],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SqliteScan(full, required, files, table, lo, hi)
+  override def build(): Scan =
+    new SqliteScan(full, required, files, table, lo, hi, ipk)
 }
 
 private[sources] class SqliteScan(full: StructType, required: StructType,
                                   files: Seq[String], table: String,
-                                  lo: Long, hi: Long)
+                                  lo: Long, hi: Long, ipk: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SqliteInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(full, required, table, lo, hi)
+    new SqliteReaderFactory(full, required, table, lo, hi, ipk)
   override def description(): String = {
     val range =
       if (lo == Long.MinValue && hi == Long.MaxValue) ""
@@ -172,11 +168,12 @@ private[sources] class SqliteScan(full: StructType, required: StructType,
 private[sources] case class SqliteInputPartition(path: String) extends InputPartition
 
 private[sources] class SqliteReaderFactory(full: StructType, required: StructType,
-                                           table: String, lo: Long, hi: Long)
+                                           table: String, lo: Long, hi: Long,
+                                           ipk: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SqliteInputPartition].path
-    new SqlitePartitionReader(path, full, required, table, lo, hi)
+    new SqlitePartitionReader(path, full, required, table, lo, hi, ipk)
   }
 }
 
@@ -186,15 +183,30 @@ private[sources] class SqliteReaderFactory(full: StructType, required: StructTyp
   */
 private[sources] class SqlitePartitionReader(path: String, full: StructType,
                                              required: StructType, table: String,
-                                             lo: Long, hi: Long)
+                                             lo: Long, hi: Long, ipk: Option[String])
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
     val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val wanted = required.fieldNames.map(full.fieldIndex).toSet
-    val (schema, decoded) = SqliteSource.decodeTable(data, table, wanted.contains, lo, hi)
-    require(schema.fieldNames.sameElements(full.fieldNames),
-      s"$path: schema ${schema.fieldNames.mkString(",")} does not match the " +
-        s"inferred ${full.fieldNames.mkString(",")} — heterogeneous store tree")
+    // the pushed [lo, hi] range is a ROWID range, valid for THIS file
+    // only if its table aliases the rowid to the same column the range
+    // was derived from (schema inference reads files.head; a foreign
+    // file in the tree may declare the column without the alias, where
+    // rowids are unrelated sequence numbers) — otherwise fall back to a
+    // full walk and let Spark's residual filter do the work: correct
+    // rows always, pruning only where it is sound
+    val boundsApply = ipk.isDefined &&
+      SqliteSource.ipkColumn(data, table) == ipk
+    val (fLo, fHi) =
+      if (boundsApply) (lo, hi) else (Long.MinValue, Long.MaxValue)
+    val (schema, decoded) =
+      SqliteSource.decodeTable(data, table, wanted.contains, fLo, fHi)
+    // full StructType equality (names AND types): a name-only check lets
+    // a type-divergent file through to an opaque executor-side
+    // ClassCastException instead of this message
+    require(schema == full,
+      s"$path: schema $schema does not match the inferred $full — " +
+        "heterogeneous store tree")
     val ords = required.fieldNames.map(full.fieldIndex)
     val types = required.fields.map(_.dataType)
     decoded.iterator.map { r =>

@@ -369,6 +369,17 @@ object SqliteSource {
     tables(data).find(_.name == table)
       .flatMap(i => parseColumns(i.createSql).find(_._3).map(_._1))
 
+  /** The ONE store-tree walker both read faces share (a divergent
+    * extension set between them would make `format("sqlite")` and
+    * [[readCandleTree]] read different file sets from the same tree).
+    */
+  private[sources] def storeFiles(root: java.io.File,
+      exts: Seq[String] = Seq(".sqlite", ".db", ".sqlite3")): Seq[java.io.File] =
+    if (root.isDirectory)
+      root.listFiles.toSeq.sortBy(_.getName).flatMap(storeFiles(_, exts))
+    else if (exts.exists(root.getName.endsWith)) Seq(root)
+    else Nil
+
   // ---- DataFrame faces ---------------------------------------------------
 
   /** Read one table of one `.sqlite` file into a DataFrame (driver-side
@@ -393,10 +404,17 @@ object SqliteSource {
   def readCandleTree(spark: SparkSession, rootDir: String,
                      table: String = "candles"): DataFrame = {
     val root = new java.io.File(rootDir)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName).flatMap(walk)
-      else if (f.getName.endsWith(".sqlite")) Seq(f) else Nil
-    val files = walk(root).map(_.getAbsolutePath)
+    val files = storeFiles(root).map(_.getAbsolutePath)
+    // fail FAST on trees that are not the gen_db_name layout: deriving
+    // series labels from arbitrary paths would either crash in an
+    // executor (too-shallow paths) or silently mislabel rows
+    files.foreach { path =>
+      val parts = path.split("/")
+      require(parts.length >= 5 && parts(parts.length - 5) == "ccxt",
+        s"$path is not in the reference gen_db_name layout " +
+          "(ccxt/<exchange>/<sym>/<tf>/<file>); use readTable or " +
+          "spark.read.format(\"sqlite\") for arbitrary trees")
+    }
     val schema = StructType(Seq(
       StructField("exchange", StringType), StructField("symbol", StringType),
       StructField("timeframe", StringType), StructField("timestamp", LongType),

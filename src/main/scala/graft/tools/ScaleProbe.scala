@@ -1296,20 +1296,25 @@ object ScaleProbe {
         .join(capped.select(col("vec_id"), col("neighbor_id")),
           Seq("vec_id", "neighbor_id"), "left_semi").count()
       // score recall: per-vector mean neighbor cosine, capped vs uncapped
+      // — the joined per-vector frame is MATERIALIZED once and read by
+      // all three follow-ups (gap summary, worst-vector attribution,
+      // loss distribution); re-deriving it per read would triple the
+      // full-graph aggregations inside the very diagnostic that is
+      // attributing walls and bytes
       def meanCos(g: org.apache.spark.sql.DataFrame) = g.groupBy(col("vec_id"))
         .agg(avg(col("cos")).as("mc"))
-      val gap = meanCos(capped).withColumnRenamed("mc", "mc_cap")
-        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
-        .agg(avg(col("mc_unc") - col("mc_cap")).as("mean_gap"),
-          max(col("mc_unc") - col("mc_cap")).as("max_gap")).head()
+      val perVec = graft.core.Materialize.once(
+        meanCos(capped).withColumnRenamed("mc", "mc_cap")
+          .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
+          .select(col("vec_id"), (col("mc_unc") - col("mc_cap")).as("gap")))
+      val gap = perVec
+        .agg(avg(col("gap")).as("mean_gap"), max(col("gap")).as("max_gap")).head()
       println(f"[scale] knn cap quality x$k: edge-recall@5 ${kept.toDouble / nUnc}%.4f " +
         f"($kept%d / $nUnc%d)  neighbor-cos gap mean ${gap.getDouble(0)}%.6f " +
         f"max ${gap.getDouble(1)}%.6f")
       // attribution for the tail: the worst-gap vectors with their cell
       // size — is the loss concentrated where the cap bites, and why?
-      val worst = meanCos(capped).withColumnRenamed("mc", "mc_cap")
-        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
-        .select(col("vec_id"), (col("mc_unc") - col("mc_cap")).as("gap"))
+      val worst = perVec
         .join(cells.select(col("vec_id"), col("cid")), Seq("vec_id"))
         .join(cells.groupBy(col("cid")).count(), Seq("cid"))
         .orderBy(col("gap").desc).limit(8).collect()
@@ -1318,9 +1323,8 @@ object ScaleProbe {
           f"(size ${r.getLong(3)}%5d)  gap ${r.getDouble(2)}%.6f")
       }
       // gap distribution: how many vectors lose more than eps at all
-      val dist = meanCos(capped).withColumnRenamed("mc", "mc_cap")
-        .join(meanCos(unc).withColumnRenamed("mc", "mc_unc"), Seq("vec_id"))
-        .select(((col("mc_unc") - col("mc_cap")) > 0.01).cast("int").as("lossy"))
+      val dist = perVec
+        .select((col("gap") > 0.01).cast("int").as("lossy"))
         .agg(sum(col("lossy")), count(lit(1))).head()
       println(f"[scale]   vectors with gap > 0.01: ${dist.getLong(0)} / ${dist.getLong(1)}")
       graft.core.Materialize.releaseAll(spark, blocking = true)

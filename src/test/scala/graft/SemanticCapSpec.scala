@@ -219,7 +219,8 @@ class SemanticCapSpec extends SparkSpec {
   }
 
   test("semanticDedupCollapsed: identity on all-distinct data; zero-norm " +
-       "families stay unclustered (the all-pairs NaN contract)") {
+       "families PAIR like the all-pairs feed (NaN orders above every " +
+       "number in both engines — the established contract)") {
     val emb = graft.core.Tables.table(spark, Sf0001, "embeddings")
     val cents = Ivf.train(emb, 4, iters = 0)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -553,3 +553,40 @@ class SqlitePushdownSpec extends SparkSpec {
     assert(midLeaves * 5 <= fullLeaves)
   }
 }
+
+/** r15 self-review fixes pinned: a type-divergent file in a store tree
+  * must fail with the designed heterogeneous-tree message (full
+  * StructType equality), never an executor-side ClassCastException.
+  */
+class SqliteHeterogeneousTreeSpec extends SparkSpec {
+  test("a tree mixing column TYPES under the same names fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-hetero").toFile
+    try {
+      SqliteExport.exportTable(Seq((1L, "1.5"), (2L, "2.5")).toDF("id", "close"),
+        "candles", "id", new java.io.File(dir, "a.sqlite"))
+      SqliteExport.exportTable(Seq((1L, 1.5), (2L, 2.5)).toDF("id", "close"),
+        "candles", "id", new java.io.File(dir, "b.sqlite"))
+      val df = spark.read.format("sqlite").option("table", "candles")
+        .load(dir.getAbsolutePath)
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg != null && msg.contains("heterogeneous store tree"),
+        s"wanted the designed message, got: $msg")
+    } finally graft.tools.NullSweep.deleteRecursively(dir.getAbsolutePath)
+  }
+
+  test("readCandleTree refuses non-gen_db_name layouts instead of " +
+       "mislabeling series columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sqlite-layout").toFile
+    try {
+      SqliteExport.exportTable(Seq((1L, "x")).toDF("id", "t"), "candles", "id",
+        new java.io.File(dir, "flat.sqlite"))
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.SqliteSource.readCandleTree(spark, dir.getAbsolutePath)
+      }
+      assert(e.getMessage.contains("gen_db_name"))
+    } finally graft.tools.NullSweep.deleteRecursively(dir.getAbsolutePath)
+  }
+}
