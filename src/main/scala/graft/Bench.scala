@@ -32,6 +32,9 @@ object Bench {
       // 128 keys (see GraftSession: the 49 GB knn spill finding)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // size-respecting AQE coalescing (see GraftSession scaladoc): tiny
+      // shuffles collapse to few tasks instead of one-per-core
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

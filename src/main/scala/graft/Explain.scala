@@ -17,7 +17,17 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // record the physical plans of segments hidden behind Materialize
+      // cuts (they print as `Scan ExistingRDD` in the final plan) — the
+      // iterative kernels' per-round shapes live there
+      val (df, segs) = graft.core.Materialize.recordingSegmentPlans(
+        SparkEntry.queries(n)(spark, sfDir))
+      df.explain("formatted")
+      segs.zipWithIndex.foreach { case (p, i) =>
+        println(s"---------- $n segment $i (pre-AQE sparkPlan) ----------")
+        println(p.treeString)
+      }
+      graft.core.Materialize.releaseAll(spark, blocking = true)
     }
     spark.stop()
   }

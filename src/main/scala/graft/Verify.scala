@@ -25,6 +25,10 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size-respecting AQE coalescing, same as the bench session (results
+      // are partition-count invariant — spec-pinned; this keeps the
+      // verify surface on the same plans the bench times)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce post-shuffle partitions by SIZE (advisory 64 MB), not to
+      // the core count: with the default parallelismFirst=true AQE keeps
+      // ~one partition per core even when the whole shuffle is a few KB,
+      // so every tiny aggregation/join stage pays shuffle-partition-count
+      // task launches (measured: 32-task stages over 2 000-row frames
+      // throughout the vector family). Size-respecting coalescing is the
+      // scale-adaptive choice — the same 64 MB target yields the right
+      // partition widths at 100 TB (Spark's own docs recommend false for
+      // production); shuffle.partitions stays the upper bound / skew
+      // escape hatch.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by

@@ -569,15 +569,18 @@ object Dedup {
   private def cutLineageLazy(df: DataFrame): DataFrame = graft.core.Materialize.once(df)
 
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val spark = pairs.sparkSession
-    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // pre-partition the symmetrized edge list on the probe key so the
     // per-round neighbor join reuses this layout (checkpoint preserves
-    // outputPartitioning) instead of re-exchanging the edges every round
+    // outputPartitioning) instead of re-exchanging the edges every round.
+    // No explicit partition count: an unpinned repartition is
+    // AQE-coalescible, so the edge layout is sized from the edge BYTES
+    // (advisory target, ceiling = spark.sql.shuffle.partitions) instead
+    // of paying shuffle.partitions tasks per round on a kB-scale graph —
+    // and the same rule widens to the conf ceiling at 100 TB
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .repartition(nShuffle, col("b")))
+      .repartition(col("b")))
     // seed with the first propagation round folded into init: each node
     // starts at min(self, min neighbor) — one aggregation over the edge
     // list instead of a distinct + a full join round

@@ -135,16 +135,15 @@ object Graph {
     * label via the left join.
     */
   def labelPropagation(edges0: DataFrame, iters: Int = 5): DataFrame = {
-    val nShuffle = edges0.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     val sym = graft.core.Materialize.once {
       val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .where(col("src") =!= col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         // pre-partition on the probe key so the per-round label join
         // reuses the checkpointed layout — only labels move each round
-        // (the Dedup.clusters r11 convention)
-        .repartition(nShuffle, col("src"))
+        // (the Dedup.clusters r11 convention). Unpinned count: AQE sizes
+        // the layout from the edge bytes (see Dedup.clusters)
+        .repartition(col("src"))
     }
     var labels = sym.select(col("src").as("v"), col("src").as("label")).distinct()
     for (_ <- 1 to iters) {
