@@ -401,7 +401,8 @@ object Dedup {
     */
   private[graft] def minhashLshFromSigs(sigs: DataFrame, numPerm: Int = 128,
                                         bands: Int = 16, maxBucket: Int = 100,
-                                        numReps: Int = 8): DataFrame = {
+                                        numReps: Int = 8,
+                                        attach: Option[DataFrame] = None): DataFrame = {
     val rows = numPerm / bands
     // banding rows are skinny (doc_id, band, bsig) — the 128-long signature
     // array never travels through the bucket-stats shuffles.
@@ -456,13 +457,30 @@ object Dedup {
         greatest(col("doc_id"), col("rid")).as("id2"))
     val bigPairs = repPairs.unionByName(ringPairs)
     // dedupe candidate pairs BEFORE scoring: est_jaccard depends only on
-    // the two signatures, so one evaluation per distinct pair suffices
-    val pairs = smallPairs.unionByName(bigPairs).distinct()
+    // the two signatures, so one evaluation per distinct pair suffices.
+    // ONE pair-scale exchange for dedup + the id1-side gather (guide
+    // §2.4): repartition(id1) first, then the (id1, id2) dropDuplicates
+    // and the id1 join both ride that layout (hashpartitioning(id1)
+    // satisfies the {id1, id2} clustering); the former
+    // distinct().join(sig1).join(sig2) — plus the callers' separate
+    // shingle joins — paid up to five pair-scale exchanges. `attach`
+    // carries the verify stage's per-doc columns (e.g. the shingle set)
+    // through the SAME two gathers instead of a second join pass; it
+    // must contain (doc_id, sig, …) — None gathers from `sigs`.
+    val pairs = smallPairs.unionByName(bigPairs)
+      .repartition(col("id1"))
+      .dropDuplicates("id1", "id2")
+    val side = attach.getOrElse(sigs)
+    val extras = side.columns.filter(c => c != "doc_id" && c != "sig").toSeq
+    def sided(idCol: String, sfx: String) = side.select(
+      col("doc_id").as(idCol) +: (("sig" +: extras)
+        .map(c => col(c).as(c + sfx))): _*)
     pairs
-      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
-      .select(col("id1"), col("id2"),
-        estJaccard(col("sig1"), col("sig2"), numPerm).as("est_jaccard"))
+      .join(sided("id1", "1"), "id1")
+      .join(sided("id2", "2"), "id2")
+      .select(Seq(col("id1"), col("id2")) ++
+        extras.flatMap(c => Seq(col(c + "1"), col(c + "2"))) :+
+        estJaccard(col("sig1"), col("sig2"), numPerm).as("est_jaccard"): _*)
   }
 
   /** Exact shingle-Jaccard verification over LSH candidates:
@@ -486,10 +504,13 @@ object Dedup {
   /** Verify stage over a materialized (doc_id, sig, sh[, …]) frame. */
   private[graft] def ngramJaccardFrom(base: DataFrame, minJaccard: Double): DataFrame = {
     val sigs = base.where(col("sig").isNotNull).select(col("doc_id"), col("sig"))
-    val sh = base.select(col("doc_id"), col("sh"))
-    minhashLshFromSigs(sigs)
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+    // shingle sets ride the pair frame's OWN sig gathers (attach) — the
+    // former separate sh joins re-exchanged the pair frame by id1 and id2
+    // a second time (pairs with a sig-less side cannot exist, so the
+    // sig-null filter on the attach side drops nothing)
+    minhashLshFromSigs(sigs,
+      attach = Some(base.where(col("sig").isNotNull)
+        .select(col("doc_id"), col("sig"), col("sh"))))
       .select(col("id1"), col("id2"), col("est_jaccard"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
@@ -509,10 +530,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.8): DataFrame = {
     val base = cutLineageLazy(sigShingleScan(docs))
     val sigs = base.where(col("sig").isNotNull).select(col("doc_id"), col("sig"))
-    val sh = base.select(col("doc_id"), col("sh"))
-    minhashLshFromSigs(sigs)
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+    // shingle sets ride the sig gathers — see ngramJaccardFrom
+    minhashLshFromSigs(sigs,
+      attach = Some(base.where(col("sig").isNotNull)
+        .select(col("doc_id"), col("sig"), col("sh"))))
       .select(col("id1"), col("id2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("n_common"),
         size(col("sh1")).cast("long").as("n1"),
@@ -577,10 +598,16 @@ object Dedup {
     // (advisory target, ceiling = spark.sql.shuffle.partitions) instead
     // of paying shuffle.partitions tasks per round on a kB-scale graph —
     // and the same rule widens to the conf ceiling at 100 TB
+    // ONE edge-scale shuffle, not two: distinct().repartition(b) would
+    // exchange by (a, b) for the dedup and AGAIN by b for the layout;
+    // repartition(b) FIRST then dropDuplicates(a, b) dedups in place —
+    // hashpartitioning(b) satisfies the (a, b) clustering requirement
+    // (b ⊆ {a, b}), so the aggregate adds no exchange and the output
+    // keeps the b-layout the rounds probe (guide §2.4)
     val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct()
-      .repartition(col("b")))
+      .repartition(col("b"))
+      .dropDuplicates("a", "b"))
     // seed with the first propagation round folded into init: each node
     // starts at min(self, min neighbor) — one aggregation over the edge
     // list instead of a distinct + a full join round
@@ -597,7 +624,9 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    val sc = pairs.sparkSession.sparkContext
     while (!converged && i < maxIters) {
+      sc.setJobDescription(s"cc: round ${i + 1}") // guide §1.5 job labels
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
         .select(col("a").as("doc_id"), col("cand"))
@@ -618,6 +647,7 @@ object Dedup {
       labels = next
       i += 1
     }
+    sc.setJobDescription(null)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +

@@ -138,12 +138,15 @@ object Graph {
     val sym = graft.core.Materialize.once {
       val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .where(col("src") =!= col("dst"))
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         // pre-partition on the probe key so the per-round label join
         // reuses the checkpointed layout — only labels move each round
         // (the Dedup.clusters r11 convention). Unpinned count: AQE sizes
-        // the layout from the edge bytes (see Dedup.clusters)
+        // the layout from the edge bytes; dedup AFTER the repartition so
+        // the (src, dst) distinct rides the src-layout instead of paying
+        // its own exchange (see Dedup.clusters — guide §2.4)
         .repartition(col("src"))
+        .dropDuplicates("src", "dst")
     }
     var labels = sym.select(col("src").as("v"), col("src").as("label")).distinct()
     for (_ <- 1 to iters) {
