@@ -35,6 +35,7 @@ object Bench {
       // size-respecting AQE coalescing (see GraftSession scaladoc): tiny
       // shuffles collapse to few tasks instead of one-per-core
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // see GraftSession
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,7 @@ object MiniBench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 18).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
     ) { (b, kv) => b.config(kv._1, kv._2) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

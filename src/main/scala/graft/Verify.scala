@@ -29,6 +29,7 @@ object Verify {
       // are partition-count invariant — spec-pinned; this keeps the
       // verify surface on the same plans the bench times)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // see GraftSession
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

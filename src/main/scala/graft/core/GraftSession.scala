@@ -44,6 +44,14 @@ object GraftSession {
       // the worst — the right trade at any scale.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 18).toString)
+      // The generated-class cache defaults to 100 entries — SMALLER than
+      // one vector-family query's plan (a cold knn_components_2level
+      // compiles ~99 codegen units), so even the immediate re-run of the
+      // same query recompiles much of itself (measured: 42 compiles
+      // ≈ 1 s on the back-to-back second draw). 4096 entries keep a full
+      // session of distinct plan segments resident for megabytes of
+      // driver metaspace — same reasoning at any scale (driver-only).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = builder().getOrCreate()
