@@ -15,6 +15,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout/stderr through UNPREFIXED: sbt's default
+// LoggedOutput prepends "[info] " to every stdout line, so the bench's
+// closing JSON line never starts with '{' and the round driver has never
+// been able to parse it (BENCH_r01..r15 all carry parsed: null even when
+// the complete line sat inside the captured tail). StdoutOutput keeps the
+// bench contract line machine-readable; sbt's own [success]/[error]
+// status lines are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -118,8 +118,18 @@ object Bench {
     // BENCH_r{N−1} is attributable without builder-local controls.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
     val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX", "2").toInt
+    // Second timed channel (guide §1.4, r15 verdict ask #4): count() lets
+    // Catalyst prune final projections out of the timed work, so the wall
+    // channel under-measures expression-heavy tails. The noop sink
+    // materializes EVERY column of every row. Both totals are emitted this
+    // round so comparability with BENCH_r01..r15 survives: "queries"/
+    // "value" keep the count() methodology unchanged; "queries_noop"/
+    // "noop_total" carry the full-materialization numbers (min over the
+    // same repeat count, measured after the count draws, no load-regate —
+    // the count channel's gate verdict covers the same box window).
+    val noopOn = sys.env.getOrElse("SPARK_GRAFT_NOOP", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def draw(): (Double, Double, Double, Double) =
+      def drawWith(action: => Unit): (Double, Double, Double, Double) =
         // Scope + BLOCKING release at the query boundary: this query's
         // localCheckpoint blocks are fully dropped before the next query's
         // timer starts (async removal would overlap into — and inflate —
@@ -134,10 +144,9 @@ object Bench {
           val t0 = System.nanoTime()
           // a failing query must be VISIBLE in the log (its wall time alone
           // reads as just-a-fast-query in the artifact)
-          try { fn(spark, sfDir).count() } catch {
+          try { action } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              -1L
           }
           val dt = (System.nanoTime() - t0) / 1e9
           val dc = cpuSec - c0
@@ -161,6 +170,8 @@ object Bench {
             osBean.getSystemLoadAverage - dc / math.max(dt, 1e-9))
           (dt, dc, de, ext)
         }
+      def draw(): (Double, Double, Double, Double) =
+        drawWith(fn(spark, sfDir).count())
       var times = (1 to repeat).map(_ => draw())
       // regate only when BOTH signals agree: every draw ran under external
       // load AND the draws disagree materially (>25% wall spread). The
@@ -190,35 +201,47 @@ object Bench {
       // signal the r8 adjudication wanted IN the artifact — a large spread
       // on a flat-cpu query is box noise, not a regression
       val spread = times.map(_._1).max - times.map(_._1).min
+      // noop channel: full-materialization draws, min over the same count
+      val noopWall =
+        if (!noopOn) -1.0
+        else (1 to repeat).map { _ =>
+          drawWith(fn(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())._1
+        }.min
       System.err.println(f"[bench] $name%-20s ${times.map(t => f"${t._1}%.2f").mkString(" ")} s" +
-        f" -> min ${best._1}%.2f (cpu ${best._2}%.2f s, ecpu ${best._3}%.2f s)")
-      (name, best._1, best._2, spread, best._3, regated, contended)
+        f" -> min ${best._1}%.2f (cpu ${best._2}%.2f s, ecpu ${best._3}%.2f s, noop $noopWall%.2f s)")
+      (name, best._1, best._2, spread, best._3, regated, contended, noopWall)
     }
     // 4-decimal times keep the closing JSON line compact (BENCH_r03's
     // full-precision doubles overflowed the driver's bounded output tail
     // and truncated the per-query map); the same line is also written to a
     // file so the artifact survives any stdout capture limit.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query process-CPU seconds (file artifact only — the stdout tail
     // is size-bounded): wall >> cpu/ncpu on a query that was flat in r-1
     // means box load, not regression
-    val cpuQs = results.map { case (k, _, c, _, _, _, _) => s"\"" + k + "\":" + fmt(c) }
+    val cpuQs = results.map { case (k, _, c, _, _, _, _, _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     // per-query EXECUTOR cpu seconds (task-metric channel — excludes
     // driver/GC/listener time): the box-proof round-over-round comparator
-    val ecpuQs = results.map { case (k, _, _, _, e, _, _) => s"\"" + k + "\":" + fmt(e) }
+    val ecpuQs = results.map { case (k, _, _, _, e, _, _, _) => s"\"" + k + "\":" + fmt(e) }
       .mkString("{", ",", "}")
     // per-query max−min over the repeat draws (file artifact): reads as
     // "how contended was THIS query's measurement" next to the min
-    val spreadQs = results.map { case (k, _, _, sp, _, _, _) => s"\"" + k + "\":" + fmt(sp) }
+    val spreadQs = results.map { case (k, _, _, sp, _, _, _, _) => s"\"" + k + "\":" + fmt(sp) }
+      .mkString("{", ",", "}")
+    // per-query noop-sink walls (guide §1.4): every column of every row
+    // materialized — the channel that sees expression-heavy tails count()
+    // lets Catalyst prune away
+    val noopQs = results.map { case (k, _, _, _, _, _, _, np) => s"\"" + k + "\":" + fmt(np) }
       .mkString("{", ",", "}")
     // the load gate's verdict: which queries needed extra draws, and which
     // STILL never saw a quiet box (their min is an upper bound, not a
     // measurement) — the reader's first stop before calling a regression
     val regatedQs = results.filter(_._6 > 0)
-      .map { case (k, _, _, _, _, rg, _) => s"\"" + k + "\":" + rg }
+      .map { case (k, _, _, _, _, rg, _, _) => s"\"" + k + "\":" + rg }
       .mkString("{", ",", "}")
     val contendedQs = results.filter(_._7).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
@@ -244,28 +267,27 @@ object Bench {
         // whole run — near zero on an idle box, grows with interference
         s""""spread_sum":${fmt(spreadSum)},""" +
         s""""sys_load_avg":${fmt(osBean.getSystemLoadAverage)}}"""
+    val ecpuSum = results.map(_._5).sum
+    val noopTotal = if (noopOn) results.map(_._8).sum else -1.0
+    val noopPart = if (noopOn) s""","queries_noop":$noopQs,"noop_total":${fmt(noopTotal)}""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"ecpu":$ecpuQs,"spread":$spreadQs,"load":$load,"gate":$gate,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpuQs,"ecpu":$ecpuQs,"spread":$spreadQs$noopPart,"ecpu_sum":${fmt(ecpuSum)},"load":$load,"gate":$gate,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // file copy is best-effort
-    println(line)
-    // The driver's bounded stdout tail keeps the LAST line; the full line
-    // above leads with the total and grows left-truncated as the query map
-    // widens (BENCH_r04 lost the total + 39 queries). Emit a final compact
-    // summary — total + load signal + the 15 heaviest queries — that
-    // always survives.
-    val heaviest = results.sortBy(-_._2).take(15)
-    val heavy = heaviest
-      .map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // executor-cpu for the same 15: the compact line is what survives the
-    // driver's bounded stdout tail, so the box-proof channel must ride in
-    // it (the full 274-query ecpu map lives in the file artifact above)
-    val heavyEcpu = heaviest
-      .map { case (k, _, _, _, e, _, _) => s"\"" + k + "\":" + fmt(e) }.mkString("{", ",", "}")
-    val ecpuSum = results.map(_._5).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"ecpu_sum":${fmt(ecpuSum)},"load":$load,"gate":$gate,"top":$heavy,"top_ecpu":$heavyEcpu,"sf":"$sfDir"}""")
+    // Driver contract (r15 verdict ask #2): stdout carries exactly ONE
+    // line starting with '{' — a complete, parseable JSON object holding
+    // the FULL per-query map, emitted unprefixed (build.sbt routes the
+    // forked main's stdout through raw — sbt's default logger prepended
+    // "[info] " to every line, which is why no round's driver ever parsed
+    // this line). Scalar summary fields (totals, load, gate) sit AFTER the
+    // wide per-query map so they also survive a bounded last-N-chars
+    // stdout tail; JSON key order is irrelevant to any real parser. The
+    // cpu/ecpu/spread per-query maps stay in the file artifact above —
+    // widening stdout with them would push the summary out of the tail.
+    println(
+      s"""{"metric":"total","unit":"sec","n":${results.size},"queries":$qs$noopPart,"ecpu_sum":${fmt(ecpuSum)},"load":$load,"gate":$gate,"value":${fmt(total)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -471,6 +471,12 @@ object Dedup {
       .repartition(col("id1"))
       .dropDuplicates("id1", "id2")
     val side = attach.getOrElse(sigs)
+    // cheap structural check of the attach contract (ADVICE r15): the
+    // frame must expose (doc_id, sig); an attach filtered differently
+    // from `sigs` would still silently drop pairs through the inner
+    // joins, so the row-coverage part stays a documented caller contract
+    require(side.columns.contains("doc_id") && side.columns.contains("sig"),
+      s"attach frame must carry (doc_id, sig); got ${side.columns.mkString(",")}")
     val extras = side.columns.filter(c => c != "doc_id" && c != "sig").toSeq
     def sided(idCol: String, sfx: String) = side.select(
       col("doc_id").as(idCol) +: (("sig" +: extras)
@@ -625,6 +631,11 @@ object Dedup {
     var converged = false
     var i = 0
     val sc = pairs.sparkSession.sparkContext
+    // save the caller's job description and restore it in a finally: a
+    // round that throws must not leave "cc: round N" stuck on the thread
+    // for subsequent unrelated jobs (ADVICE r15)
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    try {
     while (!converged && i < maxIters) {
       sc.setJobDescription(s"cc: round ${i + 1}") // guide §1.5 job labels
       val viaNeighbor = edges
@@ -647,7 +658,7 @@ object Dedup {
       labels = next
       i += 1
     }
-    sc.setJobDescription(null)
+    } finally sc.setJobDescription(prevDesc)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +

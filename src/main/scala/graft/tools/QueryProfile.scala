@@ -22,22 +22,25 @@ object QueryProfile {
     final case class J(id: Int, desc: String, start: Long, var end: Long = 0L,
                        var tasks: Int = 0, var taskMs: Long = 0L, var cpuNs: Long = 0L)
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, J]
+    // stage → job from SparkListenerJobStart.stageInfos: AQE and
+    // broadcast-exchange jobs overlap even in local mode, so attributing
+    // a task to "the most recent unfinished job" misassigned per-job
+    // splits (totals were right, splits weren't) — ADVICE r15
+    private val stageToJob = new scala.collection.mutable.HashMap[Int, Int]
     override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
       val d = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description"))
           .orElse(Option(p.getProperty("callSite.short")))).getOrElse("")
       jobs(e.jobId) = J(e.jobId, d, e.time)
+      e.stageInfos.foreach(si => stageToJob(si.stageId) = e.jobId)
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
       jobs.get(e.jobId).foreach(_.end = e.time)
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
-      // attribute tasks to the most recent unfinished job (approximation:
-      // local-mode bench queries run jobs sequentially)
       val m = e.taskMetrics
-      if (m != null) jobs.values.toSeq.reverseIterator
-        .find(j => j.end == 0L)
-        .orElse(jobs.values.lastOption)
+      if (m != null) stageToJob.get(e.stageId).flatMap(jobs.get)
+        .orElse(jobs.values.lastOption) // resubmitted stage not in any JobStart
         .foreach { j =>
           j.tasks += 1; j.taskMs += m.executorRunTime; j.cpuNs += m.executorCpuTime
         }
@@ -108,9 +111,12 @@ object QueryProfile {
         val ecpu = js.map(_.cpuNs).sum / 1e9
         val ccN = ccTime.getCount - cc0._1
         val ccMs = ccTime.getSnapshot.getMean * ccTime.getCount - cc0._2
+        // compile COUNT is exact; the time figure is mean×count over a
+        // sampled decaying reservoir — approximate once compiles age out
+        // (ADVICE r15), printed as such
         println(f"\n===== $name: wall $wall%.3f s, jobs ${js.size}, " +
           f"job-wall $jobWall%.3f s, gap(wall-jobwall) ${wall - jobWall}%.3f s, ecpu $ecpu%.3f s, " +
-          f"codegen ${ccN} compiles ~${ccMs / 1e3}%.2f s")
+          f"codegen ${ccN} compiles, approx ${ccMs / 1e3}%.2f s (reservoir estimate)")
         import scala.jdk.CollectionConverters._
         println("  phases: " + phases.asScala.toSeq.sortBy(-_._2)
           .map { case (p, ms) => f"$p=${ms / 1e3}%.3f s" }.mkString(", "))
