@@ -137,6 +137,40 @@ object Materialize {
     else track(df.localCheckpoint())
   }
 
+  /** Cut that KEEPS a declared hash layout. Plain cuts lose
+    * outputPartitioning (the checkpoint's LogicalRDD reads
+    * UnknownPartitioning under AQE — measured on Spark 4.1, r16), so
+    * every consumer re-exchanges the materialized frame even when its
+    * rows are already exactly hash-distributed. The iterative kernels
+    * re-declare the layout they just paid for.
+    *
+    * CALLER CONTRACT (see GraftCheckpointShim): `df`'s last row-moving
+    * operator must be `repartition(numPartitions, keys)` — a
+    * user-specified partition count AQE neither coalesces nor splits —
+    * followed only by partitioning-preserving operators (project /
+    * filter / aggregate whose grouping contains the keys). Declaring a
+    * layout the rows don't physically have mis-co-locates joins.
+    */
+  def cutPartitioned(df: DataFrame, keys: Seq[String], numPartitions: Int,
+                     eager: Boolean = true): DataFrame = {
+    record(df)
+    val cp =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager)
+      else track(df.localCheckpoint(eager))
+    val declared = org.apache.spark.sql.GraftCheckpointShim
+      .declareHashPartitioning(cp, keys, numPartitions)
+    // the re-wrap reuses cp's rdd, so the tracked block id is unchanged
+    declared
+  }
+
+  /** LAZY [[cutPartitioned]]: materialization folds into the next action
+    * on the returned frame (same contract).
+    */
+  def oncePartitioned(df: DataFrame, keys: Seq[String],
+                      numPartitions: Int): DataFrame =
+    cutPartitioned(df, keys, numPartitions, eager = false)
+
   /** Number of tracked checkpoint blocks still persisted in the context.
     * The bench loop CHECKS this returns to zero after each query's scoped
     * release and falls back to [[releaseAll]] with a log line when it

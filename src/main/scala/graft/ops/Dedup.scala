@@ -573,10 +573,14 @@ object Dedup {
     *    pointwise unchanged under monotonicity) instead of joining next
     *    against prev for a changed-flag — one fewer join + exchange in
     *    every round;
-    *  - `edges` is range-hash partitioned on the probe key `b` BEFORE
-    *    its eager cut: Dataset.checkpoint preserves outputPartitioning,
-    *    so the per-round neighbor join never re-shuffles the edge list
-    *    (the largest frame in the loop) — only the label side moves.
+    *  - `edges` AND the label frames live in one sealed layout
+    *    (hashpartitioning(key, nParts), declared on the cut via
+    *    Materialize.cutPartitioned — a plain Dataset.checkpoint reads
+    *    UnknownPartitioning under AQE, r16 finding), so the per-round
+    *    neighbor join is co-partitioned: the edge list (the largest
+    *    frame in the loop) never re-shuffles and never re-sorts
+    *    (shuffled-hash, build = unique-key labels side); only the
+    *    pointer self-join's probe side moves.
     * Non-convergence after `maxIters` (diameter > 2^maxIters — not
     * reachable for real near-dup graphs) raises rather than silently
     * splitting a component.
@@ -596,30 +600,39 @@ object Dedup {
   private def cutLineageLazy(df: DataFrame): DataFrame = graft.core.Materialize.once(df)
 
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    // pre-partition the symmetrized edge list on the probe key so the
-    // per-round neighbor join reuses this layout (checkpoint preserves
-    // outputPartitioning) instead of re-exchanging the edges every round.
-    // No explicit partition count: an unpinned repartition is
-    // AQE-coalescible, so the edge layout is sized from the edge BYTES
-    // (advisory target, ceiling = spark.sql.shuffle.partitions) instead
-    // of paying shuffle.partitions tasks per round on a kB-scale graph —
-    // and the same rule widens to the conf ceiling at 100 TB
-    // ONE edge-scale shuffle, not two: distinct().repartition(b) would
-    // exchange by (a, b) for the dedup and AGAIN by b for the layout;
-    // repartition(b) FIRST then dropDuplicates(a, b) dedups in place —
-    // hashpartitioning(b) satisfies the (a, b) clustering requirement
-    // (b ⊆ {a, b}), so the aggregate adds no exchange and the output
-    // keeps the b-layout the rounds probe (guide §2.4)
-    val edges = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
+    // Phase 1 — AQE-sized symmetrized dedup: repartition(b) first, then
+    // dropDuplicates rides that layout (guide §2.4, the r15 form). The
+    // partition count this materializes at is BYTE-derived (the 64 MB
+    // advisory under size-respecting coalescing) — it becomes the loop's
+    // layout constant below, so the loop width is scale-adaptive, never a
+    // config constant.
+    val pre = cutLineage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .repartition(col("b"))
       .dropDuplicates("a", "b"))
+    val nParts = math.max(pre.rdd.getNumPartitions, 2)
+    // Phase 2 — seal the round layout. A plain cut LOSES its partitioning
+    // (the checkpoint's LogicalRDD reads UnknownPartitioning under AQE —
+    // measured r16; the r11 "checkpoint preserves outputPartitioning"
+    // assumption was false on Spark 4.1), so every round was re-exchanging
+    // the EDGE list — the largest frame in the loop. One extra edge-scale
+    // exchange here pins the rows into an exact hashpartitioning(b,
+    // nParts) that cutPartitioned re-declares on the cut frame; the
+    // per-round neighbor join is then CO-PARTITIONED (labels' doc_id
+    // renames to the probe key b) and neither side ever exchanges again.
+    val edges = graft.core.Materialize.cutPartitioned(
+      pre.repartition(nParts, col("b")), Seq("b"), nParts)
     // seed with the first propagation round folded into init: each node
     // starts at min(self, min neighbor) — one aggregation over the edge
-    // list instead of a distinct + a full join round
-    var labels = cutLineage(edges.groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("cluster_id"))
-      .select(col("a").as("doc_id"), col("cluster_id")))
+    // list instead of a distinct + a full join round; repartition first so
+    // the aggregate rides the exchange and its output is BORN in the
+    // round layout (hashpartitioning(doc_id, nParts))
+    var labels = graft.core.Materialize.cutPartitioned(
+      edges.repartition(nParts, col("a"))
+        .groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("cluster_id"))
+        .select(col("a").as("doc_id"), col("cluster_id")),
+      Seq("doc_id"), nParts)
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("s"))
@@ -638,18 +651,40 @@ object Dedup {
     try {
     while (!converged && i < maxIters) {
       sc.setJobDescription(s"cc: round ${i + 1}") // guide §1.5 job labels
+      // SHUFFLE_HASH with the BUILD on the labels side (guide §3.1): the
+      // doc_id key is unique so the build is uniform and bounded by
+      // node-bytes/nParts (edge-byte-derived nParts keeps it ≪ advisory);
+      // the streamed side tolerates skew (a mega-component's shared
+      // cluster_id streams, never builds). SMJ here would re-sort the
+      // edge side EVERY round; AQE's broadcast switch would add two
+      // build-collect jobs per round locally and is impossible at scale
+      // (labels are node-scale). Both joins are co-partitioned
+      // (hashpartitioning(key, nParts) on both sides) — no exchange.
       val viaNeighbor = edges
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand"))
+          .hint("shuffle_hash"), "b")
         .select(col("a").as("doc_id"), col("cand"))
       // inner self-join covers EVERY node (a node's label is a node id in
       // the same component, so the probe always matches) and its
       // candidate label(label(v)) ≤ label(v) dominates the carried self
       // label — no self-union needed
       val viaPointer = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
+        .join(labels.as("l2").hint("shuffle_hash"),
+          col("l1.cluster_id") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
-      val next = cutLineageLazy(viaNeighbor.unionByName(viaPointer)
-        .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id")))
+      // pin the round output into the SAME (doc_id, nParts) layout the
+      // joins consume, so label frames never exchange again: the
+      // repartition-then-ride form trades the aggregate's map-side
+      // combine for one fewer exchange — on the bounded-degree edge
+      // lists every CC caller feeds (kNN k-cap, LSH maxBucket/numReps
+      // caps), a partition holds few same-doc_id candidate rows, so the
+      // combine was saving ~nothing while its exchange cost a full
+      // extra pass of the candidate stream
+      val next = graft.core.Materialize.oncePartitioned(
+        viaNeighbor.unionByName(viaPointer)
+          .repartition(nParts, col("doc_id"))
+          .groupBy(col("doc_id")).agg(min(col("cand")).as("cluster_id")),
+        Seq("doc_id"), nParts)
       // single action per round: the sum's full scan materializes the
       // lazy checkpoint AND yields the convergence signal
       val s = labelSum(next)

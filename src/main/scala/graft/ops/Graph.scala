@@ -37,12 +37,33 @@ object Graph {
     * emits each directed edge once).
     */
   def pageRank(edges0: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = graft.core.Materialize.once(
+    // Sealed layout (r16, see Dedup.clusters): a plain cut loses its
+    // partitioning (UnknownPartitioning under AQE), so every iteration
+    // was re-exchanging the EDGE list by src. One edge-scale exchange at
+    // build pins hashpartitioning(src, nParts) — byte-derived width from
+    // the first cut's AQE-coalesced count — and the per-iteration rank
+    // and out-degree joins become co-partitioned, exchange-free,
+    // sort-free (shuffled-hash, build = the unique-key side).
+    val pre = graft.core.Materialize.cut(
       edges0.select(col("src").cast("long"), col("dst").cast("long")))
-    val nodes = graft.core.Materialize.once(
+    val nParts = math.max(pre.rdd.getNumPartitions, 2)
+    val edges = graft.core.Materialize.cutPartitioned(
+      pre.repartition(nParts, col("src")), Seq("src"), nParts)
+    // nodes born in the (v, nParts) layout: dropDuplicates rides its own
+    // repartition (guide §2.4), so the per-iteration left join back onto
+    // the rank sums needs no exchange either
+    val nodes = graft.core.Materialize.cutPartitioned(
       edges.select(col("src").as("v"))
-        .union(edges.select(col("dst").as("v"))).distinct())
-    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .union(edges.select(col("dst").as("v")))
+        .repartition(nParts, col("v"))
+        .dropDuplicates("v"),
+      Seq("v"), nParts)
+    // out-degrees ride the sealed edge layout (no exchange) and are cut
+    // once so iterations read node-scale blocks instead of re-aggregating
+    // the edge list per iteration
+    val outd = graft.core.Materialize.oncePartitioned(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("d")),
+      Seq("src"), nParts)
     val nn = nodes.agg(count(lit(1)).as("n"))
 
     // pr0 = floor(1e9 / N); base = floor(0.15e9 / N)
@@ -50,12 +71,13 @@ object Graph {
       .select(col("v"), expr("1000000000L div n").as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(pr.withColumnRenamed("v", "src"), Seq("src"))
-        .join(outd, Seq("src"))
+        .join(pr.withColumnRenamed("v", "src").hint("shuffle_hash"), Seq("src"))
+        .join(outd.hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("v"), expr("pr div d").as("c"))
-      val s = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
+      val s = contrib.repartition(nParts, col("v"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
       pr = nodes.crossJoin(broadcast(nn))
-        .join(s, Seq("v"), "left")
+        .join(s.hint("shuffle_hash"), Seq("v"), "left")
         .select(col("v"),
           (expr("150000000L div n") +
             expr("(85L * coalesce(s, 0L)) div 100L")).as("pr"))
@@ -135,31 +157,49 @@ object Graph {
     * label via the left join.
     */
   def labelPropagation(edges0: DataFrame, iters: Int = 5): DataFrame = {
-    val sym = graft.core.Materialize.once {
+    // Phase 1 — AQE-sized symmetrized dedup (repartition(src) first, the
+    // dedup rides it — guide §2.4); the byte-derived partition count it
+    // materializes at becomes the loop's layout constant, so the loop
+    // width scales with edge bytes, never a config constant.
+    val pre = graft.core.Materialize.cut {
       val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
         .where(col("src") =!= col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        // pre-partition on the probe key so the per-round label join
-        // reuses the checkpointed layout — only labels move each round
-        // (the Dedup.clusters r11 convention). Unpinned count: AQE sizes
-        // the layout from the edge bytes; dedup AFTER the repartition so
-        // the (src, dst) distinct rides the src-layout instead of paying
-        // its own exchange (see Dedup.clusters — guide §2.4)
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
     }
+    val nParts = math.max(pre.rdd.getNumPartitions, 2)
+    // Phase 2 — seal the round layout (see Dedup.clusters r16 note: a
+    // plain cut reads UnknownPartitioning under AQE, so every round was
+    // re-exchanging the edge list). One extra edge-scale exchange pins
+    // hashpartitioning(src, nParts), re-declared on the cut frame; the
+    // per-round label join is then co-partitioned and exchange-free.
+    val sym = graft.core.Materialize.cutPartitioned(
+      pre.repartition(nParts, col("src")), Seq("src"), nParts)
     var labels = sym.select(col("src").as("v"), col("src").as("label")).distinct()
     for (_ <- 1 to iters) {
       // symmetry means every node of sym appears as a dst, so the votes
       // frame IS the next label frame — no join-back onto the previous
       // labels (isolated nodes never enter sym at all and stay out of
-      // the result by the same contract as before)
-      labels = graft.core.Materialize.once(sym
-        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
+      // the result by the same contract as before).
+      // SHUFFLE_HASH, build = labels (unique v ⇒ uniform, node-bytes/
+      // nParts ≪ advisory — guide §3.1): no per-round edge sort, no
+      // broadcast-build jobs. One repartition(dst) feeds BOTH aggregates
+      // (dst ⊆ {dst,label}) and the round output is BORN in the
+      // (v, nParts) layout the next round's join consumes — one exchange
+      // per round instead of three. The (dst,label) aggregate's map-side
+      // combine is forfeited: on a cell-capped kNN graph a partition
+      // holds few duplicate (dst,label) votes, so the combine saved
+      // ~nothing while its exchange cost a full extra candidate pass.
+      labels = graft.core.Materialize.oncePartitioned(sym
+        .join(labels.withColumnRenamed("v", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .repartition(nParts, col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("dst").as("v"), (-col("m.neg")).as("label")))
+        .select(col("dst").as("v"), (-col("m.neg")).as("label")),
+        Seq("v"), nParts)
       // cut each round: the plan would otherwise nest `iters` joins deep
       // and re-run every prior round per action (the pageRank lesson)
     }

@@ -91,10 +91,16 @@ object QueryProfile {
     // that lives in NO job and NO Catalyst phase (the "gap")
     val ccTime = org.apache.spark.metrics.source
       .CodegenMetrics.METRIC_COMPILATION_TIME
+    // optional per-rule Catalyst timing (verdict r15 ask #8): reset the
+    // global rule-executor meter per query and dump the top rules after —
+    // the channel that would justify (or kill) excluding an optimizer rule
+    val dumpRules = sys.env.get("SPARK_GRAFT_RULES").contains("1")
     names.foreach { name =>
       val tap = new JobTap
       spark.sparkContext.addSparkListener(tap)
       phases.clear()
+      if (dumpRules)
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
       val cc0 = (ccTime.getCount, ccTime.getSnapshot.getMean * ccTime.getCount)
       graft.core.Materialize.inScope { scope =>
         val t0 = System.nanoTime()
@@ -123,6 +129,13 @@ object QueryProfile {
         js.foreach { j =>
           println(f"  job ${j.id}%3d ${math.max(0L, j.end - j.start) / 1e3}%6.3f s " +
             f"tasks ${j.tasks}%4d taskTime ${j.taskMs / 1e3}%7.3f s cpu ${j.cpuNs / 1e9}%7.3f s  ${j.desc.take(80)}")
+        }
+        if (dumpRules) {
+          val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+          println("  top rules (ms):")
+          dump.linesIterator
+            .filter(_.contains("org.apache.spark"))
+            .take(15).foreach(l => println("    " + l.trim))
         }
         scope.release(spark, blocking = true)
       }

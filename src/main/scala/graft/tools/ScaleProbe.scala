@@ -1339,6 +1339,35 @@ object ScaleProbe {
     * the fixed 4×4 control and records wall/bytes/spill for each.
     * Run: `... r15tl729`.
     */
+  /** r16 leg (verdict ask #7): validate that the SEALED iterative-kernel
+    * layout (Dedup.clusters' byte-derived nParts, declared on the cut)
+    * really widens with edge bytes — partitions must grow once the edge
+    * list crosses the 64 MB advisory, and no leg may collapse to
+    * too-few tasks relative to its bytes. Synthetic chain-blocks graph
+    * (blocks of 64 ⇒ ~7 pointer-jump rounds) at three edge scales; the
+    * final labels frame IS the declared layout, so its rdd partition
+    * count is the observable.
+    */
+  private def r16LayoutProbe(spark: SparkSession): Unit = {
+    // the engine sessions' size-respecting coalescing (GraftSession):
+    // without it this probe would measure the parallelism-first default
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    Seq(2000000L, 20000000L).foreach { n =>
+      val pairs = spark.range(n)
+        .where(col("id") % 64 =!= 63) // chain within each 64-block
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      val t0 = System.nanoTime()
+      val labels = graft.ops.Dedup.clusters(pairs)
+      val rows = labels.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val parts = labels.rdd.getNumPartitions
+      println(f"[scale] cc_layout n=$n%-9d wall ${wall}%7.2f s  " +
+        f"labelParts=$parts%4d rows=$rows " +
+        f"(edgeRows=${2 * (n - n / 64)})")
+      graft.core.Materialize.releaseAll(spark, blocking = true)
+    }
+  }
+
   private def r15SizingSemantic(spark: SparkSession, k: Int): Unit = {
     val dir = "/root/testdata/sf0.1"
     val tap = new ByteTap
@@ -1598,6 +1627,7 @@ object ScaleProbe {
     if (args.contains("r11f")) { r11fOpsCurves(spark); spark.stop(); return }
     if (args.contains("r15knnrecallx243")) { r15KnnRecall(spark, Seq(243)); spark.stop(); return }
     if (args.contains("r15knnrecall")) { r15KnnRecall(spark, Seq(27)); spark.stop(); return }
+    if (args.contains("r16layout")) { r16LayoutProbe(spark); spark.stop(); return }
     if (args.contains("r15tl729")) { r15SizingSemantic(spark, 729); spark.stop(); return }
     if (args.contains("r15semcollapse729")) { r15CollapsedSemantic(spark, 729); spark.stop(); return }
     if (args.contains("r14knn729")) { r14KnnCapCurve(spark, 729); spark.stop(); return }
