@@ -152,14 +152,15 @@ object Materialize {
     * layout the rows don't physically have mis-co-locates joins.
     */
   def cutPartitioned(df: DataFrame, keys: Seq[String], numPartitions: Int,
-                     eager: Boolean = true): DataFrame = {
+                     eager: Boolean = true,
+                     sortedBy: Seq[String] = Nil): DataFrame = {
     record(df)
     val cp =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager)
       else track(df.localCheckpoint(eager))
     val declared = org.apache.spark.sql.GraftCheckpointShim
-      .declareHashPartitioning(cp, keys, numPartitions)
+      .declareHashPartitioning(cp, keys, numPartitions, sortedBy)
     // the re-wrap reuses cp's rdd, so the tracked block id is unchanged
     declared
   }
@@ -170,6 +171,21 @@ object Materialize {
   def oncePartitioned(df: DataFrame, keys: Seq[String],
                       numPartitions: Int): DataFrame =
     cutPartitioned(df, keys, numPartitions, eager = false)
+
+  /** Release ONE cut frame's blocks early — for staging frames a kernel
+    * fully consumed mid-query (e.g. the pre-seal edge materialization the
+    * iterative kernels re-partition into their round layout): holding
+    * both copies to the query boundary doubles the kernel's edge-scale
+    * storage footprint (measured as the r16layout probe's heap headroom).
+    * CONTRACT: the frame must be fully consumed — its truncated lineage
+    * cannot recompute. No-op for frames that are not tracked cuts.
+    */
+  def releaseFrame(spark: SparkSession, df: DataFrame,
+                   blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => releaseWhere(spark, _.rddId == lr.rdd.id, blocking)
+      case _ => ()
+    }
 
   /** Number of tracked checkpoint blocks still persisted in the context.
     * The bench loop CHECKS this returns to zero after each query's scoped

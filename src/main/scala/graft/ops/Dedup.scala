@@ -578,9 +578,11 @@ object Dedup {
     *    Materialize.cutPartitioned — a plain Dataset.checkpoint reads
     *    UnknownPartitioning under AQE, r16 finding), so the per-round
     *    neighbor join is co-partitioned: the edge list (the largest
-    *    frame in the loop) never re-shuffles and never re-sorts
-    *    (shuffled-hash, build = unique-key labels side); only the
-    *    pointer self-join's probe side moves.
+    *    frame in the loop) never re-shuffles and, with its declared
+    *    within-partition ordering, never re-sorts (the sort-merge sorts
+    *    only the node-scale label side per round, and spills rather
+    *    than OOMs under skew); only the pointer self-join's probe side
+    *    moves.
     * Non-convergence after `maxIters` (diameter > 2^maxIters — not
     * reachable for real near-dup graphs) raises rather than silently
     * splitting a component.
@@ -620,8 +622,18 @@ object Dedup {
     // nParts) that cutPartitioned re-declares on the cut frame; the
     // per-round neighbor join is then CO-PARTITIONED (labels' doc_id
     // renames to the probe key b) and neither side ever exchanges again.
+    // pre-sorted by the probe key and DECLARED so (ordering rides the
+    // declared layout): the per-round sort-merge join then re-sorts only
+    // the node-scale label side, never the edge list — and unlike a
+    // shuffled-hash build it degrades by SPILLING, not by OOM, when a
+    // partition outgrows its memory slice (the r16 ScaleProbe leg
+    // crashed a hinted SHJ build at 39M edges on exactly this).
     val edges = graft.core.Materialize.cutPartitioned(
-      pre.repartition(nParts, col("b")), Seq("b"), nParts)
+      pre.repartition(nParts, col("b")).sortWithinPartitions("b"),
+      Seq("b"), nParts, sortedBy = Seq("b"))
+    // the sealed copy fully replaces the staging one — release it now or
+    // the kernel holds TWO edge-scale block sets for the whole query
+    graft.core.Materialize.releaseFrame(pairs.sparkSession, pre, blocking = true)
     // seed with the first propagation round folded into init: each node
     // starts at min(self, min neighbor) — one aggregation over the edge
     // list instead of a distinct + a full join round; repartition first so
@@ -651,26 +663,24 @@ object Dedup {
     try {
     while (!converged && i < maxIters) {
       sc.setJobDescription(s"cc: round ${i + 1}") // guide §1.5 job labels
-      // SHUFFLE_HASH with the BUILD on the labels side (guide §3.1): the
-      // doc_id key is unique so the build is uniform and bounded by
-      // node-bytes/nParts (edge-byte-derived nParts keeps it ≪ advisory);
-      // the streamed side tolerates skew (a mega-component's shared
-      // cluster_id streams, never builds). SMJ here would re-sort the
-      // edge side EVERY round; AQE's broadcast switch would add two
-      // build-collect jobs per round locally and is impossible at scale
-      // (labels are node-scale). Both joins are co-partitioned
-      // (hashpartitioning(key, nParts) on both sides) — no exchange.
+      // Both joins are co-partitioned (hashpartitioning(key, nParts) on
+      // both sides) — NO exchange; the sort-merge re-sorts only the
+      // node-scale label side per round (the edge side's declared
+      // ordering rides the cut) and spills gracefully under skew — a
+      // hinted shuffled-hash build has no fallback and OOMs the query
+      // when a build partition outgrows its memory slice (guide §3.1;
+      // measured: the r16layout probe at 39M edges). AQE cannot
+      // broadcast-switch an exchange-free join, so no per-round
+      // broadcast-build jobs either.
       val viaNeighbor = edges
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand"))
-          .hint("shuffle_hash"), "b")
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
         .select(col("a").as("doc_id"), col("cand"))
       // inner self-join covers EVERY node (a node's label is a node id in
       // the same component, so the probe always matches) and its
       // candidate label(label(v)) ≤ label(v) dominates the carried self
       // label — no self-union needed
       val viaPointer = labels.as("l1")
-        .join(labels.as("l2").hint("shuffle_hash"),
-          col("l1.cluster_id") === col("l2.doc_id"))
+        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
       // pin the round output into the SAME (doc_id, nParts) layout the
       // joins consume, so label frames never exchange again: the

@@ -42,13 +42,19 @@ object Graph {
     // was re-exchanging the EDGE list by src. One edge-scale exchange at
     // build pins hashpartitioning(src, nParts) — byte-derived width from
     // the first cut's AQE-coalesced count — and the per-iteration rank
-    // and out-degree joins become co-partitioned, exchange-free,
-    // sort-free (shuffled-hash, build = the unique-key side).
+    // and out-degree joins become co-partitioned and exchange-free; the
+    // declared within-partition ordering makes the per-iteration
+    // sort-merge joins re-sort only the node-scale sides (rank,
+    // out-degree), never the edge list, while degrading by spill — not
+    // OOM — under skew (guide §3.1).
     val pre = graft.core.Materialize.cut(
       edges0.select(col("src").cast("long"), col("dst").cast("long")))
     val nParts = math.max(pre.rdd.getNumPartitions, 2)
     val edges = graft.core.Materialize.cutPartitioned(
-      pre.repartition(nParts, col("src")), Seq("src"), nParts)
+      pre.repartition(nParts, col("src")).sortWithinPartitions("src"),
+      Seq("src"), nParts, sortedBy = Seq("src"))
+    // the sealed copy fully replaces the staging one — release it now
+    graft.core.Materialize.releaseFrame(edges0.sparkSession, pre, blocking = true)
     // nodes born in the (v, nParts) layout: dropDuplicates rides its own
     // repartition (guide §2.4), so the per-iteration left join back onto
     // the rank sums needs no exchange either
@@ -71,13 +77,13 @@ object Graph {
       .select(col("v"), expr("1000000000L div n").as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(pr.withColumnRenamed("v", "src").hint("shuffle_hash"), Seq("src"))
-        .join(outd.hint("shuffle_hash"), Seq("src"))
+        .join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .join(outd, Seq("src"))
         .select(col("dst").as("v"), expr("pr div d").as("c"))
       val s = contrib.repartition(nParts, col("v"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       pr = nodes.crossJoin(broadcast(nn))
-        .join(s.hint("shuffle_hash"), Seq("v"), "left")
+        .join(s, Seq("v"), "left")
         .select(col("v"),
           (expr("150000000L div n") +
             expr("(85L * coalesce(s, 0L)) div 100L")).as("pr"))
@@ -175,16 +181,22 @@ object Graph {
     // hashpartitioning(src, nParts), re-declared on the cut frame; the
     // per-round label join is then co-partitioned and exchange-free.
     val sym = graft.core.Materialize.cutPartitioned(
-      pre.repartition(nParts, col("src")), Seq("src"), nParts)
+      pre.repartition(nParts, col("src")).sortWithinPartitions("src"),
+      Seq("src"), nParts, sortedBy = Seq("src"))
+    // the sealed copy fully replaces the staging one — release it now or
+    // the kernel holds TWO edge-scale block sets for the whole query
+    graft.core.Materialize.releaseFrame(edges0.sparkSession, pre, blocking = true)
     var labels = sym.select(col("src").as("v"), col("src").as("label")).distinct()
     for (_ <- 1 to iters) {
       // symmetry means every node of sym appears as a dst, so the votes
       // frame IS the next label frame — no join-back onto the previous
       // labels (isolated nodes never enter sym at all and stay out of
       // the result by the same contract as before).
-      // SHUFFLE_HASH, build = labels (unique v ⇒ uniform, node-bytes/
-      // nParts ≪ advisory — guide §3.1): no per-round edge sort, no
-      // broadcast-build jobs. One repartition(dst) feeds BOTH aggregates
+      // The join is co-partitioned (no exchange) and the edge side's
+      // declared ordering rides the cut, so the per-round sort-merge
+      // sorts only the node-scale label side — and spills rather than
+      // OOMs under skew (a hinted shuffled-hash build has no fallback;
+      // guide §3.1). One repartition(dst) feeds BOTH aggregates
       // (dst ⊆ {dst,label}) and the round output is BORN in the
       // (v, nParts) layout the next round's join consumes — one exchange
       // per round instead of three. The (dst,label) aggregate's map-side
@@ -192,8 +204,7 @@ object Graph {
       // holds few duplicate (dst,label) votes, so the combine saved
       // ~nothing while its exchange cost a full extra candidate pass.
       labels = graft.core.Materialize.oncePartitioned(sym
-        .join(labels.withColumnRenamed("v", "src").hint("shuffle_hash"),
-          Seq("src"))
+        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .repartition(nParts, col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))

@@ -41,7 +41,8 @@ object CcRoundPlan {
         .dropDuplicates("a", "b"))
     val nParts = math.max(pre.rdd.getNumPartitions, 2)
     val edges = graft.core.Materialize.cutPartitioned(
-      pre.repartition(nParts, col("b")), Seq("b"), nParts)
+      pre.repartition(nParts, col("b")).sortWithinPartitions("b"),
+      Seq("b"), nParts, sortedBy = Seq("b"))
     println(s"edges partitions = $nParts")
     println("edges outputPartitioning: " +
       edges.queryExecution.executedPlan.outputPartitioning)
@@ -54,12 +55,10 @@ object CcRoundPlan {
     println("labels outputPartitioning: " +
       labels.queryExecution.executedPlan.outputPartitioning)
     val viaNeighbor = edges
-      .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand"))
-        .hint("shuffle_hash"), "b")
+      .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cand")), "b")
       .select(col("a").as("doc_id"), col("cand"))
     val viaPointer = labels.as("l1")
-      .join(labels.as("l2").hint("shuffle_hash"),
-        col("l1.cluster_id") === col("l2.doc_id"))
+      .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
       .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("cand"))
     val next0 = viaNeighbor.unionByName(viaPointer)
       .repartition(nParts, col("doc_id"))

@@ -34,11 +34,18 @@ import org.apache.spark.sql.execution.LogicalRDD
 object GraftCheckpointShim {
   /** Re-wrap `cp` (a frame returned by Dataset.checkpoint/localCheckpoint,
     * i.e. analyzed plan = LogicalRDD) declaring
-    * HashPartitioning(keys, numPartitions). Returns `cp` unchanged if the
-    * plan is not a LogicalRDD (reliable-checkpoint future-proofing).
+    * HashPartitioning(keys, numPartitions), and optionally an
+    * ascending-NullsFirst within-partition sort order on `sortedBy`
+    * (declare it only when the frame's last operators were
+    * repartition(n, keys) + sortWithinPartitions(sortedBy)). Size
+    * statistics of the origin plan are preserved so downstream join
+    * planning (broadcast decisions) keeps working across the re-wrap.
+    * Returns `cp` unchanged if the plan is not a LogicalRDD
+    * (reliable-checkpoint future-proofing).
     */
   def declareHashPartitioning(cp: DataFrame, keys: Seq[String],
-                              numPartitions: Int): DataFrame = {
+                              numPartitions: Int,
+                              sortedBy: Seq[String] = Nil): DataFrame = {
     val cds = cp.asInstanceOf[CDataset[Row]]
     cds.queryExecution.analyzed match {
       // declare ONLY when the checkpointed rdd physically has exactly the
@@ -50,13 +57,16 @@ object GraftCheckpointShim {
       // count/sum contract violation — caught at r16 on empty pair
       // inputs). The partition count is plan metadata, free to read.
       case lr: LogicalRDD if lr.rdd.getNumPartitions == numPartitions =>
-        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+        def attr(k: String) = lr.output.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(
-            s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}")))
-        val part = HashPartitioning(attrs, numPartitions)
+            s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}"))
+        val part = HashPartitioning(keys.map(attr), numPartitions)
+        val ord = sortedBy.map(k =>
+          org.apache.spark.sql.catalyst.expressions.SortOrder(
+            attr(k), org.apache.spark.sql.catalyst.expressions.Ascending))
         CDataset.ofRows(cds.sparkSession,
-          LogicalRDD(lr.output, lr.rdd, part, Nil, isStreaming = false,
-            lr.stream)(cds.sparkSession, None, None))
+          LogicalRDD(lr.output, lr.rdd, part, ord, isStreaming = false,
+            lr.stream)(cds.sparkSession, Some(lr.stats), None))
       case _ => cp
     }
   }
